@@ -1,1 +1,406 @@
-"""Placeholder — filled in as operators land."""
+"""Relational core: scans, projection/filter, the join family, aggregation
+family incl. rollup/cube/grouping sets (SURVEY.md §2.D rows 1-8).
+
+Scale notes applied throughout:
+- Dimension tables (region/nation/supplier/part, and the inline band table)
+  are broadcast — no shuffle for the small side even at 100 TB fact scale.
+- Fact-fact joins (lineitem ⋈ orders) shuffle on the join key; AQE handles
+  skew splitting and partition coalescing at runtime.
+- All double aggregates use exact DECIMAL accumulation (functions.numeric)
+  so results are order-independent — required for the oracle hash AND for
+  run-to-run reproducibility on a real cluster.
+- Per-row double arithmetic (a single multiply) is IEEE-deterministic and
+  stays in plain double: only *reductions* need the decimal trick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gridmr_spark.catalog import load_table
+from gridmr_spark.functions.numeric import davg, dmoney, dsum
+from gridmr_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary (TPC-H Q1 adaptation; full agg family over one scan)
+# ---------------------------------------------------------------------------
+
+_Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(l_quantity) AS DOUBLE) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(l_extendedprice) AS DOUBLE) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(l_discount) AS DOUBLE) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q1_pricing_summary", oracle=_Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan -> filter (pushed to parquet) -> 2-key hash agg with partial
+    (map-side) aggregation; 8 aggregates over one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(12,2)")
+    ep = dmoney("l_extendedprice", 2).cast("decimal(12,2)")
+    disc = dmoney("l_discount", 2).cast("decimal(12,2)")
+    tax = dmoney("l_tax", 2).cast("decimal(12,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(ep * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(ep * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection + filter (predicate pushdown / column pruning showcase)
+# ---------------------------------------------------------------------------
+
+_FILTER_ORACLE = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+  AND l_discount > 0.05
+  AND l_quantity < 25
+"""
+
+
+@query("filter_project", oracle=_FILTER_ORACLE)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective filter + narrow projection. The shipdate/discount/quantity
+    predicates and the 6-column ReadSchema reach the parquet scan
+    (PushedFilters in .explain) — at 100 TB this is the difference between
+    scanning terabytes and scanning everything."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-06-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") > 0.05)
+            & (F.col("l_quantity") < 25)
+        ).select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Star join: fact ⋈ fact shuffle join + broadcast dimension chain
+# ---------------------------------------------------------------------------
+
+_STAR_ORACLE = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+@query("join_star_revenue", oracle=_STAR_ORACLE)
+def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per (region, nation): lineitem⋈orders is the one real shuffle
+    (both sides hashed on orderkey); customer is mid-size (AQE decides);
+    nation/region are explicit broadcasts — zero shuffle for the dims."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    one = F.lit(1).cast("decimal(12,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(dmoney("l_extendedprice", 2).cast("decimal(12,2)") * (one - dmoney("l_discount", 2).cast("decimal(12,2)")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins
+# ---------------------------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+
+@query("join_semi", oracle=_SEMI_ORACLE)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one 300k+ order — left_semi join (EXISTS):
+    probe side streams, no duplication, build side reduced by the filter
+    before the join (Catalyst pushes it below)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@query("join_anti", oracle=_ANTI_ORACLE)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders — left_anti join (NOT EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theta / range join against an inline dimension (non-equi join)
+# ---------------------------------------------------------------------------
+
+_BAND_ORACLE = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('small', 0.0, 100000.0), ('medium', 100000.0, 250000.0), ('large', 250000.0, 1000000000.0)
+)
+SELECT band, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+"""
+
+
+@query("join_range_band", oracle=_BAND_ORACLE)
+def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join: orders against a tiny broadcast band table.
+    Broadcast nested-loop with 3 rows on the build side — O(n·3) scans, no
+    shuffle; the scalable pattern for interval dimension tables."""
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("small", 0.0, 100000.0), ("medium", 100000.0, 250000.0), ("large", 250000.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        orders.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation family
+# ---------------------------------------------------------------------------
+
+_DISTINCT_ORACLE = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@query("agg_distinct", oracle=_DISTINCT_ORACLE)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregation (expand-based plan in Spark)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+    )
+
+
+@query("agg_approx_distinct", oracle=None)  # HLL++ estimates differ per engine
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB-scale substitute
+    for exact COUNT DISTINCT. Rows-only check (estimates are
+    engine-specific); tests/test_relational.py bounds the error vs exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Engineered moments: exact variance via decimal sums (order-independent
+# replacement for stddev/variance, which are sequence-dependent in double)
+# ---------------------------------------------------------------------------
+
+_MOMENTS_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty_sq
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_moments", oracle=_MOMENTS_ORACLE)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sufficient statistics (n, Σx, Σx²) with exact accumulation — variance
+    and stddev derive deterministically downstream. This is the
+    reproducible-at-any-parallelism way to do moments at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = dmoney("l_quantity", 2)
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q).cast("double").alias("sum_qty"),
+        F.sum(q * q).cast("double").alias("sum_qty_sq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup / cube / grouping sets
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT r_name, n_name, COUNT(*) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@query("agg_rollup", oracle=_ROLLUP_ORACLE)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region->nation hierarchy (subtotals + grand total)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_cust"), dsum("c_acctbal").alias("sum_acctbal"))
+    )
+
+
+_CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("agg_cube", oracle=_CUBE_ORACLE)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — all 4 grouping-set combinations."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_price")
+    )
+
+
+_GSETS_ORACLE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+"""
+
+
+@query("agg_grouping_sets", oracle=_GSETS_ORACLE)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (same Catalyst Expand plan
+    as cube/rollup)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations + distinct
+# ---------------------------------------------------------------------------
+
+_SETOPS_ORACLE = """
+SELECT 'both' AS side, n_nationkey AS nationkey FROM (
+  SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+  INTERSECT
+  SELECT DISTINCT s_nationkey FROM supplier
+) t
+UNION ALL
+SELECT 'customer_only' AS side, n_nationkey AS nationkey FROM (
+  SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+  EXCEPT
+  SELECT DISTINCT s_nationkey FROM supplier
+) t
+"""
+
+
+@query("set_ops", oracle=_SETOPS_ORACLE)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL over nation-key sets."""
+    cust_n = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+    supp_n = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    ).distinct()
+    both = cust_n.intersect(supp_n).select(F.lit("both").alias("side"), "nationkey")
+    only = cust_n.exceptAll(supp_n).select(F.lit("customer_only").alias("side"), "nationkey")
+    return both.unionAll(only)
+
+
+_DEDUP_ROWS_ORACLE = """
+SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+"""
+
+
+@query("distinct_rows", oracle=_DEDUP_ROWS_ORACLE)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates == SELECT DISTINCT (shuffle on all projected cols)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderstatus", "o_orderpriority").dropDuplicates()
