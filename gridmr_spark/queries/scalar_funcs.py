@@ -1,1 +1,224 @@
-"""Placeholder — filled in as operators land."""
+"""Scalar function surface: string / date / math / JSON / array functions
+(SURVEY.md §2.D row 12). The reference only ever exposed B1/B2-style string
+munging inside user binaries; here the whole pyspark.sql.functions surface is
+first-class and codegen'd.
+
+Cross-engine determinism rules baked into these queries (and documented for
+the 100 TB posture, where reproducibility = debuggability):
+- round() on raw doubles is engine-dependent near ties -> round on DECIMAL.
+- libm-backed fns (ln/exp/pow) differ in last ulp between JVM and C -> the
+  oracle-checked surface sticks to correctly-rounded IEEE ops (sqrt, abs,
+  floor/ceil) and exact integer/decimal arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gridmr_spark.catalog import load_table
+from gridmr_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# String functions over part names
+# ---------------------------------------------------------------------------
+
+_STRING_ORACLE = """
+SELECT p_partkey,
+       upper(p_brand) AS brand_upper,
+       substring(p_name, 1, 8) AS name_prefix,
+       length(p_name) AS name_len,
+       replace(p_type, ' ', '_') AS type_snake,
+       concat(p_brand, ':', p_type) AS brand_type,
+       ltrim(rtrim(p_name)) AS name_trim,
+       regexp_extract(p_type, '([A-Z]+)', 1) AS first_word,
+       CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS has_a
+FROM part
+WHERE p_size BETWEEN 10 AND 20
+"""
+
+
+@query("string_funcs", oracle=_STRING_ORACLE)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size").between(10, 20))
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.ltrim(F.rtrim(F.col("p_name"))).alias("name_trim"),
+        F.regexp_extract("p_type", "([A-Z]+)", 1).alias("first_word"),
+        F.when(F.col("p_name").like("%a%"), 1).otherwise(0).cast("int").alias("has_a"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date/time functions over orders
+# ---------------------------------------------------------------------------
+
+_DATE_ORACLE = """
+SELECT o_orderkey,
+       CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_month,
+       CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS order_day,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-12-31 00:00:00') AS BIGINT) AS days_to_eoy,
+       strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders
+WHERE o_orderkey < 1000
+"""
+
+
+@query("date_funcs", oracle=_DATE_ORACLE)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("days_to_eoy"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Math functions over lineitem
+# ---------------------------------------------------------------------------
+
+_MATH_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       abs(l_extendedprice - 50000.0) AS dist_from_50k,
+       floor(l_quantity) AS qty_floor,
+       ceil(l_extendedprice / 1000.0) AS price_kilo_ceil,
+       sqrt(l_quantity) AS qty_sqrt,
+       CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)), 1) AS DOUBLE) AS discount_amt,
+       CAST(l_partkey % 7 AS BIGINT) AS partkey_mod
+FROM lineitem
+WHERE l_orderkey < 500
+"""
+
+
+@query("math_funcs", oracle=_MATH_ORACLE)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 500)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 50000.0).alias("dist_from_50k"),
+        F.floor("l_quantity").cast("double").alias("qty_floor"),
+        F.ceil(F.col("l_extendedprice") / 1000.0).cast("double").alias("price_kilo_ceil"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.col("l_discount").cast("decimal(18,2)"),
+            1,
+        )
+        .cast("double")
+        .alias("discount_amt"),
+        (F.col("l_partkey") % 7).cast("bigint").alias("partkey_mod"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON functions over events.props
+# ---------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+       CAST(json_extract_string(props, '$.missing') AS BIGINT) AS missing_value,
+       CAST(json_valid(props) AS INT) AS is_valid
+FROM events
+WHERE event_id < 2000
+"""
+
+
+@query("json_funcs", oracle=_JSON_ORACLE)
+def json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object / from_json over the props JSON column — schema-on-read
+    for semi-structured event payloads."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_value"),
+        F.get_json_object("props", "$.missing").cast("bigint").alias("missing_value"),
+        F.when(F.try_parse_json(F.col("props")).isNotNull(), 1).otherwise(0).alias("is_valid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array functions over embeddings
+# ---------------------------------------------------------------------------
+
+_ARRAY_ORACLE = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       embedding[1] AS first_elem,
+       embedding[1:4] AS head4,
+       CAST(list_sum(CAST(embedding[1:8] AS DOUBLE[])) AS DOUBLE) AS head8_sum
+FROM embeddings
+WHERE vec_id < 100
+"""
+
+
+@query("array_funcs", oracle=_ARRAY_ORACLE)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size/element_at/slice/aggregate over array<float> — the embedding
+    column toolkit; F.aggregate is a codegen'd fold, no Python UDF.
+
+    The 8-element double sum is sequential in both engines (left fold), so
+    bit-identical."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.element_at("embedding", 1).alias("first_elem"),
+        F.slice("embedding", 1, 4).alias("head4"),
+        F.aggregate(
+            F.slice("embedding", 1, 8),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double"),
+        ).alias("head8_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditional / null-handling surface
+# ---------------------------------------------------------------------------
+
+_COND_ORACLE = """
+SELECT e.event_id,
+       CASE WHEN e.value > 100 THEN 'high' WHEN e.value > 10 THEN 'mid' ELSE 'low' END AS value_band,
+       coalesce(nullif(e.event_type, 'error'), 'ERR') AS type_or_err,
+       CAST(e.value IS NULL AS INT) AS value_is_null,
+       greatest(e.value, 0.0) AS value_clamped,
+       ifnull(CAST(json_extract_string(e.props, '$.absent') AS DOUBLE), -1.0) AS absent_or_default
+FROM events e
+WHERE e.event_id < 3000
+"""
+
+
+@query("conditional_funcs", oracle=_COND_ORACLE)
+def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    return ev.select(
+        "event_id",
+        F.when(F.col("value") > 100, "high")
+        .when(F.col("value") > 10, "mid")
+        .otherwise("low")
+        .alias("value_band"),
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("ERR")).alias(
+            "type_or_err"
+        ),
+        F.col("value").isNull().cast("int").alias("value_is_null"),
+        F.greatest(F.col("value"), F.lit(0.0)).alias("value_clamped"),
+        F.coalesce(
+            F.get_json_object("props", "$.absent").cast("double"), F.lit(-1.0)
+        ).alias("absent_or_default"),
+    )

@@ -1,1 +1,159 @@
-"""Placeholder — filled in as operators land."""
+"""Window functions, sorts/limits, top-k (SURVEY.md §2.D rows 9-10).
+
+Determinism rule: every window ORDER BY carries a unique tiebreaker column
+(orderkey/event_id) so ranking output is identical across engines and runs —
+ties broken arbitrarily would fail the value hash AND make production runs
+non-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gridmr_spark.catalog import load_table
+from gridmr_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# Ranking: top-k per group
+# ---------------------------------------------------------------------------
+
+_TOPK_GROUP_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) t
+WHERE rn <= 3
+"""
+
+
+@query("window_topk_per_group", oracle=_TOPK_GROUP_ORACLE)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price. row_number + filter is the
+    scalable top-k: Spark's WindowGroupLimit pushes the limit below the
+    shuffle (partial top-k per map task) — no full sort of 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranking family: rank / dense_rank / ntile
+# ---------------------------------------------------------------------------
+
+_RANKS_ORACLE = """
+SELECT c_mktsegment, c_custkey,
+       RANK()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS drnk,
+       NTILE(4)     OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS quartile
+FROM customer
+WHERE c_acctbal > 9000
+"""
+
+
+@query("window_ranks", oracle=_RANKS_ORACLE)
+def window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic: lag / lead (event deltas per user)
+# ---------------------------------------------------------------------------
+
+_LAG_ORACLE = """
+SELECT user_id, event_id, ts,
+       LAG(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+       LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+       CAST(date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS BIGINT) AS gap_s
+FROM events
+WHERE user_id < 50
+"""
+
+
+@query("window_lag_lead", oracle=_LAG_ORACLE)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event sequencing: lag/lead + inter-event gap in seconds."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+        .cast("bigint")
+        .alias("gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frames: running / sliding aggregates
+# ---------------------------------------------------------------------------
+
+_FRAME_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS last3_spend
+FROM orders
+WHERE o_custkey < 100
+"""
+
+
+@query("window_frames", oracle=_FRAME_ORACLE)
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative and sliding 3-row frames per customer. Decimal accumulation
+    again: a running double sum replays in partition order, but frames over
+    decimals are exact and engine-agnostic."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 100)
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(price).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double").alias("running_spend"),
+        F.sum(price).over(w.rowsBetween(-2, 0)).cast("double").alias("last3_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global sort + limit (top-k)
+# ---------------------------------------------------------------------------
+
+_TOPK_GLOBAL_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@query("topk_global", oracle=_TOPK_GLOBAL_ORACLE)
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10: Spark plans TakeOrderedAndProject — per-partition
+    heap + driver merge of k rows, never a full sort. The only safe 'ORDER
+    BY ... LIMIT k' at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
