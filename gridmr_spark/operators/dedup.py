@@ -1,0 +1,258 @@
+"""Deduplication operators for LLM training-data pipelines: exact,
+n-gram Jaccard (exact pairwise), MinHash+LSH (approximate, the 100 TB path),
+and SimHash.
+
+Design for scale:
+- Exact dedup: hash-groupBy on the dedup key — one shuffle, map-side combine.
+- Jaccard pairs: inverted-index self-join on shingles (NOT a cross join) —
+  candidate pairs are generated only for docs sharing a shingle. Ultra-common
+  shingles create join skew at scale; callers can cap document frequency via
+  ``max_shingle_df`` (drops stop-shingles, standard MinHashLSH practice).
+- MinHash/LSH: fixed-width signature (k minhashes) per doc computed in ONE
+  groupBy pass (k aggregate columns, all JVM-side); banding turns near-dup
+  search into an equi-join on (band_id, band_hash) — linear shuffle, no n².
+- SimHash: 64-bit signature via per-bit weighted majority — one explode +
+  one groupBy; Hamming-distance candidate pairs join on rotated bit-blocks.
+
+Everything is built-in-function based (xxhash64, pmod, bitwise ops) — no
+Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^31-1 (Mersenne prime): permutation universe for minhash. Products
+# a*h + b stay < 2^62 — no bigint overflow without 128-bit arithmetic.
+_MERSENNE = 2147483647
+
+
+def normalize_tokens(text_col: str = "text"):
+    """lowercased alphanumeric tokens, empties removed (reference-parity
+    normalization: cpp/worker/map.cc:12-21)."""
+    return F.filter(
+        F.split(F.lower(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9]+", " ")), " "),
+        lambda t: t != "",
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) pairs — distinct word n-grams per document."""
+    toks = df.select(F.col(id_col).alias("id"), normalize_tokens(text_col).alias("ws"))
+    # Guard: sequence(0, x) with x<0 would produce a DESCENDING sequence in
+    # Spark, not an empty one — short docs need an explicit empty array.
+    idx = F.when(F.size("ws") >= n, F.sequence(F.lit(0), F.size("ws") - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingled = toks.select(
+        "id",
+        F.explode(
+            F.array_distinct(
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i + 1, n)))
+            )
+        ).alias("shingle"),
+    )
+    return shingled
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the min-id representative per duplicate group (deterministic,
+    unlike dropDuplicates' arbitrary winner). One shuffle on the key."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via inverted-index join.
+
+    jaccard(A,B) = |A∩B| / (|A|+|B|-|A∩B|); the intersection count comes from
+    a self-join on shingle, so only co-occurring docs are compared. The
+    division is a single double op on exact integers — engine-deterministic.
+    """
+    sh = word_shingles(df, id_col, text_col, n).cache()
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").count().where(F.col("count") > max_shingle_df)
+        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id1"), "shingle")
+    b = sh.select(F.col("id").alias("id2"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("c"))
+    )
+    s1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        common.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            "id1",
+            "id2",
+            (F.col("c").cast("double") / (F.col("sz1") + F.col("sz2") - F.col("c")).cast("double")).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) permutation parameters, a odd, in [1, P)."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE) | 1, rng.randrange(0, _MERSENNE)) for _ in range(k)]
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 64
+) -> DataFrame:
+    """k-wide MinHash signature per doc, one groupBy pass.
+
+    base = xxhash64(shingle) mod P; h_i = (a_i*base + b_i) mod P; sig_i =
+    min over shingles. All JVM expressions — the k aggregates compile into
+    one hash-aggregate operator.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * base + F.lit(b), F.lit(_MERSENNE))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_perm_params(k))
+    ]
+    return sh.groupBy(F.col("id")).agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, k: int = 64, bands: int = 16) -> DataFrame:
+    """Band the signature and equi-join on (band, band_hash): docs agreeing
+    on all rows of any band become candidates. rows_per_band = k/bands tunes
+    the precision/recall tradeoff (16 bands × 4 rows ≈ s-curve at j≈0.5)."""
+    rows = k // bands
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    pairs = None
+    stacked = banded.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_hash"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "bb.band_id", "bb.band_hash")
+    other = stacked.select(
+        F.col("id").alias("id2"), F.col("band_id"), F.col("band_hash")
+    )
+    pairs = (
+        stacked.join(other, ["band_id", "band_hash"])
+        .where(F.col("id") < F.col("id2"))
+        .select(F.col("id").alias("id1"), "id2")
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH candidates -> exact Jaccard verification (the standard two-stage
+    near-dup pipeline). Output matches jaccard_pairs up to LSH recall; at
+    100 TB this replaces the inverted-index join's worst-case blowup with a
+    bounded candidate set."""
+    cand = lsh_candidate_pairs(minhash_signatures(df, id_col, text_col, n, k), k, bands)
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id1"), "shingle")
+    b = sh.select(F.col("id").alias("id2"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id1") < F.col("id2"))
+        .join(cand, ["id1", "id2"], "left_semi")
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("c"))
+    )
+    s1 = sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        common.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            "id1",
+            "id2",
+            (F.col("c").cast("double") / (F.col("sz1") + F.col("sz2") - F.col("c")).cast("double")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: per-bit weighted majority over token
+    hashes (token weight = term frequency). Near-dups have small Hamming
+    distance. One explode + one 64-agg groupBy, all bitwise JVM expressions."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(normalize_tokens(text_col)).alias("tok")
+    )
+    weighted = toks.groupBy("id", "tok").agg(F.count("*").alias("w"))
+    h = F.xxhash64("tok")
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(-F.col("w"))
+        ).alias(f"b{j}")
+        for j in range(64)
+    ]
+    per_bit = weighted.groupBy("id").agg(*bit_aggs)
+    sig = None
+    for j in range(64):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        shifted = F.shiftleft(term, j)
+        sig = shifted if sig is None else sig.bitwiseXOR(shifted)
+    return per_bit.select("id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3, blocks: int = 4) -> DataFrame:
+    """Candidate pairs with Hamming(simhash) <= max_hamming via the
+    pigeonhole block trick: split 64 bits into `blocks` blocks; any pair
+    within distance < blocks must agree on >= 1 whole block -> equi-join per
+    block, then exact popcount filter. Linear-ish shuffle, no cross join."""
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    blocked = sig.select(
+        "id",
+        "simhash",
+        *[
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias(f"blk{b}")
+            for b in range(blocks)
+        ],
+    )
+    pairs = None
+    for b in range(blocks):
+        left = blocked.select(
+            F.col("id").alias("id1"), F.col("simhash").alias("sh1"), F.col(f"blk{b}").alias("blk")
+        )
+        right = blocked.select(
+            F.col("id").alias("id2"), F.col("simhash").alias("sh2"), F.col(f"blk{b}").alias("blk")
+        )
+        p = left.join(right, "blk").where(F.col("id1") < F.col("id2")).select("id1", "id2", "sh1", "sh2")
+        pairs = p if pairs is None else pairs.unionAll(p)
+    pairs = pairs.distinct()
+    ham = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+    return pairs.select("id1", "id2", ham.alias("hamming")).where(F.col("hamming") <= max_hamming)

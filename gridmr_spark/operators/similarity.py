@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per SURVEY.md §7.3 risk 4:
+- ``cosine_topk``: brute-force exact — broadcast the (small) query set
+  against all candidates; the correctness oracle and the right plan whenever
+  |queries| is small (the common "find neighbors of these N items" shape).
+- ``RandomHyperplaneLSH``: the scale path — sign-random-projection buckets
+  with OR-amplification (L independent hash tables) + hamming-1 multi-probe.
+  Sub-linear candidate generation; recall measured in tests against the
+  exact path (on near-random vectors, the worst case for any LSH).
+
+The dot product is a sequential double fold (F.aggregate over zip_with) —
+codegen'd JVM expression, bit-identical to an equivalent sequential fold in
+DuckDB, which is what makes the exact path oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from gridmr_spark.functions.vectors import cosine_similarity
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    Broadcast the query side: each candidate partition scans its rows once
+    against all queries — no shuffle of the (huge) candidate table. Ranking
+    ties break on candidate id for determinism.
+    """
+    joined = candidates.crossJoin(F.broadcast(queries))
+    if exclude_self:
+        joined = joined.where(F.col(q_id) != F.col(c_id))
+    sims = joined.select(
+        q_id, c_id, cosine_similarity(F.col(q_vec), F.col(c_vec)).alias("cosine")
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
+    return sims.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+class RandomHyperplaneLSH:
+    """Sign-random-projection LSH for cosine similarity.
+
+    L tables × b hyperplanes each (seeded, deterministic). Per table, a
+    vector's b sign bits form its bucket; P[bit match] = 1 - theta/pi, so
+    near vectors collide in at least one table with probability
+    1 - (1 - p_table)^L (OR-amplification). Hamming-1 multi-probe on the
+    query side adds b more probes per table without re-hashing.
+
+    Tuning for 100 TB: bits controls bucket occupancy (candidates per
+    partition ~ n/2^bits must fit executor memory); tables × probes buys
+    recall linearly in compute. Both knobs are independent of data layout —
+    the join is a plain equi-join on (table, bucket), shuffle-partitioned.
+    """
+
+    def __init__(self, dim: int, bits: int = 8, tables: int = 4, seed: int = 42):
+        rng = random.Random(seed)
+        self.dim = dim
+        self.bits = bits
+        self.tables = tables
+        self.planes = [
+            [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+            for _ in range(tables)
+        ]
+
+    def _bucket_col(self, vec_col: str, table: int) -> Column:
+        bucket = F.lit(0).cast("long")
+        for j, plane in enumerate(self.planes[table]):
+            lit_plane = F.array(*[F.lit(x) for x in plane])
+            proj = F.aggregate(
+                F.zip_with(F.col(vec_col), lit_plane, lambda v, p: v.cast("double") * p),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(proj >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            bucket = bucket.bitwiseXOR(F.shiftleft(bit, j))
+        return bucket
+
+    def bucketize(self, df: DataFrame, vec_col: str, table: int = 0, out_col: str = "bucket") -> DataFrame:
+        return df.withColumn(out_col, self._bucket_col(vec_col, table))
+
+    def _tabled(self, df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        """One row per (vector, table) with that table's bucket id."""
+        tb = F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("tbl"), self._bucket_col(vec_alias, t).alias("bucket")
+                )
+                for t in range(self.tables)
+            ])
+        ).alias("tb")
+        return df.select(id_alias, vec_alias, tb).select(
+            id_alias, vec_alias, "tb.tbl", "tb.bucket"
+        )
+
+    def topk_in_buckets(
+        self,
+        df: DataFrame,
+        id_col: str,
+        vec_col: str,
+        k: int = 5,
+        multiprobe: bool = True,
+    ) -> DataFrame:
+        """Approximate all-pairs top-k: equi-join on (table, bucket), union
+        over tables via the exploded table column, exact cosine on the
+        candidate set, dedupe, rank."""
+        base = self._tabled(
+            df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")), "cid", "cvec"
+        )
+        qside = self._tabled(
+            df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")), "qid", "qvec"
+        )
+        if multiprobe:
+            probes = F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << j).cast("long")) for j in range(self.bits)],
+            )
+            qside = qside.withColumn("bucket", F.explode(probes))
+        joined = qside.join(base, ["tbl", "bucket"]).where(F.col("qid") != F.col("cid"))
+        sims = (
+            joined.select(
+                "qid", "cid", cosine_similarity(F.col("qvec"), F.col("cvec")).alias("cosine")
+            )
+            .groupBy("qid", "cid")
+            .agg(F.max("cosine").alias("cosine"))  # dedupe multi-table/probe hits
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+        return sims.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)

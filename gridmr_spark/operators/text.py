@@ -39,3 +39,115 @@ def word_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     words = df.select(F.explode(tokenize(text_col)).alias("word")).where(F.col("word") != "")
     return words.groupBy("word").agg(F.count("*").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline text analysis (language ID, quality, token counts, fingerprint)
+# ---------------------------------------------------------------------------
+
+# Marker-token lists per language for the n-gram/stopword heuristic. Tiny on
+# purpose: the operator pattern (token-set intersection scoring, argmax with
+# deterministic tie-break) is what scales; real deployments swap in fastText-
+# style tables via the same join.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is", "to", "in"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "es": ("el", "la", "los", "las", "y", "es", "que"),
+    "fr": ("le", "la", "les", "et", "est", "que", "une"),
+}
+# Priority order for argmax ties (deterministic).
+LANG_PRIORITY: tuple[str, ...] = ("en", "de", "es", "fr")
+
+
+def _tokens_col(text_col: str) -> Column:
+    return F.filter(tokenize(text_col), lambda t: t != "")
+
+
+def lang_scores(text_col: str = "text") -> dict[str, Column]:
+    """Marker-hit count per language (token-level, exact integers)."""
+    toks = _tokens_col(text_col)
+    out: dict[str, Column] = {}
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+    return out
+
+
+def lang_id(text_col: str = "text") -> Column:
+    """Predicted language: CJK presence wins outright, else marker-count
+    argmax in LANG_PRIORITY order; 'und' when no markers hit."""
+    scores = lang_scores(text_col)
+    has_cjk = F.col(text_col).rlike("[\\u4e00-\\u9fff]")
+    best = None
+    pred = F.lit("und")
+    # Build when-chain in reverse priority so earlier langs win ties.
+    for lang in reversed(LANG_PRIORITY):
+        others = [scores[o] for o in LANG_PRIORITY if o != lang]
+        cond = (scores[lang] > 0) & (scores[lang] >= F.greatest(*others))
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return F.when(has_cjk, F.lit("zh")).otherwise(pred)
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Per-document quality scoring: lengths, token stats, punctuation and
+    stopword ratios, and a keep/drop flag — the standard pre-training filter
+    set. All exact-integer or single-division arithmetic (deterministic)."""
+    toks = _tokens_col(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    stop_arr = F.array(*[F.lit(m) for ms in LANG_MARKERS.values() for m in ms])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.length(F.regexp_replace(text_col, "[a-zA-Z0-9\\s]+", ""))
+    n_distinct = F.size(F.array_distinct(toks))
+    avg_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).cast("double")
+        / n_tokens.cast("double"),
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens.cast("double")).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars.cast("double")).otherwise(F.lit(0.0))
+    distinct_ratio = F.when(n_tokens > 0, n_distinct.cast("double") / n_tokens.cast("double")).otherwise(F.lit(0.0))
+    keep = (
+        (n_tokens >= 10)
+        & (avg_tok_len >= 2.0)
+        & (avg_tok_len <= 12.0)
+        & (punct_ratio < 0.2)
+        & (distinct_ratio > 0.1)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.cast("bigint").alias("n_chars_calc"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_distinct.cast("bigint").alias("n_distinct_tokens"),
+        avg_tok_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subword count (runs of letters,
+    runs of digits, single other non-space chars — the GPT-2 pre-tokenizer
+    shape, minus unicode categories)."""
+    ws = F.size(_tokens_col(text_col))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), 0))
+    return df.select(
+        F.col(id_col).alias("id"),
+        ws.cast("bigint").alias("ws_tokens"),
+        bpe.cast("bigint").alias("bpe_tokens"),
+    )
+
+
+def fingerprint(text_col: str = "text", mod: int = 2147483647, mult: int = 31) -> Column:
+    """Polynomial rolling hash over the document's characters (codepoints):
+    acc = (acc*31 + code) mod p. A sequential fold — deterministic,
+    engine-portable (no impl-defined hash), cheap enough for 100 TB."""
+    chars = F.regexp_extract_all(F.col(text_col), F.lit("."), 0)
+    codes = F.transform(chars, lambda ch: F.ascii(ch).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * mult + c) % mod,
+    )

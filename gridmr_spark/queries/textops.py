@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gridmr_spark.catalog import load_table
+from gridmr_spark.operators import dedup as dedup_ops
 from gridmr_spark.operators import text as text_ops
 from gridmr_spark.queries import query
 
@@ -37,3 +38,190 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     + cpp/worker/reduce.cc:10-22, composed per SURVEY.md §2.B B4)."""
     docs = load_table(spark, sf_dir, "documents")
     return text_ops.word_count(docs, "text")
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (exact + n-gram Jaccard oracle-checked; MinHash/SimHash
+# approximate — recall/equivalence tested in tests/test_dedup.py)
+# ---------------------------------------------------------------------------
+
+_DEDUP_EXACT_ORACLE = """
+SELECT text, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+@query("dedup_exact", oracle=_DEDUP_EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the full text, deterministic min-id
+    representative. One shuffle; at 100 TB group on a digest (xxhash64/sha2)
+    instead of the raw text to shrink shuffle width — same plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.exact_dedup(docs, ["text"], "doc_id")
+
+
+# DuckDB mirror of word_shingles + inverted-index Jaccard (3-word shingles).
+_JACCARD_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ','g')),' '), t -> t <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(ws)-2),
+         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+  FROM toks
+), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id1, id2, CAST(c AS DOUBLE)/CAST(s1.sz + s2.sz - c AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes s1 ON id1 = s1.doc_id
+JOIN sizes s2 ON id2 = s2.doc_id
+WHERE CAST(c AS DOUBLE)/CAST(s1.sz + s2.sz - c AS DOUBLE) >= 0.5
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: 3-word shingles, inverted-index self-join,
+    Jaccard >= 0.5. The ground truth the approximate paths are tested
+    against."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+@query("dedup_minhash_lsh", oracle=None)  # approximate: recall vs exact in tests/
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands × 4 rows) candidates -> exact-Jaccard
+    verify at 0.5 — the linear-shuffle near-dedup for 100 TB. Recall vs the
+    exact query is asserted in tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.minhash_dedup_pairs(docs, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5)
+
+
+@query("dedup_simhash", oracle=None)  # hash-dependent: equivalence-tested in tests/
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs at Hamming distance <= 3 via the
+    pigeonhole block join (4 × 16-bit blocks)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup_ops.simhash64(docs, "doc_id", "text")
+    return dedup_ops.simhash_near_pairs(sig, max_hamming=3, blocks=4)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language ID, quality scoring, token counting, fingerprints
+# ---------------------------------------------------------------------------
+
+_LANGID_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, lang AS labeled_lang, text,
+         list_filter(string_split(lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ','g')),' '), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, labeled_lang, text,
+    len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS s_en,
+    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS s_de,
+    len(list_filter(toks, x -> list_contains(['el','la','los','las','y','es','que'], x))) AS s_es,
+    len(list_filter(toks, x -> list_contains(['le','la','les','et','est','que','une'], x))) AS s_fr
+  FROM t
+)
+SELECT doc_id, labeled_lang,
+  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+       WHEN s_en > 0 AND s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+       WHEN s_de > 0 AND s_de >= greatest(s_en, s_es, s_fr) THEN 'de'
+       WHEN s_es > 0 AND s_es >= greatest(s_en, s_de, s_fr) THEN 'es'
+       WHEN s_fr > 0 AND s_fr >= greatest(s_en, s_de, s_es) THEN 'fr'
+       ELSE 'und' END AS predicted_lang
+FROM s
+"""
+
+
+@query("text_lang_id", oracle=_LANGID_ORACLE)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID (CJK regex + stopword argmax with
+    deterministic priority tie-break). Pure codegen expressions — the
+    operator shape real lang-ID tables plug into."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        text_ops.lang_id("text").alias("predicted_lang"),
+    )
+
+
+_QUALITY_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars_calc, text,
+         list_filter(string_split(lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ','g')),' '), x -> x <> '') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id, n_chars_calc,
+    len(toks) AS n_tokens,
+    len(list_distinct(toks)) AS n_distinct_tokens,
+    CASE WHEN len(toks) > 0
+         THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)/CAST(len(toks) AS DOUBLE)
+         ELSE 0.0 END AS avg_token_len,
+    CASE WHEN len(toks) > 0
+         THEN CAST(len(list_filter(toks, x -> list_contains(
+              ['the','a','of','and','is','to','in','der','die','das','und','ist','nicht',
+               'el','la','los','las','y','es','que','le','les','et','est','une'], x))) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE)
+         ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN length(text) > 0
+         THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]+', '', 'g')) AS DOUBLE)/CAST(length(text) AS DOUBLE)
+         ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(toks) > 0
+         THEN CAST(len(list_distinct(toks)) AS DOUBLE)/CAST(len(toks) AS DOUBLE)
+         ELSE 0.0 END AS distinct_ratio
+  FROM t
+)
+SELECT doc_id AS id, n_chars_calc, n_tokens, n_distinct_tokens, avg_token_len,
+       stopword_ratio, punct_ratio, distinct_ratio,
+       CAST(n_tokens >= 10 AND avg_token_len >= 2.0 AND avg_token_len <= 12.0
+            AND punct_ratio < 0.2 AND distinct_ratio > 0.1 AS INT) AS keep
+FROM f
+"""
+
+
+@query("text_quality", oracle=_QUALITY_ORACLE)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training quality filter features + keep/drop flag per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.quality_features(docs, "doc_id", "text")
+
+
+_TOKEN_COUNT_ORACLE = r"""
+SELECT doc_id AS id,
+  len(list_filter(string_split(lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ','g')),' '), x -> x <> '')) AS ws_tokens,
+  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens
+FROM documents
+"""
+
+
+@query("text_token_count", oracle=_TOKEN_COUNT_ORACLE)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish (GPT-2 pre-tokenizer shaped) token counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.token_counts(docs, "doc_id", "text")
+
+
+_FINGERPRINT_ORACLE = """
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+                 list_transform(regexp_extract_all(text, '.'), ch -> CAST(ascii(ch) AS BIGINT))),
+    (acc, c) -> (acc * 31 + c) % 2147483647
+  ) AS fingerprint
+FROM documents
+"""
+
+
+@query("text_fingerprint", oracle=_FINGERPRINT_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (engine-portable: no
+    impl-defined hash functions, just modular arithmetic over codepoints)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text_ops.fingerprint("text").alias("fingerprint"))

@@ -1,1 +1,91 @@
-"""Placeholder — filled in as operators land."""
+"""Embedding similarity-search queries (LLM-pipeline north star).
+
+The exact paths are oracle-checked bit-for-bit: Spark's F.aggregate fold and
+DuckDB's list_reduce fold are both sequential left folds in double, so the
+cosine values are identical (verified, not assumed). The LSH path is the
+100 TB plan and is recall-tested against the exact path in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gridmr_spark.catalog import load_table
+from gridmr_spark.operators.similarity import RandomHyperplaneLSH, cosine_topk
+from gridmr_spark.queries import query
+
+# Sequential double fold for the DuckDB side (bit-identical to F.aggregate).
+_DOT = "list_reduce(list_transform(list_zip({a}, {b}), t -> t[1]*t[2]), (x,y) -> x+y)"
+_NORM = "sqrt(list_reduce(list_transform({a}, x -> x*x), (x,y) -> x+y))"
+_COS = f"({_DOT} / ({_NORM.format(a='{a}')} * {_NORM.format(a='{b}')}))"
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return _COS.format(a=a, b=b)
+
+
+_TOPK_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_cos_sql('q.v', 'c.v')} AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_cos_sql('q.v', 'c.v')} DESC, c.vec_id
+         ) AS rnk
+  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+) t WHERE rnk <= 5
+"""
+
+
+@query("similarity_topk", oracle=_TOPK_ORACLE)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 10 query vectors: broadcast the
+    query side, scan candidates once, rank per query. The right plan when
+    |queries| << |candidates| — no shuffle of the candidate table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    cands = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec"))
+    return cosine_topk(
+        queries, cands, k=5,
+        q_id="query_id", q_vec="q_vec", c_id="neighbor_id", c_vec="c_vec",
+    )
+
+
+_NEAR_PAIRS_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id1, b.vec_id AS id2, {_cos_sql('a.v', 'b.v')} AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_cos_sql('a.v', 'b.v')} >= 0.4
+"""
+
+
+@query("similarity_near_pairs", oracle=_NEAR_PAIRS_ORACLE)
+def similarity_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.4) — exact
+    all-pairs as the correctness baseline. O(n²): correct and fine at test
+    SF; the LSH variant below is the scale path (same output shape)."""
+    from gridmr_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select("id1", "id2", cosine_similarity(F.col("va"), F.col("vb")).alias("cosine"))
+        .where(F.col("cosine") >= 0.4)
+    )
+
+
+@query("similarity_lsh_topk", oracle=None)  # approximate: recall-tested in tests/
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate all-pairs top-5 via random-hyperplane LSH with multi-probe
+    (hamming-1) buckets — the sub-quadratic 100 TB path. Candidate volume
+    ~ n²/2^bits·(bits+1); bits tunes bucket occupancy to executor memory."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    lsh = RandomHyperplaneLSH(dim=64, bits=6, tables=4, seed=42)
+    return lsh.topk_in_buckets(emb, "vec_id", "embedding", k=5)

@@ -1,0 +1,45 @@
+"""Similarity-search semantics: exact top-k sanity + LSH recall vs exact."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gridmr_spark.operators.similarity import RandomHyperplaneLSH, cosine_topk
+
+
+def _exact_topk_pairs(spark, sf_oracle, k=5):
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    q = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    out = cosine_topk(q, c, k=k)
+    return {(r.q_id, r.c_id) for r in out.collect()}, out
+
+
+def test_exact_topk_shape(spark, sf_oracle):
+    pairs, out = _exact_topk_pairs(spark, sf_oracle, k=5)
+    n = spark.read.parquet(f"{sf_oracle}/embeddings.parquet").count()
+    assert out.count() == n * 5
+    assert all(q != c for q, c in pairs)  # self excluded
+    sims = out.where("rnk = 1").select("cosine").collect()
+    assert all(-1.0 <= r.cosine <= 1.0 for r in sims)
+
+
+def test_lsh_recall_vs_exact(spark, sf_oracle):
+    """Multi-probe hyperplane LSH top-5 should recover a solid fraction of
+    the exact top-5 neighbor pairs. Embeddings here are near-random (max
+    cosine ~0.5), which is the WORST case for LSH — the bar is calibrated
+    to that; on clustered real embeddings recall is far higher."""
+    exact, _ = _exact_topk_pairs(spark, sf_oracle, k=5)
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    lsh = RandomHyperplaneLSH(dim=64, bits=6, tables=4, seed=42)
+    approx = {(r.qid, r.cid) for r in lsh.topk_in_buckets(emb, "vec_id", "embedding", k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"LSH recall {recall:.3f} below floor"
+
+
+def test_lsh_bucket_determinism(spark, sf_oracle):
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    lsh = RandomHyperplaneLSH(dim=64, bits=6, tables=4, seed=42)
+    a = {r.vec_id: r.bucket for r in lsh.bucketize(emb, "embedding").select("vec_id", "bucket").collect()}
+    b = {r.vec_id: r.bucket for r in lsh.bucketize(emb.repartition(5), "embedding").select("vec_id", "bucket").collect()}
+    assert a == b
