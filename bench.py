@@ -1,0 +1,57 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Protocol (BASELINE.md §B): one discarded warm-up execution per query, then
+one timed run. Execution is forced through the noop sink so the full plan
+(including projections a count() would prune) runs; nothing is collected to
+the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from gridmr_spark.queries import load_all
+    from gridmr_spark.session import get_spark
+
+    spark = get_spark("gridmr_bench")
+    registry = load_all()
+
+    def run_once(fn) -> float:
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    for name in sorted(registry):
+        q = registry[name]
+        run_once(q.fn)  # warm-up (JIT, code cache, FS cache) — discarded
+        timings[name] = round(run_once(q.fn), 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": f"total wall sec for {len(timings)} queries at sf{sf} (warm)",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The pattern for 100 TB media pipelines: the payload travels as a `binary`
+column (or a reference/URI for very large blobs), typed metadata rides in a
+struct, and decode / feature-extraction runs as Arrow-batched pandas
+iterators (mapInPandas) so the Python crossing is per-batch, not per-row.
+
+The actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so the
+decode step is stubbed: `fake=True` (default) derives deterministic features
+from the bytes themselves (schema/partitioning/batch plumbing fully real);
+`fake=False` raises NotImplementedError at the exact seam where the codec
+call belongs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),      # image | audio | video
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),    # image/video
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),  # audio
+        T.StructField("n_frames", T.IntegerType()),     # video/audio
+    ]
+)
+
+IMAGE_FEATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, id_col: str, text_col: str, kind: str = "image") -> DataFrame:
+    """Deterministic synthetic media column for tests/benchmarks: payload =
+    utf-8 bytes of the text, metadata derived with modular arithmetic. The
+    downstream plumbing cannot tell it from real media."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    blen = F.length(payload)
+    meta = F.struct(
+        F.lit(kind).alias("kind"),
+        F.lit(f"{kind}/x-fake").alias("mime"),
+        (blen % 640 + 16).cast("int").alias("width"),
+        (blen % 480 + 16).cast("int").alias("height"),
+        F.lit(16000).cast("int").alias("sample_rate"),
+        (blen % 30 + 1).cast("int").alias("n_frames"),
+    )
+    return df.select(F.col(id_col).alias("doc_id"), payload.alias("payload"), meta.alias("meta"))
+
+
+def decode_image_features(media: DataFrame, batch_size: int = 256, fake: bool = True) -> DataFrame:
+    """Arrow-batched decode + feature extraction over the payload column.
+
+    mapInPandas: each task pulls Arrow batches, decodes in bulk, emits a
+    feature frame — the Python boundary is crossed once per batch. Executor
+    memory bounds the working set via spark.sql.execution.arrow.
+    maxRecordsPerBatch, not per-row allocation.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image  # noqa: F401
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
+        for pdf in batches:
+            if not fake:
+                if not have_pil:
+                    raise NotImplementedError(
+                        "real image decode requires PIL; install pillow or use fake=True"
+                    )
+                raise NotImplementedError("real decode path: Image.open(io.BytesIO(b))")
+            payloads = pdf["payload"]
+            byte_len = payloads.map(len)
+            mean_byte = payloads.map(lambda b: (sum(b) / len(b)) if len(b) else 0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": byte_len.astype("int64"),
+                    "width": pdf["meta"].map(lambda m: m["width"]).astype("int32"),
+                    "height": pdf["meta"].map(lambda m: m["height"]).astype("int32"),
+                    "mean_byte": mean_byte.astype("float64"),
+                    # deterministic 8-dim "embedding" from byte histogram buckets
+                    "feature": payloads.map(
+                        lambda b: [float(sum(1 for x in b if x % 8 == i)) for i in range(8)]
+                    ),
+                }
+            )
+
+    spark = media.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return media.mapInPandas(decode_batches, schema=IMAGE_FEATURES)
+
+
+def sample_frames(media: DataFrame, every_nth: int = 5) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: explode the frame index
+    space from metadata, keep every nth — the row-multiplying step a real
+    decoder plugs into (payload slicing happens in the decode UDF)."""
+    return (
+        media.select(
+            "doc_id",
+            "payload",
+            F.explode(F.sequence(F.lit(0), F.col("meta.n_frames") - 1)).alias("frame_idx"),
+        )
+        .where(F.col("frame_idx") % every_nth == 0)
+    )

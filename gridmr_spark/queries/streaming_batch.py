@@ -1,1 +1,86 @@
-"""Placeholder — filled in as operators land."""
+"""Batch-parity queries for the streaming windows (SURVEY.md §7.1 step 5 /
+§7.3 risk 5): the same tumbling/sliding/session aggregations the streaming
+module runs, executed in batch mode so DuckDB can oracle-check them. The
+streaming-mode == batch-mode equivalence is asserted in tests/test_streaming.py.
+
+Timestamp precision note: events.ts is nanos in parquet; Spark reads it
+floor-truncated to micros (catalog._load_events). Hour/30-min bucket
+membership is unaffected (truncation never crosses a second boundary), and
+the session-gap oracle compares with date_diff('microsecond'), which equals
+the floored-micros difference — so both engines see identical session splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gridmr_spark.catalog import load_table
+from gridmr_spark.queries import query
+from gridmr_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
+
+_TUMBLING_ORACLE = """
+SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("stream_tumbling_1h", oracle=_TUMBLING_ORACLE)
+def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type (batch mode of the streaming
+    agg — identical code path, see gridmr_spark/streaming/windows.py)."""
+    return tumbling_agg(load_table(spark, sf_dir, "events"))
+
+
+# Each event belongs to exactly two 1h/30min sliding windows: the 30-min
+# bucket it falls in and the previous one.
+_SLIDING_ORACLE = """
+WITH starts AS (
+  SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP) AS window_start, event_type FROM events
+  UNION ALL
+  SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS TIMESTAMP), event_type FROM events
+)
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM starts
+GROUP BY 1, 2
+"""
+
+
+@query("stream_sliding_1h_30m", oracle=_SLIDING_ORACLE)
+def stream_sliding_1h_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes, per event_type."""
+    return sliding_agg(load_table(spark, sf_dir, "events"))
+
+
+# Gaps-and-islands mirror of session_window: new session when the
+# microsecond-exact gap >= 10 minutes (or first event).
+_SESSION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN date_diff('microsecond',
+                             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                             ts) >= 600000000
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), islands AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT CAST(min(ts) AS TIMESTAMP) AS session_start, user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM islands
+GROUP BY user_id, session_id
+"""
+
+
+@query("stream_session_10m", oracle=_SESSION_ORACLE)
+def stream_session_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 10-minute-gap session windows (session_window in batch mode;
+    the DuckDB oracle is the classic gaps-and-islands rewrite)."""
+    return session_agg(load_table(spark, sf_dir, "events"))

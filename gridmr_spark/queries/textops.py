@@ -225,3 +225,46 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     impl-defined hash functions, just modular arithmetic over codepoints)."""
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", text_ops.fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (binary payload + typed metadata; decode via mapInPandas)
+# ---------------------------------------------------------------------------
+
+_MULTIMODAL_META_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS byte_len,
+       md5(text) AS payload_md5,
+       CAST(octet_length(encode(text)) % 640 + 16 AS INT) AS width,
+       CAST(octet_length(encode(text)) % 480 + 16 AS INT) AS height
+FROM documents
+"""
+
+
+@query("multimodal_meta", oracle=_MULTIMODAL_META_ORACLE)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction: payload byte length, content
+    digest, typed dimensions — all JVM-side over the binary column."""
+    from gridmr_spark.operators.multimodal import attach_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_payload(docs, "doc_id", "text")
+    return media.select(
+        "doc_id",
+        F.length("payload").cast("bigint").alias("byte_len"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+@query("multimodal_decode", oracle=None)  # pandas-UDF path: checked in tests/
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/feature-extract via mapInPandas (deterministic
+    fake codec — the real decoder drops into the same seam; see
+    operators/multimodal.py). Values verified against a pure-Python
+    reference in tests/test_multimodal.py."""
+    from gridmr_spark.operators.multimodal import attach_payload, decode_image_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image_features(attach_payload(docs, "doc_id", "text"))

@@ -1,0 +1,6 @@
+from gridmr_spark.streaming.windows import (  # noqa: F401
+    read_events_stream,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)

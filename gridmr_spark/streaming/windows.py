@@ -1,0 +1,125 @@
+"""Structured Streaming windows over the events table (SURVEY.md §2.D row 13).
+
+The aggregation builders below are plain DataFrame transformations, so the
+SAME code runs in batch mode (for the DuckDB oracle / driver gate) and in
+streaming mode (readStream + watermark + availableNow); tests assert the two
+modes agree. That one-definition-two-modes property is the point of
+Structured Streaming — there is no separate streaming operator dialect.
+
+Watermark policy: `withWatermark("ts", delay)` bounds state: windows older
+than max(event time) - delay are finalized and dropped from the state store.
+In append mode late events beyond the watermark are discarded — the late-data
+policy the reference never had. At 100 TB-scale ingest, state size is
+O(active windows × groups), independent of history length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gridmr_spark.catalog import table_path
+
+# Post-normalization schema (ts already micros): what read_events_stream emits.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+# Raw parquet schema: ts is TIMESTAMP(NANOS), which Spark reads as long
+# under the legacy nanosAsLong conf (see catalog._load_events).
+_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (file source = replayable stream;
+    swap for kafka/kinesis in production — the downstream plan is identical).
+
+    The file stream source requires a *directory*; the testdata table is a
+    single file, so stage a symlink directory (no data copy).
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.abspath(table_path(sf_dir, "events"))
+    stage = os.path.join(
+        tempfile.gettempdir(), f"gridmr_stream_{hashlib.md5(src.encode()).hexdigest()[:12]}"
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(_RAW_SCHEMA).format("parquet").load(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Per (1h tumbling window, event_type): count + exact decimal sum."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_agg(events: DataFrame, width: str = "1 hour", slide: str = "30 minutes") -> DataFrame:
+    """Sliding windows: each event lands in width/slide windows (2 here)."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_agg(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Per-user session windows (gap-based). window.start == first event ts;
+    a new session starts when the inter-event gap is >= the gap interval."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("session_start"), "user_id", "n_events", "sum_value")
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession,
+    agg: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drive a streaming aggregation to completion with availableNow (process
+    everything currently available, then stop) into an in-memory table.
+    Returns the materialized result for comparison against batch mode."""
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -1,0 +1,109 @@
+"""MR-compat contract tests: tab codec (tabless drop), concat-stream reducer
+semantics, pipe mode with real executables, and parity between the compat
+word count and the DataFrame-native flagship query."""
+
+from __future__ import annotations
+
+import os
+import stat
+import textwrap
+
+from pyspark.sql import functions as F
+
+from gridmr_spark.compat import (
+    parse_tab_kv,
+    pipe_job,
+    run_job,
+    wordcount_map,
+    wordcount_reduce,
+)
+from gridmr_spark.operators.text import word_count
+
+
+def test_tab_codec_reference_semantics():
+    lines = ["a\t1", "no_tab_dropped", "b\tx\ty", "\tempty_key", ""]
+    assert list(parse_tab_kv(lines)) == [
+        ("a", "1"),
+        ("b", "x\ty"),  # only the FIRST tab splits (mapper.cc:87-90)
+        ("", "empty_key"),
+    ]
+
+
+def test_run_job_wordcount_matches_dataframe_flagship(spark, sf_oracle):
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    mr = run_job(spark, docs.select("text"), wordcount_map, wordcount_reduce, n_reducers=4)
+    mr_counts = dict(parse_tab_kv(r.value for r in mr.collect()))
+    df_counts = {r.word: r.cnt for r in word_count(docs, "text").collect()}
+    assert {k: int(v) for k, v in mr_counts.items()} == df_counts
+
+
+def test_run_job_key_colocation(spark):
+    """Every key must land in exactly one reducer partition (A5 contract)."""
+    lines = spark.createDataFrame([(f"k{i % 5}\t1",) for i in range(100)], ["value"])
+    seen: dict[str, set[int]] = {}
+
+    def reduce_with_partition_id(it):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for k, v in parse_tab_kv(it):
+            yield f"{k}\t{pid}"
+
+    out = run_job(spark, lines, lambda line: [line], reduce_with_partition_id, n_reducers=3)
+    for k, pid in parse_tab_kv(r.value for r in out.collect()):
+        seen.setdefault(k, set()).add(int(pid))
+    assert all(len(pids) == 1 for pids in seen.values()), seen
+
+
+def test_pipe_job_with_real_executables(spark, tmp_path):
+    """The literal stdin/stdout binary contract via RDD.pipe: a shell mapper
+    emitting `word\t1` and a python reducer accumulating a hash map."""
+    mapper = tmp_path / "map.sh"
+    mapper.write_text(
+        '#!/bin/sh\ntr "[:upper:]" "[:lower:]" | tr -cs "a-z0-9" "\\n" | '
+        'while read -r w; do [ -n "$w" ] && printf "%s\\t1\\n" "$w"; done\n'
+    )
+    reducer = tmp_path / "reduce.py"
+    reducer.write_text(
+        textwrap.dedent(
+            """\
+            #!/usr/bin/env python3
+            import sys
+            acc = {}
+            for line in sys.stdin:
+                line = line.rstrip("\\n")
+                i = line.find("\\t")
+                if i == -1:
+                    continue
+                k, v = line[:i], line[i+1:]
+                acc[k] = acc.get(k, 0) + int(v)
+            for k, s in acc.items():
+                print(f"{k}\\t{s}")
+            """
+        )
+    )
+    for p in (mapper, reducer):
+        os.chmod(p, os.stat(p).st_mode | stat.S_IXUSR)
+    data = spark.createDataFrame(
+        [("Hello world hello",), ("WORLD of spark",)], ["value"]
+    )
+    out = pipe_job(spark, data, str(mapper), f"python3 {reducer}", n_reducers=2)
+    counts = {k: int(v) for k, v in parse_tab_kv(r.value for r in out.collect())}
+    assert counts == {"hello": 2, "world": 2, "of": 1, "spark": 1}
+
+
+def test_sources_roundtrip(spark, tmp_path):
+    from gridmr_spark import sources
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("grp"), (F.col("id") * 1.5).alias("x")
+    )
+    for fmt in ("parquet", "csv", "json"):
+        path = str(tmp_path / fmt)
+        sources.write(df, path, fmt=fmt)
+        back = getattr(sources, f"read_{fmt}")(spark, path)
+        assert back.count() == 100
+    single = str(tmp_path / "single")
+    sources.write(df, single, fmt="csv", single_file=True)
+    parts = [f for f in os.listdir(single) if f.startswith("part-")]
+    assert len(parts) == 1  # A10 final.txt compat: exactly one part file

@@ -1,0 +1,62 @@
+"""Multimodal plumbing: schema, Arrow batch shape, deterministic fake decode
+values vs a pure-Python reference, frame sampling, and the NotImplementedError
+seam for the real codec."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gridmr_spark.operators.multimodal import (
+    IMAGE_FEATURES,
+    attach_payload,
+    decode_image_features,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_oracle):
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet").limit(50)
+    return attach_payload(docs, "doc_id", "text")
+
+
+def test_payload_schema(media):
+    kinds = dict(media.dtypes)
+    assert kinds["payload"] == "binary"
+    assert kinds["meta"].startswith("struct<kind:string,mime:string,width:int")
+
+
+def test_decode_matches_python_reference(spark, sf_oracle, media):
+    out = decode_image_features(media).collect()
+    assert {f.name for f in IMAGE_FEATURES.fields} == set(out[0].asDict())
+    texts = {r.doc_id: r.text for r in
+             spark.read.parquet(f"{sf_oracle}/documents.parquet").limit(50).collect()}
+    for r in out:
+        b = texts[r.doc_id].encode("utf-8")
+        assert r.byte_len == len(b)
+        assert abs(r.mean_byte - sum(b) / len(b)) < 1e-12
+        assert r.feature == [float(sum(1 for x in b if x % 8 == i)) for i in range(8)]
+
+
+def test_decode_partition_invariant(media):
+    a = sorted(r.doc_id for r in decode_image_features(media).collect())
+    b = sorted(r.doc_id for r in decode_image_features(media.repartition(7)).collect())
+    assert a == b
+
+
+def test_real_decode_seam_raises(media):
+    with pytest.raises(Exception) as exc:
+        decode_image_features(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )
+
+
+def test_frame_sampling(media):
+    frames = sample_frames(media, every_nth=5)
+    rows = frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    metas = {r.doc_id: r.n_frames for r in media.select("doc_id", "meta.n_frames").collect()}
+    for r in rows:
+        expected = (metas[r.doc_id] + 4) // 5  # ceil(n_frames/5)
+        assert r.n == expected
