@@ -24,6 +24,23 @@ from pyspark.sql import functions as F
 from gridmr_spark.functions.vectors import cosine_similarity
 
 
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential double fold over pre-cast double arrays."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def with_norm(df: DataFrame, vec_col: str, out_vec: str, out_norm: str) -> DataFrame:
+    """Pre-cast the vector to double[] and precompute its L2 norm ONCE per
+    row. cosine(a,b) = dot(va,vb)/(na*nb) is then one fold per pair instead
+    of three — the dominant cost in all-pairs similarity. Bit-identical to
+    computing the norms inline (same ops, same order, cast is exact)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return df.withColumn(out_vec, v).withColumn(
+        out_norm,
+        F.sqrt(F.aggregate(F.col(out_vec), F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -40,11 +57,15 @@ def cosine_topk(
     against all queries — no shuffle of the (huge) candidate table. Ranking
     ties break on candidate id for determinism.
     """
-    joined = candidates.crossJoin(F.broadcast(queries))
+    q = with_norm(queries, q_vec, "_qv", "_qn")
+    c = with_norm(candidates, c_vec, "_cv", "_cn")
+    joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.where(F.col(q_id) != F.col(c_id))
     sims = joined.select(
-        q_id, c_id, cosine_similarity(F.col(q_vec), F.col(c_vec)).alias("cosine")
+        q_id,
+        c_id,
+        (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cosine"),
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
     return sims.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
@@ -116,25 +137,43 @@ class RandomHyperplaneLSH:
         """Approximate all-pairs top-k: equi-join on (table, bucket), union
         over tables via the exploded table column, exact cosine on the
         candidate set, dedupe, rank."""
+        # Bucket tables carry only (id, bucket) — vectors do NOT ride the
+        # candidate-generation shuffle.
         base = self._tabled(
             df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")), "cid", "cvec"
-        )
+        ).select("cid", "tbl", "bucket")
         qside = self._tabled(
             df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")), "qid", "qvec"
-        )
+        ).select("qid", "tbl", "bucket")
         if multiprobe:
             probes = F.array(
                 F.col("bucket"),
                 *[F.col("bucket").bitwiseXOR(F.lit(1 << j).cast("long")) for j in range(self.bits)],
             )
             qside = qside.withColumn("bucket", F.explode(probes))
-        joined = qside.join(base, ["tbl", "bucket"]).where(F.col("qid") != F.col("cid"))
+        # Dedupe candidate pairs BEFORE computing any cosine (multi-table +
+        # multi-probe hits the same pair many times), then join the vectors
+        # back and compute each pair's similarity exactly once.
+        cand = (
+            qside.join(base, ["tbl", "bucket"])
+            .where(F.col("qid") != F.col("cid"))
+            .select("qid", "cid")
+            .distinct()
+        )
+        qvecs = with_norm(
+            df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")), "qvec", "_qv", "_qn"
+        ).select("qid", "_qv", "_qn")
+        cvecs = with_norm(
+            df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")), "cvec", "_cv", "_cn"
+        ).select("cid", "_cv", "_cn")
         sims = (
-            joined.select(
-                "qid", "cid", cosine_similarity(F.col("qvec"), F.col("cvec")).alias("cosine")
+            cand.join(qvecs, "qid")
+            .join(cvecs, "cid")
+            .select(
+                "qid",
+                "cid",
+                (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cosine"),
             )
-            .groupBy("qid", "cid")
-            .agg(F.max("cosine").alias("cosine"))  # dedupe multi-table/probe hits
         )
         w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
         return sims.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)

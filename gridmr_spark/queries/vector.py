@@ -69,14 +69,22 @@ def similarity_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.4) — exact
     all-pairs as the correctness baseline. O(n²): correct and fine at test
     SF; the LSH variant below is the scale path (same output shape)."""
-    from gridmr_spark.functions.vectors import cosine_similarity
+    from gridmr_spark.operators.similarity import _dot, with_norm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("vb"))
+    a = with_norm(
+        emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("va")), "va", "_av", "_an"
+    )
+    b = with_norm(
+        emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("vb")), "vb", "_bv", "_bn"
+    )
     return (
         a.join(b, F.col("id1") < F.col("id2"))
-        .select("id1", "id2", cosine_similarity(F.col("va"), F.col("vb")).alias("cosine"))
+        .select(
+            "id1",
+            "id2",
+            (_dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))).alias("cosine"),
+        )
         .where(F.col("cosine") >= 0.4)
     )
 

@@ -18,6 +18,18 @@ from pyspark.sql import DataFrame
 from gridmr_spark.catalog import TABLES, table_path
 
 
+def plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    """The physical plan as a string (what df.explain(mode) prints) — used
+    by the plan-audit tests to assert pushdown/broadcast/top-k properties."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in TABLES:

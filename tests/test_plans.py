@@ -1,0 +1,86 @@
+"""Physical-plan audits: correctness tests prove the right ANSWER; these
+prove the right PLAN — the properties that decide whether a query survives a
+100× scale-up (pushdown, pruning, broadcast vs shuffle, top-k short-circuit,
+partial aggregation). A regression here is a performance bug even when every
+value still matches."""
+
+from __future__ import annotations
+
+import re
+
+from gridmr_spark.queries import load_all
+from gridmr_spark.testing import plan_string
+
+REG = load_all()
+
+
+def _plan(spark, sf_oracle, name):
+    return plan_string(REG[name].fn(spark, sf_oracle))
+
+
+def test_filter_project_pushes_predicates_to_scan(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "filter_project")
+    assert "PushedFilters:" in plan
+    pushed = plan.split("PushedFilters:", 1)[1].split("\n", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed down: {pushed}"
+
+
+def test_filter_project_prunes_columns(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "filter_project")
+    read_schema = plan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    assert "l_returnflag" not in read_schema  # unused column not scanned
+    assert "l_extendedprice" in read_schema
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "join_star_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region at minimum
+    assert "CartesianProduct" not in plan
+
+
+def test_range_band_join_is_broadcast_not_cartesian(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "join_range_band")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_global_topk_avoids_full_sort(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "topk_global")
+    assert "TakeOrderedAndProject" in plan  # per-partition heap, not global sort
+
+
+def test_grouped_topk_uses_window_group_limit(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "window_topk_per_group")
+    assert "WindowGroupLimit" in plan  # rank filter pushed below the shuffle
+
+
+def test_wordcount_has_partial_aggregation(spark, sf_oracle):
+    # Two HashAggregates (partial + final) = map-side combine, the thing
+    # the reference lacks (every word\t1 crossed its shuffle; SURVEY §4.1).
+    plan = _plan(spark, sf_oracle, "wordcount")
+    assert len(re.findall(r"HashAggregate", plan)) >= 2
+
+
+def test_semi_join_pushes_order_filter_below_join(spark, sf_oracle):
+    plan = _plan(spark, sf_oracle, "join_semi")
+    assert "LeftSemi" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln and "o_totalprice" in ln]
+    assert pushed, "o_totalprice filter should reach the orders scan"
+
+
+def test_q1_single_scan_no_join(spark, sf_oracle):
+    plan = plan_string(REG["q1_pricing_summary"].fn(spark, sf_oracle), "simple")
+    assert "Join" not in plan
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+
+
+def test_queries_avoid_cartesian_products(spark, sf_oracle):
+    """No registered query may plan a CartesianProduct — the instant
+    scale-killer. (Intentional cross joins must be broadcast-side.)"""
+    offenders = []
+    for name in sorted(REG):
+        plan = plan_string(REG[name].fn(spark, sf_oracle), "simple")
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
