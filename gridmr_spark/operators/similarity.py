@@ -71,6 +71,62 @@ def cosine_topk(
     return sims.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
 
 
+def cosine_topk_gemm(
+    queries_pdf,
+    candidates: DataFrame,
+    k: int = 5,
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """High-throughput exact top-k: vectorized GEMM via mapInPandas.
+
+    The query side arrives as a pandas DataFrame [id, vec] (it is small by
+    contract); each Arrow batch of candidates becomes one numpy matrix
+    multiply against the normalized query matrix — ~100x the scalar-fold
+    throughput. Per batch only the local top-k per query survives, then one
+    global window merge: union of per-batch top-k is a superset of the
+    global top-k, so the result is exact.
+
+    numpy's BLAS summation order differs from the sequential fold in the
+    last ulps, so this variant is NOT oracle-hash-comparable — tests assert
+    set-equality of the resulting pairs against cosine_topk instead. Use
+    this one in production; keep the fold for cross-engine reproducibility.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_ids = queries_pdf.iloc[:, 0].to_numpy()
+    Q = np.stack(queries_pdf.iloc[:, 1].to_list()).astype("float64")
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    out_schema = f"q_id long, {c_id} long, cosine double"
+
+    def gemm_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf[c_vec].to_list()).astype("float64")
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Cn @ Qn.T  # (batch, n_queries)
+            cids = pdf[c_id].to_numpy()
+            if exclude_self:
+                S[cids[:, None] == q_ids[None, :]] = -np.inf
+            kk = min(k, S.shape[0])
+            top = np.argpartition(-S, kk - 1, axis=0)[:kk]  # per-query batch top-k
+            rows = {
+                "q_id": np.repeat(q_ids, kk),
+                c_id: cids[top].T.ravel(),
+                "cosine": np.take_along_axis(S, top, axis=0).T.ravel(),
+            }
+            out = pd.DataFrame(rows)
+            yield out[out["cosine"] != -np.inf]
+
+    per_batch = candidates.select(c_id, c_vec).mapInPandas(gemm_batches, schema=out_schema)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc(c_id))
+    return per_batch.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
 class RandomHyperplaneLSH:
     """Sign-random-projection LSH for cosine similarity.
 

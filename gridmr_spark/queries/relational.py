@@ -394,6 +394,42 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionAll(only)
 
 
+# ---------------------------------------------------------------------------
+# As-of join (time-series point-in-time lookup; Spark has no native operator)
+# ---------------------------------------------------------------------------
+
+# DuckDB has native ASOF JOIN — the perfect oracle. The CTE floors ts to
+# microseconds to mirror Spark's nanos->micros read truncation exactly.
+_ASOF_ORACLE = """
+WITH ev AS (
+  SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, event_type, value FROM events
+), clicks AS (
+  SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, value FROM ev WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, c.ts, p.ts AS asof_ts, p.value AS asof_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+@query("join_asof", oracle=_ASOF_ORACLE)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click joined to the user's most recent prior (or simultaneous)
+    purchase — union+window as-of join: ONE shuffle on user_id + one
+    in-partition sort, independent of table sizes (operators/joins.py)."""
+    from gridmr_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join(clicks, purchases, on="user_id", ts="ts", right_payload=["value"])
+    return out.select(
+        "event_id", "user_id", "ts", "asof_ts", F.col("asof_value")
+    )
+
+
 _DEDUP_ROWS_ORACLE = """
 SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
 """
@@ -404,3 +440,122 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicates == SELECT DISTINCT (shuffle on all projected cols)."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.select("o_orderstatus", "o_orderpriority").dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# Pivot (wide aggregation)
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("pivot_status", oracle=_PIVOT_ORACLE)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with explicit value list (never let pivot scan for
+    distinct values at 100 TB — pass them)."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = orders.groupBy("o_orderpriority").pivot("o_orderstatus", ["O", "F", "P"]).count()
+    return p.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_finished"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (interpolated) — deterministic because the quantile
+# fractions are binary-exact and l_quantity values are small integers, so
+# the interpolation arithmetic is exact in double on both engines.
+# ---------------------------------------------------------------------------
+
+_PCT_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS qty_p25,
+       quantile_cont(l_quantity, 0.5)  AS qty_p50,
+       quantile_cont(l_quantity, 0.75) AS qty_p75
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_percentiles", oracle=_PCT_ORACLE)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group. At 100 TB prefer
+    percentile_approx (t-digest, mergeable); the exact form is the oracle
+    and fine for grouped data that fits per-group sort memory."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("qty_p25"),
+        F.percentile("l_quantity", 0.5).alias("qty_p50"),
+        F.percentile("l_quantity", 0.75).alias("qty_p75"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries (scalar + correlated EXISTS) via the SQL surface
+# ---------------------------------------------------------------------------
+
+# Same ANSI text runs on both engines (avg via exact decimal sum / count).
+_SUBQ_SQL = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE c.c_acctbal > (
+        SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        FROM customer c2
+      )
+  AND EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000
+      )
+"""
+
+
+@query("subquery_scalar_exists", oracle=_SUBQ_SQL)
+def subquery_scalar_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + correlated EXISTS (Catalyst rewrites EXISTS to a
+    left-semi join; the scalar subquery becomes a broadcast one-row join)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SUBQ_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Pandas UDF (Arrow-vectorized) — the sanctioned custom-logic escape hatch
+# ---------------------------------------------------------------------------
+
+_PUDF_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue_udf
+FROM lineitem
+WHERE l_orderkey < 2000
+"""
+
+
+@query("pandas_udf_revenue", oracle=_PUDF_ORACLE)
+def pandas_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas_udf: Arrow batches in, numpy per-row arithmetic out.
+    Per-row IEEE double ops are bit-identical to the JVM/DuckDB expression,
+    so even the UDF path is oracle-checkable. (Use built-ins when the
+    expression is this simple — this query exists to pin the UDF contract.)"""
+    from pyspark.sql.functions import pandas_udf
+
+    # No type hints: `from __future__ import annotations` stringifies them,
+    # which pandas_udf's hint inference rejects; hint-less defaults to SCALAR.
+    @pandas_udf("double")
+    def revenue(ep, disc):
+        return ep * (1 - disc)
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        revenue("l_extendedprice", "l_discount").alias("revenue_udf"),
+    )

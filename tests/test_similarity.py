@@ -43,3 +43,19 @@ def test_lsh_bucket_determinism(spark, sf_oracle):
     a = {r.vec_id: r.bucket for r in lsh.bucketize(emb, "embedding").select("vec_id", "bucket").collect()}
     b = {r.vec_id: r.bucket for r in lsh.bucketize(emb.repartition(5), "embedding").select("vec_id", "bucket").collect()}
     assert a == b
+
+
+def test_gemm_topk_matches_fold_topk(spark, sf_oracle):
+    """The GEMM path must return the same neighbor SETS as the exact fold
+    (cosine values differ only in the last ulps; rank flips are possible
+    only on exact ties, which the random test vectors don't have)."""
+    from gridmr_spark.operators.similarity import cosine_topk_gemm
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    fold = {(r.q_id, r.c_id) for r in cosine_topk(q, c, k=5).collect()}
+    gemm = {(r.q_id, r.c_id) for r in cosine_topk_gemm(q.toPandas(), c, k=5).collect()}
+    assert fold == gemm
