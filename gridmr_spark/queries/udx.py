@@ -1,0 +1,122 @@
+"""User-defined extension surface: grouped-map UDAF (applyInPandas), Python
+UDTF, and the salted-aggregation skew pattern. The reference's ENTIRE engine
+was a binary-UDF harness (SURVEY.md §2.A A3/A4/A9); here user code slots into
+typed, Arrow-batched seams instead of popen pipes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gridmr_spark.catalog import load_table
+from gridmr_spark.functions.numeric import dsum
+from gridmr_spark.operators.skew import salted_agg
+from gridmr_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# Grouped-map UDAF: per-customer order stats via applyInPandas
+# ---------------------------------------------------------------------------
+
+_UDAF_ORACLE = """
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_order
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@query("udaf_apply_in_pandas", oracle=_UDAF_ORACLE)
+def udaf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary per-group logic via applyInPandas (the UDAF escape hatch —
+    whole group as a pandas frame in, one summary frame out). The arithmetic
+    here intentionally mirrors exact decimal/count/max semantics so even the
+    pandas path hash-matches the oracle. At 100 TB: groups must fit in
+    memory per task — use built-in aggs unless the logic truly needs pandas."""
+    import decimal
+
+    import pandas as pd
+
+    def per_customer(pdf: pd.DataFrame) -> pd.DataFrame:
+        # exact decimal accumulation (order-independent), like dsum
+        total = sum((decimal.Decimal(f"{v:.2f}") for v in pdf["o_totalprice"]), decimal.Decimal(0))
+        return pd.DataFrame(
+            {
+                "o_custkey": [pdf["o_custkey"].iloc[0]],
+                "n_orders": [len(pdf)],
+                "total_spend": [float(total)],
+                "max_order": [float(pdf["o_totalprice"].max())],
+            }
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").applyInPandas(
+        per_customer,
+        schema="o_custkey long, n_orders long, total_spend double, max_order double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF: one row in, N rows out (table function)
+# ---------------------------------------------------------------------------
+
+@query("udtf_tokenize", oracle=None)  # equality with explode(split()) in tests
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): lateral table function emitting one row per
+    token. tests/test_udx.py asserts equality with the built-in
+    explode(split(...)) rendering."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="token: string")
+    class Tokenize:
+        def eval(self, text: str):
+            import re
+
+            if text:
+                for tok in re.sub(r"[^a-zA-Z0-9]+", " ", text.lower()).split():
+                    yield (tok,)
+
+    spark.udtf.register("gridmr_tokenize", Tokenize)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, t.token FROM udtf_docs, LATERAL gridmr_tokenize(text) t"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted aggregation (skew pattern) — exact results, oracle-checked
+# ---------------------------------------------------------------------------
+
+_SALTED_ORACLE = """
+SELECT l_returnflag,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_salted_skew", oracle=_SALTED_ORACLE)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a 3-value (maximally skewed) key.
+    Same results as plain groupBy — the salt only reshapes the shuffle:
+    phase 1 spreads each hot key over 16 tasks, phase 2 combines 16 partial
+    rows per key. The pattern for hot-key aggs whose per-key state is big."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        key_cols=["l_returnflag"],
+        partial_aggs=[
+            F.count("*").alias("_n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_sq"),
+        ],
+        final_aggs=[
+            F.sum("_n").alias("n_items"),
+            F.sum("_sq").cast("double").alias("sum_qty"),
+        ],
+        n_salts=16,
+        salt_source="l_orderkey",
+    )
