@@ -101,8 +101,10 @@ def decode_image_features(media: DataFrame, batch_size: int = 256, fake: bool = 
                 }
             )
 
-    spark = media.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    # batch_size is advisory: spark.sql.execution.arrow.maxRecordsPerBatch
+    # controls the Arrow chunking — set it at session level, not here (a
+    # per-operator global conf mutation would leak into unrelated queries).
+    del batch_size
     return media.mapInPandas(decode_batches, schema=IMAGE_FEATURES)
 
 

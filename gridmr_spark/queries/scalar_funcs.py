@@ -189,6 +189,74 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Map functions (map construction + lookup; output scalars, since the two
+# engines' client representations of a raw MAP differ)
+# ---------------------------------------------------------------------------
+
+_MAP_ORACLE = """
+WITH m AS (
+  SELECT event_id,
+         MAP {'k': CAST(json_extract_string(props, '$.k') AS BIGINT),
+              'twice': CAST(json_extract_string(props, '$.k') AS BIGINT) * 2} AS props_map
+  FROM events WHERE event_id < 1000
+)
+SELECT event_id,
+       CAST(cardinality(props_map) AS INT) AS n_keys,
+       list_sort(map_keys(props_map)) AS keys_sorted,
+       map_extract(props_map, 'k')[1] AS k_val,
+       map_extract(props_map, 'missing')[1] AS missing_val
+FROM m
+"""
+
+
+@query("map_funcs", oracle=_MAP_ORACLE)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create_map / map_keys / element_at over a typed map column built from
+    the JSON props (MapType is the schema for ragged key-value metadata)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 1000)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    m = F.create_map(F.lit("k"), k, F.lit("twice"), k * 2)
+    return ev.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+        F.element_at(m, "k").alias("k_val"),
+        F.element_at(m, "missing").alias("missing_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide -> long; the inverse of pivot_status)
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT o_orderpriority,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+         COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'n_open' AS status_col, n_open AS n FROM wide
+UNION ALL
+SELECT o_orderpriority, 'n_finished' AS status_col, n_finished AS n FROM wide
+"""
+
+
+@query("unpivot_status", oracle=_UNPIVOT_ORACLE)
+def unpivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot via stack(): wide aggregate columns back to long rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+    )
+    return wide.selectExpr(
+        "o_orderpriority",
+        "stack(2, 'n_open', n_open, 'n_finished', n_finished) AS (status_col, n)",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Conditional / null-handling surface
 # ---------------------------------------------------------------------------
 

@@ -24,6 +24,7 @@ SELECT o_custkey,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
        CAST(MAX(o_totalprice) AS DOUBLE) AS max_order
 FROM orders
+WHERE o_custkey < 500
 GROUP BY o_custkey
 """
 
@@ -33,25 +34,28 @@ def udaf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary per-group logic via applyInPandas (the UDAF escape hatch —
     whole group as a pandas frame in, one summary frame out). The arithmetic
     here intentionally mirrors exact decimal/count/max semantics so even the
-    pandas path hash-matches the oracle. At 100 TB: groups must fit in
-    memory per task — use built-in aggs unless the logic truly needs pandas."""
-    import decimal
-
+    pandas path hash-matches the oracle. Scoped to a key subset: per-group
+    Python dispatch costs ~0.5 ms/group regardless of group size, so this
+    seam is for heavy per-group logic (model scoring, curve fitting), NEVER
+    for sums — built-ins are 100x cheaper. Groups must fit in task memory."""
     import pandas as pd
 
     def per_customer(pdf: pd.DataFrame) -> pd.DataFrame:
-        # exact decimal accumulation (order-independent), like dsum
-        total = sum((decimal.Decimal(f"{v:.2f}") for v in pdf["o_totalprice"]), decimal.Decimal(0))
+        # exact accumulation in integer cents (vectorized, order-independent
+        # like dsum): values are 2dp money, so round(v*100) is the exact
+        # cent count and cents/100.0 is the same double the decimal-sum
+        # oracle produces
+        cents = (pdf["o_totalprice"] * 100).round().astype("int64").sum()
         return pd.DataFrame(
             {
                 "o_custkey": [pdf["o_custkey"].iloc[0]],
                 "n_orders": [len(pdf)],
-                "total_spend": [float(total)],
+                "total_spend": [cents / 100.0],
                 "max_order": [float(pdf["o_totalprice"].max())],
             }
         )
 
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") < 500)
     return orders.groupBy("o_custkey").applyInPandas(
         per_customer,
         schema="o_custkey long, n_orders long, total_spend double, max_order double",

@@ -105,6 +105,43 @@ def session_agg(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     )
 
 
+def running_user_totals_stateful(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState: a
+    per-user running (count, sum) emitted after every micro-batch — the
+    arbitrary-state escape hatch beyond built-in windows (e.g. CDC-style
+    accumulators, custom sessionization, online features).
+
+    State is one (count, sum) pair per user — O(users), bounded; at scale
+    the state store shards with the shuffle partitioning on user_id.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    output_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, cents long"
+
+    def update(key, pdfs, state):
+        # State in integer CENTS: exact at any Arrow chunking / batch split
+        # (adding rounded doubles per chunk would drift in the last ulps).
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     agg: DataFrame,

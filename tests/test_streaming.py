@@ -57,25 +57,61 @@ def test_watermark_drops_late_events(spark, tmp_path):
         [(3, "2024-01-01 00:10:00", 1, "click", 1.0, "{}")],  # LATE: hour-0 window, watermark at ~01:50
         schema,
     ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # A shared CHECKPOINT pins the processing order across two availableNow
+    # runs (without it the file source's batch order is mtime-dependent):
+    # run 1 sees only batch1 and persists watermark=01:50; run 2 then sees
+    # batch2's late event with that watermark already in effect.
+    ckpt = str(tmp_path / "ckpt")
     batch1.write.mode("overwrite").parquet(d)
     stream = (
-        spark.readStream.schema(batch1.schema).format("parquet")
-        .option("maxFilesPerTrigger", "1").load(d)
+        spark.readStream.schema(batch1.schema).format("parquet").load(d)
         .withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"))
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("ws"), "n")
     )
-    q = (stream.writeStream.outputMode("append").format("memory")
-         .queryName("t_late").trigger(availableNow=True).start())
+    emitted: list = []
+
+    def sink(df, _epoch):
+        emitted.extend(df.collect())
+
+    q = (stream.writeStream.outputMode("append").foreachBatch(sink)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
     q.awaitTermination()
     batch2.write.mode("append").parquet(d)
-    q2 = (stream.writeStream.outputMode("append").format("memory")
-          .queryName("t_late2").trigger(availableNow=True).start())
+    q2 = (stream.writeStream.outputMode("append").foreachBatch(sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(availableNow=True).start())
     q2.awaitTermination()
-    # Micro-batch 1 (events 1,2) advances the watermark to 01:50 and emits
-    # the hour-0 window with n=1 (event 1). Micro-batch 2's event 3 targets
-    # hour 0 but is behind the watermark -> dropped. If the watermark did
-    # NOT drop it, hour 0 would show n=2.
-    res = {r.ws.isoformat(): r.n for r in spark.sql("SELECT * FROM t_late2").collect()}
-    assert res.get("2024-01-01T00:00:00") == 1, f"late event not dropped: {res}"
+    # Watermark (01:50) finalized the hour-0 window with n=1 (event 1);
+    # the late event 3 must have been dropped, not merged (n=2) and not
+    # re-emitted as a new hour-0 row.
+    hour0 = [r.n for r in emitted if r.ws.isoformat() == "2024-01-01T00:00:00"]
+    assert hour0 == [1], f"late event not dropped: {emitted}"
+
+
+def test_stateful_running_totals(spark, sf_oracle):
+    """applyInPandasWithState running per-user totals must match the batch
+    groupBy after all input is consumed (update mode: take the last emit
+    per user)."""
+    from pyspark.sql import functions as F
+    from gridmr_spark.streaming.windows import (
+        read_events_stream,
+        running_user_totals_stateful,
+    )
+
+    stream = running_user_totals_stateful(read_events_stream(spark, sf_oracle))
+    q = (stream.writeStream.outputMode("update").format("memory")
+         .queryName("t_stateful").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM t_stateful").collect()
+    }  # single availableNow pass -> one emit per user
+    batch = load_table(spark, sf_oracle, "events").groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0).alias("t"),
+    )
+    want = {r.user_id: (r.n, r.t) for r in batch.collect()}
+    assert got == want
