@@ -92,10 +92,16 @@ def similarity_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("similarity_lsh_topk", oracle=None)  # approximate: recall-tested in tests/
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate all-pairs top-5 via random-hyperplane LSH with multi-probe
-    (hamming-1) buckets — the sub-quadratic 100 TB path. Candidate volume
-    ~ n²/2^bits·(bits+1); bits tunes bucket occupancy to executor memory."""
+    (hamming-1) buckets and 4 OR-amplified tables — the sub-quadratic 100 TB
+    path. bits scales with table size (target ~8 vectors/bucket) so bucket
+    occupancy — and with it candidate volume and executor memory — stays
+    constant as the data grows; tables/probes then buy recall at fixed cost."""
+    import math
+
     emb = load_table(spark, sf_dir, "embeddings")
-    lsh = RandomHyperplaneLSH(dim=64, bits=6, tables=4, seed=42)
+    n = emb.count()
+    bits = max(4, math.ceil(math.log2(max(n, 16) / 8)))
+    lsh = RandomHyperplaneLSH(dim=64, bits=bits, tables=4, seed=42)
     return lsh.topk_in_buckets(emb, "vec_id", "embedding", k=5)
 
 
