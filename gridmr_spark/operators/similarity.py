@@ -127,6 +127,125 @@ def cosine_topk_gemm(
     return per_batch.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
 
 
+class IVFIndex:
+    """Inverted-file (IVF) approximate search: partition the vector space by
+    nearest-centroid, search only the `nprobe` closest cells per query.
+
+    Centroids come from a deterministic seeded sample refined by a few
+    Lloyd iterations — all as DataFrame jobs (no MLlib dependency, no
+    driver-side loops over data; only the k centroids ever come to the
+    driver). At 100 TB: k ~ sqrt(n) keeps cells balanced; the cell
+    assignment is one broadcast-join pass; queries probe nprobe cells ->
+    candidate volume ~ n * nprobe / k per query batch.
+    """
+
+    def __init__(self, k: int = 16, nprobe: int = 3, iters: int = 2, seed: int = 42):
+        self.k = k
+        self.nprobe = nprobe
+        self.iters = iters
+        self.seed = seed
+
+    def _centroid_lit(self, centroids: list[list[float]]) -> Column:
+        return F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        )
+
+    def fit_centroids(self, df: DataFrame, vec_col: str) -> list[list[float]]:
+        """Seeded deterministic init (orderBy xxhash64 sample) + Lloyd steps
+        computed with groupBy avg per dimension (posexplode -> mean)."""
+        init = (
+            df.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(vec_col).cast("array<float>").cast("string")).alias("h"))
+            .orderBy("h")
+            .limit(self.k)
+            .select("v")
+            .collect()
+        )
+        centroids = [[float(x) for x in r.v] for r in init]
+        for _ in range(self.iters):
+            assigned = self.assign(df.select(F.col(vec_col).alias("v")), "v", centroids)
+            new = (
+                assigned.select("cell", F.posexplode(F.col("v")).alias("dim", "x"))
+                .groupBy("cell", "dim")
+                .agg(F.avg("x").alias("m"))
+                .groupBy("cell")
+                .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dims"))
+                .select("cell", F.transform("dims", lambda s: s.m).alias("c"))
+                .collect()
+            )
+            by_cell = {r.cell: [float(x) for x in r.c] for r in new}
+            centroids = [by_cell.get(i, centroids[i]) for i in range(self.k)]
+        return centroids
+
+    def assign(self, df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+        """Nearest-centroid cell id per row (JVM-side argmin over the
+        broadcast centroid literal array)."""
+        cents = self._centroid_lit(centroids)
+        dists = F.transform(
+            cents,
+            lambda c: F.aggregate(
+                F.zip_with(F.col(vec_col), c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        cell = F.array_position(dists, F.array_min(dists)) - 1
+        return df.withColumn("cell", cell.cast("int"))
+
+    def probe_cells(self, df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+        """The nprobe nearest cells per query row (exploded)."""
+        cents = self._centroid_lit(centroids)
+        dists = F.transform(
+            cents,
+            lambda c: F.aggregate(
+                F.zip_with(F.col(vec_col), c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        idx = F.sequence(F.lit(0), F.lit(self.k - 1))
+        ranked = F.array_sort(
+            F.zip_with(dists, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+        )
+        probes = F.transform(F.slice(ranked, 1, self.nprobe), lambda s: s.i)
+        # generators can't nest inside cast() — explode first, cast after
+        return (
+            df.withColumn("_cell_raw", F.explode(probes))
+            .withColumn("cell", F.col("_cell_raw").cast("int"))
+            .drop("_cell_raw")
+        )
+
+    def topk(self, df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> DataFrame:
+        """Approximate all-pairs top-k: candidates = pairs sharing a probed
+        cell; exact cosine on candidates; rank."""
+        centroids = self.fit_centroids(df, vec_col)
+        base = self.assign(
+            df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")), "cvec", centroids
+        ).select("cid", "cell")
+        qside = self.probe_cells(
+            df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")), "qvec", centroids
+        ).select("qid", "cell")
+        cand = (
+            qside.join(base, "cell").where(F.col("qid") != F.col("cid")).select("qid", "cid").distinct()
+        )
+        qvecs = with_norm(
+            df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")), "qvec", "_qv", "_qn"
+        ).select("qid", "_qv", "_qn")
+        cvecs = with_norm(
+            df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")), "cvec", "_cv", "_cn"
+        ).select("cid", "_cv", "_cn")
+        sims = (
+            cand.join(qvecs, "qid")
+            .join(cvecs, "cid")
+            .select(
+                "qid",
+                "cid",
+                (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+        return sims.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
 class RandomHyperplaneLSH:
     """Sign-random-projection LSH for cosine similarity.
 

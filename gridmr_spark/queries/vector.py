@@ -117,3 +117,16 @@ def similarity_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     return cosine_topk_gemm(q.toPandas(), c, k=5)
+
+
+@query("similarity_ivf_topk", oracle=None)  # approximate: recall-tested in tests/
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate all-pairs top-5 via an IVF index (seeded k-means cells,
+    nprobe nearest cells searched per query) — the centroid-based scale
+    path, complementary to hyperplane LSH: better for clustered data, and
+    the cell layout doubles as a partitioning key for co-located storage."""
+    from gridmr_spark.operators.similarity import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = IVFIndex(k=16, nprobe=4, iters=2, seed=42)
+    return ivf.topk(emb, "vec_id", "embedding", k=5)

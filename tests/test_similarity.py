@@ -59,3 +59,20 @@ def test_gemm_topk_matches_fold_topk(spark, sf_oracle):
     fold = {(r.q_id, r.c_id) for r in cosine_topk(q, c, k=5).collect()}
     gemm = {(r.q_id, r.c_id) for r in cosine_topk_gemm(q.toPandas(), c, k=5).collect()}
     assert fold == gemm
+
+
+def test_ivf_recall_vs_exact(spark, sf_oracle):
+    """IVF with nprobe=4/16 cells on near-random vectors (worst case for a
+    centroid index) must still beat random candidate selection by a wide
+    margin and be deterministic across partitionings."""
+    from gridmr_spark.operators.similarity import IVFIndex
+
+    exact, _ = _exact_topk_pairs(spark, sf_oracle, k=5)
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    ivf = IVFIndex(k=16, nprobe=4, iters=2, seed=42)
+    approx = {(r.qid, r.cid) for r in ivf.topk(emb, "vec_id", "embedding", k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    # random selection of 4/16 cells would give ~0.25 recall in expectation
+    assert recall >= 0.3, f"IVF recall {recall:.3f}"
+    approx2 = {(r.qid, r.cid) for r in ivf.topk(emb.repartition(7), "vec_id", "embedding", k=5).collect()}
+    assert approx == approx2  # deterministic under repartitioning
