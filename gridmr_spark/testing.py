@@ -19,15 +19,11 @@ from gridmr_spark.catalog import TABLES, table_path
 
 
 def plan_string(df: DataFrame, mode: str = "formatted") -> str:
-    """The physical plan as a string (what df.explain(mode) prints) — used
-    by the plan-audit tests to assert pushdown/broadcast/top-k properties."""
-    import contextlib
-    import io
+    """The physical plan as a string (see gridmr_spark.plans for the full
+    audit API)."""
+    from gridmr_spark.plans import physical_plan
 
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain(mode)
-    return buf.getvalue()
+    return physical_plan(df, mode)
 
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
