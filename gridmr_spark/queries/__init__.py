@@ -50,6 +50,7 @@ def load_all() -> dict[str, Query]:
         scalar_funcs,
         streaming_batch,
         textops,
+        tpch_more,
         udx,
         vector,
         windows,

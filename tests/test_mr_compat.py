@@ -107,3 +107,29 @@ def test_sources_roundtrip(spark, tmp_path):
     sources.write(df, single, fmt="csv", single_file=True)
     parts = [f for f in os.listdir(single) if f.startswith("part-")]
     assert len(parts) == 1  # A10 final.txt compat: exactly one part file
+
+
+def test_partitioned_write_layout(spark, tmp_path):
+    """partitionBy write produces the hive-style directory layout that
+    enables partition pruning on read."""
+    from gridmr_spark import sources
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 4).alias("bucket"), (F.col("id") * 2.0).alias("x")
+    )
+    out = str(tmp_path / "parts")
+    sources.write(df, out, fmt="parquet", partition_by=["bucket"])
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("bucket="))
+    assert dirs == ["bucket=0", "bucket=1", "bucket=2", "bucket=3"]
+    pruned = spark.read.parquet(out).where("bucket = 2")
+    assert pruned.count() == 250
+    from gridmr_spark.plans import physical_plan
+    assert "PartitionFilters: [isnotnull(bucket" in physical_plan(pruned)
+
+
+def test_approx_count_distinct_error_bound(spark, sf_oracle):
+    """HLL++ estimates must stay within the documented ~5% rsd of exact."""
+    li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet")
+    exact = li.select("l_orderkey").distinct().count()
+    approx = li.agg(F.approx_count_distinct("l_orderkey").alias("a")).collect()[0].a
+    assert abs(approx - exact) / exact < 0.1, (exact, approx)
