@@ -46,6 +46,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> dict[str, Query]:
     """Import every query module (idempotent) and return the registry."""
     from gridmr_spark.queries import (  # noqa: F401
+        more_funcs,
         relational,
         scalar_funcs,
         streaming_batch,

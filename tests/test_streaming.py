@@ -115,3 +115,40 @@ def test_stateful_running_totals(spark, sf_oracle):
     )
     want = {r.user_id: (r.n, r.t) for r in batch.collect()}
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, sf_oracle):
+    """Watermarked stream-stream inner join (clicks x purchases within 30
+    minutes per user) must equal the same join computed in batch."""
+    from gridmr_spark.streaming.windows import read_events_stream
+
+    def split(ev):
+        clicks = ev.where(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+        return clicks, purchases
+
+    def join(clicks, purchases):
+        return clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        ).select("c_id", "p_id")
+
+    sc, sp = split(read_events_stream(spark, sf_oracle))
+    stream = join(
+        sc.withWatermark("c_ts", "1 hour"), sp.withWatermark("p_ts", "1 hour")
+    )
+    q = (stream.writeStream.outputMode("append").format("memory")
+         .queryName("t_ssj").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.c_id, r.p_id) for r in spark.sql("SELECT * FROM t_ssj").collect()}
+    bc, bp = split(load_table(spark, sf_oracle, "events"))
+    want = {(r.c_id, r.p_id) for r in join(bc, bp).collect()}
+    assert got == want and len(want) > 0
