@@ -69,7 +69,9 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUZZY_ORACLE = """
 SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
        levenshtein(a.s_name, b.s_name) AS dist
-FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+FROM supplier a JOIN supplier b
+  ON a.s_suppkey < b.s_suppkey
+ AND abs(length(a.s_name) - length(b.s_name)) <= 2
 WHERE levenshtein(a.s_name, b.s_name) <= 2
 """
 
@@ -77,16 +79,116 @@ WHERE levenshtein(a.s_name, b.s_name) <= 2
 @query("fuzzy_levenshtein_pairs", oracle=_FUZZY_ORACLE)
 def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-identical name pairs by edit distance — the record-linkage
-    primitive. All-pairs over a dimension table (broadcast); for facts,
-    block first (prefix/phonetic key), then pair within blocks — same
-    shape as the MinHash pipeline."""
+    primitive. The length-band prefilter (|len1-len2| <= d implies it can't
+    be pruned; anything wider is provably > d) removes most pairs before
+    the O(len²) DP runs — the first level of blocking. For facts, block
+    harder (prefix/phonetic key) then pair within blocks, like MinHash."""
     supp = load_table(spark, sf_dir, "supplier")
     a = supp.select(F.col("s_suppkey").alias("id1"), F.col("s_name").alias("n1"))
     b = supp.select(F.col("s_suppkey").alias("id2"), F.col("s_name").alias("n2"))
     return (
-        a.join(F.broadcast(b), F.col("id1") < F.col("id2"))
+        a.join(
+            F.broadcast(b),
+            (F.col("id1") < F.col("id2"))
+            & (F.abs(F.length("n1") - F.length("n2")) <= 2),
+        )
         .select("id1", "id2", F.levenshtein("n1", "n2").alias("dist"))
         .where(F.col("dist") <= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event analytics: cohort retention and conversion funnel
+# ---------------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('month', min(ts)) AS TIMESTAMP) AS cohort_month
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('month', ts) AS TIMESTAMP) AS activity_month
+  FROM events
+)
+SELECT cohort_month, activity_month, COUNT(*) AS n_users
+FROM firsts JOIN activity USING (user_id)
+GROUP BY cohort_month, activity_month
+"""
+
+
+@query("events_cohort_retention", oracle=_COHORT_ORACLE)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention matrix: users bucketed by first-seen month,
+    counted per active month. Two aggregations + one equi-join on user_id —
+    all shuffles on the (high-cardinality, well-distributed) user key."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).alias("cohort_month")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("month", F.col("ts")).alias("activity_month")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy("cohort_month", "activity_month")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, s1.t_view,
+         min(CASE WHEN e.event_type = 'click' AND e.ts >= s1.t_view THEN e.ts END) AS t_click
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  GROUP BY e.user_id, s1.t_view
+), s3 AS (
+  SELECT e.user_id, s2.t_view, s2.t_click,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts >= s2.t_click THEN e.ts END) AS t_purchase
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  GROUP BY e.user_id, s2.t_view, s2.t_click
+)
+SELECT COUNT(*) AS n_users,
+       SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS reached_view,
+       SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS reached_click,
+       SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS reached_purchase
+FROM s3
+"""
+
+
+@query("events_funnel", oracle=_FUNNEL_ORACLE)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> later click -> later purchase) —
+    per-user stage timestamps via conditional min aggregation (one pass per
+    stage), no self-joins over the fact table. Window-free and shuffle-
+    bounded by the user key."""
+    ev = load_table(spark, sf_dir, "events")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+    stage1 = ev.groupBy("user_id").agg(t_view.alias("t_view"))
+    with_view = ev.join(stage1, "user_id")
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= F.col("t_view")),
+            F.col("ts"),
+        )
+    )
+    stage2 = with_view.groupBy("user_id", "t_view").agg(t_click.alias("t_click"))
+    with_click = ev.join(stage2, "user_id")
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t_click")),
+            F.col("ts"),
+        )
+    )
+    stage3 = with_click.groupBy("user_id", "t_view", "t_click").agg(
+        t_purchase.alias("t_purchase")
+    )
+    return stage3.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).alias("reached_view"),
+        F.sum(F.when(F.col("t_click").isNotNull(), 1).otherwise(0)).alias("reached_click"),
+        F.sum(F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)).alias("reached_purchase"),
     )
 
 
