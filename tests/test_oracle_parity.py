@@ -45,3 +45,22 @@ def test_contract_shape():
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert "wordcount" in os_
+
+
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "join_star_revenue", "agg_moments"])
+def test_results_invariant_to_parallelism(spark, sf_oracle, name):
+    """The decimal-exact aggregation convention means results are identical
+    at ANY shuffle partition count — the reproducibility property a 1000-
+    executor run depends on."""
+    from gridmr_spark.testing import canonicalize, _spark_rows
+
+    q = REG[name]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = canonicalize(*_spark_rows(q.fn(spark, sf_oracle)))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = canonicalize(*_spark_rows(q.fn(spark, sf_oracle)))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
