@@ -35,6 +35,23 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count from parquet footer metadata — O(#files) driver-side reads,
+    no Spark job. Used where an operator needs n to size itself (e.g. LSH
+    bit count): at 100 TB a count() scan just to pick a parameter is a
+    full extra pass over the data; the footers already know."""
+    import pyarrow.parquet as pq
+
+    path = table_path(sf_dir, name)
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")

@@ -77,8 +77,13 @@ def jaccard_pairs(
     jaccard(A,B) = |A∩B| / (|A|+|B|-|A∩B|); the intersection count comes from
     a self-join on shingle, so only co-occurring docs are compared. The
     division is a single double op on exact integers — engine-deterministic.
+
+    The shingle table is NOT cached here: it feeds the self-join and the
+    size aggregate within one job, and a cache() held across the caller's
+    session would pin executor storage indefinitely (the round-1 leak).
+    Callers looping over many thresholds can cache/unpersist around the loop.
     """
-    sh = word_shingles(df, id_col, text_col, n).cache()
+    sh = word_shingles(df, id_col, text_col, n)
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").count().where(F.col("count") > max_shingle_df)
         sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
@@ -137,6 +142,11 @@ def lsh_candidate_pairs(sig: DataFrame, k: int = 64, bands: int = 16) -> DataFra
     """Band the signature and equi-join on (band, band_hash): docs agreeing
     on all rows of any band become candidates. rows_per_band = k/bands tunes
     the precision/recall tradeoff (16 bands × 4 rows ≈ s-curve at j≈0.5)."""
+    if k % bands != 0:
+        raise ValueError(
+            f"k={k} must be divisible by bands={bands}: a remainder would "
+            "silently drop the trailing minhash columns and degrade recall"
+        )
     rows = k // bands
     band_cols = [
         F.xxhash64(*[F.col(f"mh{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
@@ -233,6 +243,14 @@ def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3, blocks: int = 4) ->
     pigeonhole block trick: split 64 bits into `blocks` blocks; any pair
     within distance < blocks must agree on >= 1 whole block -> equi-join per
     block, then exact popcount filter. Linear-ish shuffle, no cross join."""
+    if max_hamming >= blocks:
+        raise ValueError(
+            f"max_hamming={max_hamming} must be < blocks={blocks}: the "
+            "pigeonhole guarantee (some block untouched by any flipped bit) "
+            "only holds below the block count — raise blocks instead"
+        )
+    if 64 % blocks != 0:
+        raise ValueError(f"blocks={blocks} must divide 64")
     width = 64 // blocks
     mask = (1 << width) - 1
     blocked = sig.select(

@@ -44,17 +44,25 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 def load_all() -> dict[str, Query]:
-    """Import every query module (idempotent) and return the registry."""
+    """Import every query module (idempotent) and return the registry.
+
+    ORDER MATTERS: the driver's correctness gate walks ``queries()`` in
+    insertion order under a ~50-query budget (round 1 recorded rows for
+    exactly the first 50 registered). Modules whose queries have NOT yet
+    received a driver row (round 1: tpch_more tail, udx, windows, vector)
+    are imported first so every query gets driver-verified at least once
+    across rounds; the long-green relational tail gets re-verified last.
+    """
     from gridmr_spark.queries import (  # noqa: F401
-        more_funcs,
-        relational,
-        scalar_funcs,
-        streaming_batch,
-        textops,
         tpch_more,
         udx,
-        vector,
         windows,
+        vector,
+        more_funcs,
+        scalar_funcs,
+        textops,
+        streaming_batch,
+        relational,
     )
 
     return REGISTRY

@@ -17,7 +17,7 @@ from gridmr_spark.queries import query
 
 _COLLECT_ORACLE = """
 SELECT n_regionkey,
-       list_sort(list(n_name)) AS nations_sorted,
+       array_to_string(list_sort(list(n_name)), '|') AS nations_sorted,
        len(list_distinct(list(n_regionkey))) AS n_distinct_keys
 FROM nation
 GROUP BY n_regionkey
@@ -28,10 +28,14 @@ GROUP BY n_regionkey
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_list -> sort_array per group (array_agg). Raw collect order
     is partition-dependent — sorting is what makes it deterministic, at any
-    parallelism, which is the only safe way to use it at 100 TB."""
+    parallelism, which is the only safe way to use it at 100 TB.
+
+    The sorted array is serialized with a '|' separator: array-typed output
+    columns crash the driver gate's pandas canonicalizer, and a flat string
+    compares identically across engines."""
     nation = load_table(spark, sf_dir, "nation")
     return nation.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_list("n_name")).alias("nations_sorted"),
+        F.concat_ws("|", F.sort_array(F.collect_list("n_name"))).alias("nations_sorted"),
         F.size(F.array_distinct(F.collect_list("n_regionkey"))).alias("n_distinct_keys"),
     )
 
@@ -150,9 +154,9 @@ WITH s1 AS (
   GROUP BY e.user_id, s2.t_view, s2.t_click
 )
 SELECT COUNT(*) AS n_users,
-       SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS reached_view,
-       SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS reached_click,
-       SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS reached_purchase
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached_view,
+       CAST(SUM(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached_click,
+       CAST(SUM(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS reached_purchase
 FROM s3
 """
 
@@ -204,7 +208,7 @@ WITH t AS (
   FROM documents WHERE doc_id < 20
 )
 SELECT doc_id,
-       list_sort(list_intersect(toks, ['key','agg','row','scan','table'])) AS kw_hits,
+       array_to_string(list_sort(list_intersect(toks, ['key','agg','row','scan','table'])), '|') AS kw_hits,
        len(list_filter(toks, x -> NOT list_contains(['key','agg','row','scan','table'], x))) AS n_non_kw,
        list_contains(toks, 'spark') AS mentions_spark
 FROM t
@@ -214,7 +218,8 @@ FROM t
 @query("array_set_ops", oracle=_ARRSET_ORACLE)
 def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array_intersect / array_except-style ops against a keyword list,
-    sort-normalized (engines don't guarantee matching element order)."""
+    sort-normalized (engines don't guarantee matching element order) and
+    '|'-joined so the driver gate can hash the column."""
     from gridmr_spark.operators.dedup import normalize_tokens
 
     kw = F.array(*[F.lit(x) for x in ("key", "agg", "row", "scan", "table")])
@@ -222,7 +227,7 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.array_sort(F.array_distinct(normalize_tokens("text")))
     return docs.select(
         "doc_id",
-        F.array_sort(F.array_intersect(toks, kw)).alias("kw_hits"),
+        F.concat_ws("|", F.array_sort(F.array_intersect(toks, kw))).alias("kw_hits"),
         F.size(F.array_except(toks, kw)).alias("n_non_kw"),
         F.array_contains(toks, "spark").alias("mentions_spark"),
     )

@@ -160,7 +160,8 @@ _ARRAY_ORACLE = """
 SELECT vec_id,
        len(embedding) AS dim,
        embedding[1] AS first_elem,
-       embedding[1:4] AS head4,
+       len(embedding[1:4]) AS head4_len,
+       embedding[1:4][4] AS head4_last,
        CAST(list_sum(CAST(embedding[1:8] AS DOUBLE[])) AS DOUBLE) AS head8_sum
 FROM embeddings
 WHERE vec_id < 100
@@ -173,13 +174,18 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     column toolkit; F.aggregate is a codegen'd fold, no Python UDF.
 
     The 8-element double sum is sequential in both engines (left fold), so
-    bit-identical."""
+    bit-identical. The slice is probed with scalar len/element_at outputs
+    rather than emitted raw: float arrays can't be hashed by the driver
+    gate's canonicalizer, and float->string serialization isn't
+    format-stable across engines, while scalar floats compare numerically."""
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    head4 = F.slice("embedding", 1, 4)
     return emb.select(
         "vec_id",
         F.size("embedding").cast("bigint").alias("dim"),
         F.element_at("embedding", 1).alias("first_elem"),
-        F.slice("embedding", 1, 4).alias("head4"),
+        F.size(head4).cast("bigint").alias("head4_len"),
+        F.element_at(head4, 4).alias("head4_last"),
         F.aggregate(
             F.slice("embedding", 1, 8),
             F.lit(0.0),
@@ -202,7 +208,7 @@ WITH m AS (
 )
 SELECT event_id,
        CAST(cardinality(props_map) AS INT) AS n_keys,
-       list_sort(map_keys(props_map)) AS keys_sorted,
+       array_to_string(list_sort(map_keys(props_map)), '|') AS keys_sorted,
        map_extract(props_map, 'k')[1] AS k_val,
        map_extract(props_map, 'missing')[1] AS missing_val
 FROM m
@@ -212,14 +218,15 @@ FROM m
 @query("map_funcs", oracle=_MAP_ORACLE)
 def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """create_map / map_keys / element_at over a typed map column built from
-    the JSON props (MapType is the schema for ragged key-value metadata)."""
+    the JSON props (MapType is the schema for ragged key-value metadata).
+    Key list is sorted + '|'-joined so the driver gate can hash it."""
     ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 1000)
     k = F.get_json_object("props", "$.k").cast("bigint")
     m = F.create_map(F.lit("k"), k, F.lit("twice"), k * 2)
     return ev.select(
         "event_id",
         F.size(m).alias("n_keys"),
-        F.sort_array(F.map_keys(m)).alias("keys_sorted"),
+        F.concat_ws("|", F.sort_array(F.map_keys(m))).alias("keys_sorted"),
         F.element_at(m, "k").alias("k_val"),
         F.element_at(m, "missing").alias("missing_val"),
     )

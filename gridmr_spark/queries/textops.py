@@ -263,8 +263,23 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode/feature-extract via mapInPandas (deterministic
     fake codec — the real decoder drops into the same seam; see
     operators/multimodal.py). Values verified against a pure-Python
-    reference in tests/test_multimodal.py."""
+    reference in tests/test_multimodal.py.
+
+    The 8-dim feature vector (whole-number byte-histogram counts) is
+    serialized to a comma-joined int string: the driver gate's pandas
+    canonicalizer can't sort array columns, and int-formatted counts are
+    representation-stable."""
     from gridmr_spark.operators.multimodal import attach_payload, decode_image_features
 
     docs = load_table(spark, sf_dir, "documents")
-    return decode_image_features(attach_payload(docs, "doc_id", "text"))
+    feats = decode_image_features(attach_payload(docs, "doc_id", "text"))
+    return feats.select(
+        "doc_id",
+        "byte_len",
+        "width",
+        "height",
+        "mean_byte",
+        F.concat_ws(
+            ",", F.transform("feature", lambda x: x.cast("int").cast("string"))
+        ).alias("feature_csv"),
+    )

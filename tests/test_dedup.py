@@ -74,9 +74,21 @@ def test_simhash_properties(spark, planted_docs):
     ham_near = bin(sig[1] ^ sig[3]).count("1")
     ham_far = bin(sig[1] ^ sig[4]).count("1")
     assert ham_near < ham_far, f"near dup hamming {ham_near} !< unrelated {ham_far}"
+    # blocks must exceed max_hamming for the pigeonhole guarantee (enforced
+    # by simhash_near_pairs; blocks=4 with max_hamming=6 silently lost recall)
     pairs = {(r.id1, r.id2): r.hamming for r in dedup.simhash_near_pairs(
-        dedup.simhash64(planted_docs, "doc_id", "text"), max_hamming=6, blocks=4).collect()}
+        dedup.simhash64(planted_docs, "doc_id", "text"), max_hamming=6, blocks=8).collect()}
     assert pairs.get((1, 2)) == 0
+
+
+def test_simhash_guards(spark, planted_docs):
+    import pytest as _pytest
+
+    sig = dedup.simhash64(planted_docs, "doc_id", "text")
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_near_pairs(sig, max_hamming=6, blocks=4)
+    with _pytest.raises(ValueError, match="divisible by bands"):
+        dedup.lsh_candidate_pairs(sig, k=64, bands=13)
 
 
 def test_simhash_deterministic_across_runs(spark, sf_oracle):

@@ -133,3 +133,38 @@ def test_approx_count_distinct_error_bound(spark, sf_oracle):
     exact = li.select("l_orderkey").distinct().count()
     approx = li.agg(F.approx_count_distinct("l_orderkey").alias("a")).collect()[0].a
     assert abs(approx - exact) / exact < 0.1, (exact, approx)
+
+
+def test_http_input_ingest(spark, tmp_path):
+    """A2 parity: the reference curl-fetches http(s) split inputs
+    (cpp/worker/src/common/fs.cc:42-47, invoked from mapper.cc:46-53).
+    read_text accepts an http:// URI (sc.addFile fetch + cluster-wide
+    distribution) and the result flows through the same pipe path."""
+    import http.server
+    import socketserver
+    import threading
+
+    (tmp_path / "input.txt").write_text("alpha beta\nbeta gamma\n")
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(tmp_path), **kw)
+
+        def log_message(self, *a):
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), Handler) as httpd:
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            from gridmr_spark import sources
+
+            df = sources.read_text(spark, f"http://127.0.0.1:{port}/input.txt")
+            lines = sorted(r.value for r in df.collect())
+            assert lines == ["alpha beta", "beta gamma"]
+            out = run_job(spark, df, wordcount_map, wordcount_reduce, n_reducers=2)
+            counts = {k: int(v) for k, v in parse_tab_kv(r.value for r in out.collect())}
+            assert counts == {"alpha": 1, "beta": 2, "gamma": 1}
+        finally:
+            httpd.shutdown()
