@@ -84,3 +84,21 @@ def stream_session_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 10-minute-gap session windows (session_window in batch mode;
     the DuckDB oracle is the classic gaps-and-islands rewrite)."""
     return session_agg(load_table(spark, sf_dir, "events"))
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT DISTINCT user_id, event_type, value FROM events
+"""
+
+
+@query("stream_dedup_exact", oracle=_STREAM_DEDUP_ORACLE)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as a stream operator (batch mode of
+    streaming/windows.dedup_within_watermark): in streaming mode the same
+    builder uses dropDuplicatesWithinWatermark, whose state is bounded by
+    the watermark horizon instead of growing with history — the only way
+    exact dedup survives an unbounded 100 TB ingest. Stream==batch equality
+    is asserted in tests/test_streaming.py."""
+    from gridmr_spark.streaming.windows import dedup_within_watermark
+
+    return dedup_within_watermark(load_table(spark, sf_dir, "events"))

@@ -105,6 +105,31 @@ def session_agg(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type", "value"),
+    delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication: ``dropDuplicatesWithinWatermark`` keeps
+    dedup state only for the watermark horizon, so state is O(distinct keys
+    within `delay`), not O(all history) — the property that makes exact
+    dedup on an unbounded stream feasible (plain dropDuplicates on a stream
+    would grow state forever).
+
+    In batch mode the same builder degrades to dropDuplicates over the full
+    (bounded) input; the two agree whenever every duplicate of a key arrives
+    within the watermark horizon — asserted in tests/test_streaming.py.
+    """
+    cols = list(keys)
+    if events.isStreaming:
+        return (
+            events.withWatermark("ts", delay)
+            .dropDuplicatesWithinWatermark(cols)
+            .select(*cols)
+        )
+    return events.select(*cols).dropDuplicates()
+
+
 def running_user_totals_stateful(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState: a
     per-user running (count, sum) emitted after every micro-batch — the

@@ -152,3 +152,18 @@ def test_stream_stream_join_matches_batch(spark, sf_oracle):
     bc, bp = split(load_table(spark, sf_oracle, "events"))
     want = {(r.c_id, r.p_id) for r in join(bc, bp).collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_dedup_within_watermark_equals_batch(spark, sf_oracle):
+    """dropDuplicatesWithinWatermark (streaming, state bounded by the
+    watermark horizon) must produce the same distinct key set as batch
+    dropDuplicates when the whole input replays within the horizon."""
+    from gridmr_spark.streaming.windows import dedup_within_watermark
+
+    keys = ("user_id", "event_type", "value")
+    batch = dedup_within_watermark(load_table(spark, sf_oracle, "events"), keys)
+    stream = dedup_within_watermark(
+        read_events_stream(spark, sf_oracle), keys, delay="365 days"
+    )
+    out = run_stream_to_memory(spark, stream, "t_dedup_wm", output_mode="append")
+    assert _as_sorted_rows(out, list(keys)) == _as_sorted_rows(batch, list(keys))
