@@ -43,26 +43,55 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-def load_all() -> dict[str, Query]:
-    """Import every query module (idempotent) and return the registry.
+# Driver-verification priority. The driver's correctness gate walks
+# ``queries()`` in insertion order under a ~50-query budget (round 1
+# recorded rows for exactly the first 50 registered), so queries that have
+# never received a driver row — or whose round-1 row was broken — are listed
+# here explicitly and served first; long-green queries re-verify with
+# whatever budget remains. Update per round as rows come back green.
+_DRIVER_PRIORITY: list[str] = [
+    # round-1 rows erred/failed, now fixed — must re-prove
+    "events_funnel", "agg_collect", "array_set_ops", "array_funcs",
+    "map_funcs", "multimodal_decode",
+    # never received a driver row in round 1
+    "q10_returned_items", "q12_priority_classes", "q14_promo_revenue",
+    "q18_large_volume", "q22_inactive_customers",
+    "udaf_apply_in_pandas", "udtf_tokenize", "agg_salted_skew",
+    "window_topk_per_group", "window_ranks", "window_lag_lead",
+    "window_frames", "topk_global",
+    "similarity_topk", "similarity_near_pairs", "similarity_lsh_topk",
+    "similarity_topk_gemm", "similarity_ivf_topk",
+    # new in round 2
+    "stream_dedup_exact",
+    "q2_min_cost_supplier", "q6_forecast_revenue", "q7_nation_volume",
+    "q8_market_share", "q9_product_profit", "q11_important_values",
+    "q13_order_distribution", "q15_top_supplier", "q16_supplier_counts",
+    "q17_small_quantity", "q19_disjunctive_brackets",
+    "q20_part_family_shippers", "q21_waiting_suppliers",
+]
 
-    ORDER MATTERS: the driver's correctness gate walks ``queries()`` in
-    insertion order under a ~50-query budget (round 1 recorded rows for
-    exactly the first 50 registered). Modules whose queries have NOT yet
-    received a driver row (round 1: tpch_more tail, udx, windows, vector)
-    are imported first so every query gets driver-verified at least once
-    across rounds; the long-green relational tail gets re-verified last.
-    """
+
+def load_all() -> dict[str, Query]:
+    """Import every query module (idempotent) and return the registry,
+    reordered so _DRIVER_PRIORITY names come first (see above)."""
     from gridmr_spark.queries import (  # noqa: F401
+        more_funcs,
+        relational,
+        scalar_funcs,
+        streaming_batch,
+        textops,
+        tpch_full,
         tpch_more,
         udx,
-        windows,
         vector,
-        more_funcs,
-        scalar_funcs,
-        textops,
-        streaming_batch,
-        relational,
+        windows,
     )
 
-    return REGISTRY
+    ordered: dict[str, Query] = {}
+    for name in _DRIVER_PRIORITY:
+        if name in REGISTRY:
+            ordered[name] = REGISTRY[name]
+    for name, q in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = q
+    return ordered
