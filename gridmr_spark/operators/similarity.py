@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -145,11 +147,6 @@ class IVFIndex:
         self.iters = iters
         self.seed = seed
 
-    def _centroid_lit(self, centroids: list[list[float]]) -> Column:
-        return F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-        )
-
     def fit_centroids(self, df: DataFrame, vec_col: str) -> list[list[float]]:
         """Seeded deterministic init (orderBy xxhash64 sample) + Lloyd steps
         computed with groupBy avg per dimension (posexplode -> mean)."""
@@ -176,43 +173,37 @@ class IVFIndex:
             centroids = [by_cell.get(i, centroids[i]) for i in range(self.k)]
         return centroids
 
+    def _nearest_cells_udf(self, centroids: list[list[float]], n: int):
+        """Arrow-vectorized n-nearest-centroid computation: one numpy
+        distance matrix per batch instead of k interpreted HOF folds per row
+        (HOF lambdas are not codegen'd; profiling showed they dominate).
+        ||v-c||^2 argmin/argsort with stable index tiebreak — same order the
+        JVM struct-sort produced. Row results depend only on the row and the
+        fixed centroid matrix: partition-invariant (asserted in tests)."""
+        from pyspark.sql.functions import pandas_udf
+
+        C = np.array(centroids, dtype="float64")  # (k, dim)
+        Csq = (C * C).sum(axis=1)
+
+        @pandas_udf("array<int>")
+        def nearest(v: pd.Series) -> pd.Series:
+            V = np.stack(v.to_list()).astype("float64")
+            # full |v-c|^2 = |v|^2 - 2 v.c + |c|^2; |v|^2 is rank-constant
+            d = -2.0 * (V @ C.T) + Csq[None, :]
+            order = np.argsort(d, axis=1, kind="stable")[:, :n].astype("int32")
+            return pd.Series(list(order))
+
+        return nearest
+
     def assign(self, df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
-        """Nearest-centroid cell id per row (JVM-side argmin over the
-        broadcast centroid literal array)."""
-        cents = self._centroid_lit(centroids)
-        dists = F.transform(
-            cents,
-            lambda c: F.aggregate(
-                F.zip_with(F.col(vec_col), c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        cell = F.array_position(dists, F.array_min(dists)) - 1
-        return df.withColumn("cell", cell.cast("int"))
+        """Nearest-centroid cell id per row (vectorized argmin per batch)."""
+        nearest = self._nearest_cells_udf(centroids, 1)
+        return df.withColumn("cell", nearest(F.col(vec_col))[0])
 
     def probe_cells(self, df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
         """The nprobe nearest cells per query row (exploded)."""
-        cents = self._centroid_lit(centroids)
-        dists = F.transform(
-            cents,
-            lambda c: F.aggregate(
-                F.zip_with(F.col(vec_col), c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
-        idx = F.sequence(F.lit(0), F.lit(self.k - 1))
-        ranked = F.array_sort(
-            F.zip_with(dists, idx, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
-        )
-        probes = F.transform(F.slice(ranked, 1, self.nprobe), lambda s: s.i)
-        # generators can't nest inside cast() — explode first, cast after
-        return (
-            df.withColumn("_cell_raw", F.explode(probes))
-            .withColumn("cell", F.col("_cell_raw").cast("int"))
-            .drop("_cell_raw")
-        )
+        nearest = self._nearest_cells_udf(centroids, self.nprobe)
+        return df.withColumn("cell", F.explode(nearest(F.col(vec_col))))
 
     def topk(self, df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> DataFrame:
         """Approximate all-pairs top-k: candidates = pairs sharing a probed
@@ -285,20 +276,40 @@ class RandomHyperplaneLSH:
         return bucket
 
     def bucketize(self, df: DataFrame, vec_col: str, table: int = 0, out_col: str = "bucket") -> DataFrame:
+        """Single-table bucket via JVM expressions (kept for plan-inspection
+        and as the reference semantics for _tabled's vectorized twin)."""
         return df.withColumn(out_col, self._bucket_col(vec_col, table))
 
     def _tabled(self, df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        """One row per (vector, table) with that table's bucket id."""
-        tb = F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(t).alias("tbl"), self._bucket_col(vec_alias, t).alias("bucket")
-                )
-                for t in range(self.tables)
-            ])
-        ).alias("tb")
-        return df.select(id_alias, vec_alias, tb).select(
-            id_alias, vec_alias, "tb.tbl", "tb.bucket"
+        """One row per (vector, table) with that table's bucket id.
+
+        Projections run as ONE Arrow-batched numpy GEMM per batch
+        ((batch, dim) @ (dim, tables*bits)), not tables*bits interpreted
+        higher-order-function folds per row: Spark does not codegen HOF
+        lambdas, and profiling showed the projection stage — not the
+        candidate join — dominates this operator's runtime. Each row's
+        buckets depend only on that row and the fixed plane matrix, so the
+        result is partition-invariant (asserted in tests)."""
+        from pyspark.sql.functions import pandas_udf
+
+        P = np.array(
+            [plane for table in self.planes for plane in table], dtype="float64"
+        )  # (tables*bits, dim)
+        bits, tables = self.bits, self.tables
+        weights = (1 << np.arange(bits)).astype("int64")
+
+        @pandas_udf("array<long>")
+        def table_buckets(v: pd.Series) -> pd.Series:
+            V = np.stack(v.to_list()).astype("float64")
+            signs = (V @ P.T >= 0).astype("int64")  # (batch, tables*bits)
+            out = np.stack(
+                [signs[:, t * bits : (t + 1) * bits] @ weights for t in range(tables)],
+                axis=1,
+            )  # (batch, tables)
+            return pd.Series(list(out))
+
+        return df.select(
+            id_alias, vec_alias, F.posexplode(table_buckets(F.col(vec_alias))).alias("tbl", "bucket")
         )
 
     def topk_in_buckets(

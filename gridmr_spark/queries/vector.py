@@ -95,10 +95,14 @@ def similarity_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("similarity_lsh_topk", oracle=None)  # approximate: recall-tested in tests/
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate all-pairs top-5 via random-hyperplane LSH with multi-probe
-    (hamming-1) buckets and 4 OR-amplified tables — the sub-quadratic 100 TB
-    path. bits scales with table size (target ~8 vectors/bucket) so bucket
+    (hamming-1) buckets and 12 OR-amplified tables — the sub-quadratic 100 TB
+    path. bits scales with table size (target ~2 vectors/bucket) so bucket
     occupancy — and with it candidate volume and executor memory — stays
-    constant as the data grows; tables/probes then buy recall at fixed cost."""
+    constant as the data grows; tables/probes then buy recall at fixed cost.
+    Now that bucket projection is one Arrow GEMM (not per-row folds), the
+    sharp-bucket/many-table corner is the measured Pareto point: at sf0.1 it
+    beats 8-bit/4-table on BOTH recall (0.54 vs 0.44 of exact top-5) and
+    wall time, with fewer candidates per query."""
     import math
 
     from gridmr_spark.catalog import table_rows
@@ -107,8 +111,8 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n from parquet footer metadata: sizing a parameter must not cost a
     # full count() scan (at 100 TB that is an extra pass over the table).
     n = table_rows(sf_dir, "embeddings")
-    bits = max(4, math.ceil(math.log2(max(n, 16) / 8)))
-    lsh = RandomHyperplaneLSH(dim=64, bits=bits, tables=4, seed=42)
+    bits = max(4, math.ceil(math.log2(max(n, 16) / 2)))
+    lsh = RandomHyperplaneLSH(dim=64, bits=bits, tables=12, seed=42)
     return lsh.topk_in_buckets(emb, "vec_id", "embedding", k=5)
 
 
