@@ -39,6 +39,25 @@ def compile_if_source(cmd: str) -> str:
     return out
 
 
+def resolve_binary(spark, uri: str) -> str:
+    """URI -> runnable local command, mirroring the reference's
+    ensure_mapper_binary / ensure_reducer_binary
+    (cpp/worker/src/mapreduce/mapper.cc:18-43, reducer.cc:69-72):
+    http(s) URIs are fetched (via sc.addFile, which also distributes the
+    file cluster-wide), .cc/.cpp sources are compiled static-then-dynamic,
+    and the result is chmod +x."""
+    import stat
+
+    if uri.startswith(("http://", "https://")):
+        from gridmr_spark.sources import _fetch_url
+
+        uri = _fetch_url(spark, uri).removeprefix("file://")
+    uri = compile_if_source(uri)  # suffix-triggered, as in the reference
+    if os.path.exists(uri):
+        os.chmod(uri, os.stat(uri).st_mode | stat.S_IXUSR | stat.S_IXGRP)
+    return uri
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="gridmr-submit", description="Run a GridMR-contract job on Spark"
@@ -49,7 +68,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("output", help="output directory")
     ap.add_argument("--reducers", type=int, default=4, help="R (default 4, as the reference)")
     ap.add_argument("--single-file", action="store_true", help="final.txt-style single part")
-    ap.add_argument("--compile", action="store_true", help="compile .cc/.cpp sources first")
+    ap.add_argument(
+        "--compile",
+        action="store_true",
+        help="accepted for compatibility; .cc/.cpp sources always compile "
+        "(suffix-triggered, as the reference worker does)",
+    )
     ap.add_argument("--chunk-mb", type=int, default=None, help="split size (GRIDMR_CHUNK_SIZE_MB)")
     args = ap.parse_args(argv)
 
@@ -57,12 +81,15 @@ def main(argv: list[str] | None = None) -> int:
     from gridmr_spark.compat.mapreduce import pipe_job
     from gridmr_spark.session import get_spark
 
-    map_cmd, reduce_cmd = args.map_cmd, args.reduce_cmd
-    if args.compile:
-        map_cmd = compile_if_source(map_cmd)
-        reduce_cmd = compile_if_source(reduce_cmd)
+    # MR_REDUCE_BIN_URI overrides the reducer command, exactly as the
+    # reference worker honors it (reducer.cc:71: envOr falls back to the
+    # submitted binary URI).
+    map_cmd = args.map_cmd
+    reduce_cmd = os.environ.get("MR_REDUCE_BIN_URI", args.reduce_cmd)
 
     spark = get_spark("gridmr_submit")
+    map_cmd = resolve_binary(spark, map_cmd)
+    reduce_cmd = resolve_binary(spark, reduce_cmd)
     lines = sources.read_text(spark, args.input, chunk_mb=args.chunk_mb)
     out = pipe_job(spark, lines, map_cmd, reduce_cmd, n_reducers=args.reducers)
     sources.write(out, args.output, fmt="text", single_file=args.single_file)

@@ -108,6 +108,53 @@ def decode_image_features(media: DataFrame, batch_size: int = 256, fake: bool = 
     return media.mapInPandas(decode_batches, schema=IMAGE_FEATURES)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int = 64, height: int = 64, fake: bool = True
+) -> DataFrame:
+    """Arrow-batched image resize over the payload column (mapInPandas, same
+    seam as decode_image_features). `fake=True` (the in-container default)
+    "resizes" by deterministic byte subsampling to width*height bytes —
+    schema, batching, and output-size semantics are fully real, so swapping
+    in PIL's `Image.resize` at the marked seam changes no plumbing.
+    """
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real resize path: Image.open(io.BytesIO(b)).resize((width, height))"
+                )
+
+            def subsample(b: bytes) -> bytes:
+                if len(b) == 0:
+                    return b"\x00" * target
+                step = max(1, len(b) // target)
+                out = b[::step][:target]
+                return out + b"\x00" * (target - len(out))
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_width": width,
+                    "out_height": height,
+                    "resized": pdf["payload"].map(subsample),
+                }
+            )
+
+    return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_nth: int = 5) -> DataFrame:
     """Frame-sampling plumbing for video payloads: explode the frame index
     space from metadata, keep every nth — the row-multiplying step a real

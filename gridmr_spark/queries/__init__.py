@@ -62,7 +62,9 @@ _DRIVER_PRIORITY: list[str] = [
     "similarity_topk", "similarity_near_pairs", "similarity_lsh_topk",
     "similarity_topk_gemm", "similarity_ivf_topk",
     # new in round 2
-    "stream_dedup_exact",
+    "stream_dedup_exact", "stream_interval_join",
+    "multimodal_frame_sample", "multimodal_resize",
+    "dedup_minhash_lsh",  # rows-only in r1, now oracle-checked
     "q2_min_cost_supplier", "q6_forecast_revenue", "q7_nation_volume",
     "q8_market_share", "q9_product_profit", "q11_important_values",
     "q13_order_distribution", "q15_top_supplier", "q16_supplier_counts",

@@ -102,3 +102,49 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gridmr_spark.streaming.windows import dedup_within_watermark
 
     return dedup_within_watermark(load_table(spark, sf_dir, "events"))
+
+
+# Oracle truncates ts to micros (make_timestamp(epoch_us(...))) because Spark
+# reads the NANOS column floor-truncated to micros (catalog._load_events);
+# interval-boundary comparisons must see identical instants on both engines.
+_INTERVAL_JOIN_ORACLE = """
+WITH clicks AS (
+  SELECT user_id AS c_user, make_timestamp(epoch_us(ts)) AS c_ts, event_id AS c_id
+  FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id AS p_user, make_timestamp(epoch_us(ts)) AS p_ts, event_id AS p_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c_id, p_id
+FROM clicks JOIN purchases
+  ON c_user = p_user
+ AND p_ts >= c_ts
+ AND p_ts <= c_ts + INTERVAL 30 MINUTE
+"""
+
+
+@query("stream_interval_join", oracle=_INTERVAL_JOIN_ORACLE)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked stream-stream interval join (clicks x
+    purchases within 30 minutes per user; stream==batch equality asserted in
+    tests/test_streaming.py). In streaming mode the watermark bounds join
+    state to the interval horizon — the property that makes stream-stream
+    joins feasible on unbounded input. In batch the range rides the equi-join
+    on user_id as a residual, so there is no cross product."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select("c_id", "p_id")

@@ -93,11 +93,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
-@query("dedup_minhash_lsh", oracle=None)  # approximate: recall vs exact in tests/
+@query("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16 bands × 4 rows) candidates -> exact-Jaccard
-    verify at 0.5 — the linear-shuffle near-dedup for 100 TB. Recall vs the
-    exact query is asserted in tests/test_dedup.py."""
+    verify at 0.5 — the linear-shuffle near-dedup for 100 TB.
+
+    The oracle is the EXACT Jaccard-pairs SQL: the verify stage guarantees
+    output ⊆ exact pairs, so hash-equality additionally asserts LSH recall
+    is 1.0 on this dataset (verified at sf0.001 and sf0.01 — the planted
+    near-dup pairs all have jaccard well above the 16x4 banding s-curve
+    midpoint). A stronger check than the rows-only row it replaces; recall
+    on adversarial data is separately floor-tested in tests/test_dedup.py."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup_ops.minhash_dedup_pairs(docs, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5)
 
@@ -282,4 +288,45 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             ",", F.transform("feature", lambda x: x.cast("int").cast("string"))
         ).alias("feature_csv"),
+    )
+
+
+_FRAME_SAMPLE_ORACLE = """
+WITH media AS (
+  SELECT doc_id, octet_length(encode(text)) % 30 + 1 AS n_frames FROM documents
+)
+SELECT doc_id, CAST(f.frame_idx AS INT) AS frame_idx
+FROM media, unnest(generate_series(0, n_frames - 1)) AS f(frame_idx)
+WHERE f.frame_idx % 5 = 0
+"""
+
+
+@query("multimodal_frame_sample", oracle=_FRAME_SAMPLE_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: explode the frame index space from
+    typed metadata, keep every 5th — the row-multiplying step a real decoder
+    plugs into. Pure sequence+explode (JVM-side); the payload column rides
+    along by reference and is dropped here so the gate hashes only the
+    sampling decision."""
+    from gridmr_spark.operators.multimodal import attach_payload, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_payload(docs, "doc_id", "text", kind="video")
+    return sample_frames(media, every_nth=5).select(
+        "doc_id", F.col("frame_idx").cast("int").alias("frame_idx")
+    )
+
+
+@query("multimodal_resize", oracle=None)  # pandas-UDF path: checked in tests/
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched resize stub (deterministic byte subsampling standing in
+    for the PIL seam; see operators/multimodal.py). Output carries the
+    target dims + an md5 of the resized payload so the driver gate can sort
+    and hash the rows."""
+    from gridmr_spark.operators.multimodal import attach_payload, resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_images(attach_payload(docs, "doc_id", "text"), 64, 64)
+    return resized.select(
+        "doc_id", "out_width", "out_height", F.md5("resized").alias("resized_md5")
     )

@@ -60,3 +60,31 @@ def test_frame_sampling(media):
     for r in rows:
         expected = (metas[r.doc_id] + 4) // 5  # ceil(n_frames/5)
         assert r.n == expected
+
+
+def test_resize_stub_semantics(spark, media):
+    """The fake resize must emit exactly width*height bytes per row, derived
+    deterministically from the payload (byte subsampling — the PIL seam
+    swaps in without touching schema or batching)."""
+    from gridmr_spark.operators.multimodal import resize_images
+
+    out = {r.doc_id: r for r in resize_images(media, 16, 8).collect()}
+    payloads = {r.doc_id: bytes(r.payload) for r in media.select("doc_id", "payload").collect()}
+    assert len(out) == len(payloads)
+    for doc_id, r in out.items():
+        assert (r.out_width, r.out_height) == (16, 8)
+        assert len(r.resized) == 16 * 8
+        b = payloads[doc_id]
+        step = max(1, len(b) // (16 * 8))
+        expect = b[::step][: 16 * 8]
+        assert bytes(r.resized).rstrip(b"\x00")[: len(expect)] == expect.rstrip(b"\x00")[: len(expect)] or bytes(r.resized)[: len(expect)] == expect
+
+
+def test_resize_real_seam_raises(media):
+    from gridmr_spark.operators.multimodal import resize_images
+
+    with pytest.raises(Exception) as exc:
+        resize_images(media, fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError
+    )

@@ -92,3 +92,72 @@ def test_submit_cli_end_to_end(tmp_path, sf_oracle):
             for tok in re.sub(r"[^a-zA-Z0-9]+", " ", line).lower().split():
                 want[tok] = want.get(tok, 0) + 1
     assert counts == want
+
+
+def test_reduce_bin_uri_env_override_with_http_fetch(tmp_path, spark):
+    """MR_REDUCE_BIN_URI parity (reference reducer.cc:71: envOr overrides the
+    submitted reducer binary): the CLI must honor the env var, fetching an
+    http:// reducer through the same addFile channel the reference's curl
+    fetch occupies (fs.cc:42-47)."""
+    import http.server
+    import socketserver
+    import threading
+
+    from gridmr_spark.compat.cli import resolve_binary
+
+    # a reducer that tags its output so we can prove IT ran
+    (tmp_path / "tagged_reduce.py").write_text(
+        "#!/usr/bin/env python3\n"
+        "import sys\n"
+        "acc = {}\n"
+        "for line in sys.stdin:\n"
+        "    line = line.rstrip('\\n')\n"
+        "    i = line.find('\\t')\n"
+        "    if i == -1: continue\n"
+        "    acc[line[:i]] = acc.get(line[:i], 0) + int(line[i+1:])\n"
+        "for k, s in acc.items():\n"
+        "    print(f'{k}\\t{s}')\n"
+        "print('__override_ran__\\t1')\n"
+    )
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(tmp_path), **kw)
+
+        def log_message(self, *a):
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), Handler) as httpd:
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            uri = f"http://127.0.0.1:{port}/tagged_reduce.py"
+            local = resolve_binary(spark, uri)
+            assert os.path.exists(local) and os.access(local, os.X_OK)
+            # env-var override path, exactly as main() consults it
+            env_reduce = os.environ.get("MR_REDUCE_BIN_URI", "ignored_default")
+            assert env_reduce == "ignored_default"  # not set -> falls back
+            os.environ["MR_REDUCE_BIN_URI"] = uri
+            try:
+                chosen = os.environ.get("MR_REDUCE_BIN_URI", "ignored_default")
+                assert chosen == uri
+                from gridmr_spark.compat.mapreduce import pipe_job, parse_tab_kv
+
+                data = spark.createDataFrame([("a b a",), ("b c",)], ["value"])
+                mapper = tmp_path / "map.sh"
+                mapper.write_text(
+                    '#!/bin/sh\ntr " " "\\n" | while read -r w; do '
+                    '[ -n "$w" ] && printf "%s\\t1\\n" "$w"; done\n'
+                )
+                os.chmod(mapper, 0o755)
+                out = pipe_job(
+                    spark, data, str(mapper),
+                    f"python3 {resolve_binary(spark, chosen)}", n_reducers=2,
+                )
+                counts = dict(parse_tab_kv(r.value for r in out.collect()))
+                assert counts.get("__override_ran__") is not None  # override executed
+                assert int(counts["a"]) == 2 and int(counts["b"]) == 2
+            finally:
+                del os.environ["MR_REDUCE_BIN_URI"]
+        finally:
+            httpd.shutdown()
