@@ -129,6 +129,55 @@ def cosine_topk_gemm(
     return per_batch.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
 
 
+def cosine_topk_gemm_blocked(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    block_rows: int = 1024,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Block-matrix GEMM top-k: the scale shape of cosine_topk_gemm when the
+    QUERY side is too large to collect at once.
+
+    The query table is hashed into ceil(n/block_rows) blocks; each block is
+    collected alone (driver memory O(block_rows x dim)), pushed through the
+    vectorized GEMM kernel against the full candidate table, and the
+    per-block results union. Trade-off, stated plainly: the candidate table
+    is scanned once per block — the right trade when |C| >> |Q| (scan cost
+    amortizes across the block's queries) or when C is cached/bucketed;
+    for |Q| ~ |C| use the LSH/IVF paths instead.
+
+    Exactness: the union of per-block top-k IS the global top-k, since each
+    query's neighbors are fully ranked within its own block's pass.
+    """
+    import math
+
+    n = queries.count()
+    if n == 0:
+        return cosine_topk_gemm(
+            queries.select(q_id, q_vec).limit(0).toPandas(), candidates, k,
+            c_id=c_id, c_vec=c_vec, exclude_self=exclude_self,
+        )
+    n_blocks = max(1, math.ceil(n / block_rows))
+    blocked = queries.select(
+        q_id, q_vec, F.pmod(F.xxhash64(q_id), F.lit(n_blocks)).alias("_blk")
+    )
+    out = None
+    for b in range(n_blocks):
+        pdf = blocked.where(F.col("_blk") == b).select(q_id, q_vec).toPandas()
+        if len(pdf) == 0:
+            continue
+        part = cosine_topk_gemm(
+            pdf, candidates, k, c_id=c_id, c_vec=c_vec, exclude_self=exclude_self
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 class IVFIndex:
     """Inverted-file (IVF) approximate search: partition the vector space by
     nearest-centroid, search only the `nprobe` closest cells per query.

@@ -64,6 +64,8 @@ _DRIVER_PRIORITY: list[str] = [
     # new in round 2
     "stream_dedup_exact", "stream_interval_join",
     "multimodal_frame_sample", "multimodal_resize",
+    "window_ntile_nav", "regex_funcs", "agg_hll_mergeable", "sql_api_revenue",
+    "similarity_topk_gemm_blocked",
     "dedup_minhash_lsh",  # rows-only in r1, now oracle-checked
     "q2_min_cost_supplier", "q6_forecast_revenue", "q7_nation_volume",
     "q8_market_share", "q9_product_profit", "q11_important_values",

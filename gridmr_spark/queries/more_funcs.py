@@ -231,3 +231,30 @@ def array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_except(toks, kw)).alias("n_non_kw"),
         F.array_contains(toks, "spark").alias("mentions_spark"),
     )
+
+
+@query("agg_hll_mergeable", oracle=None)  # sketch bytes: error-bound tested
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (DataSketches): per-priority sketches of the
+    customer set, re-aggregated with hll_union_agg into a total — WITHOUT
+    touching raw data again. This two-level shape is the 100 TB cardinality
+    pattern: sketch once per partition/day, answer any rollup by merging
+    kilobyte sketches. approx_count_distinct can't do this — its sketch is
+    consumed inside one aggregation. Error bound vs exact distinct is
+    asserted in tests/test_mr_compat.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count("*").alias("n_orders"),
+    )
+    per_prio = per.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+        "n_orders",
+    )
+    total = per.agg(
+        F.lit("ALL").alias("o_orderpriority"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
+        F.sum("n_orders").alias("n_orders"),
+    )
+    return per_prio.unionByName(total)

@@ -666,3 +666,35 @@ def pandas_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         revenue("l_extendedprice", "l_discount").alias("revenue_udf"),
     )
+
+
+_SQL_API_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+@query("sql_api_revenue", oracle=_SQL_API_ORACLE)
+def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql(...) entry path: registers the catalog table as a temp
+    view and runs the query as SQL text — proving the SQL dialect surface
+    (not just the DataFrame API) works against the same tables with the
+    same decimal-exact conventions. Catalyst compiles both to the same
+    plan, and the oracle hash confirms it."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc_revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem_v
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_returnflag
+        """
+    )

@@ -297,3 +297,34 @@ def conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("props", "$.absent").cast("double"), F.lit(-1.0)
         ).alias("absent_or_default"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Regexp function surface (extract-all / count / replace-groups / split)
+# ---------------------------------------------------------------------------
+
+_REGEX_ORACLE = """
+SELECT p_partkey,
+       array_to_string(regexp_extract_all(p_name, '[a-z]+'), '|') AS words,
+       CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels,
+       regexp_replace(p_type, '^(\\w+)$', 'type_\\1') AS type_tagged,
+       array_to_string(string_split_regex(p_name, '\\s+'), '|') AS split_ws
+FROM part
+WHERE p_partkey < 500
+"""
+
+
+@query("regex_funcs", oracle=_REGEX_ORACLE)
+def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all / count-via-len / group-referencing replace /
+    regex split — all codegen'd JVM expressions (list outputs '|'-joined
+    for the driver gate). Both engines use RE2-ish syntax for this subset;
+    group references are normalized ($1 in Spark, \\1 in DuckDB)."""
+    part = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 500)
+    return part.select(
+        "p_partkey",
+        F.concat_ws("|", F.regexp_extract_all("p_name", F.lit("[a-z]+"), 0)).alias("words"),
+        F.size(F.regexp_extract_all("p_name", F.lit("[aeiou]"), 0)).alias("n_vowels"),
+        F.regexp_replace("p_type", r"^(\w+)$", r"type_$1").alias("type_tagged"),
+        F.concat_ws("|", F.split(F.col("p_name"), r"\s+")).alias("split_ws"),
+    )

@@ -147,3 +147,18 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     ivf = IVFIndex(k=16, nprobe=4, iters=2, seed=42)
     return ivf.topk(emb, "vec_id", "embedding", k=5)
+
+
+@query("similarity_topk_gemm_blocked", oracle=None)  # BLAS order: set-equality tested
+def similarity_topk_gemm_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-matrix GEMM exact top-5 over the FULL query side — the shape
+    that removes cosine_topk_gemm's 'query side must fit the driver' limit:
+    queries stream through the driver in bounded hash blocks, candidates
+    scan once per block. tests/test_similarity.py asserts equality with the
+    single-block result."""
+    from gridmr_spark.operators.similarity import cosine_topk_gemm_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    return cosine_topk_gemm_blocked(q, c, k=5, block_rows=1024)

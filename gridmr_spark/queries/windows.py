@@ -157,3 +157,38 @@ def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution/navigation windows: ntile + first/last/nth value with frames
+# ---------------------------------------------------------------------------
+
+_NTILE_NAV_ORACLE = """
+SELECT s_suppkey,
+       NTILE(4) OVER w AS bal_quartile,
+       first_value(s_suppkey) OVER w AS poorest_key,
+       last_value(s_suppkey) OVER (ORDER BY s_acctbal, s_suppkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest_key,
+       nth_value(s_suppkey, 3) OVER (ORDER BY s_acctbal, s_suppkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_key
+FROM supplier
+WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+"""
+
+
+@query("window_ntile_nav", oracle=_NTILE_NAV_ORACLE)
+def window_ntile_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing + first/last/nth_value navigation. last/nth use an
+    explicit UNBOUNDED-UNBOUNDED frame: the default frame stops at CURRENT
+    ROW, which silently turns last_value into current-row-value — the
+    classic window-frame trap, pinned here identically on both engines."""
+    supp = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.asc("s_acctbal"), F.asc("s_suppkey"))
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return supp.select(
+        "s_suppkey",
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.first("s_suppkey").over(w).alias("poorest_key"),
+        F.last("s_suppkey").over(wfull).alias("richest_key"),
+        F.nth_value("s_suppkey", 3).over(wfull).alias("third_key"),
+    )

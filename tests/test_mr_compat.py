@@ -190,3 +190,19 @@ def test_date_partitioned_write_prunes(spark, sf_oracle, tmp_path):
     # pruned row count equals a predicate on the unpartitioned source
     expect = ev.where(F.to_date("ts") == F.lit("2024-01-02").cast("date")).count()
     assert one_day.count() == expect and expect > 0
+
+
+def test_hll_mergeable_sketch_error_bound(spark, sf_oracle):
+    """Two-level sketch (per-group hll_sketch_agg -> hll_union_agg) must
+    estimate within ~5% of exact, and the merged total must equal a
+    direct single-level sketch's estimate reasonably closely."""
+    from gridmr_spark.queries import load_all
+
+    out = {r.o_orderpriority: r.approx_customers
+           for r in load_all()["agg_hll_mergeable"].fn(spark, sf_oracle).collect()}
+    orders = spark.read.parquet(f"{sf_oracle}/orders.parquet")
+    exact_all = orders.select("o_custkey").distinct().count()
+    assert abs(out["ALL"] - exact_all) / exact_all < 0.05, (out["ALL"], exact_all)
+    exact_urgent = (orders.where(F.col("o_orderpriority") == "1-URGENT")
+                    .select("o_custkey").distinct().count())
+    assert abs(out["1-URGENT"] - exact_urgent) / exact_urgent < 0.05

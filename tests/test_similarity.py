@@ -76,3 +76,18 @@ def test_ivf_recall_vs_exact(spark, sf_oracle):
     assert recall >= 0.3, f"IVF recall {recall:.3f}"
     approx2 = {(r.qid, r.cid) for r in ivf.topk(emb.repartition(7), "vec_id", "embedding", k=5).collect()}
     assert approx == approx2  # deterministic under repartitioning
+
+
+def test_blocked_gemm_equals_single_block(spark, sf_oracle):
+    """Union of per-block GEMM top-k must equal the single-collect GEMM
+    top-k exactly (same pairs), at a block size that forces >= 3 blocks."""
+    from pyspark.sql import functions as F
+    from gridmr_spark.operators.similarity import cosine_topk_gemm, cosine_topk_gemm_blocked
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    q = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    single = {(r.q_id, r.c_id) for r in cosine_topk_gemm(q.toPandas(), c, k=5).collect()}
+    blocked = {(r.q_id, r.c_id)
+               for r in cosine_topk_gemm_blocked(q, c, k=5, block_rows=180).collect()}
+    assert blocked == single and len(single) == emb.count() * 5
