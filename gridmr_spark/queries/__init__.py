@@ -62,6 +62,7 @@ _DRIVER_PRIORITY: list[str] = [
     "similarity_topk", "similarity_near_pairs", "similarity_lsh_topk",
     "similarity_topk_gemm", "similarity_ivf_topk",
     # new in round 2
+    "source_csv_roundtrip", "source_json_roundtrip", "dedup_embedding_cosine",
     "stream_dedup_exact", "stream_interval_join",
     "multimodal_frame_sample", "multimodal_resize",
     "window_ntile_nav", "regex_funcs", "agg_hll_mergeable", "sql_api_revenue",
@@ -82,6 +83,7 @@ def load_all() -> dict[str, Query]:
         more_funcs,
         relational,
         scalar_funcs,
+        sources_io,
         streaming_batch,
         textops,
         tpch_full,

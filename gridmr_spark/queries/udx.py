@@ -66,11 +66,22 @@ def udaf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Python UDTF: one row in, N rows out (table function)
 # ---------------------------------------------------------------------------
 
-@query("udtf_tokenize", oracle=None)  # equality with explode(split()) in tests
+_UDTF_ORACLE = """
+SELECT doc_id, token FROM (
+  SELECT doc_id,
+         unnest(string_split(
+           regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')) AS token
+  FROM documents WHERE doc_id < 50
+) t WHERE token <> ''
+"""
+
+
+@query("udtf_tokenize", oracle=_UDTF_ORACLE)
 def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (Spark 4): lateral table function emitting one row per
     token. tests/test_udx.py asserts equality with the built-in
-    explode(split(...)) rendering."""
+    explode(split(...)) rendering; the oracle is the same normalize+split
+    in DuckDB (lower → strip non-alnum → whitespace split, drop empties)."""
     from pyspark.sql.functions import lit, udtf
 
     @udtf(returnType="token: string")

@@ -92,7 +92,45 @@ def similarity_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_lsh_topk", oracle=None)  # approximate: recall-tested in tests/
+_EMB_DEDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 1000),
+pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE {_cos_sql('a.v', 'b.v')} >= 0.4
+)
+SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT id2 FROM pairs)
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_EMB_DEDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate REMOVAL (the dedup flavor of
+    similarity_near_pairs): any vector whose cosine to a lower-id vector is
+    >= 0.4 is dropped; lower ids survive as cluster representatives. The
+    keep-rule is a pure anti-join against the pair list, so the same rule
+    rides on the LSH candidate generator at scale — only the pair source
+    changes, never the survivor logic. Input bounded like the pairs oracle:
+    the quadratic side must never be the thing that grows with the data."""
+    from gridmr_spark.operators.similarity import _dot, with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
+    a = with_norm(
+        emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("va")), "va", "_av", "_an"
+    )
+    b = with_norm(
+        emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("vb")), "vb", "_bv", "_bn"
+    )
+    dropped = (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .where(
+            (_dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))) >= 0.4
+        )
+        .select(F.col("id2").alias("vec_id"))
+        .distinct()
+    )
+    return emb.select("vec_id").join(dropped, "vec_id", "left_anti")
+
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate all-pairs top-5 via random-hyperplane LSH with multi-probe
     (hamming-1) buckets and 12 OR-amplified tables — the sub-quadratic 100 TB
