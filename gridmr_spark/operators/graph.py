@@ -1,0 +1,93 @@
+"""Iterative graph operators: connected components for dedup clustering.
+
+Near-duplicate REMOVAL (keep lowest id of any pair) is an anti-join, but
+near-duplicate CLUSTERING — "give every document the canonical id of its
+duplicate group" — needs the transitive closure of the pair relation:
+a~b and b~c put a,c in one group even when cos(a,c) is below threshold.
+That is connected components, the one operator family in this engine that
+is inherently iterative (SQL needs recursion for it; the DuckDB oracle uses
+WITH RECURSIVE, Spark iterates a DataFrame fixpoint).
+
+Algorithm: min-label propagation. Every vertex starts labeled with its own
+id; each round every vertex takes the min of its label and its neighbors'
+labels; converged when no label changes. Rounds needed = component
+diameter — small for near-dup clusters (pairs are dense within a group).
+Each round is one shuffle join + one shuffle agg on the edge partitioning.
+
+Scale notes (100 TB posture):
+- ``localCheckpoint`` after every round truncates the lineage — without it
+  the plan doubles per iteration and the driver OOMs planning round ~15.
+- The convergence probe is a ``limit(1).count()`` on the changed-labels
+  frame — one cheap action per round, no data to the driver.
+- For web-scale graphs with high-diameter components, swap the propagation
+  loop for the large-star/small-star algorithm (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC'14) — same interface, O(log n)
+  rounds; min-label is the right default for dedup graphs where components
+  are near-cliques with diameter ~2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every vertex with the MIN vertex id reachable from it.
+
+    vertices: DataFrame with ``id_col`` (one row per vertex; isolated
+    vertices allowed). edges: DataFrame with ``src_col``/``dst_col``
+    (undirected; direction and duplicates don't matter). Returns
+    DataFrame[id, component].
+    """
+    # Symmetrize once: propagation reads edges in both directions.
+    fwd = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+    rev = edges.select(F.col(dst_col).alias("_s"), F.col(src_col).alias("_d"))
+    e = fwd.union(rev).distinct()
+
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("component")
+    ).localCheckpoint()
+
+    for _ in range(max_iter):
+        # Neighbor messages: each edge forwards the src's current label to dst.
+        msgs = (
+            e.join(labels, e["_s"] == labels["id"])
+            .select(F.col("_d").alias("id"), "component")
+        )
+        prop = (
+            labels.union(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        # Pointer jump: component <- label(component). Labels only take
+        # vertex-id values, so the lookup is an equi-join against prop
+        # itself; chasing the label of the label halves chain length each
+        # round, turning O(diameter) convergence into O(log diameter)
+        # (a 30-vertex path converges in ~6 rounds, not 29).
+        mapping = prop.select(
+            F.col("id").alias("component"), F.col("component").alias("_jump")
+        )
+        new_labels = (
+            prop.join(mapping, "component")
+            .select("id", F.col("_jump").alias("component"))
+            .localCheckpoint()  # cut lineage: plan must not grow per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") < F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -196,6 +196,71 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Oracle ts goes through make_timestamp(epoch_us(...)) because Spark reads
+# the NANOS parquet column floor-truncated to micros (catalog._load_events).
+# SUM(brk) is CAST AS BIGINT: DuckDB widens integer SUM to HUGEINT, which
+# lands in pandas as float64/object and breaks the dtype-sensitive hash.
+_SESSIONIZE_ORACLE = """
+WITH ev AS (
+  SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, event_id
+  FROM events
+), marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts) > 600000000
+              THEN 1 ELSE 0 END AS brk
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+@query("events_sessionize", oracle=_SESSIONIZE_ORACLE)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: a new session starts after a >10 min
+    silence; islands are numbered per user by a running sum of break flags.
+    The batch twin of stream_session_10m — same session semantics, derived
+    with lag + cumulative-sum windows instead of session_window state. One
+    shuffle on user_id serves both window passes AND the final aggregation
+    (same partitioning, no re-exchange); (ts, event_id) ordering makes the
+    numbering deterministic under ties."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "brk",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > 600_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    numbered = marked.withColumn(
+        "session_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Array set operations (order-normalized for cross-engine comparison)
 # ---------------------------------------------------------------------------

@@ -131,6 +131,57 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return emb.select("vec_id").join(dropped, "vec_id", "left_anti")
 
+
+_EMB_CC_ORACLE = f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 1000),
+p AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+  WHERE {_cos_sql('a.v', 'b.v')} >= 0.4
+),
+r(a, b) AS (
+  SELECT vec_id, vec_id FROM e
+  UNION
+  SELECT r.a, p.id2 FROM r JOIN p ON r.b = p.id1
+)
+SELECT a AS vec_id, MIN(b) AS component FROM r GROUP BY a
+"""
+
+
+@query("dedup_clusters_cc", oracle=_EMB_CC_ORACLE)
+def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERING via connected components over the
+    embedding-cosine pair graph: a~b and b~c land a,c in one cluster even
+    when cos(a,c) is under threshold — the transitive semantics the
+    anti-join removal above can't give. Spark side iterates min-label
+    propagation (operators/graph.py, lineage-checkpointed per round); the
+    oracle is the same closure via DuckDB WITH RECURSIVE. Pair input
+    bounded like every quadratic oracle here; at scale the pair source is
+    the LSH candidate generator, the cluster loop is unchanged."""
+    from gridmr_spark.operators.graph import connected_components
+    from gridmr_spark.operators.similarity import _dot, with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
+    a = with_norm(
+        emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("va")), "va", "_av", "_an"
+    )
+    b = with_norm(
+        emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("vb")), "vb", "_bv", "_bn"
+    )
+    pairs = (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .where(
+            (_dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))) >= 0.4
+        )
+        .select("id1", "id2")
+    )
+    return connected_components(
+        emb.select("vec_id"), pairs, id_col="vec_id", src_col="id1", dst_col="id2"
+    ).select(F.col("id").alias("vec_id"), "component")
+
+
+@query("similarity_lsh_topk", oracle=None)  # approximate: recall-tested in tests/
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate all-pairs top-5 via random-hyperplane LSH with multi-probe
     (hamming-1) buckets and 12 OR-amplified tables — the sub-quadratic 100 TB

@@ -1,0 +1,83 @@
+"""Connected components (operators/graph.py) vs a pure-Python union-find."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from gridmr_spark.operators.graph import connected_components
+
+
+def _union_find_components(n: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id per component
+    roots: dict[int, int] = {}
+    for v in range(n):
+        r = find(v)
+        roots[r] = min(roots.get(r, v), v)
+    return {v: roots[find(v)] for v in range(n)}
+
+
+def _run(spark, n: int, edges: list[tuple[int, int]]):
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = (
+        spark.createDataFrame(edges, "src long, dst long")
+        if edges
+        else spark.createDataFrame([], "src long, dst long")
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(vertices, e).collect()
+    }
+    assert got == _union_find_components(n, edges)
+
+
+def test_cc_random_graph(spark):
+    rng = random.Random(7)
+    n = 80
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(60)]
+    _run(spark, n, edges)
+
+
+def test_cc_path_graph_high_diameter(spark):
+    # a 30-vertex path: needs ~log rounds of doubling-free propagation;
+    # exercises the convergence loop well past one iteration
+    _run(spark, 30, [(i, i + 1) for i in range(29)])
+
+
+def test_cc_isolated_and_self_loops(spark):
+    _run(spark, 10, [(0, 0), (3, 4), (4, 3)])
+
+
+def test_cc_no_edges(spark):
+    _run(spark, 5, [])
+
+
+def test_cc_partition_invariant(spark):
+    # same labeling regardless of how the edge list is partitioned
+    rng = random.Random(11)
+    n = 50
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(40)]
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    results = []
+    for parts in (1, 7):
+        e = spark.createDataFrame(edges, "src long, dst long").repartition(parts)
+        results.append(
+            sorted(
+                (r["id"], r["component"])
+                for r in connected_components(vertices, e).collect()
+            )
+        )
+    assert results[0] == results[1]
