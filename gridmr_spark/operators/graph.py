@@ -47,10 +47,14 @@ def connected_components(
     (undirected; direction and duplicates don't matter). Returns
     DataFrame[id, component].
     """
-    # Symmetrize once: propagation reads edges in both directions.
+    # Symmetrize once and MATERIALIZE (localCheckpoint): the edge frame is
+    # re-read every round, and without this the whole upstream edge
+    # computation (for dedup graphs, a quadratic cosine join) re-executes
+    # per iteration — the loop cost must be rounds x |E|, not
+    # rounds x cost(edge derivation).
     fwd = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
     rev = edges.select(F.col(dst_col).alias("_s"), F.col(src_col).alias("_d"))
-    e = fwd.union(rev).distinct()
+    e = fwd.union(rev).distinct().localCheckpoint()
 
     labels = vertices.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("component")

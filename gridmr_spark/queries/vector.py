@@ -93,7 +93,7 @@ def similarity_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EMB_DEDUP_ORACLE = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 1000),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 500),
 pairs AS (
   SELECT a.vec_id AS id1, b.vec_id AS id2
   FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -110,11 +110,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= 0.4 is dropped; lower ids survive as cluster representatives. The
     keep-rule is a pure anti-join against the pair list, so the same rule
     rides on the LSH candidate generator at scale — only the pair source
-    changes, never the survivor logic. Input bounded like the pairs oracle:
-    the quadratic side must never be the thing that grows with the data."""
+    changes, never the survivor logic. Input bounded tighter than the pairs
+    oracle (vec_id < 500): pair-generation exactness is already proven at
+    <1000 by similarity_near_pairs; this query proves the survivor rule."""
     from gridmr_spark.operators.similarity import _dot, with_norm
 
-    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
     a = with_norm(
         emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("va")), "va", "_av", "_an"
     )
@@ -134,7 +135,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EMB_CC_ORACLE = f"""
 WITH RECURSIVE
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 1000),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 500),
 p AS (
   SELECT a.vec_id AS id1, b.vec_id AS id2
   FROM e a JOIN e b ON a.vec_id <> b.vec_id
@@ -157,12 +158,14 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join removal above can't give. Spark side iterates min-label
     propagation (operators/graph.py, lineage-checkpointed per round); the
     oracle is the same closure via DuckDB WITH RECURSIVE. Pair input
-    bounded like every quadratic oracle here; at scale the pair source is
-    the LSH candidate generator, the cluster loop is unchanged."""
+    bounded tighter than the pairs oracle (vec_id < 500: pair exactness is
+    similarity_near_pairs' job, this query proves the closure); at scale
+    the pair source is the LSH candidate generator, the cluster loop is
+    unchanged."""
     from gridmr_spark.operators.graph import connected_components
     from gridmr_spark.operators.similarity import _dot, with_norm
 
-    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
     a = with_norm(
         emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("va")), "va", "_av", "_an"
     )
