@@ -88,6 +88,31 @@ def lang_id(text_col: str = "text") -> Column:
     return F.when(has_cjk, F.lit("zh")).otherwise(pred)
 
 
+def quality_keep(text_col: str = "text") -> Column:
+    """The keep/drop gate of quality_features as ONE boolean column — for
+    pipelines that only filter and must not pay a join back onto the scored
+    frame (the whole gate stays inside the scan's codegen'd filter)."""
+    toks = _tokens_col(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    n_punct = F.length(F.regexp_replace(text_col, "[a-zA-Z0-9\\s]+", ""))
+    n_distinct = F.size(F.array_distinct(toks))
+    avg_tok_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).cast("double")
+        / n_tokens.cast("double"),
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars.cast("double")).otherwise(F.lit(0.0))
+    distinct_ratio = F.when(n_tokens > 0, n_distinct.cast("double") / n_tokens.cast("double")).otherwise(F.lit(0.0))
+    return (
+        (n_tokens >= 10)
+        & (avg_tok_len >= 2.0)
+        & (avg_tok_len <= 12.0)
+        & (punct_ratio < 0.2)
+        & (distinct_ratio > 0.1)
+    )
+
+
 def quality_features(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Per-document quality scoring: lengths, token stats, punctuation and
     stopword ratios, and a keep/drop flag — the standard pre-training filter
@@ -127,12 +152,20 @@ def quality_features(df: DataFrame, id_col: str, text_col: str = "text") -> Data
     )
 
 
+def token_count_cols(text_col: str) -> tuple[Column, Column]:
+    """(whitespace_tokens, bpe_ish_tokens) as reusable column expressions —
+    for callers that need the counts inside a wider select (e.g. the
+    composed pipeline) without a second pass over the input."""
+    ws = F.size(_tokens_col(text_col))
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), 0))
+    return ws, bpe
+
+
 def token_counts(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish subword count (runs of letters,
     runs of digits, single other non-space chars — the GPT-2 pre-tokenizer
     shape, minus unicode categories)."""
-    ws = F.size(_tokens_col(text_col))
-    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), 0))
+    ws, bpe = token_count_cols(text_col)
     return df.select(
         F.col(id_col).alias("id"),
         ws.cast("bigint").alias("ws_tokens"),

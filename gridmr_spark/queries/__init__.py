@@ -63,7 +63,7 @@ _DRIVER_PRIORITY: list[str] = [
     "similarity_topk_gemm", "similarity_ivf_topk",
     # new in round 2
     "source_csv_roundtrip", "source_json_roundtrip", "dedup_embedding_cosine",
-    "dedup_clusters_cc", "events_sessionize",
+    "dedup_clusters_cc", "events_sessionize", "pipeline_training_data",
     "stream_dedup_exact", "stream_interval_join",
     "multimodal_frame_sample", "multimodal_resize",
     "window_ntile_nav", "regex_funcs", "agg_hll_mergeable", "sql_api_revenue",

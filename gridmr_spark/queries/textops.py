@@ -330,3 +330,76 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.select(
         "doc_id", "out_width", "out_height", F.md5("resized").alias("resized_md5")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-data pipeline (the composition the engine exists for)
+# ---------------------------------------------------------------------------
+
+_PIPELINE_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ','g')),' '), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, text, toks,
+    len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS s_en,
+    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS s_de,
+    len(list_filter(toks, x -> list_contains(['el','la','los','las','y','es','que'], x))) AS s_es,
+    len(list_filter(toks, x -> list_contains(['le','la','les','et','est','que','une'], x))) AS s_fr
+  FROM t
+), langed AS (
+  SELECT doc_id, text, toks FROM s
+  WHERE NOT regexp_matches(text, '[\x{4e00}-\x{9fff}]')
+    AND s_en > 0 AND s_en >= greatest(s_de, s_es, s_fr)
+), quality AS (
+  SELECT doc_id, text FROM langed
+  WHERE len(toks) >= 10
+    AND CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)/CAST(len(toks) AS DOUBLE) >= 2.0
+    AND CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)/CAST(len(toks) AS DOUBLE) <= 12.0
+    AND CAST(length(regexp_replace(text,'[a-zA-Z0-9\s]+','','g')) AS DOUBLE)/CAST(length(text) AS DOUBLE) < 0.2
+    AND CAST(len(list_distinct(toks)) AS DOUBLE)/CAST(len(toks) AS DOUBLE) > 0.1
+), grp AS (
+  SELECT lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ','g')) AS norm_text,
+         MIN(doc_id) AS doc_id, COUNT(*) AS n_copies,
+         arg_min(text, doc_id) AS rep_text
+  FROM quality GROUP BY 1
+)
+SELECT doc_id, n_copies,
+  len(list_filter(string_split(lower(regexp_replace(rep_text,'[^a-zA-Z0-9]+',' ','g')),' '), x -> x <> '')) AS ws_tokens,
+  len(regexp_extract_all(rep_text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens
+FROM grp
+"""
+
+
+@query("pipeline_training_data", oracle=_PIPELINE_ORACLE)
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pre-training data pipeline, end-to-end in ONE declarative
+    plan: language gate (keep predicted 'en') -> quality gate (the keep flag
+    from quality_features) -> exact dedup on normalized text (min-id
+    representative survives) -> token accounting for the survivors. Each
+    stage is the already-oracle-checked operator; this query proves the
+    COMPOSITION matches DuckDB end-to-end, which is the integration a real
+    user runs. Plan shape: ONE scan of documents through codegen'd filters,
+    ONE shuffle (the dedup group-by on norm_text) — min_by carries the
+    representative's raw text through the aggregate, so no join-back pass
+    recomputes the gates. At 100 TB the only wide exchange is the dedup
+    group-by, exactly where it must be."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = (
+        docs.where(text_ops.lang_id("text") == "en")
+        .where(text_ops.quality_keep("text"))
+        .select("doc_id", "text")
+    )
+    reps = kept.groupBy(text_ops.normalize_text("text").alias("norm_text")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("n_copies"),
+        F.min_by("text", "doc_id").alias("rep_text"),
+    )
+    ws, bpe = text_ops.token_count_cols("rep_text")
+    return reps.select(
+        "doc_id",
+        "n_copies",
+        ws.cast("bigint").alias("ws_tokens"),
+        bpe.cast("bigint").alias("bpe_tokens"),
+    )
