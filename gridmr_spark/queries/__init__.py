@@ -65,15 +65,17 @@ _DRIVER_PRIORITY: list[str] = [
     "source_csv_roundtrip", "source_json_roundtrip", "dedup_embedding_cosine",
     "dedup_clusters_cc", "events_sessionize", "pipeline_training_data",
     "stream_dedup_exact", "stream_interval_join",
-    "multimodal_frame_sample", "multimodal_resize",
-    "window_ntile_nav", "regex_funcs", "agg_hll_mergeable", "sql_api_revenue",
-    "similarity_topk_gemm_blocked",
+    "multimodal_frame_sample",
+    "window_ntile_nav", "regex_funcs", "sql_api_revenue",
     "dedup_minhash_lsh",  # rows-only in r1, now oracle-checked
     "q2_min_cost_supplier", "q6_forecast_revenue", "q7_nation_volume",
     "q8_market_share", "q9_product_profit", "q11_important_values",
     "q13_order_distribution", "q15_top_supplier", "q16_supplier_counts",
     "q17_small_quantity", "q19_disjunctive_brackets",
     "q20_part_family_shippers", "q21_waiting_suppliers",
+    # rows-only (no oracle) — a driver row is weaker evidence than the
+    # hash-green rows above, so these yield the budget to oracle queries
+    "agg_hll_mergeable", "multimodal_resize", "similarity_topk_gemm_blocked",
 ]
 
 
