@@ -113,20 +113,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes, never the survivor logic. Input bounded tighter than the pairs
     oracle (vec_id < 500): pair-generation exactness is already proven at
     <1000 by similarity_near_pairs; this query proves the survivor rule."""
-    from gridmr_spark.operators.similarity import _dot, with_norm
-
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
-    a = with_norm(
-        emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("va")), "va", "_av", "_an"
-    )
-    b = with_norm(
-        emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("vb")), "vb", "_bv", "_bn"
-    )
     dropped = (
-        a.join(b, F.col("id1") < F.col("id2"))
-        .where(
-            (_dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))) >= 0.4
-        )
+        _bounded_pairs(spark, sf_dir)
         .select(F.col("id2").alias("vec_id"))
         .distinct()
     )
@@ -163,22 +152,9 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair source is the LSH candidate generator, the cluster loop is
     unchanged."""
     from gridmr_spark.operators.graph import connected_components
-    from gridmr_spark.operators.similarity import _dot, with_norm
 
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
-    a = with_norm(
-        emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("va")), "va", "_av", "_an"
-    )
-    b = with_norm(
-        emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("vb")), "vb", "_bv", "_bn"
-    )
-    pairs = (
-        a.join(b, F.col("id1") < F.col("id2"))
-        .where(
-            (_dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))) >= 0.4
-        )
-        .select("id1", "id2")
-    )
+    pairs = _bounded_pairs(spark, sf_dir)
     return connected_components(
         emb.select("vec_id"), pairs, id_col="vec_id", src_col="id1", dst_col="id2"
     ).select(F.col("id").alias("vec_id"), "component")
@@ -254,3 +230,87 @@ def similarity_topk_gemm_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     return cosine_topk_gemm_blocked(q, c, k=5, block_rows=1024)
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics over the near-dup pair graph (exact, integer outputs)
+# ---------------------------------------------------------------------------
+
+_PAIRS_500_SQL = f"""
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 500) a
+  JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 500) b
+    ON a.vec_id < b.vec_id
+  WHERE {_cos_sql('a.v', 'b.v')} >= 0.4
+"""
+
+
+def _bounded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected unique pairs (id1 < id2) of the bounded cosine graph —
+    shared edge source for the graph-analytics queries below."""
+    from gridmr_spark.operators.similarity import _dot, with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    a = with_norm(
+        emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("va")), "va", "_av", "_an"
+    )
+    b = with_norm(
+        emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("vb")), "vb", "_bv", "_bn"
+    )
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .where(
+            (_dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))) >= 0.4
+        )
+        .select("id1", "id2")
+    )
+
+
+_TRIANGLE_ORACLE = f"""
+WITH p AS ({_PAIRS_500_SQL})
+SELECT COUNT(*) AS n_triangles
+FROM p ab JOIN p bc ON ab.id2 = bc.id1
+          JOIN p ac ON ac.id1 = ab.id1 AND ac.id2 = bc.id2
+"""
+
+
+@query("graph_triangle_count", oracle=_TRIANGLE_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count on the near-dup graph (each triangle a<b<c
+    counted once via the ordered-edge convention). Two equi-joins on the
+    edge list — at scale this is the standard "order vertices by degree"
+    pattern's skeleton; integer output, so the oracle check is exact.
+    Near-dup clusters are near-cliques, so triangle density is the cheap
+    cluster-quality signal (clique of size k -> C(k,3) triangles)."""
+    p = _bounded_pairs(spark, sf_dir).localCheckpoint()  # 3 self-reads, 1 derivation
+    ab = p.select(F.col("id1").alias("a"), F.col("id2").alias("b"))
+    bc = p.select(F.col("id1").alias("b"), F.col("id2").alias("c"))
+    ac = p.select(F.col("id1").alias("a"), F.col("id2").alias("c"))
+    return (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"])
+        .agg(F.count("*").alias("n_triangles"))
+    )
+
+
+_DEGREE_ORACLE = f"""
+WITH p AS ({_PAIRS_500_SQL}),
+d AS (
+  SELECT id, COUNT(*) AS degree FROM (
+    SELECT id1 AS id FROM p UNION ALL SELECT id2 AS id FROM p
+  ) GROUP BY id
+)
+SELECT degree, COUNT(*) AS n_vertices FROM d GROUP BY degree
+"""
+
+
+@query("graph_degree_distribution", oracle=_DEGREE_ORACLE)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-dup graph (isolated vertices excluded —
+    they have no edge rows). Two cheap aggregations; the shape check a
+    dedup pipeline runs before clustering to spot pathological hubs (a
+    stop-shingle-like hot document would show as a high-degree outlier)."""
+    p = _bounded_pairs(spark, sf_dir).localCheckpoint()  # 2 self-reads below
+    ends = p.select(F.col("id1").alias("id")).unionAll(p.select(F.col("id2").alias("id")))
+    deg = ends.groupBy("id").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_vertices"))

@@ -192,3 +192,49 @@ def window_ntile_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("s_suppkey").over(wfull).alias("richest_key"),
         F.nth_value("s_suppkey", 3).over(wfull).alias("third_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-based RANGE frame: trailing-1h rolling aggregates per event
+# ---------------------------------------------------------------------------
+
+# RANGE (not ROWS) frame keyed on event time: every event sees the aggregate
+# of its user's events in [t - 1h, t] — the per-event sliding window the ROWS
+# frames above can't express (peers with equal ts share one frame, and the
+# frame width is time, not row count). Ordering by epoch micros makes the
+# frame bound an exact integer; the decimal window sum keeps the double
+# bit-identical across engines regardless of each engine's sliding-sum
+# implementation order.
+_TIME_RANGE_ORACLE = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+)
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_1h
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("window_time_range", oracle=_TIME_RANGE_ORACLE)
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour rolling count and spend per event via a RANGE frame
+    over epoch-micros event time. One shuffle on user_id; the frame slides
+    in event time so burst periods aggregate more rows — the per-event
+    twin of the fixed-grid tumbling/sliding streaming windows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("value_1h"),
+    )
