@@ -185,3 +185,29 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_stream_foreach_batch(
+    spark: SparkSession,
+    agg: DataFrame,
+    sink_path: str,
+    output_mode: str = "complete",
+) -> None:
+    """foreachBatch sink: every micro-batch is handed to ordinary BATCH
+    writers — the escape hatch for sinks Structured Streaming has no native
+    connector for (JDBC upserts, MERGE INTO a lakehouse table, multi-table
+    transactions). The idempotence contract that makes it exactly-once at
+    the sink: a replayed batch_id must overwrite, not append — here each
+    batch owns the ``batch=<id>`` subdirectory and rewrites it wholesale,
+    so re-delivery after a failure converges to the same files."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{sink_path}/batch={batch_id}")
+
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
