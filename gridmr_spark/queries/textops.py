@@ -5,7 +5,7 @@ dedup surface (SURVEY.md §2.B, §2.D last row).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gridmr_spark.catalog import load_table
@@ -403,3 +403,68 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         ws.cast("bigint").alias("ws_tokens"),
         bpe.cast("bigint").alias("bpe_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splits (training-data pipeline staples)
+# ---------------------------------------------------------------------------
+
+# Engine-portable pseudo-randomness: md5 of the id — identical hex on every
+# engine, so sampling decisions are reproducible AND oracle-checkable
+# (rand()/hash() would differ per engine and per run). At 100 TB this is
+# also the property you want operationally: re-running the pipeline samples
+# the SAME rows, so downstream caches/dedup stay valid.
+
+_STRATIFIED_ORACLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) t WHERE rn <= 50
+"""
+
+
+@query("sample_stratified_cap", oracle=_STRATIFIED_ORACLE)
+def sample_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language cap (<=50 docs/lang) via row_number over the md5 order —
+    the per-source downsampling step of corpus assembly. One shuffle on the
+    stratum key; WindowGroupLimit pushes the cap below the shuffle, so each
+    map task ships at most 50 rows per stratum it sees, not its whole
+    partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 50)
+        .select("doc_id", "lang")
+    )
+
+
+_SPLIT_ORACLE = """
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM h GROUP BY lang, split
+"""
+
+
+@query("sample_train_val_test", oracle=_SPLIT_ORACLE)
+def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment from the first 32
+    md5 bits of the doc id — stable under reruns, insertions elsewhere, and
+    engine choice (the split a membership file would otherwise pin).
+    Output: per (lang, split) doc counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.groupBy("lang", split.alias("split")).agg(F.count("*").alias("n_docs"))
