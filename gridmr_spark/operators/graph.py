@@ -95,3 +95,58 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """Power-iteration PageRank over a DIRECTED edge list (symmetrize first
+    for undirected graphs). Returns DataFrame[id, rank], sum(rank) == 1.
+
+    Per round: one broadcast-able join of ranks onto edges (ranks are
+    O(|V|) narrow rows), one shuffle aggregate on dst, plus ONE scalar
+    action for the dangling mass (vertices with no out-edges leak their
+    rank; the standard fix redistributes it uniformly). localCheckpoint per
+    round bounds the plan exactly like connected_components above. Fixed
+    iteration count keeps the result deterministic — convergence-threshold
+    loops make run-to-run output depend on float noise.
+    """
+    v = vertices.select(F.col(id_col).alias("id")).localCheckpoint()
+    e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")).localCheckpoint()
+    n = v.count()
+    outdeg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
+
+    ranks = v.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
+    for _ in range(iters):
+        contrib_src = (
+            ranks.join(outdeg, ranks["id"] == outdeg["_s"], "left")
+            .select("id", "rank", "_deg")
+        )
+        # dangling mass: rank held by vertices with no out-edges
+        dangling = (
+            contrib_src.where(F.col("_deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        msgs = (
+            e.join(contrib_src.where(F.col("_deg").isNotNull()), e["_s"] == contrib_src["id"])
+            .select(F.col("_d").alias("id"), (F.col("rank") / F.col("_deg")).alias("_c"))
+            .groupBy("id")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            v.join(msgs, "id", "left")
+            .select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

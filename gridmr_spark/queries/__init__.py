@@ -78,6 +78,7 @@ _DRIVER_PRIORITY: list[str] = [
     # rows-only (no oracle) — a driver row is weaker evidence than the
     # hash-green rows above, so these yield the budget to oracle queries
     "agg_hll_mergeable", "multimodal_resize", "similarity_topk_gemm_blocked",
+    "graph_pagerank",
 ]
 
 

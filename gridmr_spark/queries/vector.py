@@ -314,3 +314,22 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ends = p.select(F.col("id1").alias("id")).unionAll(p.select(F.col("id2").alias("id")))
     deg = ends.groupBy("id").agg(F.count("*").alias("degree"))
     return deg.groupBy("degree").agg(F.count("*").alias("n_vertices"))
+
+
+@query("graph_pagerank", oracle=None)  # iterative float sums: numpy-parity tested
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the (symmetrized) near-dup graph — the centrality
+    signal that ranks cluster representatives by connectedness (a more
+    duplicated document ranks higher than a fringe member). Iterative power
+    method per operators/graph.py; verified against a NumPy power iteration
+    in tests/test_graph.py (no SQL oracle: 10 chained recursive aggregates
+    is outside DuckDB's recursion-with-aggregation support, and the float
+    sums are evaluation-order-sensitive anyway)."""
+    from gridmr_spark.operators.graph import pagerank
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
+    p = _bounded_pairs(spark, sf_dir)
+    both = p.unionAll(p.select(F.col("id2").alias("id1"), F.col("id1").alias("id2")))
+    return pagerank(
+        emb.select("vec_id"), both, id_col="vec_id", src_col="id1", dst_col="id2", iters=6
+    ).select(F.col("id").alias("vec_id"), "rank")

@@ -81,3 +81,35 @@ def test_cc_partition_invariant(spark):
             )
         )
     assert results[0] == results[1]
+
+
+def _numpy_pagerank(n, edges, damping=0.85, iters=10):
+    import numpy as np
+
+    outdeg = [0] * n
+    for s, _ in edges:
+        outdeg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = sum(r[v] for v in range(n) if outdeg[v] == 0)
+        nxt = np.full(n, (1 - damping) / n + damping * dangling / n)
+        for s, d in edges:
+            nxt[d] += damping * r[s] / outdeg[s]
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_numpy(spark):
+    import numpy as np
+
+    from gridmr_spark.operators.graph import pagerank
+
+    rng = random.Random(3)
+    n = 40
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(120)})
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank(vertices, e).collect()}
+    want = _numpy_pagerank(n, edges)
+    assert np.allclose([got[i] for i in range(n)], want, atol=1e-12)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
