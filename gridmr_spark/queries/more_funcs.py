@@ -323,3 +323,32 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_orders").alias("n_orders"),
     )
     return per_prio.unionByName(total)
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: approx_top_k sketch (exact when it tracks >= distinct keys)
+# ---------------------------------------------------------------------------
+
+_HEAVY_HITTERS_ORACLE = """
+SELECT event_type AS item, COUNT(*) AS cnt
+FROM events GROUP BY event_type
+"""
+
+
+@query("agg_heavy_hitters", oracle=_HEAVY_HITTERS_ORACLE)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the approx_top_k sketch (Spark 4): single-pass,
+    mergeable, fixed memory — the 100 TB way to ask "what are the hottest
+    keys" without a full groupBy over a high-cardinality column. Here k (5)
+    >= the column's distinct count, where the sketch is EXACT by
+    construction, so the DuckDB gate can hash-check it against plain
+    GROUP BY counts; beyond that capacity the counts become approximate
+    (Misra-Gries style) and the check would be error-bound, like the HLL
+    queries. Output exploded to (item, cnt) rows — the sketch's array-of-
+    struct form doesn't survive the driver's canonicalizer."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.agg(F.expr("approx_top_k(event_type, 5)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
+    )
