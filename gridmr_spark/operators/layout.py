@@ -1,0 +1,67 @@
+"""Data-layout operators: Z-order (Morton) keys for multi-dimensional
+clustering.
+
+Why: parquet/lakehouse data skipping works off per-file min/max ranges. A
+sort on ONE column gives perfect pruning on that column and none on any
+other; interleaving the bits of two (or more) columns into a Morton key and
+range-partitioning + sorting on it gives every co-sorted column *partially*
+tight file ranges — the standard lakehouse answer (Delta/Iceberg Z-ORDER)
+to "we filter on both customer and date". Pure integer bit-math, so the
+key is engine-deterministic and oracle-checkable; the layout win itself is
+asserted in tests/test_layout.py by measuring per-file min/max spans after
+a write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def morton_key(x: Column | str, y: Column | str, bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of two non-negative ints: result bit
+    2i is x's bit i, bit 2i+1 is y's bit i. Built as a balanced sum of
+    shift/mask terms — all JVM-side integer ops inside whole-stage codegen
+    (no UDF), identical arithmetic in any engine."""
+    cx = (F.col(x) if isinstance(x, str) else x).cast("long")
+    cy = (F.col(y) if isinstance(y, str) else y).cast("long")
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(cx, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(F.shiftleft(F.shiftright(cy, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out.bitwiseOR(t)
+    return out
+
+
+def morton_key_sql(x: str, y: str, bits: int = 16) -> str:
+    """The same interleave as DuckDB SQL (for oracles): | of shift terms."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    bits: int = 16,
+    n_files: int = 8,
+) -> None:
+    """Write ``df`` as parquet clustered on the (x, y) Morton curve:
+    range-partition on the key (contiguous curve segments per file — hash
+    partitioning would scatter the curve and void the clustering), sort
+    within partitions, drop the key. Files then have partially tight
+    min/max on BOTH x and y, which is what scan-time data skipping reads."""
+    keyed = df.withColumn("_z", morton_key(x, y, bits))
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

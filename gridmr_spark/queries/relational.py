@@ -698,3 +698,34 @@ def sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key (operators/layout.py) — oracle-checked bit math
+# ---------------------------------------------------------------------------
+
+def _zorder_oracle() -> str:
+    from gridmr_spark.operators.layout import morton_key_sql
+
+    return f"""
+SELECT o_orderkey,
+       ({morton_key_sql('(o_custkey % 1024)', '(o_orderkey % 1024)', 10)}) AS zkey
+FROM orders WHERE o_orderkey < 2000
+"""
+
+
+@query("layout_zorder_key", oracle=_zorder_oracle())
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) key over (customer bucket, order bucket) — the
+    multi-dimensional clustering key a lakehouse Z-ORDER write sorts by so
+    data skipping prunes on BOTH filter columns. Pure shift/mask integer
+    expressions inside whole-stage codegen; the layout benefit itself
+    (tighter per-file min/max on both dimensions than a single-column sort)
+    is measured in tests/test_layout.py."""
+    from gridmr_spark.operators.layout import morton_key
+
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    return orders.select(
+        "o_orderkey",
+        morton_key(F.col("o_custkey") % 1024, F.col("o_orderkey") % 1024, 10).alias("zkey"),
+    )
