@@ -66,7 +66,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_clusters_cc", "events_sessionize", "pipeline_training_data",
     "window_time_range", "graph_triangle_count", "graph_degree_distribution",
     "sample_stratified_cap", "sample_train_val_test", "agg_heavy_hitters",
-    "layout_zorder_key",
+    "layout_zorder_key", "merge_upsert_cdc",
     "stream_dedup_exact", "stream_interval_join",
     "multimodal_frame_sample",
     "window_ntile_nav", "regex_funcs", "sql_api_revenue",

@@ -729,3 +729,51 @@ def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         morton_key(F.col("o_custkey") % 1024, F.col("o_orderkey") % 1024, 10).alias("zkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC upsert (MERGE INTO semantics on plain parquet)
+# ---------------------------------------------------------------------------
+
+_MERGE_ORACLE = """
+WITH target AS (
+  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey < 5000
+), updates AS (
+  SELECT o_orderkey, o_custkey, CAST(o_totalprice + 100.0 AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey < 5000 AND o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, CAST(o_totalprice AS DOUBLE)
+  FROM orders WHERE o_orderkey < 5000 AND o_orderkey % 100 = 0
+)
+SELECT * FROM updates
+UNION ALL
+SELECT t.* FROM target t WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+"""
+
+
+@query("merge_upsert_cdc", oracle=_MERGE_ORACLE)
+def merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain parquet (the CDC-apply primitive a
+    lakehouse table format provides natively): updates win over target rows
+    with the same key, unmatched updates insert, everything else carries
+    over — rendered as one anti-join + union, the shape that rewrites only
+    matched files when paired with partition pruning at scale. The update
+    batch here is synthesized deterministically from the target (every 10th
+    key mutated, every 100th key re-inserted shifted) so the gate can check
+    the merge exactly. Per-row +100.0 on a double is IEEE-identical across
+    engines (single op, no reordering)."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 5000)
+    target = orders.select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    updates = (
+        target.where(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+        .unionAll(
+            target.where(F.col("o_orderkey") % 100 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        )
+    )
+    kept = target.join(updates.select("o_orderkey"), "o_orderkey", "left_anti")
+    return updates.unionAll(kept.select(*updates.columns))
