@@ -777,3 +777,58 @@ def merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = target.join(updates.select("o_orderkey"), "o_orderkey", "left_anti")
     return updates.unionAll(kept.select(*updates.columns))
+
+
+# ---------------------------------------------------------------------------
+# Bucketed (pre-shuffled) fact-fact join — zero-Exchange SortMergeJoin
+# ---------------------------------------------------------------------------
+
+_BUCKETED_JOIN_ORACLE = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+def _bucket_scratch(sf_dir: str, tag: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(f"{sf_dir}:{tag}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"gridmr_bkt_{tag}_{key}")
+
+
+@query("layout_bucketed_join", oracle=_BUCKETED_JOIN_ORACLE)
+def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join with BOTH sides pre-bucketed on the join key: the
+    SortMergeJoin planner consumes the bucketing output partitioning and
+    drops BOTH shuffle exchanges (asserted in tests/test_plans.py). This is
+    the 100 TB strategy for a join repeated every run — pay the shuffle
+    once at write time, never again at read time. The `merge` hint pins SMJ
+    so the demonstration doesn't silently degrade to a broadcast join on
+    small SFs; at real scale neither side is broadcastable anyway."""
+    import hashlib
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    t_li, t_ord = f"bkt_lineitem_{key}", f"bkt_orders_{key}"
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # external bucketed tables (explicit path: warehouse.dir is a static conf);
+    # idempotent overwrite keyed by sf_dir, left registered so the returned
+    # plan can still scan them when the driver collects.
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+        "path", _bucket_scratch(sf_dir, "li")
+    ).saveAsTable(t_li)
+    orders.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+        "path", _bucket_scratch(sf_dir, "ord")
+    ).saveAsTable(t_ord)
+    joined = spark.table(t_li).hint("merge").join(
+        spark.table(t_ord), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum("l_quantity").alias("sum_qty"),
+    )

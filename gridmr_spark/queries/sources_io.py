@@ -52,6 +52,58 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORC_ORACLE = """
+SELECT s_suppkey, s_name, s_nationkey,
+       CAST(s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier
+"""
+
+
+@query("source_orc_roundtrip", oracle=_ORC_ORACLE)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source fidelity (the third columnar format Spark ships a
+    vectorized reader for). DuckDB cannot read ORC, so the oracle is the
+    straight SQL over the ORIGINAL parquet — a green row therefore proves
+    the ORC write+read is value-exact end to end, doubles included."""
+    path = _scratch(sf_dir, "orc")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", F.col("s_acctbal").cast("double").alias("s_acctbal")
+    )
+    sources.write(supp, path, fmt="orc")
+    return spark.read.orc(path)
+
+
+_PRUNE_ORACLE = """
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       o_orderpriority
+FROM orders
+WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+@query("source_partition_pruning", oracle=_PRUNE_ORACLE)
+def source_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write + partition-PRUNED read: orders land in
+    one directory per o_orderpriority, and the equality filter on the
+    partition column is satisfied from directory names alone — the scan
+    never opens the other partitions' files (`PartitionFilters` in the
+    plan, asserted by tests/test_plans.py). At 100 TB this is the
+    difference between reading 1/5th of the table and all of it; the same
+    mechanics serve date-partitioned event logs. Value parity vs the
+    unpartitioned original proves the layout round-trip loses nothing."""
+    path = _scratch(sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    sources.write(orders, path, partition_by=["o_orderpriority"])
+    back = sources.read_parquet(spark, path).where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    # partition columns surface last on read-back; restore declared order
+    return back.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
 _JSON_ORACLE = """
 SELECT c_custkey, c_name, c_mktsegment,
        CAST(c_acctbal AS DOUBLE) AS c_acctbal

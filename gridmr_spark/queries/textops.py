@@ -233,6 +233,88 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", text_ops.fingerprint("text").alias("fingerprint"))
 
 
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+_PII_ORACLE = rf"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-123-4567' AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phones,
+       regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+FROM aug
+"""
+
+
+@query("text_pii_redact", oracle=_PII_ORACLE)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for training corpora: count and redact email / phone
+    spans with codegen'd regexp_replace — no UDF, so the scan+rewrite is one
+    whole-stage pipeline that streams at full scan speed on 100 TB. The
+    patterns stay in the RE2-compatible subset (no backrefs/lookaround) so
+    Java and RE2 engines agree token-for-token, which the oracle hash
+    proves. A deterministic synthetic contact line is appended first so the
+    redaction provably fires on every row."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-4567"),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), 0)).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PHONE_RE), 0)).cast("bigint").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+    )
+
+
+_TOP_SHARE_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ','g')),' '), x -> x <> '')) AS tok
+  FROM documents
+), per AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt FROM t GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_share
+FROM per GROUP BY doc_id
+"""
+
+
+@query("text_top_token_share", oracle=_TOP_SHARE_ORACLE)
+def text_top_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signal used by quality filters: the share of a document's
+    tokens taken by its single most frequent token. Distributed shape —
+    explode to (doc, token) rows, two hash aggregations with map-side
+    partials; no per-document state ever exceeds one row per distinct
+    token, so a pathological 1 GB document cannot skew an executor the way
+    a collect_list-based variant would. Zero-token documents drop out on
+    both sides (explode and unnest both emit no rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (
+        docs.select("doc_id", F.explode(text_ops._tokens_col("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return per.groupBy("doc_id").agg(
+        F.max("cnt").alias("top_cnt"),
+        F.sum("cnt").alias("n_tokens"),
+        (F.max("cnt").cast("double") / F.sum("cnt").cast("double")).alias("top_share"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal columns (binary payload + typed metadata; decode via mapInPandas)
 # ---------------------------------------------------------------------------

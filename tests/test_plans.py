@@ -75,6 +75,26 @@ def test_q1_single_scan_no_join(spark, sf_oracle):
     assert len(re.findall(r"Scan parquet", plan)) == 1
 
 
+def test_partition_pruned_scan_filters_on_directory_names(spark, sf_oracle):
+    """source_partition_pruning: the o_orderpriority predicate must land in
+    PartitionFilters (directory pruning — zero I/O for other partitions),
+    not in the data filters."""
+    plan = _plan(spark, sf_oracle, "source_partition_pruning")
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:", 1)[1].split("\n", 1)[0]
+    assert "o_orderpriority" in pf and "1-URGENT" in pf, pf
+
+
+def test_bucketed_join_plans_zero_exchange(spark, sf_oracle):
+    """layout_bucketed_join: both sides are pre-bucketed on the join key, so
+    the SortMergeJoin subtree must contain NO shuffle exchange (the agg
+    above the join keeps its own exchange — that one is expected)."""
+    plan = plan_string(REG["layout_bucketed_join"].fn(spark, sf_oracle), "simple")
+    assert "SortMergeJoin" in plan
+    below_join = plan.split("SortMergeJoin", 1)[1]  # tree prints children after parent
+    assert "Exchange" not in below_join, below_join
+
+
 def test_queries_avoid_cartesian_products(spark, sf_oracle):
     """No registered query may plan a CartesianProduct — the instant
     scale-killer. (Intentional cross joins must be broadcast-side.)"""
