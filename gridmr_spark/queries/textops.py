@@ -487,6 +487,91 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_W, _CHUNK_S = 50, 40  # window / stride (10-token overlap)
+
+_CHUNK_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ','g')),' '), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       start // {_CHUNK_S} AS chunk_id,
+       array_to_string(list_slice(toks, start + 1, start + {_CHUNK_W}), ' ') AS chunk_text
+FROM (SELECT doc_id, toks, unnest(range(0, n, {_CHUNK_S})) AS start FROM s)
+"""
+
+
+@query("text_chunk_windows", oracle=_CHUNK_ORACLE)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking for LLM training: split each document into
+    overlapping 50-token windows at stride 40 — the fan-out step between
+    raw documents and training sequences. Pure codegen (sequence/transform/
+    slice/posexplode), no UDF, and the explode keeps rows independent so the
+    output re-partitions freely downstream; per-document state never
+    exceeds one token array. Zero-token documents emit no chunks on either
+    engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text_ops._tokens_col("text")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), ((n - F.lit(1)) / F.lit(_CHUNK_S)).cast("int") * _CHUNK_S, F.lit(_CHUNK_S))
+    chunks = F.transform(
+        starts, lambda st: F.array_join(F.slice(toks, st + 1, _CHUNK_W), " ")
+    )
+    return (
+        docs.where(n > 0)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+        .select("doc_id", F.col("chunk_id").cast("bigint").alias("chunk_id"), "chunk_text")
+    )
+
+
+_BATCH_BUDGET = 2048  # tokens per packed batch
+
+_BATCH_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ','g')),' '), x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tok,
+         CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM t
+)
+SELECT doc_id, lang, n_tok,
+       (cum - n_tok) // {_BATCH_BUDGET} AS batch_id
+FROM c
+"""
+
+
+@query("pipeline_token_batching", oracle=_BATCH_ORACLE)
+def pipeline_token_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget packing: documents are assigned, in deterministic
+    doc_id order WITHIN each language shard, to consecutive batches of
+    ~2048 tokens (batch_id = exclusive running total // budget) — the
+    sequence-packing step that turns filtered documents into fixed-budget
+    training batches. The running sum is a partitioned window (one shuffle
+    on lang, no global single-partition window), so shards pack in
+    parallel; all math is exact integers, hence oracle-checkable
+    bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(text_ops._tokens_col("text")).cast("bigint")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = docs.select("doc_id", "lang", n_tok.alias("n_tok")).withColumn(
+        "cum", F.sum("n_tok").over(w)
+    )
+    return c.select(
+        "doc_id", "lang", "n_tok",
+        F.floor((F.col("cum") - F.col("n_tok")) / _BATCH_BUDGET).alias("batch_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / splits (training-data pipeline staples)
 # ---------------------------------------------------------------------------
