@@ -352,3 +352,60 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("tk").alias("e"))
         .select(F.col("e.item").alias("item"), F.col("e.count").alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Width-bucket histogram — the OLAP numeric-distribution primitive
+# ---------------------------------------------------------------------------
+
+_HISTOGRAM_ORACLE = """
+WITH b AS (
+  SELECT least(greatest(CAST(floor((CAST(o_totalprice AS DOUBLE) - 0.0) / 25000.0) AS BIGINT),
+                        CAST(0 AS BIGINT)), CAST(19 AS BIGINT)) AS bucket,
+         o_totalprice
+  FROM orders
+)
+SELECT bucket,
+       CAST(bucket AS DOUBLE) * 25000.0 AS lo,
+       (CAST(bucket AS DOUBLE) + 1.0) * 25000.0 AS hi,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM b GROUP BY bucket
+"""
+
+
+@query("agg_histogram", oracle=_HISTOGRAM_ORACLE)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram over order totals: 20 buckets of 25k with
+    clamped tails — one narrow groupBy on a derived integer key, the exact
+    shape a 100 TB profile pass wants (partial aggregation, 20 output
+    rows, no sort). The bucket id is a single subtract+divide+floor on the
+    double, which is IEEE-identical across engines, so boundary values land
+    in the same bucket on both sides; the in-bucket sum goes through the
+    decimal-exact path like every money aggregate here."""
+    orders = load_table(spark, sf_dir, "orders")
+    width, nb = 25000.0, 20
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("o_totalprice").cast("double") - 0.0) / width),
+            F.lit(0).cast("bigint"),
+        ),
+        F.lit(nb - 1).cast("bigint"),
+    )
+    from gridmr_spark.functions.numeric import dsum
+
+    return (
+        orders.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket").cast("double") * width).alias("lo"),
+            ((F.col("bucket").cast("double") + 1.0) * width).alias("hi"),
+            "cnt",
+            "sum_price",
+        )
+    )
