@@ -74,7 +74,8 @@ _DRIVER_PRIORITY: list[str] = [
     # round-2 session-3 additions (all oracle-checked)
     "source_partition_pruning", "layout_bucketed_join", "source_orc_roundtrip",
     "text_pii_redact", "text_top_token_share", "text_chunk_windows",
-    "pipeline_token_batching", "agg_histogram",
+    "pipeline_token_batching", "agg_histogram", "layout_compact_files",
+    "source_schema_evolution",
     "q2_min_cost_supplier", "q6_forecast_revenue", "q7_nation_volume",
     "q8_market_share", "q9_product_profit", "q11_important_values",
     "q13_order_distribution", "q15_top_supplier", "q16_supplier_counts",

@@ -104,6 +104,61 @@ def source_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
 
 
+_COMPACT_ORACLE = """
+SELECT n_nationkey, n_name FROM nation
+"""
+
+
+@query("layout_compact_files", oracle=_COMPACT_ORACLE)
+def layout_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the standing maintenance job of every big
+    table: first manufacture the antipattern (nation exploded across 16
+    tiny part files), then compact with a round-robin repartition write
+    into 2 right-sized files. At 100 TB uncompacted small files dominate
+    task-scheduling and NameNode/listing overhead, and compaction is why
+    scan parallelism stays aligned with maxPartitionBytes. The gate proves
+    the rewrite is lossless; tests/test_mr_compat.py asserts the file
+    counts actually collapse."""
+    path_small = _scratch(sf_dir, "smallfiles")
+    path_compact = _scratch(sf_dir, "compacted")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation.repartition(16).write.mode("overwrite").parquet(path_small)
+    small = sources.read_parquet(spark, path_small)
+    small.repartition(2).write.mode("overwrite").parquet(path_compact)
+    return sources.read_parquet(spark, path_compact)
+
+
+_EVOLVE_ORACLE = """
+SELECT c_custkey, c_name, CAST(NULL AS VARCHAR) AS c_mktsegment
+FROM customer WHERE c_custkey < 300
+UNION ALL
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer WHERE c_custkey >= 300 AND c_custkey < 600
+"""
+
+
+@query("source_schema_evolution", oracle=_EVOLVE_ORACLE)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: an old batch written WITHOUT c_mktsegment
+    and a new batch written WITH it are scanned together under
+    mergeSchema=true — the widened schema applies retroactively and old
+    rows surface NULL for the added column, exactly the additive-column
+    evolution a long-lived ingest pipeline accumulates. (Default reads
+    take the schema of one footer for speed; merging is opt-in because it
+    reads every footer — fine per-batch, priced accordingly at 100k
+    files.)"""
+    p1, p2 = _scratch(sf_dir, "evo1"), _scratch(sf_dir, "evo2")
+    cust = load_table(spark, sf_dir, "customer")
+    cust.where(F.col("c_custkey") < 300).select("c_custkey", "c_name").write.mode(
+        "overwrite"
+    ).parquet(p1)
+    cust.where((F.col("c_custkey") >= 300) & (F.col("c_custkey") < 600)).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    ).write.mode("overwrite").parquet(p2)
+    merged = spark.read.option("mergeSchema", "true").parquet(p1, p2)
+    return merged.select("c_custkey", "c_name", "c_mktsegment")
+
+
 _JSON_ORACLE = """
 SELECT c_custkey, c_name, c_mktsegment,
        CAST(c_acctbal AS DOUBLE) AS c_acctbal

@@ -206,3 +206,18 @@ def test_hll_mergeable_sketch_error_bound(spark, sf_oracle):
     exact_urgent = (orders.where(F.col("o_orderpriority") == "1-URGENT")
                     .select("o_custkey").distinct().count())
     assert abs(out["1-URGENT"] - exact_urgent) / exact_urgent < 0.05
+
+def test_compaction_collapses_file_count(spark, sf_oracle):
+    """layout_compact_files must actually shrink the part-file count: the
+    manufactured small-file layout has many files, the compacted rewrite
+    at most 2 — same rows either way (value parity is the gate's job)."""
+    import os
+
+    from gridmr_spark.queries import load_all
+    from gridmr_spark.queries.sources_io import _scratch
+
+    load_all()["layout_compact_files"].fn(spark, sf_oracle)
+    small = [f for f in os.listdir(_scratch(sf_oracle, "smallfiles")) if f.startswith("part-")]
+    compact = [f for f in os.listdir(_scratch(sf_oracle, "compacted")) if f.startswith("part-")]
+    assert len(small) >= 8, small
+    assert len(compact) <= 2, compact
