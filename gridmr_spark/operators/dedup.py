@@ -99,12 +99,15 @@ def jaccard_pairs(
     a self-join on shingle, so only co-occurring docs are compared. The
     division is a single double op on exact integers — engine-deterministic.
 
-    The shingle table is NOT cached here: it feeds the self-join and the
-    size aggregate within one job, and a cache() held across the caller's
-    session would pin executor storage indefinitely (the round-1 leak).
-    Callers looping over many thresholds can cache/unpersist around the loop.
+    The shingle table feeds THREE consumers (both self-join sides + the
+    size aggregate), so it is materialized ONCE via localCheckpoint —
+    lineage is cut, the tokenizer/explode never re-runs, and the blocks are
+    released automatically when the result DataFrame is garbage-collected
+    (unlike the round-1 cache(), which pinned executor storage for the
+    session; unpersist() can't be called here because the caller hasn't
+    materialized the lazy result yet).
     """
-    sh = word_shingles(df, id_col, text_col, n)
+    sh = word_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").count().where(F.col("count") > max_shingle_df)
         sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
