@@ -487,6 +487,64 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TFIDF_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ','g')),' '), x -> x <> '')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents
+), s AS (
+  SELECT doc_id, tf.tok, tf, df,
+         CAST(tf AS DOUBLE) * (CAST(n AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok, tf, df, score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rk FROM s)
+WHERE rk <= 3
+"""
+
+
+@query("text_tfidf_topterms", oracle=_TFIDF_ORACLE)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by a tf-idf-style score.
+    Distributed shape: explode -> (doc,term) counts -> term document-
+    frequency dictionary -> join back -> per-doc top-k via WindowGroupLimit.
+    The corpus size joins in as a broadcast single-row scalar, and the term
+    dictionary is broadcast-sized in practice (vocabulary grows
+    sub-linearly in corpus size — Heaps' law). The score uses N/df raw
+    rather than ln(N/df): one division and one multiply are IEEE-identical
+    across engines, while libm log differs in final ulps and would break
+    the value hash; the RANKING is the same either way since ln is
+    monotone. Ties break on the term for full determinism."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(text_ops._tokens_col("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    s = (
+        tf.join(F.broadcast(df_t), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "tok", "tf", "df",
+            (F.col("tf").cast("double") * (F.col("n").cast("double") / F.col("df").cast("double"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tf", "df", "score")
+    )
+
+
 _CHUNK_W, _CHUNK_S = 50, 40  # window / stride (10-token overlap)
 
 _CHUNK_ORACLE = rf"""
