@@ -108,6 +108,52 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.minhash_dedup_pairs(docs, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5)
 
 
+_CONTAMINATION_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ','g')),' '), t -> t <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(ws)-2),
+         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+  FROM toks
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+)
+SELECT s.doc_id, COUNT(*) AS n_hits
+FROM sh s JOIN bench USING (shingle)
+WHERE s.doc_id % 97 <> 0
+GROUP BY s.doc_id
+"""
+
+
+@query("dedup_contamination_check", oracle=_CONTAMINATION_ORACLE)
+def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any n-gram
+    with the held-out eval set (docs with doc_id % 97 == 0 stand in for it).
+    n=3 here because the synthetic corpus has a ~31-word vocabulary (longer
+    shingles almost never collide); production decontamination uses 8-13.
+    The eval side's distinct shingles BROADCAST — an eval suite is tiny
+    relative to a 100 TB corpus, so the scan streams through a map-side
+    hash probe with ZERO shuffle of training shingles; n_hits counts the
+    distinct overlapping n-grams per flagged doc. This is the asymmetric
+    sibling of the Jaccard self-join: contamination needs any-overlap
+    against a small reference, not all-pairs similarity."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 97 == 0
+    bench_sh = (
+        dedup_ops.word_shingles(docs.where(is_bench), "doc_id", "text", 3)
+        .select("shingle")
+        .distinct()
+    )
+    train_sh = dedup_ops.word_shingles(docs.where(~is_bench), "doc_id", "text", 3)
+    return (
+        train_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 @query("dedup_simhash", oracle=None)  # hash-dependent: equivalence-tested in tests/
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash near-dup pairs at Hamming distance <= 3 via the
