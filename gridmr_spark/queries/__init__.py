@@ -76,6 +76,7 @@ _DRIVER_PRIORITY: list[str] = [
     "text_pii_redact", "text_top_token_share", "text_chunk_windows",
     "pipeline_token_batching", "agg_histogram", "layout_compact_files",
     "source_schema_evolution", "text_tfidf_topterms", "dedup_contamination_check",
+    "join_full_outer", "join_null_safe",
     "q2_min_cost_supplier", "q6_forecast_revenue", "q7_nation_volume",
     "q8_market_share", "q9_product_profit", "q11_important_values",
     "q13_order_distribution", "q15_top_supplier", "q16_supplier_counts",

@@ -780,6 +780,93 @@ def merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Full-outer and null-safe joins (outer-join family completion)
+# ---------------------------------------------------------------------------
+
+_FULL_OUTER_ORACLE = """
+WITH s AS (
+  SELECT s_nationkey AS nationkey, COUNT(*) AS s_cnt
+  FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey
+), c AS (
+  SELECT c_nationkey AS nationkey, COUNT(*) AS c_cnt
+  FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey
+)
+SELECT COALESCE(s.nationkey, c.nationkey) AS nationkey,
+       COALESCE(s_cnt, 0) AS s_cnt,
+       COALESCE(c_cnt, 0) AS c_cnt
+FROM s FULL OUTER JOIN c ON s.nationkey = c.nationkey
+"""
+
+
+@query("join_full_outer", oracle=_FULL_OUTER_ORACLE)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two pre-aggregated sides (rich suppliers vs
+    BUILDING customers per nation): nations present on only one side
+    survive with a zero count on the other. Aggregate-before-join keeps the
+    outer join's shuffle to one row per key per side — at 100 TB you outer-
+    join the rollups, never the raw facts. Counts are COALESCE'd to 0 so
+    the output is NULL-free (nullable int64 degrades to float64 in pandas,
+    which would make the driver hash engine-sensitive)."""
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("s_cnt"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("c_cnt"))
+    )
+    j = supp.join(cust, supp.s_nk == cust.c_nk, "full_outer")
+    return j.select(
+        F.coalesce("s_nk", "c_nk").alias("nationkey"),
+        F.coalesce("s_cnt", F.lit(0)).alias("s_cnt"),
+        F.coalesce("c_cnt", F.lit(0)).alias("c_cnt"),
+    )
+
+
+_NULL_SAFE_ORACLE = """
+WITH a AS (
+  SELECT CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderkey % 100 END AS k, o_orderkey
+  FROM orders WHERE o_orderkey < 2000
+), b AS (
+  SELECT CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_orderkey % 100 END AS k, o_orderkey
+  FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000
+)
+SELECT COALESCE(a.k, -1) AS k, COUNT(*) AS n_pairs
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+GROUP BY 1
+"""
+
+
+@query("join_null_safe", oracle=_NULL_SAFE_ORACLE)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of silently dropping, the semantics ETL needs when
+    joining on optional attributes. Spark plans eqNullSafe as an ordinary
+    hash join (NULL hashes like any value under <=>), so the shape scales
+    like any equi join; the NULL bucket is the classic skew key — salt it
+    or pre-split if NULLs dominate. The key is COALESCE'd to -1 only in the
+    OUTPUT projection (after the join) to keep the result NULL-free for
+    the dtype-stable hash."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.when(F.col("o_orderkey") % 10 == 0, F.lit(None).cast("bigint")).otherwise(
+        F.col("o_orderkey") % 100
+    )
+    a = orders.where(F.col("o_orderkey") < 2000).select(k.alias("ka"))
+    b = orders.where((F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 4000)).select(
+        k.alias("kb")
+    )
+    return (
+        a.join(b, a.ka.eqNullSafe(b.kb))
+        .groupBy(F.coalesce("ka", F.lit(-1)).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bucketed (pre-shuffled) fact-fact join — zero-Exchange SortMergeJoin
 # ---------------------------------------------------------------------------
 
