@@ -33,24 +33,29 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    # Per-query fault tolerance: one broken query must never zero out the
+    # round's perf record — record its error and keep going.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(registry):
         q = registry[name]
-        run_once(q.fn)  # warm-up (JIT, code cache, FS cache) — discarded
-        timings[name] = round(run_once(q.fn), 3)
+        try:
+            run_once(q.fn)  # warm-up (JIT, code cache, FS cache) — discarded
+            timings[name] = round(run_once(q.fn), 3)
+        except Exception as exc:  # noqa: BLE001 — harness boundary
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": f"total wall sec for {len(timings)} queries at sf{sf} (warm)",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    record = {
+        "metric": f"total wall sec for {len(timings)} queries at sf{sf} (warm)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        record["errors"] = errors
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -66,16 +66,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS), which the vectorized
-    Spark parquet reader rejects. Read nanos as long (legacy conf, runtime-
-    settable) and floor-truncate to microseconds with *integer* division —
-    float division of ~1e18 nanos loses precision below the microsecond.
+    """Some generations of events.parquet store ts as TIMESTAMP(NANOS),
+    which the vectorized Spark parquet reader rejects; others store plain
+    TIMESTAMP(MICROS). Keep the legacy nanos-as-long conf set so either
+    reads, then branch on the dtype that actually materialized: a LongType
+    ts is legacy nanos — floor-truncate to micros with *integer* division
+    (float division of ~1e18 nanos loses precision below the microsecond);
+    a timestamp ts passes through untouched.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Micros parquet may resolve as TIMESTAMP_NTZ; downstream queries
+    # (unix_micros, watermarks) expect TIMESTAMP. Session tz is pinned UTC
+    # above, so the ntz→ltz cast is value-preserving, purely a type change.
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -33,9 +33,9 @@ EVENTS_SCHEMA = T.StructType(
     ]
 )
 
-# Raw parquet schema: ts is TIMESTAMP(NANOS), which Spark reads as long
+# Raw parquet schema when ts is TIMESTAMP(NANOS), which Spark reads as long
 # under the legacy nanosAsLong conf (see catalog._load_events).
-_RAW_SCHEMA = T.StructType(
+_RAW_SCHEMA_NANOS = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
         T.StructField("ts", T.LongType()),
@@ -45,6 +45,21 @@ _RAW_SCHEMA = T.StructType(
         T.StructField("props", T.StringType()),
     ]
 )
+
+
+def _events_ts_is_legacy_nanos(path: str) -> bool:
+    """Probe the parquet footer (driver-side metadata read, no Spark job)
+    for the physical ts type: nanos needs the long-read + div-1000 path,
+    micros passes straight through. readStream requires the schema up
+    front, so the probe must happen before the stream starts."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        inner = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        path = os.path.join(path, inner[0])
+    return pq.ParquetFile(path).schema_arrow.field("ts").type == "timestamp[ns]"
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,9 +81,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(src, link)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(_RAW_SCHEMA).format("parquet").load(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if _events_ts_is_legacy_nanos(src):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.readStream.schema(_RAW_SCHEMA_NANOS).format("parquet").load(stage)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(stage)
 
 
 def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
