@@ -238,33 +238,41 @@ def minhash_dedup_pairs(
     )
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document: per-bit weighted majority over token
+def simhash64(df: DataFrame, id_col: str, text_col: str, n_bits: int = 64, hash_col=None) -> DataFrame:
+    """n_bits-wide SimHash per document: per-bit weighted majority over token
     hashes (token weight = term frequency). Near-dups have small Hamming
-    distance. One explode + one 64-agg groupBy, all bitwise JVM expressions."""
+    distance. One explode + one n_bits-agg groupBy, all bitwise JVM
+    expressions.
+
+    ``hash_col`` maps the ``tok`` column to a >= n_bits-entropy integer;
+    default is xxhash64 (fastest JVM path). Oracle-minded callers can pass an
+    engine-portable hash (e.g. md5-hex → long) so an external SQL engine can
+    reproduce the signature bit-for-bit."""
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(normalize_tokens(text_col)).alias("tok")
     )
     weighted = toks.groupBy("id", "tok").agg(F.count("*").alias("w"))
-    h = F.xxhash64("tok")
+    h = F.xxhash64("tok") if hash_col is None else hash_col
     bit_aggs = [
         F.sum(
             F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(-F.col("w"))
         ).alias(f"b{j}")
-        for j in range(64)
+        for j in range(n_bits)
     ]
     per_bit = weighted.groupBy("id").agg(*bit_aggs)
     sig = None
-    for j in range(64):
+    for j in range(n_bits):
         term = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         shifted = F.shiftleft(term, j)
         sig = shifted if sig is None else sig.bitwiseXOR(shifted)
     return per_bit.select("id", sig.alias("simhash"))
 
 
-def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3, blocks: int = 4) -> DataFrame:
+def simhash_near_pairs(
+    sig: DataFrame, max_hamming: int = 3, blocks: int = 4, n_bits: int = 64
+) -> DataFrame:
     """Candidate pairs with Hamming(simhash) <= max_hamming via the
-    pigeonhole block trick: split 64 bits into `blocks` blocks; any pair
+    pigeonhole block trick: split n_bits bits into `blocks` blocks; any pair
     within distance < blocks must agree on >= 1 whole block -> equi-join per
     block, then exact popcount filter. Linear-ish shuffle, no cross join."""
     if max_hamming >= blocks:
@@ -273,9 +281,9 @@ def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3, blocks: int = 4) ->
             "pigeonhole guarantee (some block untouched by any flipped bit) "
             "only holds below the block count — raise blocks instead"
         )
-    if 64 % blocks != 0:
-        raise ValueError(f"blocks={blocks} must divide 64")
-    width = 64 // blocks
+    if n_bits % blocks != 0:
+        raise ValueError(f"blocks={blocks} must divide n_bits={n_bits}")
+    width = n_bits // blocks
     mask = (1 << width) - 1
     blocked = sig.select(
         "id",

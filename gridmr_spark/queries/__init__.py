@@ -50,42 +50,34 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # here explicitly and served first; long-green queries re-verify with
 # whatever budget remains. Update per round as rows come back green.
 _DRIVER_PRIORITY: list[str] = [
-    # round-1 rows erred/failed, now fixed — must re-prove
-    "events_funnel", "agg_collect", "array_set_ops", "array_funcs",
-    "map_funcs", "multimodal_decode",
-    # never received a driver row in round 1
-    "q10_returned_items", "q12_priority_classes", "q14_promo_revenue",
-    "q18_large_volume", "q22_inactive_customers",
-    "udaf_apply_in_pandas", "udtf_tokenize", "agg_salted_skew",
-    "window_topk_per_group", "window_ranks", "window_lag_lead",
-    "window_frames", "topk_global",
-    "similarity_topk", "similarity_near_pairs", "similarity_lsh_topk",
-    "similarity_topk_gemm", "similarity_ivf_topk",
-    # new in round 2
-    "source_csv_roundtrip", "source_json_roundtrip", "dedup_embedding_cosine",
-    "dedup_clusters_cc", "events_sessionize", "pipeline_training_data",
-    "window_time_range", "graph_triangle_count", "graph_degree_distribution",
-    "sample_stratified_cap", "sample_train_val_test", "agg_heavy_hitters",
-    "layout_zorder_key", "merge_upsert_cdc",
-    "stream_dedup_exact", "stream_interval_join",
-    "multimodal_frame_sample",
-    "window_ntile_nav", "regex_funcs", "sql_api_revenue",
-    "dedup_minhash_lsh",  # rows-only in r1, now oracle-checked
-    # round-2 session-3 additions (all oracle-checked)
-    "source_partition_pruning", "layout_bucketed_join", "source_orc_roundtrip",
-    "text_pii_redact", "text_top_token_share", "text_chunk_windows",
-    "pipeline_token_batching", "agg_histogram", "layout_compact_files",
-    "source_schema_evolution", "text_tfidf_topterms", "dedup_contamination_check",
-    "join_full_outer", "join_null_safe",
+    # --- round-3 priority ---
+    # (a) r2 rows red on the events-loader regression, loader now fixed —
+    # must re-prove first
+    "events_funnel", "map_funcs", "window_lag_lead", "window_time_range",
+    "events_sessionize", "agg_heavy_hitters", "stream_dedup_exact",
+    "stream_interval_join",
+    # (b) events-dependent queries whose only green row is r1 (pre-regression
+    # loader) — the loader changed, so re-prove under the new path
+    "join_asof", "json_funcs", "conditional_funcs", "events_cohort_retention",
+    "stream_tumbling_1h", "stream_sliding_1h_30m", "stream_session_10m",
+    # (c) zero driver evidence of any kind across r1–r2
+    "dedup_simhash", "agg_approx_distinct",
+    # (d) registered in r2 but never driver-checked (the 50-query budget
+    # ran out): TPC-H completion pack + text/layout/pipeline additions
     "q2_min_cost_supplier", "q6_forecast_revenue", "q7_nation_volume",
     "q8_market_share", "q9_product_profit", "q11_important_values",
     "q13_order_distribution", "q15_top_supplier", "q16_supplier_counts",
     "q17_small_quantity", "q19_disjunctive_brackets",
     "q20_part_family_shippers", "q21_waiting_suppliers",
-    # rows-only (no oracle) — a driver row is weaker evidence than the
-    # hash-green rows above, so these yield the budget to oracle queries
-    "agg_hll_mergeable", "multimodal_resize", "similarity_topk_gemm_blocked",
-    "graph_pagerank",
+    "join_full_outer", "join_null_safe",
+    "text_chunk_windows", "text_tfidf_topterms", "dedup_contamination_check",
+    "pipeline_token_batching", "agg_histogram", "layout_compact_files",
+    "source_schema_evolution",
+    # (e) no-oracle rows that have never had even a rows-only driver row
+    "multimodal_decode", "multimodal_resize", "similarity_topk_gemm_blocked",
+    "graph_pagerank", "agg_hll_mergeable",
+    # long-green queries (r1/r2 hash-green) follow in registration order
+    # with whatever budget remains.
 ]
 
 

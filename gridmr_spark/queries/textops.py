@@ -154,13 +154,47 @@ def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash", oracle=None)  # hash-dependent: equivalence-tested in tests/
+_SIMHASH_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split(lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ','g')),' '), x -> x <> '')) AS tok
+  FROM documents
+), weighted AS (
+  SELECT id, tok,
+         COUNT(*) AS w,
+         CAST(CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+  FROM toks GROUP BY id, tok
+), bits AS (
+  SELECT id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN w ELSE -w END) AS s
+  FROM weighted CROSS JOIN range(60) t(j)
+  GROUP BY id, j
+), sig AS (
+  SELECT id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY id
+)
+SELECT a.id AS id1, b.id AS id2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup pairs at Hamming distance <= 3 via the
-    pigeonhole block join (4 × 16-bit blocks)."""
+    """60-bit SimHash near-dup pairs at Hamming distance <= 3 via the
+    pigeonhole block join (4 × 15-bit blocks).
+
+    Token hash here is the first 60 bits of md5 — engine-portable, so the
+    DuckDB oracle recomputes the identical signature and verifies the
+    pigeonhole join against brute-force all-pairs Hamming (exhaustive at
+    oracle scale; the guarantee under test is that blocking loses nothing
+    below the block count). Production callers default to xxhash64 64-bit
+    signatures (operators/dedup.py:simhash64) — same plan shape, faster
+    hash; equivalence of the two paths is pytest-covered."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = dedup_ops.simhash64(docs, "doc_id", "text")
-    return dedup_ops.simhash_near_pairs(sig, max_hamming=3, blocks=4)
+    portable_hash = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    sig = dedup_ops.simhash64(docs, "doc_id", "text", n_bits=60, hash_col=portable_hash)
+    return dedup_ops.simhash_near_pairs(sig, max_hamming=3, blocks=4, n_bits=60)
 
 
 # ---------------------------------------------------------------------------
@@ -392,12 +426,46 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode", oracle=None)  # pandas-UDF path: checked in tests/
+_MULTIMODAL_DECODE_ORACLE = r"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+), bytes AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(hx, CAST(2 * t.i + 1 AS INT), 2)) AS INTEGER) AS byte
+  FROM b, unnest(generate_series(0, n - 1)) AS t(i)
+), agg AS (
+  SELECT doc_id,
+         SUM(byte) AS s,
+         concat_ws(',',
+           CAST(COUNT(*) FILTER (byte % 8 = 0) AS VARCHAR),
+           CAST(COUNT(*) FILTER (byte % 8 = 1) AS VARCHAR),
+           CAST(COUNT(*) FILTER (byte % 8 = 2) AS VARCHAR),
+           CAST(COUNT(*) FILTER (byte % 8 = 3) AS VARCHAR),
+           CAST(COUNT(*) FILTER (byte % 8 = 4) AS VARCHAR),
+           CAST(COUNT(*) FILTER (byte % 8 = 5) AS VARCHAR),
+           CAST(COUNT(*) FILTER (byte % 8 = 6) AS VARCHAR),
+           CAST(COUNT(*) FILTER (byte % 8 = 7) AS VARCHAR)) AS feature_csv
+  FROM bytes GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n AS BIGINT) AS byte_len,
+       CAST(b.n % 640 + 16 AS INT) AS width,
+       CAST(b.n % 480 + 16 AS INT) AS height,
+       CASE WHEN b.n = 0 THEN 0.0 ELSE CAST(a.s AS DOUBLE) / b.n END AS mean_byte,
+       COALESCE(a.feature_csv, '0,0,0,0,0,0,0,0') AS feature_csv
+FROM b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("multimodal_decode", oracle=_MULTIMODAL_DECODE_ORACLE)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode/feature-extract via mapInPandas (deterministic
     fake codec — the real decoder drops into the same seam; see
     operators/multimodal.py). Values verified against a pure-Python
-    reference in tests/test_multimodal.py.
+    reference in tests/test_multimodal.py AND a DuckDB oracle that re-derives
+    the byte statistics by expanding the utf-8 payload through hex pairs
+    (integer byte sum / histogram, so every value is exact in both engines).
 
     The 8-dim feature vector (whole-number byte-histogram counts) is
     serialized to a comma-joined int string: the driver gate's pandas
