@@ -134,25 +134,29 @@ def cosine_topk_gemm_blocked(
     candidates: DataFrame,
     k: int = 5,
     block_rows: int = 1024,
+    cand_blocks: int | None = None,
     q_id: str = "q_id",
     q_vec: str = "q_vec",
     c_id: str = "c_id",
     c_vec: str = "c_vec",
     exclude_self: bool = True,
 ) -> DataFrame:
-    """Block-matrix GEMM top-k: the scale shape of cosine_topk_gemm when the
-    QUERY side is too large to collect at once.
+    """Block-matrix GEMM top-k: the scale shape of cosine_topk_gemm when
+    NEITHER side fits the driver — a 2-D cogrouped grid, one Spark job, no
+    driver-side loop.
 
-    The query table is hashed into ceil(n/block_rows) blocks; each block is
-    collected alone (driver memory O(block_rows x dim)), pushed through the
-    vectorized GEMM kernel against the full candidate table, and the
-    per-block results union. Trade-off, stated plainly: the candidate table
-    is scanned once per block — the right trade when |C| >> |Q| (scan cost
-    amortizes across the block's queries) or when C is cached/bucketed;
-    for |Q| ~ |C| use the LSH/IVF paths instead.
+    Queries hash into ceil(n/block_rows) row-blocks, candidates into
+    `cand_blocks` column-blocks (default: the cluster's parallelism); each
+    side is replicated across the other's block axis, cogrouped on
+    (qblk, cblk), and every grid cell runs one numpy GEMM. All cells proceed
+    in parallel. Replication cost is explicit and symmetric: each candidate
+    row is shuffled n_qblocks times, each query row cand_blocks times — the
+    2-D SUMMA trade, instead of the previous serial driver loop that scanned
+    the candidate table once per block with zero inter-block parallelism.
 
-    Exactness: the union of per-block top-k IS the global top-k, since each
-    query's neighbors are fully ranked within its own block's pass.
+    Exactness: the union of per-cell top-k is a superset of each query's
+    global top-k (every candidate meets every query in exactly one cell),
+    so the final window merge is exact.
     """
     import math
 
@@ -162,20 +166,51 @@ def cosine_topk_gemm_blocked(
             queries.select(q_id, q_vec).limit(0).toPandas(), candidates, k,
             c_id=c_id, c_vec=c_vec, exclude_self=exclude_self,
         )
-    n_blocks = max(1, math.ceil(n / block_rows))
-    blocked = queries.select(
-        q_id, q_vec, F.pmod(F.xxhash64(q_id), F.lit(n_blocks)).alias("_blk")
-    )
-    out = None
-    for b in range(n_blocks):
-        pdf = blocked.where(F.col("_blk") == b).select(q_id, q_vec).toPandas()
-        if len(pdf) == 0:
-            continue
-        part = cosine_topk_gemm(
-            pdf, candidates, k, c_id=c_id, c_vec=c_vec, exclude_self=exclude_self
+    n_qblk = max(1, math.ceil(n / block_rows))
+    if cand_blocks is None:
+        cand_blocks = max(1, queries.sparkSession.sparkContext.defaultParallelism)
+    qrep = queries.select(
+        F.col(q_id).alias("q_id"),
+        F.col(q_vec).alias("q_vec"),
+        F.pmod(F.xxhash64(q_id), F.lit(n_qblk)).alias("qblk"),
+    ).withColumn("cblk", F.explode(F.array(*[F.lit(i) for i in range(cand_blocks)])))
+    crep = candidates.select(
+        F.col(c_id).alias("c_id"),
+        F.col(c_vec).alias("c_vec"),
+        F.pmod(F.xxhash64(c_id), F.lit(cand_blocks)).alias("cblk"),
+    ).withColumn("qblk", F.explode(F.array(*[F.lit(i) for i in range(n_qblk)])))
+
+    def gemm_cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame({"q_id": [], "c_id": [], "cosine": []})
+        Q = np.stack(qpdf["q_vec"].to_list()).astype("float64")
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        C = np.stack(cpdf["c_vec"].to_list()).astype("float64")
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        S = Cn @ Qn.T  # (cell candidates, cell queries)
+        q_ids = qpdf["q_id"].to_numpy()
+        cids = cpdf["c_id"].to_numpy()
+        if exclude_self:
+            S[cids[:, None] == q_ids[None, :]] = -np.inf
+        kk = min(k, S.shape[0])
+        top = np.argpartition(-S, kk - 1, axis=0)[:kk]  # per-query cell top-k
+        out = pd.DataFrame(
+            {
+                "q_id": np.repeat(q_ids, kk),
+                "c_id": cids[top].T.ravel(),
+                "cosine": np.take_along_axis(S, top, axis=0).T.ravel(),
+            }
         )
-        out = part if out is None else out.unionByName(part)
-    return out
+        return out[out["cosine"] != -np.inf]
+
+    cells = (
+        qrep.groupBy("qblk", "cblk")
+        .cogroup(crep.groupBy("qblk", "cblk"))
+        .applyInPandas(gemm_cell, schema="q_id long, c_id long, cosine double")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    merged = cells.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+    return merged.select(F.col("q_id"), F.col("c_id").alias(c_id), "cosine", "rnk")
 
 
 class IVFIndex:

@@ -163,14 +163,15 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("similarity_lsh_topk", oracle=None)  # approximate: recall-tested in tests/
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate all-pairs top-5 via random-hyperplane LSH with multi-probe
-    (hamming-1) buckets and 12 OR-amplified tables — the sub-quadratic 100 TB
-    path. bits scales with table size (target ~2 vectors/bucket) so bucket
+    (hamming-1) buckets and 24 OR-amplified tables — the sub-quadratic 100 TB
+    path. bits scales with table size (target ~8 vectors/bucket) so bucket
     occupancy — and with it candidate volume and executor memory — stays
     constant as the data grows; tables/probes then buy recall at fixed cost.
-    Now that bucket projection is one Arrow GEMM (not per-row folds), the
-    sharp-bucket/many-table corner is the measured Pareto point: at sf0.1 it
-    beats 8-bit/4-table on BOTH recall (0.54 vs 0.44 of exact top-5) and
-    wall time, with fewer candidates per query."""
+    Tuning measured at sf0.1 on near-random vectors (the worst case for any
+    cosine LSH): occupancy-8 buckets + 24 tables give recall 0.96 of the
+    exact top-5 (vs 0.54 for the previous occupancy-2/12-table point) at
+    comparable wall time — candidates/query stays ~(bits+1)*8*tables,
+    independent of n."""
     import math
 
     from gridmr_spark.catalog import table_rows
@@ -179,8 +180,8 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n from parquet footer metadata: sizing a parameter must not cost a
     # full count() scan (at 100 TB that is an extra pass over the table).
     n = table_rows(sf_dir, "embeddings")
-    bits = max(4, math.ceil(math.log2(max(n, 16) / 2)))
-    lsh = RandomHyperplaneLSH(dim=64, bits=bits, tables=12, seed=42)
+    bits = max(4, math.ceil(math.log2(max(n, 64) / 8)))
+    lsh = RandomHyperplaneLSH(dim=64, bits=bits, tables=24, seed=42)
     return lsh.topk_in_buckets(emb, "vec_id", "embedding", k=5)
 
 
@@ -221,9 +222,10 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_topk_gemm_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-matrix GEMM exact top-5 over the FULL query side — the shape
     that removes cosine_topk_gemm's 'query side must fit the driver' limit:
-    queries stream through the driver in bounded hash blocks, candidates
-    scan once per block. tests/test_similarity.py asserts equality with the
-    single-block result."""
+    a 2-D cogrouped (query-block × candidate-block) grid where every cell is
+    one numpy GEMM, all cells in parallel in a single Spark job — nothing is
+    ever collected to the driver. tests/test_similarity.py asserts equality
+    with the single-collect result."""
     from gridmr_spark.operators.similarity import cosine_topk_gemm_blocked
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -25,16 +25,18 @@ def test_exact_topk_shape(spark, sf_oracle):
 
 
 def test_lsh_recall_vs_exact(spark, sf_oracle):
-    """Multi-probe hyperplane LSH top-5 should recover a solid fraction of
-    the exact top-5 neighbor pairs. Embeddings here are near-random (max
-    cosine ~0.5), which is the WORST case for LSH — the bar is calibrated
-    to that; on clustered real embeddings recall is far higher."""
+    """Multi-probe hyperplane LSH top-5 should recover most of the exact
+    top-5 neighbor pairs. Embeddings here are near-random (max cosine
+    ~0.5), which is the WORST case for LSH — the 0.8 floor is calibrated to
+    that (the registered occupancy-8/24-table config measures ~0.96 at
+    sf0.1); on clustered real embeddings recall is far higher."""
+    from gridmr_spark.queries import load_all
+
     exact, _ = _exact_topk_pairs(spark, sf_oracle, k=5)
-    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
-    lsh = RandomHyperplaneLSH(dim=64, bits=6, tables=4, seed=42)
-    approx = {(r.qid, r.cid) for r in lsh.topk_in_buckets(emb, "vec_id", "embedding", k=5).collect()}
+    res = load_all()["similarity_lsh_topk"].fn(spark, sf_oracle)
+    approx = {(r.qid, r.cid) for r in res.collect()}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.4, f"LSH recall {recall:.3f} below floor"
+    assert recall >= 0.8, f"LSH recall {recall:.3f} below floor"
 
 
 def test_lsh_bucket_determinism(spark, sf_oracle):
