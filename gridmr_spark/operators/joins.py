@@ -24,13 +24,24 @@ def asof_join(
     ts: str,
     right_payload: list[str],
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with right.ts <= left.ts
-    (per `on` key). Right rows at exactly equal ts DO match (ASOF >= semantics).
+    """For each left row, attach the nearest right row per `on` key:
+    direction='backward' (default) = latest right with right.ts <= left.ts;
+    direction='forward' = earliest right with right.ts >= left.ts. Right rows
+    at exactly equal ts DO match in both directions (ASOF >=/<= semantics).
 
     right_payload: right columns to carry (prefixed as-of values in output).
-    tolerance: optional max lookback (e.g. '1 hour') — older matches null out.
+    tolerance: optional max lookback/lookahead (e.g. '1 hour') — matches
+    farther away null out.
+
+    Forward is the time-mirror of backward: sort descending and take the
+    "last seen" right row, which is the earliest-at-or-after in real time —
+    same one-shuffle one-sort cost, no second code path.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    fwd = direction == "forward"
     lcols = left.columns
     l = left.select(
         *lcols, F.lit(1).alias("_is_left"), *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_payload]
@@ -45,10 +56,12 @@ def asof_join(
     )
     unioned = l.unionByName(r)
     # Right rows sort BEFORE left rows at equal ts (_is_left 0 < 1), so an
-    # equal-timestamp right row is visible to the left row's frame.
+    # equal-timestamp right row is visible to the left row's frame. Forward
+    # mode flips the ts order (desc): "preceding in sort order" then means
+    # "at-or-after in time".
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts).asc(), F.col("_is_left").asc())
+        .orderBy(F.col(ts).desc() if fwd else F.col(ts).asc(), F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     asof_ts = F.last(F.when(F.col("_is_left") == 0, F.col(ts)), ignorenulls=True).over(w)
@@ -60,7 +73,10 @@ def asof_join(
         F.col("_is_left") == 1
     )
     if tolerance is not None:
-        within = F.col("asof_ts") >= F.col(ts) - F.expr(f"INTERVAL {tolerance}")
+        if fwd:
+            within = F.col("asof_ts") <= F.col(ts) + F.expr(f"INTERVAL {tolerance}")
+        else:
+            within = F.col("asof_ts") >= F.col(ts) - F.expr(f"INTERVAL {tolerance}")
         out = out.select(
             *lcols,
             F.when(within, F.col("asof_ts")).alias("asof_ts"),

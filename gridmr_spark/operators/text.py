@@ -173,6 +173,90 @@ def token_counts(df: DataFrame, id_col: str, text_col: str = "text") -> DataFram
     )
 
 
+def word_ngram_rows(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, gram) rows — ALL word n-gram occurrences per document, duplicates
+    kept (unlike dedup.word_shingles, which distincts: repetition statistics
+    need the multiplicity). Same explode-over-slices shape; short docs emit
+    no rows."""
+    toks = df.select(F.col(id_col).alias("id"), _tokens_col(text_col).alias("ws"))
+    idx = F.when(
+        F.size("ws") >= n, F.sequence(F.lit(1), F.size("ws") - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return toks.select(
+        "id",
+        F.explode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("ws"), i, n)))
+        ).alias("gram"),
+    )
+
+
+def repetition_features(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition filters (Rae et al. 2021,
+    §A1.1: "repetitious documents are filtered by the fraction of characters
+    in the most common n-gram / in duplicated n-grams"):
+
+    - ``top2_share``: characters covered by the single most frequent word
+      2-gram (count × gram length, space included) over the document's
+      normalized character count. Ties break on gram text for determinism.
+    - ``dup3_frac``: tokens covered by 3-grams occurring >= 2 times
+      (sum of count × 3) over the token count. Overlaps intentionally
+      counted — exact de-overlap is O(n²) per doc for a filter heuristic.
+    - ``keep``: both ratios under their thresholds.
+
+    Distributed shape: explode n-grams to rows, two hash aggregations with
+    map-side partials — per-executor state is one row per distinct
+    (doc, gram), so a single pathological repetitive document cannot skew
+    memory the way a collect_list per doc would. Ratios are integer
+    numerators with one final division: bit-identical cross-engine."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.length(F.concat_ws(" ", _tokens_col(text_col))).cast("bigint").alias("n_chars_norm"),
+        F.size(_tokens_col(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    g2 = (
+        word_ngram_rows(df, id_col, text_col, 2)
+        .groupBy("id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("gram"))
+    top2 = (
+        g2.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", (F.col("cnt") * F.length("gram")).cast("bigint").alias("top2_chars"))
+    )
+    dup3 = (
+        word_ngram_rows(df, id_col, text_col, 3)
+        .groupBy("id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .groupBy("id")
+        .agg(F.sum(F.col("cnt") * 3).cast("bigint").alias("dup3_tokens"))
+    )
+    out = (
+        base.join(top2, "id", "left")
+        .join(dup3, "id", "left")
+        .select(
+            "id",
+            "n_chars_norm",
+            "n_tokens",
+            F.when(
+                F.col("n_chars_norm") > 0,
+                F.coalesce(F.col("top2_chars"), F.lit(0)).cast("double")
+                / F.col("n_chars_norm").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("top2_share"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce(F.col("dup3_tokens"), F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double"),
+            ).otherwise(F.lit(0.0)).alias("dup3_frac"),
+        )
+    )
+    keep = (F.col("top2_share") <= 0.20) & (F.col("dup3_frac") <= 0.30)
+    return out.withColumn("keep", keep.cast("int"))
+
+
 def fingerprint(text_col: str = "text", mod: int = 2147483647, mult: int = 31) -> Column:
     """Polynomial rolling hash over the document's characters (codepoints):
     acc = (acc*31 + code) mod p. A sequential fold — deterministic,

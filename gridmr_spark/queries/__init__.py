@@ -73,7 +73,10 @@ _DRIVER_PRIORITY: list[str] = [
     "text_chunk_windows", "text_tfidf_topterms", "dedup_contamination_check",
     "pipeline_token_batching", "agg_histogram", "layout_compact_files",
     "source_schema_evolution",
-    # (e) no-oracle rows that have never had even a rows-only driver row
+    # (e) new in round 3 — no driver row yet
+    "text_repetition_filters", "join_asof_tolerance", "join_asof_forward",
+    "stream_static_enrich",
+    # (f) no-oracle rows that have never had even a rows-only driver row
     "multimodal_decode", "multimodal_resize", "similarity_topk_gemm_blocked",
     "graph_pagerank", "agg_hll_mergeable",
     # long-green queries (r1/r2 hash-green) follow in registration order

@@ -430,6 +430,76 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Tolerance variant: matches farther back than 30 minutes null out. The
+# CASE must null BOTH payload columns off the same predicate.
+_ASOF_TOL_ORACLE = """
+WITH ev AS (
+  SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, event_type, value FROM events
+), clicks AS (
+  SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, value FROM ev WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, c.ts,
+       CASE WHEN p.ts >= c.ts - INTERVAL 30 MINUTE THEN p.ts END AS asof_ts,
+       CASE WHEN p.ts >= c.ts - INTERVAL 30 MINUTE THEN p.value END AS asof_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+@query("join_asof_tolerance", oracle=_ASOF_TOL_ORACLE)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a 30-minute tolerance: a prior purchase
+    older than the window nulls out instead of matching — the point-in-time
+    lookup shape where stale context is worse than none (feature stores,
+    market data). Same union+window plan as join_asof; the tolerance is one
+    post-window predicate, not a second pass."""
+    from gridmr_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join(
+        clicks, purchases, on="user_id", ts="ts", right_payload=["value"],
+        tolerance="30 MINUTES",
+    )
+    return out.select("event_id", "user_id", "ts", "asof_ts", "asof_value")
+
+
+_ASOF_FWD_ORACLE = """
+WITH ev AS (
+  SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, event_type, value FROM events
+), clicks AS (
+  SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, value FROM ev WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id, c.ts, p.ts AS asof_ts, p.value AS asof_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+"""
+
+
+@query("join_asof_forward", oracle=_ASOF_FWD_ORACLE)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click attached to the user's NEXT purchase
+    at-or-after the click — attribution's "did the click convert" shape.
+    Implemented as the time-mirror of the backward plan (descending sort,
+    same single shuffle; operators/joins.py:asof_join direction='forward');
+    DuckDB's native ASOF with c.ts <= p.ts is the oracle."""
+    from gridmr_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join(
+        clicks, purchases, on="user_id", ts="ts", right_payload=["value"],
+        direction="forward",
+    )
+    return out.select("event_id", "user_id", "ts", "asof_ts", "asof_value")
+
+
 _DEDUP_ROWS_ORACLE = """
 SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
 """

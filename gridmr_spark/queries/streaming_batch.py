@@ -13,6 +13,7 @@ the floored-micros difference — so both engines see identical session splits.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from gridmr_spark.catalog import load_table
 from gridmr_spark.queries import query
@@ -102,6 +103,30 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gridmr_spark.streaming.windows import dedup_within_watermark
 
     return dedup_within_watermark(load_table(spark, sf_dir, "events"))
+
+
+_STATIC_ENRICH_ORACLE = """
+SELECT CAST(time_bucket(INTERVAL '1 hour', e.ts) AS TIMESTAMP) AS window_start,
+       COALESCE(c.c_mktsegment, 'unknown') AS segment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+@query("stream_static_enrich", oracle=_STATIC_ENRICH_ORACLE)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join + windowed agg in batch mode: events enriched with
+    the customer's market segment (broadcast dimension, stateless in
+    streaming), tumbling 1h count/sum per segment. Stream==batch equality is
+    asserted in tests/test_streaming.py."""
+    from gridmr_spark.streaming.windows import static_enrich_agg
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return static_enrich_agg(load_table(spark, sf_dir, "events"), dim)
 
 
 # Oracle truncates ts to micros (make_timestamp(epoch_us(...))) because Spark

@@ -279,6 +279,66 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.quality_features(docs, "doc_id", "text")
 
 
+_REPETITION_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ','g')),' '), x -> x <> '') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id,
+         CAST(length(array_to_string(toks, ' ')) AS BIGINT) AS n_chars_norm,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         toks
+  FROM t
+), g2c AS (
+  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram, COUNT(*) AS cnt
+  FROM base, unnest(generate_series(1, len(toks) - 1)) AS s(i)
+  GROUP BY doc_id, gram
+), top2 AS (
+  SELECT doc_id, CAST(cnt * length(gram) AS BIGINT) AS top2_chars
+  FROM (SELECT doc_id, gram, cnt,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+        FROM g2c)
+  WHERE rn = 1
+), g3c AS (
+  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram, COUNT(*) AS cnt
+  FROM base, unnest(generate_series(1, len(toks) - 2)) AS s(i)
+  GROUP BY doc_id, gram
+), dup3 AS (
+  SELECT doc_id, CAST(SUM(cnt * 3) AS BIGINT) AS dup3_tokens
+  FROM g3c WHERE cnt >= 2 GROUP BY doc_id
+)
+SELECT b.doc_id AS id, b.n_chars_norm, b.n_tokens,
+  CASE WHEN b.n_chars_norm > 0
+       THEN CAST(COALESCE(t2.top2_chars, 0) AS DOUBLE) / CAST(b.n_chars_norm AS DOUBLE)
+       ELSE 0.0 END AS top2_share,
+  CASE WHEN b.n_tokens > 0
+       THEN CAST(COALESCE(d3.dup3_tokens, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
+       ELSE 0.0 END AS dup3_frac,
+  CAST((CASE WHEN b.n_chars_norm > 0
+             THEN CAST(COALESCE(t2.top2_chars, 0) AS DOUBLE) / CAST(b.n_chars_norm AS DOUBLE)
+             ELSE 0.0 END) <= 0.20
+       AND
+       (CASE WHEN b.n_tokens > 0
+             THEN CAST(COALESCE(d3.dup3_tokens, 0) AS DOUBLE) / CAST(b.n_tokens AS DOUBLE)
+             ELSE 0.0 END) <= 0.30 AS INT) AS keep
+FROM base b
+LEFT JOIN top2 t2 USING (doc_id)
+LEFT JOIN dup3 d3 USING (doc_id)
+"""
+
+
+@query("text_repetition_filters", oracle=_REPETITION_ORACLE)
+def text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filters: share of characters
+    in the most common word 2-gram + fraction of tokens inside duplicated
+    3-grams, with a keep/drop gate (operators/text.py:repetition_features).
+    The standard pre-training screen for boilerplate/spam documents that
+    per-token quality stats miss."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.repetition_features(docs, "doc_id", "text")
+
+
 _TOKEN_COUNT_ORACLE = r"""
 SELECT doc_id AS id,
   len(list_filter(string_split(lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ','g')),' '), x -> x <> '')) AS ws_tokens,

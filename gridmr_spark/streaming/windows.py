@@ -122,6 +122,34 @@ def session_agg(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     )
 
 
+def static_enrich_agg(events: DataFrame, dim: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Stream-static enrichment: events joined to a STATIC dimension table
+    (user -> market segment), then tumbling count/sum per (window, segment).
+
+    In streaming mode the static side of a stream-static join is stateless —
+    Spark re-broadcasts the batch DataFrame into each micro-batch, no
+    watermark or join state involved; only the downstream window agg keeps
+    state. That's the standard "enrich the firehose with a dimension" shape:
+    at 100 TB/day ingest the dimension stays a broadcast, the stream never
+    shuffles for the join. Same builder runs in batch for the DuckDB oracle;
+    stream==batch equality is asserted in tests/test_streaming.py.
+
+    `dim` columns: cust_id (join key), segment.
+    """
+    enriched = events.join(F.broadcast(dim), events.user_id == dim.cust_id, "left")
+    return (
+        enriched.groupBy(
+            F.window("ts", width).alias("w"),
+            F.coalesce(F.col("segment"), F.lit("unknown")).alias("segment"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "segment", "n_events", "sum_value")
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame,
     keys: tuple[str, ...] = ("user_id", "event_type", "value"),

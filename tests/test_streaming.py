@@ -40,6 +40,22 @@ def test_stream_equals_batch(spark, sf_oracle, builder, name, cols):
     assert _as_sorted_rows(out, cols) == _as_sorted_rows(batch, cols)
 
 
+def test_stream_static_enrich_equals_batch(spark, sf_oracle):
+    """Stream-static join (events x broadcast customer dim) + tumbling agg:
+    streaming mode must equal batch mode. The static side re-broadcasts per
+    micro-batch — stateless, no watermark on the dimension."""
+    from gridmr_spark.streaming.windows import static_enrich_agg
+
+    dim = load_table(spark, sf_oracle, "customer").select(
+        F.col("c_custkey").alias("cust_id"), F.col("c_mktsegment").alias("segment")
+    )
+    cols = ["window_start", "segment", "n_events", "sum_value"]
+    batch = static_enrich_agg(load_table(spark, sf_oracle, "events"), dim)
+    stream = static_enrich_agg(read_events_stream(spark, sf_oracle), dim)
+    out = run_stream_to_memory(spark, stream, "t_enrich", output_mode="complete")
+    assert _as_sorted_rows(out, cols) == _as_sorted_rows(batch, cols)
+
+
 def test_watermark_drops_late_events(spark, tmp_path):
     """Append-mode + watermark: an event arriving after the watermark passed
     its window is dropped (the late-data policy). Two micro-batches via two
