@@ -409,3 +409,74 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized (percentile-clipped) aggregation — robust stats for pipelines
+# ---------------------------------------------------------------------------
+
+_WINSORIZE_ORACLE = """
+WITH b AS (
+  SELECT l_returnflag,
+         quantile_disc(l_extendedprice, 0.01) AS p01,
+         quantile_disc(l_extendedprice, 0.99) AS p99
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       COUNT(*) AS n_rows,
+       COUNT(*) FILTER (l_extendedprice < p01 OR l_extendedprice > p99) AS n_clipped,
+       CAST(SUM(CAST(CASE WHEN l_extendedprice < p01 THEN p01
+                          WHEN l_extendedprice > p99 THEN p99
+                          ELSE l_extendedprice END AS DECIMAL(18,2))) AS DOUBLE) AS sum_winsorized,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_raw
+FROM lineitem l JOIN b USING (l_returnflag)
+GROUP BY l.l_returnflag
+"""
+
+
+@query("agg_winsorize", oracle=_WINSORIZE_ORACLE)
+def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized aggregation: clip a value column to its per-group
+    [p01, p99] percentile band, then aggregate — the robust-statistics
+    screen a feature/reward pipeline applies before outliers poison a mean.
+
+    DISCRETE percentiles on purpose: percentile_disc returns an actual data
+    value (2-decimal money here), so the clipped column stays decimal-exact
+    and the sum is engine-portable — an interpolated percentile_cont
+    boundary would drag the whole sum into last-ulp double territory.
+    Plan: one percentile pass per group (3 groups), broadcast the tiny
+    boundary table back onto the fact scan, clip + decimal sum in one agg —
+    two scans total, no sort of the fact table.
+
+    Scale note, stated plainly: Spark's exact percentile aggregates buffer
+    each group's values in executor memory — fine at test SF, wrong at
+    100 TB. There the boundary pass (and only it) swaps to
+    approx_percentile(col, [0.01, 0.99], 10000) — t-digest sketch, mergeable
+    map-side, bounded memory; the clip + decimal-sum stage is unchanged.
+    The exact-disc form is registered because boundaries that are actual
+    data values keep the oracle hash bit-exact.
+    """
+    from gridmr_spark.functions.numeric import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile_disc(0.01) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p01"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p99"),
+    )
+    clipped = F.when(F.col("l_extendedprice") < F.col("p01"), F.col("p01")).when(
+        F.col("l_extendedprice") > F.col("p99"), F.col("p99")
+    ).otherwise(F.col("l_extendedprice"))
+    is_clipped = (F.col("l_extendedprice") < F.col("p01")) | (
+        F.col("l_extendedprice") > F.col("p99")
+    )
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .select("l_returnflag", "l_extendedprice", clipped.alias("_w"), is_clipped.alias("_c"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("_c").cast("long")).alias("n_clipped"),
+            dsum("_w").alias("sum_winsorized"),
+            dsum("l_extendedprice").alias("sum_raw"),
+        )
+    )

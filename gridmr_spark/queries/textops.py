@@ -867,3 +867,57 @@ def sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
     return docs.groupBy("lang", split.alias("split")).agg(F.count("*").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Per-source (domain) caps: quality gate + bounded docs per origin
+# ---------------------------------------------------------------------------
+
+_DOMAIN_CAPS_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, source, length(text) AS n_chars_calc, text,
+         list_filter(string_split(lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ','g')),' '), x -> x <> '') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id, source, n_chars_calc,
+    len(toks) AS n_tokens,
+    CASE WHEN len(toks) > 0
+         THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)/CAST(len(toks) AS DOUBLE)
+         ELSE 0.0 END AS avg_token_len,
+    CASE WHEN length(text) > 0
+         THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]+', '', 'g')) AS DOUBLE)/CAST(length(text) AS DOUBLE)
+         ELSE 0.0 END AS punct_ratio,
+    CASE WHEN len(toks) > 0
+         THEN CAST(len(list_distinct(toks)) AS DOUBLE)/CAST(len(toks) AS DOUBLE)
+         ELSE 0.0 END AS distinct_ratio
+  FROM t
+), kept AS (
+  SELECT doc_id, source, n_chars_calc,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars_calc DESC, doc_id) AS rk
+  FROM f
+  WHERE n_tokens >= 10 AND avg_token_len >= 2.0 AND avg_token_len <= 12.0
+    AND punct_ratio < 0.2 AND distinct_ratio > 0.1
+)
+SELECT doc_id, source, n_chars_calc, rk FROM kept WHERE rk <= 25
+"""
+
+
+@query("pipeline_domain_caps", oracle=_DOMAIN_CAPS_ORACLE)
+def pipeline_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-origin document caps, the anti-domination rule of web-scale corpus
+    building (no single domain/dump may flood the mix): quality-gate first
+    (the same codegen'd keep predicate as text_quality, no scored-frame
+    join-back), then keep the top 25 docs per source ranked by length with a
+    deterministic id tiebreak. One filter + one windowed rank over the
+    (source)-partitioned stream; at 100 TB the WindowGroupLimit pushdown
+    keeps per-partition state at 25 rows, not the whole group."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.where(text_ops.quality_keep("text")).select(
+        "doc_id", "source", F.length("text").cast("bigint").alias("n_chars_calc")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars_calc"), F.asc("doc_id"))
+    return (
+        kept.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 25)
+        .select("doc_id", "source", "n_chars_calc", "rk")
+    )

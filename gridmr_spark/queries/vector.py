@@ -335,3 +335,62 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(
         emb.select("vec_id"), both, id_col="vec_id", src_col="id1", dst_col="id2", iters=6
     ).select(F.col("id").alias("vec_id"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# Embedding storage path: symmetric int8 quantization (4x smaller vectors)
+# ---------------------------------------------------------------------------
+
+_QUANTIZE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+)
+SELECT vec_id, scale,
+  array_to_string(
+    list_transform(v, x -> CAST(CAST(floor(COALESCE(x / NULLIF(scale, 0.0), 0.0) + 0.5) AS BIGINT) AS VARCHAR)),
+    ',') AS q_csv,
+  list_max(list_transform(v, x ->
+    abs(CAST(floor(COALESCE(x / NULLIF(scale, 0.0), 0.0) + 0.5) AS BIGINT) * scale - x))) AS max_abs_err
+FROM s
+"""
+
+
+@query("vector_quantize_int8", oracle=_QUANTIZE_ORACLE)
+def vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column — the
+    storage/bandwidth path at 100 TB: scale = max|v|/127, q = round(v/scale)
+    in [-127,127], plus the per-vector max reconstruction error. 4x smaller
+    than float32 at ~0.4% of the value range in error, which downstream ANN
+    (IVF/LSH candidate generation) tolerates; exact rerank fetches fp32 for
+    the shortlist only.
+
+    Deterministic on purpose: rounding is floor(x+0.5) (half-toward-+inf) —
+    identical in both engines — NOT round(), whose half-away-from-zero vs
+    banker's tie rules differ across engines on negative values. All ops are
+    per-element JVM expressions; the quantized vector serializes to csv for
+    the driver gate (array columns defeat its canonicalizer)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = (
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    )
+    df = emb.select("vec_id", v.alias("v"), scale.alias("scale"))
+    q = F.transform(
+        F.col("v"),
+        lambda x: F.floor(
+            F.coalesce(x / F.nullif(F.col("scale"), F.lit(0.0)), F.lit(0.0)) + F.lit(0.5)
+        ).cast("long"),
+    )
+    err = F.array_max(
+        F.zip_with(q, F.col("v"), lambda qi, xi: F.abs(qi * F.col("scale") - xi))
+    )
+    return df.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(",", F.transform(q, lambda x: x.cast("string"))).alias("q_csv"),
+        err.alias("max_abs_err"),
+    )
