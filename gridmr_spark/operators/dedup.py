@@ -285,6 +285,12 @@ def simhash_near_pairs(
         raise ValueError(f"blocks={blocks} must divide n_bits={n_bits}")
     width = n_bits // blocks
     mask = (1 << width) - 1
+    # The signature subplan (explode + two wide aggregations) feeds BOTH legs
+    # of every per-block join — 2*blocks consumers. Materialize it ONCE
+    # (localCheckpoint, eager): without this Spark re-derives the signatures
+    # from the raw text 2*blocks times (audited: 8 scans / 34 hashAggs at
+    # blocks=4). The signature table is one narrow row per doc — tiny
+    # relative to recomputing the tokenize+agg pipeline per leg.
     blocked = sig.select(
         "id",
         "simhash",
@@ -292,7 +298,7 @@ def simhash_near_pairs(
             F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias(f"blk{b}")
             for b in range(blocks)
         ],
-    )
+    ).localCheckpoint(eager=True)
     pairs = None
     for b in range(blocks):
         left = blocked.select(

@@ -44,3 +44,34 @@ def salted_agg(
         salt = F.pmod(F.xxhash64(salt_source), F.lit(n_salts))
     phase1 = df.withColumn("_salt", salt).groupBy(*key_cols, "_salt").agg(*partial_aggs)
     return phase1.groupBy(*key_cols).agg(*final_aggs)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    n_salts: int = 16,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Skewed shuffle-join mitigation by salting: every fact row draws a salt
+    in [0, n_salts); the dim side replicates n_salts ways (one copy per salt
+    value); the join runs on (keys..., salt). A hot key's fact rows spread
+    across n_salts reduce tasks instead of funneling through one, at the
+    cost of shuffling the dim side n_salts times — the right trade when
+    |dim| << |fact| but dim is still too large to broadcast.
+
+    Exactness: each fact row joins the dim copy carrying its own salt and no
+    other, so the output multiset equals the plain join's — oracle-checkable,
+    not just a demo. (AQE's skew-join split covers sort-merge joins
+    post-shuffle; explicit salting also covers hash joins, pre-planned
+    partitioning, and engines/configs where AQE is off.)
+    """
+    if salt_source is None:
+        salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    else:
+        salt = F.pmod(F.xxhash64(salt_source), F.lit(n_salts))
+    f = fact.withColumn("_salt", salt)
+    d = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salts)]))
+    )
+    return f.join(d, [*on, "_salt"]).drop("_salt")

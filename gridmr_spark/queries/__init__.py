@@ -76,7 +76,8 @@ _DRIVER_PRIORITY: list[str] = [
     # (e) new in round 3 — no driver row yet
     "text_repetition_filters", "join_asof_tolerance", "join_asof_forward",
     "stream_static_enrich", "agg_winsorize", "vector_quantize_int8",
-    "pipeline_domain_caps",
+    "pipeline_domain_caps", "join_salted_skew", "events_burst_detection",
+    "text_corpus_freq_score",
     # (f) no-oracle rows that have never had even a rows-only driver row
     "multimodal_decode", "multimodal_resize", "similarity_topk_gemm_blocked",
     "graph_pagerank", "agg_hll_mergeable",

@@ -480,3 +480,66 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("sum_raw"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series burst detection: hourly counts vs trailing-window mean
+# ---------------------------------------------------------------------------
+
+_BURST_ORACLE = """
+WITH h AS (
+  SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS hour_start,
+         event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT hour_start, event_type, n,
+         SUM(n)   OVER w AS tsum,
+         COUNT(n) OVER w AS tcnt
+  FROM h
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+)
+SELECT hour_start, event_type, CAST(n AS BIGINT) AS n_events,
+  CASE WHEN tcnt >= 3
+       THEN (CAST(n AS DOUBLE) * CAST(tcnt AS DOUBLE)) / CAST(tsum AS DOUBLE)
+       END AS burst_ratio,
+  CAST(CASE WHEN tcnt >= 3
+       THEN ((CAST(n AS DOUBLE) * CAST(tcnt AS DOUBLE)) / CAST(tsum AS DOUBLE)) >= 1.5
+       ELSE FALSE END AS INT) AS is_burst
+FROM t
+"""
+
+
+@query("events_burst_detection", oracle=_BURST_ORACLE)
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly burst detection per event type: each hour's count against the
+    mean of the trailing 6 hours (ROWS frame excludes the current hour),
+    flagged when >= 1.5x with at least 3 hours of history. The ratio is
+    (n * tcnt) / tsum — integers into ONE double division, the same
+    evaluation both engines perform, instead of a stddev z-score whose
+    running-moment arithmetic is engine-specific. Plan: one hash agg to
+    hours (tiny), one window over the aggregated frame — the fact table is
+    never windowed directly."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(-6, -1)
+    )
+    tsum = F.sum("n").over(w)
+    tcnt = F.count("n").over(w)
+    ratio = F.when(
+        tcnt >= 3, (F.col("n").cast("double") * tcnt.cast("double")) / tsum.cast("double")
+    )
+    return hourly.select(
+        "hour_start",
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        ratio.alias("burst_ratio"),
+        F.coalesce((ratio >= 1.5), F.lit(False)).cast("int").alias("is_burst"),
+    )

@@ -921,3 +921,50 @@ def pipeline_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 25)
         .select("doc_id", "source", "n_chars_calc", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-familiarity score: mean token document-frequency per doc
+# ---------------------------------------------------------------------------
+
+_CORPUS_FREQ_ORACLE = r"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ','g')),' '), x -> x <> '')) AS tok
+  FROM documents
+), df AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS dfc FROM tk GROUP BY tok
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(dfc) AS BIGINT) AS sum_df,
+       CAST(SUM(dfc) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_token_df
+FROM tk t JOIN df USING (tok)
+GROUP BY t.doc_id
+"""
+
+
+@query("text_corpus_freq_score", oracle=_CORPUS_FREQ_ORACLE)
+def text_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-familiarity quality signal: the mean document-frequency of a
+    document's tokens — the exact-arithmetic stand-in for LM perplexity
+    scoring (documents full of corpus-rare tokens score low and get routed
+    to review; log-prob scoring would hit cross-engine libm differences, a
+    frequency ratio is integer sums + one division). Plan: token explode,
+    distinct (doc, token) -> document-frequency dictionary (tiny — shared
+    vocabulary), broadcast it back onto the token stream, one agg. Same
+    dictionary-join shape as TF-IDF, different statistic."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.explode(text_ops._tokens_col("text")).alias("tok"))
+    df_tbl = (
+        tk.select("doc_id", "tok").distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("dfc"))
+    )
+    return (
+        tk.join(F.broadcast(df_tbl), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("dfc").cast("bigint").alias("sum_df"),
+            (F.sum("dfc").cast("double") / F.count(F.lit(1)).cast("double")).alias("mean_token_df"),
+        )
+    )

@@ -135,3 +135,42 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=16,
         salt_source="l_orderkey",
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted join (skew pattern) — exact results, oracle-checked
+# ---------------------------------------------------------------------------
+
+_SALTED_JOIN_ORACLE = """
+SELECT l_returnflag, o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag, o_orderpriority
+"""
+
+
+@query("join_salted_skew", oracle=_SALTED_JOIN_ORACLE)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join: lineitem (fact) x orders (dim) on l_orderkey with
+    the dim side replicated 8 ways and the fact side salted by line number —
+    a hot orderkey's rows land on 8 reduce tasks instead of one. The output
+    is exactly the plain join (each fact row meets one dim copy), so the
+    oracle is the unsalted SQL. At 100 TB this is the pre-planned skew
+    answer where the dim is too big to broadcast and AQE's post-hoc split
+    (sort-merge only) can't be assumed; operators/skew.py:salted_join."""
+    from gridmr_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li.select(F.col("l_orderkey").alias("o_orderkey"), "l_returnflag", "l_extendedprice", "l_linenumber"),
+        orders,
+        on=["o_orderkey"],
+        n_salts=8,
+        salt_source="l_linenumber",
+    )
+    return joined.groupBy("l_returnflag", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+    )
