@@ -162,10 +162,8 @@ def minhash_signatures(
     return sh.groupBy(F.col("id")).agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame, k: int = 64, bands: int = 16) -> DataFrame:
-    """Band the signature and equi-join on (band, band_hash): docs agreeing
-    on all rows of any band become candidates. rows_per_band = k/bands tunes
-    the precision/recall tradeoff (16 bands × 4 rows ≈ s-curve at j≈0.5)."""
+def _stacked_bands(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """(id, band_id, band_hash) rows — one per (doc, band)."""
     if k % bands != 0:
         raise ValueError(
             f"k={k} must be divisible by bands={bands}: a remainder would "
@@ -177,8 +175,7 @@ def lsh_candidate_pairs(sig: DataFrame, k: int = 64, bands: int = 16) -> DataFra
         for b in range(bands)
     ]
     banded = sig.select("id", *band_cols)
-    pairs = None
-    stacked = banded.select(
+    return banded.select(
         "id",
         F.explode(
             F.array(*[
@@ -187,16 +184,74 @@ def lsh_candidate_pairs(sig: DataFrame, k: int = 64, bands: int = 16) -> DataFra
             ])
         ).alias("bb"),
     ).select("id", "bb.band_id", "bb.band_hash")
+
+
+def lsh_candidate_pairs(sig: DataFrame, k: int = 64, bands: int = 16) -> DataFrame:
+    """Band the signature and equi-join on (band, band_hash): docs agreeing
+    on all rows of any band become candidates. rows_per_band = k/bands tunes
+    the precision/recall tradeoff (16 bands × 4 rows ≈ s-curve at j≈0.5)."""
+    stacked = _stacked_bands(sig, k, bands)
     other = stacked.select(
         F.col("id").alias("id2"), F.col("band_id"), F.col("band_hash")
     )
-    pairs = (
+    return (
         stacked.join(other, ["band_id", "band_hash"])
         .where(F.col("id") < F.col("id2"))
         .select(F.col("id").alias("id1"), "id2")
         .distinct()
     )
-    return pairs
+
+
+def minhash_dedup_incremental(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dedup: NEW documents checked against the OLD corpus
+    only — the nightly-ingest shape. Bipartite banding: candidates are
+    (old, new) band collisions exclusively; no old×old pair is ever
+    generated, so a day's ingest costs O(|new| + collisions), not a rebuild
+    of the historical pair set. In production the old side's signatures and
+    shingles are precomputed artifacts of previous runs — the plan below
+    recomputes them only because the test corpus is one table.
+
+    Output: (id1=old, id2=new, jaccard >= threshold), exact-verified like
+    minhash_dedup_pairs."""
+    sig_old = minhash_signatures(old, id_col, text_col, n, k)
+    sig_new = minhash_signatures(new, id_col, text_col, n, k)
+    a = _stacked_bands(sig_old, k, bands).select(
+        F.col("id").alias("id1"), "band_id", "band_hash"
+    )
+    b = _stacked_bands(sig_new, k, bands).select(
+        F.col("id").alias("id2"), "band_id", "band_hash"
+    )
+    cand = a.join(b, ["band_id", "band_hash"]).select("id1", "id2").distinct()
+    sh_old = word_shingles(old, id_col, text_col, n)
+    sh_new = word_shingles(new, id_col, text_col, n)
+    common = (
+        sh_old.select(F.col("id").alias("id1"), "shingle")
+        .join(sh_new.select(F.col("id").alias("id2"), "shingle"), "shingle")
+        .join(cand, ["id1", "id2"], "left_semi")
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("c"))
+    )
+    s1 = _shingle_sizes(sh_old).select(F.col("id").alias("id1"), F.col("sz").alias("sz1"))
+    s2 = _shingle_sizes(sh_new).select(F.col("id").alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        common.join(s1, "id1")
+        .join(s2, "id2")
+        .select(
+            "id1",
+            "id2",
+            (F.col("c").cast("double") / (F.col("sz1") + F.col("sz2") - F.col("c")).cast("double")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 def minhash_dedup_pairs(

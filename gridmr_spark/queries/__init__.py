@@ -77,7 +77,7 @@ _DRIVER_PRIORITY: list[str] = [
     "text_repetition_filters", "join_asof_tolerance", "join_asof_forward",
     "stream_static_enrich", "agg_winsorize", "vector_quantize_int8",
     "pipeline_domain_caps", "join_salted_skew", "events_burst_detection",
-    "text_corpus_freq_score",
+    "text_corpus_freq_score", "merge_scd2_history", "dedup_incremental_minhash",
     # (f) no-oracle rows that have never had even a rows-only driver row
     "multimodal_decode", "multimodal_resize", "similarity_topk_gemm_blocked",
     "graph_pagerank", "agg_hll_mergeable",

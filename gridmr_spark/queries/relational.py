@@ -15,7 +15,7 @@ Scale notes applied throughout:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gridmr_spark.catalog import load_table
@@ -988,4 +988,65 @@ def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_lines"),
         dsum("l_quantity").alias("sum_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history build: change log -> validity-interval dimension rows
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH changes AS (
+  SELECT o_custkey AS cust_id, o_orderpriority AS attr, o_orderdate AS ts, o_orderkey AS seq
+  FROM orders
+), ordered AS (
+  SELECT cust_id, attr, ts, seq,
+         LAG(attr) OVER w AS prev_attr
+  FROM changes
+  WINDOW w AS (PARTITION BY cust_id ORDER BY ts, seq)
+), transitions AS (
+  SELECT cust_id, attr, ts, seq FROM ordered
+  WHERE prev_attr IS NULL OR attr <> prev_attr
+)
+SELECT cust_id, attr,
+       CAST(ts AS TIMESTAMP) AS valid_from,
+       CAST(LEAD(ts) OVER w2 AS TIMESTAMP) AS valid_to,
+       CAST(CASE WHEN LEAD(ts) OVER w2 IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+FROM transitions
+WINDOW w2 AS (PARTITION BY cust_id ORDER BY ts, seq)
+"""
+
+
+@query("merge_scd2_history", oracle=_SCD2_ORACLE)
+def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 built from a change log: per key,
+    consecutive repeats collapse (lag filter), each surviving transition
+    opens a validity interval closed by the next one (lead); the open
+    interval is the current row. Orders stand in for the change stream
+    (customer x order-priority over order dates, orderkey as the
+    deterministic same-instant tiebreak). Two windows over the same
+    (key, ts) sort — Catalyst evaluates them in one shuffle+sort pass; the
+    history build is a single scan of the log, the MERGE-style upsert
+    against an existing dimension is merge_upsert_cdc's job."""
+    orders = load_table(spark, sf_dir, "orders")
+    changes = orders.select(
+        F.col("o_custkey").alias("cust_id"),
+        F.col("o_orderpriority").alias("attr"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    w = Window.partitionBy("cust_id").orderBy("ts", "seq")
+    transitions = (
+        changes.withColumn("prev_attr", F.lag("attr").over(w))
+        .where(F.col("prev_attr").isNull() | (F.col("attr") != F.col("prev_attr")))
+        .drop("prev_attr")
+    )
+    w2 = Window.partitionBy("cust_id").orderBy("ts", "seq")
+    nxt = F.lead("ts").over(w2)
+    return transitions.select(
+        "cust_id",
+        "attr",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().cast("int").alias("is_current"),
     )

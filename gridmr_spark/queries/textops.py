@@ -968,3 +968,49 @@ def text_corpus_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("dfc").cast("double") / F.count(F.lit(1)).cast("double")).alias("mean_token_df"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-corpus) near-dedup: new ingest vs historical corpus
+# ---------------------------------------------------------------------------
+
+_INCREMENTAL_DEDUP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ','g')),' '), t -> t <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(ws)-2),
+         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+  FROM toks
+), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  GROUP BY 1, 2
+)
+SELECT id1, id2, CAST(c AS DOUBLE)/CAST(s1.sz + s2.sz - c AS DOUBLE) AS jaccard
+FROM common
+JOIN sizes s1 ON id1 = s1.doc_id
+JOIN sizes s2 ON id2 = s2.doc_id
+WHERE CAST(c AS DOUBLE)/CAST(s1.sz + s2.sz - c AS DOUBLE) >= 0.5
+"""
+
+
+@query("dedup_incremental_minhash", oracle=_INCREMENTAL_DEDUP_ORACLE)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: the odd-id half of documents plays the new
+    ingest, the even-id half the historical corpus; MinHash bands join
+    bipartite (old x new only — no old x old pair is ever generated), then
+    exact Jaccard verifies at 0.5. The oracle is the exact bipartite
+    Jaccard SQL — hash-equality therefore also asserts band recall 1.0 on
+    this data, same argument as dedup_minhash_lsh. The nightly-ingest
+    shape: a day's ingest costs O(new + collisions), not a corpus rebuild
+    (operators/dedup.py: minhash_dedup_incremental)."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    return dedup_ops.minhash_dedup_incremental(
+        old, new, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5
+    )
