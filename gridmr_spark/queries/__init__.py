@@ -50,19 +50,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # here explicitly and served first; long-green queries re-verify with
 # whatever budget remains. Update per round as rows come back green.
 _DRIVER_PRIORITY: list[str] = [
-    # --- round-3 priority ---
+    # --- round-3 priority (driver budget ~50; first rows first) ---
     # (a) r2 rows red on the events-loader regression, loader now fixed —
     # must re-prove first
     "events_funnel", "map_funcs", "window_lag_lead", "window_time_range",
     "events_sessionize", "agg_heavy_hitters", "stream_dedup_exact",
     "stream_interval_join",
-    # (b) events-dependent queries whose only green row is r1 (pre-regression
-    # loader) — the loader changed, so re-prove under the new path
-    "join_asof", "json_funcs", "conditional_funcs", "events_cohort_retention",
-    "stream_tumbling_1h", "stream_sliding_1h_30m", "stream_session_10m",
-    # (c) zero driver evidence of any kind across r1–r2
-    "dedup_simhash", "agg_approx_distinct",
-    # (d) registered in r2 but never driver-checked (the 50-query budget
+    # (b) zero driver evidence of any kind across r1–r2 (dedup_simhash and
+    # multimodal_decode gained oracles this round)
+    "dedup_simhash", "agg_approx_distinct", "multimodal_decode",
+    "multimodal_resize", "similarity_topk_gemm_blocked", "graph_pagerank",
+    "agg_hll_mergeable",
+    # (c) registered in r2 but never driver-checked (the 50-query budget
     # ran out): TPC-H completion pack + text/layout/pipeline additions
     "q2_min_cost_supplier", "q6_forecast_revenue", "q7_nation_volume",
     "q8_market_share", "q9_product_profit", "q11_important_values",
@@ -73,14 +72,17 @@ _DRIVER_PRIORITY: list[str] = [
     "text_chunk_windows", "text_tfidf_topterms", "dedup_contamination_check",
     "pipeline_token_batching", "agg_histogram", "layout_compact_files",
     "source_schema_evolution",
-    # (e) new in round 3 — no driver row yet
+    # (d) new in round 3 — no driver row yet
     "text_repetition_filters", "join_asof_tolerance", "join_asof_forward",
     "stream_static_enrich", "agg_winsorize", "vector_quantize_int8",
     "pipeline_domain_caps", "join_salted_skew", "events_burst_detection",
     "text_corpus_freq_score", "merge_scd2_history", "dedup_incremental_minhash",
-    # (f) no-oracle rows that have never had even a rows-only driver row
-    "multimodal_decode", "multimodal_resize", "similarity_topk_gemm_blocked",
-    "graph_pagerank", "agg_hll_mergeable",
+    # (e) events-dependent queries whose only green row is r1 (pre-regression
+    # loader): re-prove under the new dtype-branch path with remaining
+    # budget — they have historical green rows, so they yield to the
+    # never-checked groups above
+    "join_asof", "json_funcs", "conditional_funcs", "events_cohort_retention",
+    "stream_tumbling_1h", "stream_sliding_1h_30m", "stream_session_10m",
     # long-green queries (r1/r2 hash-green) follow in registration order
     # with whatever budget remains.
 ]
