@@ -573,18 +573,48 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_resize", oracle=None)  # pandas-UDF path: checked in tests/
+# The fake resize is strided byte subsampling + zero-pad (see
+# operators/multimodal.py:resize_images) — pure integer index arithmetic,
+# so DuckDB can rebuild the exact output bytes by striding over hex pairs.
+# Compared as lowercase hex strings: DuckDB's md5 only takes VARCHAR, and
+# hex equality is the same assertion with no digest in the middle.
+_MULTIMODAL_RESIZE_ORACLE = r"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+), p AS (
+  SELECT doc_id, hx, n, greatest(1, n // 4096) AS step FROM b
+), chosen AS (
+  SELECT doc_id, t.i,
+         substr(hx, CAST(2 * t.i * step + 1 AS INT), 2) AS pair
+  FROM p, unnest(generate_series(0, least((n + step - 1) // step, 4096) - 1)) AS t(i)
+), agg AS (
+  SELECT doc_id, string_agg(pair, '' ORDER BY i) AS hx_sub FROM chosen GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(64 AS INT) AS out_width,
+       CAST(64 AS INT) AS out_height,
+       lower(rpad(COALESCE(a.hx_sub, ''), 8192, '0')) AS resized_hex
+FROM b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("multimodal_resize", oracle=_MULTIMODAL_RESIZE_ORACLE)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched resize stub (deterministic byte subsampling standing in
     for the PIL seam; see operators/multimodal.py). Output carries the
-    target dims + an md5 of the resized payload so the driver gate can sort
-    and hash the rows."""
+    target dims + the resized payload as lowercase hex so the driver gate
+    (and the DuckDB oracle, which re-derives the stride arithmetic over hex
+    pairs) can sort and hash the rows byte-exactly."""
     from gridmr_spark.operators.multimodal import attach_payload, resize_images
 
     docs = load_table(spark, sf_dir, "documents")
     resized = resize_images(attach_payload(docs, "doc_id", "text"), 64, 64)
     return resized.select(
-        "doc_id", "out_width", "out_height", F.md5("resized").alias("resized_md5")
+        "doc_id",
+        "out_width",
+        "out_height",
+        F.lower(F.hex("resized")).alias("resized_hex"),
     )
 
 

@@ -96,3 +96,27 @@ def test_simhash_deterministic_across_runs(spark, sf_oracle):
     a = {r.id: r.simhash for r in dedup.simhash64(docs, "doc_id", "text").collect()}
     b = {r.id: r.simhash for r in dedup.simhash64(docs.repartition(7), "doc_id", "text").collect()}
     assert a == b  # partitioning must not change signatures
+
+
+def test_incremental_minhash_is_strictly_bipartite(spark, sf_oracle):
+    """Every output pair must be (old, new) — no old x old or new x new pair
+    may ever be generated, and results must agree with the full-corpus pair
+    set restricted to the bipartite cut."""
+    from pyspark.sql import functions as F
+    from gridmr_spark.catalog import load_table
+    from gridmr_spark.operators.dedup import jaccard_pairs, minhash_dedup_incremental
+
+    docs = load_table(spark, sf_oracle, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    out = minhash_dedup_incremental(old, new, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5)
+    rows = out.collect()
+    assert all(r.id1 % 2 == 0 and r.id2 % 2 == 1 for r in rows)
+    # full-corpus exact pairs, restricted to the cut (either orientation)
+    full = jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    cut = {
+        (a, b) if a % 2 == 0 else (b, a)
+        for a, b in ((r.id1, r.id2) for r in full)
+        if (a % 2) != (b % 2)
+    }
+    assert {(r.id1, r.id2) for r in rows} == cut
