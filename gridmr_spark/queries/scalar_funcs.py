@@ -328,3 +328,39 @@ def regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("p_type", r"^(\w+)$", r"type_$1").alias("type_tagged"),
         F.concat_ws("|", F.split(F.col("p_name"), r"\s+")).alias("split_ws"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Error-safe (try_*) function surface — ELT robustness: bad rows become NULL
+# ---------------------------------------------------------------------------
+
+_TRY_ORACLE = """
+SELECT event_id,
+       CASE WHEN event_id % 5 = 0 THEN NULL
+            ELSE value / (event_id % 5) END AS safe_ratio,
+       TRY_CAST(event_type AS DOUBLE) AS bad_cast_null,
+       coalesce(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE), -1.0) AS k_or_default,
+       string_split(event_type, 'i')[3] AS third_or_null
+FROM events
+WHERE event_id < 3000
+"""
+
+
+@query("try_funcs", oracle=_TRY_ORACLE)
+def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The error-safe function family: try_divide (zero divisor -> NULL,
+    not an exception), try_cast (malformed -> NULL), try_element_at
+    (out-of-range -> NULL). In ANSI mode a single malformed row kills a
+    100 TB job at hour N — the try_* forms are how production pipelines
+    quarantine bad rows as NULLs and keep the job alive; the oracle spells
+    each out as the equivalent CASE/TRY_CAST/defaulting expression."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 3000)
+    return ev.select(
+        "event_id",
+        F.try_divide(F.col("value"), F.col("event_id") % 5).alias("safe_ratio"),
+        F.col("event_type").try_cast("double").alias("bad_cast_null"),
+        F.coalesce(
+            F.get_json_object("props", "$.k").try_cast("double"), F.lit(-1.0)
+        ).alias("k_or_default"),
+        F.try_element_at(F.split("event_type", "i"), F.lit(3)).alias("third_or_null"),
+    )

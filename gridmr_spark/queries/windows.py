@@ -238,3 +238,39 @@ def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("n_1h"),
         F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("value_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Numeric RANGE frame: peers by value distance, not row position
+# ---------------------------------------------------------------------------
+
+_RANGE_VALUE_ORACLE = """
+SELECT s_suppkey, s_nationkey, s_acctbal,
+       COUNT(*) OVER w AS n_within_500,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) OVER w AS DOUBLE) AS bal_within_500
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal
+             RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING)
+"""
+
+
+@query("window_value_range", oracle=_RANGE_VALUE_ORACLE)
+def window_value_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric RANGE frame: each supplier's peer group is every same-nation
+    supplier within +-500 account balance — frame membership by VALUE
+    distance, not row offsets (the frame the ROWS/time variants can't
+    express; peers at equal values share identical frames, so no tiebreak
+    is needed for determinism). Decimal-exact windowed sum."""
+    supp = load_table(spark, sf_dir, "supplier")
+    w = (
+        Window.partitionBy("s_nationkey")
+        .orderBy("s_acctbal")
+        .rangeBetween(-500, 500)
+    )
+    return supp.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.count(F.lit(1)).over(w).alias("n_within_500"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)")).over(w).cast("double").alias("bal_within_500"),
+    )
