@@ -28,3 +28,31 @@ def test_events_ts_loads_as_timestamp(spark, sf_dir):
         f"events.ts loaded as {dt} at {sf_dir}; _load_events must normalize "
         "it to a timestamp regardless of the parquet physical type"
     )
+
+
+# Column names (and the type *family* of the key columns queries filter or
+# join on) for every table — a regenerated testdata drop that renames or
+# retypes a column should fail here by name, not as dozens of downstream
+# AnalysisExceptions.
+_EXPECTED_COLUMNS = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_type", "p_retailprice"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"],
+    "lineitem": ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "embedding", "label"],
+}
+
+
+@pytest.mark.parametrize("table", sorted(_EXPECTED_COLUMNS))
+def test_table_columns_present(spark, sf_oracle, table):
+    cols = set(load_table(spark, sf_oracle, table).columns)
+    missing = [c for c in _EXPECTED_COLUMNS[table] if c not in cols]
+    assert not missing, f"{table} is missing {missing} (has {sorted(cols)})"
