@@ -104,3 +104,33 @@ def test_queries_avoid_cartesian_products(spark, sf_oracle):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_asof_join_is_single_shuffle_no_join_operator(spark, sf_oracle):
+    """The union+window as-of plan: ONE Exchange (hash on the key), no join
+    operator at all — the property that keeps it one pass at any right-table
+    size. Holds for all three registered variants."""
+    for name in ("join_asof", "join_asof_forward", "join_asof_tolerance"):
+        plan = _plan(spark, sf_oracle, name)
+        # count operator detail entries ("(9) Exchange"), not tree-summary
+        # echoes of the same node
+        n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+        assert n_exchange == 1, f"{name}: expected 1 Exchange, got {n_exchange}\n{plan}"
+        assert "Join" not in plan, f"{name}: unexpected join operator\n{plan}"
+
+
+def test_blocked_gemm_is_cogrouped_single_plan(spark, sf_oracle):
+    """The 2-D block grid must plan as ONE cogrouped-pandas operator — not a
+    driver loop of per-block jobs (the pre-round-3 shape had no cogroup and
+    issued one collect per block)."""
+    plan = _plan(spark, sf_oracle, "similarity_topk_gemm_blocked")
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+
+
+def test_simhash_signature_not_recomputed(spark, sf_oracle):
+    """The simhash signature table feeds 2*blocks join legs; after the
+    localCheckpoint it must appear as a materialized scan — zero parquet
+    rescans of the documents table in the pair-join plan (audited regression:
+    8 scans / 34 hash aggregates without it)."""
+    plan = _plan(spark, sf_oracle, "dedup_simhash")
+    assert plan.count("Scan parquet") == 0, plan
