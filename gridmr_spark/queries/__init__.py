@@ -77,7 +77,8 @@ _DRIVER_PRIORITY: list[str] = [
     "stream_static_enrich", "agg_winsorize", "vector_quantize_int8",
     "pipeline_domain_caps", "join_salted_skew", "events_burst_detection",
     "text_corpus_freq_score", "merge_scd2_history", "dedup_incremental_minhash",
-    "try_funcs", "window_value_range",
+    "try_funcs", "window_value_range", "events_transition_matrix",
+    "dedup_exact_digest",
     # (e) events-dependent queries whose only green row is r1 (pre-regression
     # loader): re-prove under the new dtype-branch path with remaining
     # budget — they have historical green rows, so they yield to the

@@ -543,3 +543,37 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio.alias("burst_ratio"),
         F.coalesce((ratio >= 1.5), F.lit(False)).cast("int").alias("is_burst"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event transition matrix: consecutive event-type pairs per user
+# ---------------------------------------------------------------------------
+
+_TRANSITION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+FROM ordered
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+"""
+
+
+@query("events_transition_matrix", oracle=_TRANSITION_ORACLE)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event streams
+    (lag by event time with the id tiebreak, pair up, count) — the
+    journey-analysis primitive behind next-action models and funnel
+    discovery. One shuffle on user_id for the window, one hash agg on the
+    (tiny) type-pair space."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

@@ -1044,3 +1044,23 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.minhash_dedup_incremental(
         old, new, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5
     )
+
+
+_DIGEST_DEDUP_ORACLE = """
+SELECT md5(text) AS text_digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+@query("dedup_exact_digest", oracle=_DIGEST_DEDUP_ORACLE)
+def dedup_exact_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on a 128-bit digest instead of the raw text — the
+    100 TB shape SCALING.md prescribes: the shuffle carries 32 hex chars +
+    key per row instead of whole documents, collapsing shuffle width by the
+    mean document size. Same min-id representative rule as dedup_exact
+    (hash-collision probability at 128 bits is ignorable against 100 TB row
+    counts); md5 on both engines makes the digest itself oracle-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_digest")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
