@@ -444,13 +444,23 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     value (2-decimal money here), so the clipped column stays decimal-exact
     and the sum is engine-portable — an interpolated percentile_cont
     boundary would drag the whole sum into last-ulp double territory.
-    Plan: one percentile pass per group (3 groups), broadcast the tiny
-    boundary table back onto the fact scan, clip + decimal sum in one agg —
-    two scans total, no sort of the fact table.
 
-    Scale note, stated plainly: Spark's exact percentile aggregates buffer
-    each group's values in executor memory — fine at test SF, wrong at
-    100 TB. There the boundary pass (and only it) swaps to
+    Boundary computation is ONE ranked pass, not two percentile_disc
+    aggregates: each WITHIN GROUP aggregate buffers and sorts the group
+    independently (measured 2x the single-percentile cost), whereas one
+    row_number window + the row-count table yields BOTH boundaries from a
+    single sort. percentile_disc(p) == the value at row position
+    ceil(p*n) in value order: that position falls inside some value's
+    duplicate-run [a, b], whose cume_dist b/n >= ceil(pn)/n >= p, while any
+    smaller value ends at a-1 < ceil(pn) so its cume_dist < p — the
+    definitional "smallest value with cume_dist >= p". (Row-number ties
+    inside a run are harmless: every position in the run carries the same
+    value.) Then broadcast the tiny boundary table back onto the fact scan
+    and clip + decimal-sum in one agg.
+
+    Scale note, stated plainly: the per-group window sort still sees one
+    group per task — fine at test SF, wrong for a single 100 TB group.
+    There the boundary pass (and only it) swaps to
     approx_percentile(col, [0.01, 0.99], 10000) — t-digest sketch, mergeable
     map-side, bounded memory; the clip + decimal-sum stage is unchanged.
     The exact-disc form is registered because boundaries that are actual
@@ -459,9 +469,20 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gridmr_spark.functions.numeric import dsum
 
     li = load_table(spark, sf_dir, "lineitem")
-    bounds = li.groupBy("l_returnflag").agg(
-        F.expr("percentile_disc(0.01) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p01"),
-        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)").alias("p99"),
+    counts = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("_n"))
+    wr = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.select(
+        "l_returnflag", "l_extendedprice", F.row_number().over(wr).alias("_rn")
+    ).join(F.broadcast(counts), "l_returnflag")
+    k01 = F.ceil(F.lit(0.01) * F.col("_n"))
+    k99 = F.ceil(F.lit(0.99) * F.col("_n"))
+    bounds = (
+        ranked.where((F.col("_rn") == k01) | (F.col("_rn") == k99))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min(F.when(F.col("_rn") == k01, F.col("l_extendedprice"))).alias("p01"),
+            F.min(F.when(F.col("_rn") == k99, F.col("l_extendedprice"))).alias("p99"),
+        )
     )
     clipped = F.when(F.col("l_extendedprice") < F.col("p01"), F.col("p01")).when(
         F.col("l_extendedprice") > F.col("p99"), F.col("p99")
