@@ -78,7 +78,8 @@ _DRIVER_PRIORITY: list[str] = [
     "pipeline_domain_caps", "join_salted_skew", "events_burst_detection",
     "text_corpus_freq_score", "merge_scd2_history", "dedup_incremental_minhash",
     "try_funcs", "window_value_range", "events_transition_matrix",
-    "dedup_exact_digest",
+    "dedup_exact_digest", "dq_profile_columns", "dq_orphan_check",
+    "dq_constraint_check",
     # (e) events-dependent queries whose only green row is r1 (pre-regression
     # loader): re-prove under the new dtype-branch path with remaining
     # budget — they have historical green rows, so they yield to the
@@ -95,6 +96,7 @@ def load_all() -> dict[str, Query]:
     reordered so _DRIVER_PRIORITY names come first (see above)."""
     from gridmr_spark.queries import (  # noqa: F401
         more_funcs,
+        quality,
         relational,
         scalar_funcs,
         sources_io,

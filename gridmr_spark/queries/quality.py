@@ -1,0 +1,169 @@
+"""Data-quality operators (Deequ/Great-Expectations-shaped): column
+profiling, referential-integrity checks, and declarative constraint
+violation counts. At 100 TB these run as ordinary aggregations — one scan
+per table, partial aggregation map-side, a handful of result rows — so a
+profiling pass costs the same as any full-table agg, not a per-rule scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gridmr_spark.catalog import load_table
+from gridmr_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# Column profile: null rate / distinct count / min / max per column
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("o_orderstatus", "o_orderpriority", "o_totalprice", "o_custkey")
+
+_PROFILE_ORACLE = """
+SELECT 'o_orderstatus' AS col, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT(o_orderstatus) AS n_nulls,
+       COUNT(DISTINCT o_orderstatus) AS n_distinct,
+       CAST(MIN(o_orderstatus) AS VARCHAR) AS min_str,
+       CAST(MAX(o_orderstatus) AS VARCHAR) AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority),
+       CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice),
+       CAST(MIN(o_totalprice) AS VARCHAR), CAST(MAX(o_totalprice) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+       COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+"""
+
+
+@query("dq_profile_columns", oracle=_PROFILE_ORACLE)
+def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling in ONE scan: every per-column statistic (null count,
+    distinct count, min, max) is an aggregate over the same pass, then the
+    single wide row unpivots into one row per column — the oracle spells it
+    as per-column SELECTs, but the Spark plan reads the table once, not
+    once per column (the difference between 1 and C scans of 100 TB).
+    min/max serialize to strings so numeric and categorical columns share
+    one result schema. Doubles here are exact parquet values round-tripped
+    through repr, not arithmetic — no cross-engine float concern."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+        "(col, n_rows, n_nulls, n_distinct, min_str, max_str)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential integrity: orphaned foreign keys per relationship
+# ---------------------------------------------------------------------------
+
+_ORPHAN_ORACLE = """
+SELECT 'lineitem.l_orderkey->orders' AS relation,
+       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       (SELECT COUNT(*) FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+"""
+
+
+@query("dq_orphan_check", oracle=_ORPHAN_ORACLE)
+def dq_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: count fact rows whose foreign key has no
+    parent — one LEFT ANTI join per relationship (the dimension side
+    broadcasts or the join shuffles on the key; never a row-by-row lookup),
+    unioned into a per-relation violation report. Zero counts on healthy
+    data are the point: the query is the regression tripwire a pipeline
+    runs after every load."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def orphans(child, key, parent, pkey, name):
+        cnt = (
+            child.select(key)
+            .join(parent.select(F.col(pkey).alias(key)), key, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        return cnt.select(F.lit(name).alias("relation"), "n_orphans")
+
+    return (
+        orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem.l_orderkey->orders")
+        .unionAll(orphans(orders, "o_custkey", cust, "c_custkey", "orders.o_custkey->customer"))
+        .unionAll(orphans(cust, "c_nationkey", nation, "n_nationkey", "customer.c_nationkey->nation"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declarative constraint checks: violation counts per rule, one scan
+# ---------------------------------------------------------------------------
+
+_CONSTRAINT_ORACLE = """
+SELECT 'o_totalprice_positive' AS rule,
+       COUNT(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice <= 0) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus_domain',
+       COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+FROM orders
+UNION ALL
+SELECT 'o_orderdate_in_range',
+       COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1990-01-01 00:00:00'
+                           OR o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+FROM orders
+UNION ALL
+SELECT 'o_custkey_not_null',
+       COUNT(*) FILTER (WHERE o_custkey IS NULL)
+FROM orders
+"""
+
+
+@query("dq_constraint_check", oracle=_CONSTRAINT_ORACLE)
+def dq_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative row-level constraints (positivity, value domain, date
+    range, not-null) evaluated as conditional counts in ONE aggregation over
+    one scan — adding a rule adds an aggregate column, never a pass. The
+    wide row stacks to (rule, n_violations) so downstream alerting reads a
+    uniform report regardless of rule count."""
+    orders = load_table(spark, sf_dir, "orders")
+    rules = {
+        "o_totalprice_positive": F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0),
+        "o_orderstatus_domain": ~F.col("o_orderstatus").isin("O", "F", "P"),
+        "o_orderdate_in_range": (
+            (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+            | (F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        ),
+        "o_custkey_not_null": F.col("o_custkey").isNull(),
+    }
+    wide = orders.agg(
+        *[F.sum(cond.cast("long")).alias(f"v_{i}") for i, cond in enumerate(rules.values())]
+    )
+    stack_args = ", ".join(f"'{name}', v_{i}" for i, name in enumerate(rules))
+    return wide.selectExpr(
+        f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)"
+    )
