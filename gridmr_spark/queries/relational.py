@@ -1017,17 +1017,8 @@ WINDOW w2 AS (PARTITION BY cust_id ORDER BY ts, seq)
 """
 
 
-@query("merge_scd2_history", oracle=_SCD2_ORACLE)
-def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Slowly-changing-dimension type 2 built from a change log: per key,
-    consecutive repeats collapse (lag filter), each surviving transition
-    opens a validity interval closed by the next one (lead); the open
-    interval is the current row. Orders stand in for the change stream
-    (customer x order-priority over order dates, orderkey as the
-    deterministic same-instant tiebreak). Two windows over the same
-    (key, ts) sort — Catalyst evaluates them in one shuffle+sort pass; the
-    history build is a single scan of the log, the MERGE-style upsert
-    against an existing dimension is merge_upsert_cdc's job."""
+def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared builder for the SCD2 queries below (history build + lookup)."""
     orders = load_table(spark, sf_dir, "orders")
     changes = orders.select(
         F.col("o_custkey").alias("cust_id"),
@@ -1041,12 +1032,115 @@ def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("prev_attr").isNull() | (F.col("attr") != F.col("prev_attr")))
         .drop("prev_attr")
     )
-    w2 = Window.partitionBy("cust_id").orderBy("ts", "seq")
-    nxt = F.lead("ts").over(w2)
+    nxt = F.lead("ts").over(w)
     return transitions.select(
         "cust_id",
         "attr",
         F.col("ts").alias("valid_from"),
         nxt.alias("valid_to"),
         nxt.isNull().cast("int").alias("is_current"),
+    )
+
+
+@query("merge_scd2_history", oracle=_SCD2_ORACLE)
+def merge_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 built from a change log: per key,
+    consecutive repeats collapse (lag filter), each surviving transition
+    opens a validity interval closed by the next one (lead); the open
+    interval is the current row. Orders stand in for the change stream
+    (customer x order-priority over order dates, orderkey as the
+    deterministic same-instant tiebreak). Two windows over the same
+    (key, ts) sort — Catalyst evaluates them in one shuffle+sort pass; the
+    history build is a single scan of the log, the MERGE-style upsert
+    against an existing dimension is merge_upsert_cdc's job."""
+    return _scd2_history(spark, sf_dir)
+
+
+# Point-in-time lookup over the SCD2 history: the AS OF read that makes the
+# validity intervals useful. DuckDB rebuilds the same history inline.
+_SCD2_ASOF_ORACLE = """
+WITH changes AS (
+  SELECT o_custkey AS cust_id, o_orderpriority AS attr, o_orderdate AS ts, o_orderkey AS seq
+  FROM orders
+), ordered AS (
+  SELECT cust_id, attr, ts, seq,
+         LAG(attr) OVER w AS prev_attr
+  FROM changes
+  WINDOW w AS (PARTITION BY cust_id ORDER BY ts, seq)
+), transitions AS (
+  SELECT cust_id, attr, ts, seq FROM ordered
+  WHERE prev_attr IS NULL OR attr <> prev_attr
+), hist AS (
+  SELECT cust_id, attr,
+         CAST(ts AS TIMESTAMP) AS valid_from,
+         CAST(LEAD(ts) OVER w2 AS TIMESTAMP) AS valid_to
+  FROM transitions
+  WINDOW w2 AS (PARTITION BY cust_id ORDER BY ts, seq)
+)
+SELECT cust_id, attr, valid_from
+FROM hist
+WHERE valid_from <= TIMESTAMP '1996-06-01 00:00:00'
+  AND (valid_to IS NULL OR valid_to > TIMESTAMP '1996-06-01 00:00:00')
+"""
+
+
+@query("merge_scd2_asof_lookup", oracle=_SCD2_ASOF_ORACLE)
+def merge_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS OF read over the SCD2 history: each customer's attribute value in
+    force at a fixed instant — valid_from <= t < valid_to (open interval =
+    still current). The interval predicate is a plain filter over the
+    history build (shared _scd2_history plan); on a stored SCD2 dimension
+    partitioned by valid_from date this prunes to the touched partitions."""
+    t = F.lit("1996-06-01 00:00:00").cast("timestamp")
+    hist = _scd2_history(spark, sf_dir)
+    return (
+        hist.where(
+            (F.col("valid_from") <= t)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+        )
+        .select("cust_id", "attr", "valid_from")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth (quantile-bucket) histogram via ntile
+# ---------------------------------------------------------------------------
+
+_EQUIDEPTH_ORACLE = """
+WITH t AS (
+  SELECT o_totalprice,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT decile,
+       COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM t GROUP BY decile
+"""
+
+
+@query("agg_equidepth_histogram", oracle=_EQUIDEPTH_ORACLE)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram: ntile(10) assigns equal-COUNT buckets (the
+    complement of agg_histogram's equal-WIDTH buckets), then per-decile
+    count/bounds/decimal-sum. ntile's row-split rule (floor division of n,
+    remainder to the leading buckets) is engine-identical given the total
+    order, which the orderkey tiebreak provides. The global sort is the
+    scale cost — at 100 TB replace the exact ntile with approx_percentile
+    cut points + a width_bucket-style assignment; the report shape stays."""
+    from gridmr_spark.functions.numeric import dsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            dsum("o_totalprice").alias("sum_price"),
+        )
     )
