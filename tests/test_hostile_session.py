@@ -33,3 +33,31 @@ def test_query_survives_hostile_session_timezone(spark, duck, sf_oracle, name):
         assert not problem, f"{name} under hostile tz: {problem}"
     finally:
         spark.conf.set("spark.sql.session.timeZone", original)
+
+
+# Order/partitioning-sensitive representatives: global ntile, grouped top-k,
+# hash-bucketed sampling, LSH banding, decimal money sums, connected
+# components. All must be partition-count-invariant by construction.
+_PARTITION_SENSITIVE = [
+    "agg_equidepth_histogram",
+    "window_topk_per_group",
+    "sample_train_val_test",
+    "dedup_minhash_lsh",
+    "q1_pricing_summary",
+    "dedup_clusters_cc",
+]
+
+
+@pytest.mark.parametrize("name", _PARTITION_SENSITIVE)
+def test_query_survives_hostile_shuffle_partitions(spark, duck, sf_oracle, name):
+    """The driver's session may carry any spark.sql.shuffle.partitions;
+    results must not depend on it (decimal sums, total-order tiebreaks,
+    hash-keyed sampling are all partition-invariant by design — prove it)."""
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        q = load_all()[name]
+        problem = compare_query(q.fn(spark, sf_oracle), duck, q.oracle)
+        assert not problem, f"{name} at 7 shuffle partitions: {problem}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
