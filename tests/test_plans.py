@@ -134,3 +134,21 @@ def test_simhash_signature_not_recomputed(spark, sf_oracle):
     8 scans / 34 hash aggregates without it)."""
     plan = _plan(spark, sf_oracle, "dedup_simhash")
     assert plan.count("Scan parquet") == 0, plan
+
+
+def test_profile_reads_table_once(spark, sf_oracle):
+    """dq_profile_columns claims one scan for all per-column statistics —
+    the 1-vs-C-scans property that matters at 100 TB. (Spark's Expand for
+    multiple count-distincts multiplies rows, never rescans.)"""
+    plan = _plan(spark, sf_oracle, "dq_profile_columns")
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans == 1, plan
+
+
+def test_scd2_windows_share_one_sort(spark, sf_oracle):
+    """Both SCD2 windows (lag-collapse, lead-close) sort on the same
+    (key, ts, seq) — the plan must contain exactly one Exchange and at most
+    two Sort operators over it, not a shuffle per window."""
+    plan = _plan(spark, sf_oracle, "merge_scd2_history")
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange == 1, plan
