@@ -155,6 +155,57 @@ def resize_images(
     return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
 
 
+AUDIO_FRAMES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def audio_frame_energy(media: DataFrame, frame_bytes: int = 256, fake: bool = True) -> DataFrame:
+    """Arrow-batched audio feature extraction: the payload is framed into
+    fixed-size windows and each frame emits its energy (sum of squared
+    centered samples) — the VAD/segmentation primitive. `fake=True` (the
+    in-container default) treats payload bytes as 8-bit PCM samples
+    (sample - 128, integer squares — deterministic, oracle-exact);
+    `fake=False` raises at the seam where a real codec (librosa/ffmpeg
+    decode to PCM) plugs in. Each row expands to floor(len/frame_bytes)
+    frame rows inside the same Arrow batch — the Python boundary is crossed
+    once per batch, and frames of a pathological hours-long payload stay
+    bounded by the batch's own row count, not materialized per-frame
+    Python objects."""
+    import numpy as np
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real audio path: decode payload to PCM (librosa/ffmpeg), then frame"
+                )
+            ids, idxs, energies = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = len(payload) // frame_bytes
+                if n_frames == 0:
+                    continue
+                samples = np.frombuffer(payload[: n_frames * frame_bytes], dtype=np.uint8)
+                centered = samples.astype("int64") - 128
+                e = (centered * centered).reshape(n_frames, frame_bytes).sum(axis=1)
+                ids.extend([doc_id] * n_frames)
+                idxs.extend(range(n_frames))
+                energies.extend(e.tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(frame_batches, schema=AUDIO_FRAMES)
+
+
 def sample_frames(media: DataFrame, every_nth: int = 5) -> DataFrame:
     """Frame-sampling plumbing for video payloads: explode the frame index
     space from metadata, keep every nth — the row-multiplying step a real

@@ -80,6 +80,7 @@ _DRIVER_PRIORITY: list[str] = [
     "try_funcs", "window_value_range", "events_transition_matrix",
     "dedup_exact_digest", "dq_profile_columns", "dq_orphan_check",
     "dq_constraint_check", "merge_scd2_asof_lookup", "agg_equidepth_histogram",
+    "multimodal_audio_energy",
     # (e) events-dependent queries whose only green row is r1 (pre-regression
     # loader): re-prove under the new dtype-branch path with remaining
     # budget — they have historical green rows, so they yield to the

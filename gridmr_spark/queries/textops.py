@@ -1064,3 +1064,37 @@ def dedup_exact_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy(F.md5("text").alias("text_digest")).agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
     )
+
+
+_AUDIO_ENERGY_ORACLE = r"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+), bytes AS (
+  SELECT doc_id,
+         t.i,
+         CAST(('0x' || substr(hx, CAST(2 * t.i + 1 AS INT), 2)) AS INTEGER) AS byte
+  FROM b, unnest(generate_series(0, (n // 256) * 256 - 1)) AS t(i)
+)
+SELECT doc_id,
+       CAST(i // 256 AS INT) AS frame_idx,
+       CAST(SUM((byte - 128) * (byte - 128)) AS BIGINT) AS energy
+FROM bytes
+GROUP BY doc_id, i // 256
+"""
+
+
+@query("multimodal_audio_energy", oracle=_AUDIO_ENERGY_ORACLE)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality plumbing: frame the payload into 256-byte windows and
+    emit per-frame energy (sum of squared centered 8-bit samples) via
+    Arrow-batched mapInPandas — the VAD/segmentation primitive, with the
+    real PCM decoder slotting into the marked seam
+    (operators/multimodal.py:audio_frame_energy). Integer arithmetic
+    end-to-end, so DuckDB re-derives every frame energy exactly from hex
+    pairs."""
+    from gridmr_spark.operators.multimodal import attach_payload, audio_frame_energy
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_payload(docs, "doc_id", "text", kind="audio")
+    return audio_frame_energy(media, frame_bytes=256)

@@ -88,3 +88,28 @@ def test_resize_real_seam_raises(media):
     assert "NotImplementedError" in str(exc.value) or isinstance(
         exc.value, NotImplementedError
     )
+
+
+def test_audio_frame_energy_matches_python_reference(spark, sf_smoke):
+    """Frame energies must equal a pure-Python recomputation over the raw
+    payload bytes, and the fake=False path must raise at the codec seam."""
+    import pytest
+    from pyspark.sql import functions as F
+    from gridmr_spark.catalog import load_table
+    from gridmr_spark.operators.multimodal import attach_payload, audio_frame_energy
+
+    docs = load_table(spark, sf_smoke, "documents").where(F.col("doc_id") < 20)
+    media = attach_payload(docs, "doc_id", "text", kind="audio")
+    got = {
+        (r.doc_id, r.frame_idx): r.energy
+        for r in audio_frame_energy(media, frame_bytes=64).collect()
+    }
+    want = {}
+    for r in docs.select("doc_id", "text").collect():
+        b = r.text.encode("utf-8")
+        for i in range(len(b) // 64):
+            frame = b[i * 64 : (i + 1) * 64]
+            want[(r.doc_id, i)] = sum((x - 128) ** 2 for x in frame)
+    assert got == want and len(want) > 0
+    with pytest.raises(Exception, match="NotImplementedError|real audio"):
+        audio_frame_energy(media, fake=False).collect()
