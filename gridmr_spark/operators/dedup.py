@@ -144,22 +144,29 @@ def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
     return [(rng.randrange(1, _MERSENNE) | 1, rng.randrange(0, _MERSENNE)) for _ in range(k)]
 
 
-def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 64
-) -> DataFrame:
-    """k-wide MinHash signature per doc, one groupBy pass.
+def minhash_signatures_from_shingles(sh: DataFrame, k: int = 64) -> DataFrame:
+    """k-wide MinHash signature per doc from an (id, shingle) table, one
+    groupBy pass.
 
     base = xxhash64(shingle) mod P; h_i = (a_i*base + b_i) mod P; sig_i =
     min over shingles. All JVM expressions — the k aggregates compile into
-    one hash-aggregate operator.
-    """
-    sh = word_shingles(df, id_col, text_col, n)
+    one hash-aggregate operator. Taking the shingle TABLE (not the raw
+    docs) lets callers that also need the shingles for exact verification
+    tokenize once and reuse the materialized table for both stages."""
     base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
     aggs = [
         F.min(F.pmod(F.lit(a) * base + F.lit(b), F.lit(_MERSENNE))).alias(f"mh{i}")
         for i, (a, b) in enumerate(_perm_params(k))
     ]
     return sh.groupBy(F.col("id")).agg(*aggs)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 64
+) -> DataFrame:
+    """k-wide MinHash signature per doc (tokenizes internally; see
+    minhash_signatures_from_shingles for the shingle-reusing form)."""
+    return minhash_signatures_from_shingles(word_shingles(df, id_col, text_col, n), k)
 
 
 def _stacked_bands(sig: DataFrame, k: int, bands: int) -> DataFrame:
@@ -222,8 +229,13 @@ def minhash_dedup_incremental(
 
     Output: (id1=old, id2=new, jaccard >= threshold), exact-verified like
     minhash_dedup_pairs."""
-    sig_old = minhash_signatures(old, id_col, text_col, n, k)
-    sig_new = minhash_signatures(new, id_col, text_col, n, k)
+    # Each half tokenizes ONCE (materialized), feeding its signature pass
+    # and its verify-join leg — in production the old half is a precomputed
+    # artifact and this checkpoint is a table read.
+    sh_old = word_shingles(old, id_col, text_col, n).localCheckpoint(eager=True)
+    sh_new = word_shingles(new, id_col, text_col, n).localCheckpoint(eager=True)
+    sig_old = minhash_signatures_from_shingles(sh_old, k)
+    sig_new = minhash_signatures_from_shingles(sh_new, k)
     a = _stacked_bands(sig_old, k, bands).select(
         F.col("id").alias("id1"), "band_id", "band_hash"
     )
@@ -231,8 +243,6 @@ def minhash_dedup_incremental(
         F.col("id").alias("id2"), "band_id", "band_hash"
     )
     cand = a.join(b, ["band_id", "band_hash"]).select("id1", "id2").distinct()
-    sh_old = word_shingles(old, id_col, text_col, n)
-    sh_new = word_shingles(new, id_col, text_col, n)
     common = (
         sh_old.select(F.col("id").alias("id1"), "shingle")
         .join(sh_new.select(F.col("id").alias("id2"), "shingle"), "shingle")
@@ -267,8 +277,11 @@ def minhash_dedup_pairs(
     near-dup pipeline). Output matches jaccard_pairs up to LSH recall; at
     100 TB this replaces the inverted-index join's worst-case blowup with a
     bounded candidate set."""
-    cand = lsh_candidate_pairs(minhash_signatures(df, id_col, text_col, n, k), k, bands)
-    sh = word_shingles(df, id_col, text_col, n)
+    # ONE tokenize+shingle pass, materialized: the table feeds the signature
+    # aggregation AND both verify-join legs AND the size aggregate — without
+    # the checkpoint each consumer re-runs the tokenizer over the raw text.
+    sh = word_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(minhash_signatures_from_shingles(sh, k), k, bands)
     sizes = _shingle_sizes(sh)
     a = sh.select(F.col("id").alias("id1"), "shingle")
     b = sh.select(F.col("id").alias("id2"), "shingle")
