@@ -242,10 +242,28 @@ def minhash_dedup_incremental(
     b = _stacked_bands(sig_new, k, bands).select(
         F.col("id").alias("id2"), "band_id", "band_hash"
     )
-    cand = a.join(b, ["band_id", "band_hash"]).select("id1", "id2").distinct()
-    common = (
+    # Candidate set feeds three consumers (two id semi-filters + the final
+    # pair semi-join) — materialize once so the banding join runs once.
+    cand = (
+        a.join(b, ["band_id", "band_hash"]).select("id1", "id2").distinct()
+        .localCheckpoint(eager=True)
+    )
+    # Semi-filter each shingle leg down to candidate documents BEFORE the
+    # shingle equi-join: without this the verify stage scales with the full
+    # bipartite inverted index (sum over shingles of df_old*df_new), not
+    # with band collisions — which is the cost contract documented above.
+    # Filtering by ids is a superset of the final (id1, id2) semi-join, so
+    # the result is unchanged.
+    old_leg = (
         sh_old.select(F.col("id").alias("id1"), "shingle")
-        .join(sh_new.select(F.col("id").alias("id2"), "shingle"), "shingle")
+        .join(cand.select("id1").distinct(), "id1", "left_semi")
+    )
+    new_leg = (
+        sh_new.select(F.col("id").alias("id2"), "shingle")
+        .join(cand.select("id2").distinct(), "id2", "left_semi")
+    )
+    common = (
+        old_leg.join(new_leg, "shingle")
         .join(cand, ["id1", "id2"], "left_semi")
         .groupBy("id1", "id2")
         .agg(F.count("*").alias("c"))
@@ -281,10 +299,19 @@ def minhash_dedup_pairs(
     # aggregation AND both verify-join legs AND the size aggregate — without
     # the checkpoint each consumer re-runs the tokenizer over the raw text.
     sh = word_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
-    cand = lsh_candidate_pairs(minhash_signatures_from_shingles(sh, k), k, bands)
+    cand = lsh_candidate_pairs(
+        minhash_signatures_from_shingles(sh, k), k, bands
+    ).localCheckpoint(eager=True)
     sizes = _shingle_sizes(sh)
-    a = sh.select(F.col("id").alias("id1"), "shingle")
-    b = sh.select(F.col("id").alias("id2"), "shingle")
+    # Semi-filter both legs to candidate documents before the shingle
+    # equi-join so verification scales with band collisions, not with the
+    # full inverted-index join (see minhash_dedup_incremental).
+    cand_ids = cand.select(F.col("id1").alias("id")).union(
+        cand.select(F.col("id2").alias("id"))
+    ).distinct()
+    shc = sh.join(cand_ids, "id", "left_semi")
+    a = shc.select(F.col("id").alias("id1"), "shingle")
+    b = shc.select(F.col("id").alias("id2"), "shingle")
     common = (
         a.join(b, "shingle")
         .where(F.col("id1") < F.col("id2"))

@@ -193,7 +193,14 @@ def cosine_topk_gemm_blocked(
         if exclude_self:
             S[cids[:, None] == q_ids[None, :]] = -np.inf
         kk = min(k, S.shape[0])
-        top = np.argpartition(-S, kk - 1, axis=0)[:kk]  # per-query cell top-k
+        # Per-query cell top-k with the SAME tiebreak as the final window
+        # merge (cosine desc, c_id asc): lexsort per column instead of
+        # argpartition, whose arbitrary tie order could drop a survivor the
+        # global merge expects when scores duplicate (e.g. repeated vectors).
+        order = np.lexsort(
+            (np.broadcast_to(cids[:, None], S.shape), -S), axis=0
+        )
+        top = order[:kk]
         out = pd.DataFrame(
             {
                 "q_id": np.repeat(q_ids, kk),

@@ -50,45 +50,38 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # here explicitly and served first; long-green queries re-verify with
 # whatever budget remains. Update per round as rows come back green.
 _DRIVER_PRIORITY: list[str] = [
-    # --- round-3 priority (driver budget ~50; first rows first) ---
-    # (a) r2 rows red on the events-loader regression, loader now fixed —
-    # must re-prove first
-    "events_funnel", "map_funcs", "window_lag_lead", "window_time_range",
-    "events_sessionize", "agg_heavy_hitters", "stream_dedup_exact",
-    "stream_interval_join",
-    # (b) zero driver evidence of any kind across r1–r2 (dedup_simhash and
-    # multimodal_decode gained oracles this round)
-    "dedup_simhash", "agg_approx_distinct", "multimodal_decode",
-    "multimodal_resize", "similarity_topk_gemm_blocked", "graph_pagerank",
-    "agg_hll_mergeable",
-    # (c) registered in r2 but never driver-checked (the 50-query budget
-    # ran out): TPC-H completion pack + text/layout/pipeline additions
-    "q2_min_cost_supplier", "q6_forecast_revenue", "q7_nation_volume",
-    "q8_market_share", "q9_product_profit", "q11_important_values",
-    "q13_order_distribution", "q15_top_supplier", "q16_supplier_counts",
-    "q17_small_quantity", "q19_disjunctive_brackets",
-    "q20_part_family_shippers", "q21_waiting_suppliers",
-    "join_full_outer", "join_null_safe",
-    "text_chunk_windows", "text_tfidf_topterms", "dedup_contamination_check",
-    "pipeline_token_batching", "agg_histogram", "layout_compact_files",
-    "source_schema_evolution",
-    # (d) new in round 3 — no driver row yet
-    "text_repetition_filters", "join_asof_tolerance", "join_asof_forward",
-    "stream_static_enrich", "agg_winsorize", "vector_quantize_int8",
-    "pipeline_domain_caps", "join_salted_skew", "events_burst_detection",
-    "text_corpus_freq_score", "merge_scd2_history", "dedup_incremental_minhash",
-    "try_funcs", "window_value_range", "events_transition_matrix",
-    "dedup_exact_digest", "dq_profile_columns", "dq_orphan_check",
-    "dq_constraint_check", "merge_scd2_asof_lookup", "agg_equidepth_histogram",
+    # --- round-4 priority (driver budget ~50; first rows first) ---
+    # (a) the 9 round-3 additions the r3 budget never reached (r3 recorded
+    # exactly the first 50 priority entries; these were entries 51-59).
+    # All are local-oracle green; each needs its first driver row.
+    "window_value_range", "events_transition_matrix", "dedup_exact_digest",
+    "dq_profile_columns", "dq_orphan_check", "dq_constraint_check",
+    "merge_scd2_asof_lookup", "agg_equidepth_histogram",
     "multimodal_audio_energy",
-    # (e) events-dependent queries whose only green row is r1 (pre-regression
-    # loader): re-prove under the new dtype-branch path with remaining
-    # budget — they have historical green rows, so they yield to the
-    # never-checked groups above
+    # (b) new in round 4 — no driver row yet; graph_pagerank re-listed
+    # because it gained a real DuckDB oracle this round (was rows-only).
+    "graph_pagerank",
+    "fuzzy_blocked_pairs",
+    "ds_store_sales_rollup", "ds_returns_anti", "ds_date_star",
+    "ds_customer_ltv_window", "ds_inventory_gaps",
+    # (c) queries whose only green row is round 1 — stale by three rounds;
+    # events-dependent ones first (they sat behind the r2 loader regression
+    # and re-proved only via pytest), then registration order.
     "join_asof", "json_funcs", "conditional_funcs", "events_cohort_retention",
     "stream_tumbling_1h", "stream_sliding_1h_30m", "stream_session_10m",
-    # long-green queries (r1/r2 hash-green) follow in registration order
-    # with whatever budget remains.
+    "window_distribution", "fuzzy_levenshtein_pairs",
+    "q1_pricing_summary", "filter_project", "join_star_revenue",
+    "join_semi", "join_anti", "join_range_band",
+    "agg_distinct", "agg_moments", "agg_rollup", "agg_cube",
+    "agg_grouping_sets", "set_ops", "distinct_rows",
+    "q3_shipping_priority", "q5_local_supplier_volume", "pivot_status",
+    "agg_percentiles", "subquery_scalar_exists", "pandas_udf_revenue",
+    "string_funcs", "date_funcs", "math_funcs", "unpivot_status",
+    "wordcount", "dedup_exact", "dedup_ngram_jaccard",
+    "text_lang_id", "text_quality", "text_token_count", "text_fingerprint",
+    "multimodal_meta", "q4_priority_late_ship",
+    # r2/r3-green queries follow in registration order with whatever
+    # budget remains.
 ]
 
 

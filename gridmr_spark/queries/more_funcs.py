@@ -509,7 +509,10 @@ def agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BURST_ORACLE = """
 WITH h AS (
-  SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS hour_start,
+  -- ts truncated to micros (make_timestamp(epoch_us(...))) to match what
+  -- Spark reads from legacy-nanos testdata; see streaming_batch.py.
+  SELECT CAST(time_bucket(INTERVAL '1 hour', make_timestamp(epoch_us(ts))) AS TIMESTAMP)
+           AS hour_start,
          event_type, COUNT(*) AS n
   FROM events GROUP BY 1, 2
 ), t AS (
@@ -572,8 +575,12 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TRANSITION_ORACLE = """
 WITH ordered AS (
+  -- ORDER BY micros-truncated ts so same-microsecond ordering matches the
+  -- Spark side under legacy-nanos testdata (convention: streaming_batch.py).
   SELECT user_id, event_type,
-         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+         LAG(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY make_timestamp(epoch_us(ts)), event_id) AS prev_type
   FROM events
 )
 SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions

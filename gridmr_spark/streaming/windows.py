@@ -59,7 +59,13 @@ def _events_ts_is_legacy_nanos(path: str) -> bool:
     if os.path.isdir(path):
         inner = [f for f in os.listdir(path) if f.endswith(".parquet")]
         path = os.path.join(path, inner[0])
-    return pq.ParquetFile(path).schema_arrow.field("ts").type == "timestamp[ns]"
+    import pyarrow as pa
+
+    t = pq.ParquetFile(path).schema_arrow.field("ts").type
+    # Type-predicate, not string equality: a tz-adjusted nanos column
+    # renders as "timestamp[ns, tz=UTC]" and would otherwise compare
+    # unequal, route to the micros branch, and fail the readStream opaquely.
+    return pa.types.is_timestamp(t) and t.unit == "ns"
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
