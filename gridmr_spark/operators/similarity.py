@@ -140,6 +140,7 @@ def cosine_topk_gemm_blocked(
     c_id: str = "c_id",
     c_vec: str = "c_vec",
     exclude_self: bool = True,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Block-matrix GEMM top-k: the scale shape of cosine_topk_gemm when
     NEITHER side fits the driver — a 2-D cogrouped grid, one Spark job, no
@@ -160,7 +161,11 @@ def cosine_topk_gemm_blocked(
     """
     import math
 
-    n = queries.count()
+    # Grid sizing needs only an approximate row count; callers that know it
+    # (parquet footer metadata via catalog.table_rows, a catalog statistic)
+    # pass n_rows so planning costs zero jobs. The count() fallback exists
+    # for ad-hoc frames only — at scale an extra scan wave per invocation.
+    n = queries.count() if n_rows is None else n_rows
     if n == 0:
         return cosine_topk_gemm(
             queries.select(q_id, q_vec).limit(0).toPandas(), candidates, k,
@@ -229,28 +234,56 @@ class IVFIndex:
     driver-side loops over data; only the k centroids ever come to the
     driver). At 100 TB: k ~ sqrt(n) keeps cells balanced; the cell
     assignment is one broadcast-join pass; queries probe nprobe cells ->
-    candidate volume ~ n * nprobe / k per query batch.
+    candidate volume ~ n * nprobe * assign_n / k per query batch.
+
+    ``assign_n`` > 1 replicates each BASE vector into its assign_n nearest
+    cells (cell-overlap / spill assignment, the SPANN-style boundary fix):
+    a neighbor sitting just across a Voronoi boundary from the query's
+    probed cells is still found via its second-nearest cell. Costs assign_n×
+    index storage and candidate volume; buys the recall that nprobe alone
+    can't reach on boundary-heavy (e.g. near-random) data.
     """
 
-    def __init__(self, k: int = 16, nprobe: int = 3, iters: int = 2, seed: int = 42):
+    def __init__(
+        self,
+        k: int = 16,
+        nprobe: int = 3,
+        iters: int = 2,
+        seed: int = 42,
+        assign_n: int = 1,
+        fit_sample: int = 4096,
+    ):
         self.k = k
         self.nprobe = nprobe
         self.iters = iters
         self.seed = seed
+        self.assign_n = assign_n
+        self.fit_sample = fit_sample
 
     def fit_centroids(self, df: DataFrame, vec_col: str) -> list[list[float]]:
         """Seeded deterministic init (orderBy xxhash64 sample) + Lloyd steps
         computed with groupBy avg per dimension (posexplode -> mean)."""
-        init = (
-            df.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(vec_col).cast("array<float>").cast("string")).alias("h"))
+        # Lloyd refinement runs over a deterministic hash-sample, not the
+        # full table: at 100 TB a k-means fit is a sample-side estimation
+        # problem (centroids from fit_sample >> k rows are statistically
+        # indistinguishable from full-data centroids), and each iteration
+        # becomes one tiny job instead of iters full scan+shuffle waves.
+        # orderBy(h).limit(N) plans as TakeOrdered — no full sort shuffle.
+        sample = (
+            df.select(
+                F.col(vec_col).alias("v"),
+                F.xxhash64(F.col(vec_col).cast("array<float>").cast("string")).alias("h"),
+            )
             .orderBy("h")
-            .limit(self.k)
-            .select("v")
-            .collect()
+            .limit(max(self.k, self.fit_sample))
+            .localCheckpoint(eager=True)
         )
-        centroids = [[float(x) for x in r.v] for r in init]
+        centroids = [
+            [float(x) for x in r.v]
+            for r in sample.orderBy("h").limit(self.k).select("v").collect()
+        ]
         for _ in range(self.iters):
-            assigned = self.assign(df.select(F.col(vec_col).alias("v")), "v", centroids)
+            assigned = self.assign(sample.select("v"), "v", centroids)
             new = (
                 assigned.select("cell", F.posexplode(F.col("v")).alias("dim", "x"))
                 .groupBy("cell", "dim")
@@ -296,36 +329,70 @@ class IVFIndex:
         nearest = self._nearest_cells_udf(centroids, self.nprobe)
         return df.withColumn("cell", F.explode(nearest(F.col(vec_col))))
 
+    def assign_multi(
+        self, df: DataFrame, vec_col: str, centroids: list[list[float]]
+    ) -> DataFrame:
+        """The assign_n nearest cells per BASE row (exploded) — the
+        cell-overlap index layout. assign_n=1 degenerates to assign()."""
+        nearest = self._nearest_cells_udf(centroids, self.assign_n)
+        return df.withColumn("cell", F.explode(nearest(F.col(vec_col))))
+
     def topk(self, df: DataFrame, id_col: str, vec_col: str, k: int = 5) -> DataFrame:
-        """Approximate all-pairs top-k: candidates = pairs sharing a probed
-        cell; exact cosine on candidates; rank."""
+        """Approximate all-pairs top-k: one cogrouped GEMM per cell.
+
+        Instead of exploding (qid, cid) candidate pairs and paying a
+        per-pair dot product plus two vector joins (pair volume ~
+        n²·nprobe·assign_n/k — near-quadratic row traffic), each cell's
+        probing queries and resident base vectors cogroup once and a single
+        numpy GEMM scores the whole cell; only per-cell top-k survivors
+        (≤ k rows per query per cell) leave Python. Shuffled bytes are
+        vectors × replication (assign_n + nprobe), never pairs. Per-cell
+        survivors dedupe via max(cosine) — the same pair scored in two
+        cells can differ in the last ulp between BLAS calls — then the
+        global window merge ranks with the (cosine desc, cid asc) tiebreak,
+        identical to the exact GEMM paths."""
         centroids = self.fit_centroids(df, vec_col)
-        base = self.assign(
+        base = self.assign_multi(
             df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")), "cvec", centroids
-        ).select("cid", "cell")
+        ).select("cell", "cid", "cvec")
         qside = self.probe_cells(
             df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")), "qvec", centroids
-        ).select("qid", "cell")
-        cand = (
-            qside.join(base, "cell").where(F.col("qid") != F.col("cid")).select("qid", "cid").distinct()
-        )
-        qvecs = with_norm(
-            df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")), "qvec", "_qv", "_qn"
-        ).select("qid", "_qv", "_qn")
-        cvecs = with_norm(
-            df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")), "cvec", "_cv", "_cn"
-        ).select("cid", "_cv", "_cn")
-        sims = (
-            cand.join(qvecs, "qid")
-            .join(cvecs, "cid")
-            .select(
-                "qid",
-                "cid",
-                (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cosine"),
+        ).select("cell", "qid", "qvec")
+
+        def gemm_cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+            if len(qpdf) == 0 or len(cpdf) == 0:
+                return pd.DataFrame({"qid": [], "cid": [], "cosine": []})
+            Q = np.stack(qpdf["qvec"].to_list()).astype("float64")
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            C = np.stack(cpdf["cvec"].to_list()).astype("float64")
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Cn @ Qn.T  # (cell base rows, cell queries)
+            q_ids = qpdf["qid"].to_numpy()
+            cids = cpdf["cid"].to_numpy()
+            S[cids[:, None] == q_ids[None, :]] = -np.inf  # self-pairs
+            kk = min(k, S.shape[0])
+            # Same tiebreak as the final merge: cosine desc, cid asc.
+            order = np.lexsort(
+                (np.broadcast_to(cids[:, None], S.shape), -S), axis=0
             )
+            top = order[:kk]
+            out = pd.DataFrame(
+                {
+                    "qid": np.repeat(q_ids, kk),
+                    "cid": cids[top].T.ravel(),
+                    "cosine": np.take_along_axis(S, top, axis=0).T.ravel(),
+                }
+            )
+            return out[out["cosine"] != -np.inf]
+
+        cells = (
+            qside.groupBy("cell")
+            .cogroup(base.groupBy("cell"))
+            .applyInPandas(gemm_cell, schema="qid long, cid long, cosine double")
         )
+        deduped = cells.groupBy("qid", "cid").agg(F.max("cosine").alias("cosine"))
         w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
-        return sims.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+        return deduped.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
 
 
 class RandomHyperplaneLSH:

@@ -127,6 +127,23 @@ def test_blocked_gemm_is_cogrouped_single_plan(spark, sf_oracle):
     assert "FlatMapCoGroupsInPandas" in plan, plan
 
 
+def test_blocked_gemm_plans_without_count_job(spark, sf_oracle, monkeypatch):
+    """Grid sizing must come from parquet footer metadata (table_rows), not
+    a queries.count() job — an extra full scan wave per invocation at scale.
+    Building the registered query's plan with DataFrame.count poisoned must
+    succeed."""
+    from pyspark.sql import DataFrame
+
+    from gridmr_spark.queries import load_all
+
+    def _boom(self):
+        raise AssertionError("count() job issued during plan construction")
+
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    df = load_all()["similarity_topk_gemm_blocked"].fn(spark, sf_oracle)
+    assert df.schema is not None
+
+
 def test_simhash_signature_not_recomputed(spark, sf_oracle):
     """The simhash signature table feeds 2*blocks join legs; after the
     localCheckpoint it must appear as a materialized scan — zero parquet

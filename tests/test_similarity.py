@@ -64,18 +64,26 @@ def test_gemm_topk_matches_fold_topk(spark, sf_oracle):
 
 
 def test_ivf_recall_vs_exact(spark, sf_oracle):
-    """IVF with nprobe=4/16 cells on near-random vectors (worst case for a
-    centroid index) must still beat random candidate selection by a wide
-    margin and be deterministic across partitionings."""
+    """IVF at the registered query's production tuning (k=ceil(sqrt(n)),
+    nprobe=ceil(0.36k), iters=4, assign_n=2 cell overlap) on near-random
+    vectors — the worst case for a centroid index — must reach recall >= 0.8
+    of the exact top-5 (offline sweep measures ~0.90-0.94 across seeds at
+    n=500 and n=2000) and be deterministic across partitionings."""
+    import math
+
     from gridmr_spark.operators.similarity import IVFIndex
 
     exact, _ = _exact_topk_pairs(spark, sf_oracle, k=5)
     emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
-    ivf = IVFIndex(k=16, nprobe=4, iters=2, seed=42)
+    n = emb.count()
+    k_cells = max(4, math.ceil(math.sqrt(n)))
+    ivf = IVFIndex(
+        k=k_cells, nprobe=max(2, math.ceil(0.36 * k_cells)), iters=4,
+        seed=42, assign_n=2,
+    )
     approx = {(r.qid, r.cid) for r in ivf.topk(emb, "vec_id", "embedding", k=5).collect()}
     recall = len(exact & approx) / len(exact)
-    # random selection of 4/16 cells would give ~0.25 recall in expectation
-    assert recall >= 0.3, f"IVF recall {recall:.3f}"
+    assert recall >= 0.8, f"IVF recall {recall:.3f}"
     approx2 = {(r.qid, r.cid) for r in ivf.topk(emb.repartition(7), "vec_id", "embedding", k=5).collect()}
     assert approx == approx2  # deterministic under repartitioning
 
