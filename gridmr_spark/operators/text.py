@@ -268,3 +268,62 @@ def fingerprint(text_col: str = "text", mod: int = 2147483647, mult: int = 31) -
         F.lit(0).cast("long"),
         lambda acc, c: (acc * mult + c) % mod,
     )
+
+
+def symdelete_fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_block_df: int | None = None,
+) -> DataFrame:
+    """Exact Levenshtein<=1 pairs via symmetric-deletion blocking (the
+    SymSpell/FastSS construction): every string emits itself plus each
+    single-character-deletion variant as block keys; two strings within
+    edit distance 1 PROVABLY share a key (substitution/indel at position i
+    collides on the delete-i variant), so the equi-join on the key finds
+    every qualifying pair — no broadcast-nested-loop over the pair space,
+    unlike a theta-join with a length-band prefilter.
+
+    Cost model: (len+1)x key blowup on the emit side, then one shuffle
+    equi-join on the key — both linear in data size; the verify step runs
+    the O(len^2) DP only on key-collision candidates. Generalizes to
+    distance d by emitting the depth-d deletion neighborhood (C(len,<=d)
+    keys) — the storage-for-shuffle trade to take when d grows.
+
+    ``max_block_df`` drops stop-keys hotter than the threshold (skew
+    guard for pathological inputs, e.g. a shared constant prefix of
+    single-char strings); None keeps completeness.
+    """
+    s = df.select(
+        F.col(id_col).alias("id"),
+        F.col(str_col).alias("name"),
+        F.length(str_col).alias("len"),
+    )
+    dels = F.transform(
+        F.sequence(F.lit(1), F.col("len")),
+        lambda i: F.concat(
+            F.substring(F.col("name"), F.lit(1), i - F.lit(1)),
+            F.substring(F.col("name"), i + F.lit(1), F.col("len")),
+        ),
+    )
+    keyed = s.select(
+        "id", "name", F.explode(F.concat(F.array(F.col("name")), dels)).alias("v")
+    )
+    if max_block_df is not None:
+        hot = (
+            keyed.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_block_df)
+            .select("v")
+        )
+        keyed = keyed.join(hot, "v", "left_anti")
+    a = keyed.select(F.col("id").alias("id1"), F.col("name").alias("n1"), "v")
+    b = keyed.select(F.col("id").alias("id2"), F.col("name").alias("n2"), "v")
+    return (
+        a.join(b, "v")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "n1", "n2")
+        .distinct()
+        .select("id1", "id2", F.levenshtein("n1", "n2").alias("dist"))
+        .where(F.col("dist") <= 1)
+    )

@@ -101,6 +101,32 @@ def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The oracle is deliberately the NAIVE quadratic definition (DuckDB is fine
+# with it at sf0.01): hash-equality then proves the Spark side's
+# symmetric-deletion blocking loses no pair — the completeness claim, not
+# just self-consistency of the blocked plan.
+_FUZZY_BLOCKED_ORACLE = """
+SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
+       levenshtein(a.s_name, b.s_name) AS dist
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+
+@query("fuzzy_blocked_pairs", oracle=_FUZZY_BLOCKED_ORACLE)
+def fuzzy_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance<=1 name pairs via symmetric-deletion blocking
+    (operators/text.symdelete_fuzzy_pairs) — the FACT-TABLE-safe fuzzy
+    matcher: key blowup + shuffle equi-join, both linear, where
+    fuzzy_levenshtein_pairs' broadcast theta-join is dim-sized-only. The
+    oracle is the unblocked quadratic definition, so the driver's hash gate
+    verifies the blocking is lossless."""
+    from gridmr_spark.operators.text import symdelete_fuzzy_pairs
+
+    supp = load_table(spark, sf_dir, "supplier")
+    return symdelete_fuzzy_pairs(supp, "s_suppkey", "s_name")
+
+
 # ---------------------------------------------------------------------------
 # Event analytics: cohort retention and conversion funnel
 # ---------------------------------------------------------------------------

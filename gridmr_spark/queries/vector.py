@@ -338,15 +338,55 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(F.count("*").alias("n_vertices"))
 
 
-@query("graph_pagerank", oracle=None)  # iterative float sums: numpy-parity tested
+def _pagerank_oracle_sql(iters: int = 6, damping: float = 0.85) -> str:
+    """Unrolled power-iteration PageRank in plain SQL: one CTE pair
+    (dangling-mass scalar + in-message aggregate) per iteration, chained —
+    no recursion needed, so DuckDB's no-aggregates-in-recursive-CTE rule
+    never applies. Mirrors operators/graph.pagerank term for term, with the
+    SAME expression shapes ((1-d)/n + d*dm/n, then + d*msgs) so both
+    engines run identical IEEE-754 operation sequences; the residual
+    summation-order noise (~1e-15 relative) is absorbed by the shared
+    DECIMAL(18,9) quantization of the output."""
+    parts = [
+        "WITH v AS (SELECT vec_id AS id FROM embeddings WHERE vec_id < 500),",
+        f"p AS ({_PAIRS_500_SQL}),",
+        "e AS (SELECT id1 AS src, id2 AS dst FROM p"
+        " UNION ALL SELECT id2 AS src, id1 AS dst FROM p),",
+        "deg AS (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src),",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),",
+        "r0 AS (SELECT v.id, 1.0 / nn.n AS rank FROM v CROSS JOIN nn),",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"d{i} AS (SELECT COALESCE(SUM(r.rank), 0.0) AS dm"
+            f" FROM r{i} r LEFT JOIN deg ON r.id = deg.id WHERE deg.id IS NULL),\n"
+            f"m{i} AS (SELECT e.dst AS id, SUM(r.rank / deg.deg) AS m"
+            f" FROM e JOIN r{i} r ON e.src = r.id JOIN deg ON deg.id = e.src"
+            f" GROUP BY e.dst),\n"
+            f"r{i + 1} AS (SELECT v.id,"
+            f" ((1.0 - {damping}) / nn.n + {damping} * d{i}.dm / nn.n)"
+            f" + {damping} * COALESCE(m{i}.m, 0.0) AS rank"
+            f" FROM v CROSS JOIN nn CROSS JOIN d{i}"
+            f" LEFT JOIN m{i} ON v.id = m{i}.id),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT id AS vec_id, CAST(rank AS DECIMAL(18,9)) AS rank FROM r{iters}"
+    )
+    return "\n".join(parts)
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle_sql())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the (symmetrized) near-dup graph — the centrality
     signal that ranks cluster representatives by connectedness (a more
     duplicated document ranks higher than a fringe member). Iterative power
     method per operators/graph.py; verified against a NumPy power iteration
-    in tests/test_graph.py (no SQL oracle: 10 chained recursive aggregates
-    is outside DuckDB's recursion-with-aggregation support, and the float
-    sums are evaluation-order-sensitive anyway)."""
+    in tests/test_graph.py AND against an unrolled-iteration DuckDB oracle
+    (_pagerank_oracle_sql). Ranks quantize to DECIMAL(18,9) on both sides:
+    the two engines sum float contributions in different orders, so the
+    raw doubles agree only to ~1e-15 relative — far inside the 1e-9
+    quantum."""
     from gridmr_spark.operators.graph import pagerank
 
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
@@ -354,7 +394,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = p.unionAll(p.select(F.col("id2").alias("id1"), F.col("id1").alias("id2")))
     return pagerank(
         emb.select("vec_id"), both, id_col="vec_id", src_col="id1", dst_col="id2", iters=6
-    ).select(F.col("id").alias("vec_id"), "rank")
+    ).select(
+        F.col("id").alias("vec_id"), F.col("rank").cast("decimal(18,9)").alias("rank")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -169,3 +169,13 @@ def test_scd2_windows_share_one_sort(spark, sf_oracle):
     plan = _plan(spark, sf_oracle, "merge_scd2_history")
     n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_exchange == 1, plan
+
+
+def test_fuzzy_blocked_pairs_is_equi_join(spark, sf_oracle):
+    """The symmetric-deletion matcher must plan as a hash EQUI-join on the
+    deletion-variant key — never a nested loop over the pair space (the
+    failure mode of theta-join fuzzy matching on fact tables)."""
+    plan = _plan(spark, sf_oracle, "fuzzy_blocked_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan, plan
