@@ -70,34 +70,66 @@ def decode_image_features(media: DataFrame, batch_size: int = 256, fake: bool = 
     maxRecordsPerBatch, not per-row allocation.
     """
 
-    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            from PIL import Image  # noqa: F401
+    import numpy as np
 
-            have_pil = True
-        except ImportError:
-            have_pil = False
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            try:
+                import io
+
+                from PIL import Image
+            except ImportError as exc:  # the container-gated seam
+                raise NotImplementedError(
+                    "real image decode requires PIL; install pillow or use fake=True"
+                ) from exc
         for pdf in batches:
-            if not fake:
-                if not have_pil:
-                    raise NotImplementedError(
-                        "real image decode requires PIL; install pillow or use fake=True"
-                    )
-                raise NotImplementedError("real decode path: Image.open(io.BytesIO(b))")
             payloads = pdf["payload"]
-            byte_len = payloads.map(len)
-            mean_byte = payloads.map(lambda b: (sum(b) / len(b)) if len(b) else 0.0)
+            if not fake:
+                # Real path: PIL decodes per image (codec APIs are
+                # per-image), but ALL pixel math is numpy over the decoded
+                # array — the same stats as the fake path, computed on
+                # pixels instead of raw payload bytes.
+                widths, heights, means, feats = [], [], [], []
+                for b in payloads:
+                    im = Image.open(io.BytesIO(bytes(b))).convert("L")
+                    arr = np.asarray(im, dtype=np.uint8)
+                    widths.append(im.width)
+                    heights.append(im.height)
+                    flat = arr.ravel()
+                    means.append(float(flat.sum(dtype="int64")) / len(flat) if len(flat) else 0.0)
+                    feats.append(np.bincount(flat & 7, minlength=8).astype("float64").tolist())
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "byte_len": payloads.map(len).astype("int64"),
+                        "width": pd.Series(widths, index=pdf.index, dtype="int32"),
+                        "height": pd.Series(heights, index=pdf.index, dtype="int32"),
+                        "mean_byte": pd.Series(means, index=pdf.index, dtype="float64"),
+                        "feature": pd.Series(feats, index=pdf.index),
+                    }
+                )
+                continue
+
+            # Fake (container-default) path: numpy frombuffer + bincount per
+            # payload — byte-exact with the DuckDB oracle's definitions
+            # (integer sums are exact in int64, so sum/len is the same
+            # double), with no per-byte interpreted Python.
+            def _stats(b: bytes) -> tuple[float, list[float]]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                if len(arr) == 0:
+                    return 0.0, [0.0] * 8
+                mean = float(arr.sum(dtype="int64")) / len(arr)
+                return mean, np.bincount(arr & 7, minlength=8).astype("float64").tolist()
+
+            stats = [_stats(b) for b in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "byte_len": byte_len.astype("int64"),
+                    "byte_len": payloads.map(len).astype("int64"),
                     "width": pdf["meta"].map(lambda m: m["width"]).astype("int32"),
                     "height": pdf["meta"].map(lambda m: m["height"]).astype("int32"),
-                    "mean_byte": mean_byte.astype("float64"),
-                    # deterministic 8-dim "embedding" from byte histogram buckets
-                    "feature": payloads.map(
-                        lambda b: [float(sum(1 for x in b if x % 8 == i)) for i in range(8)]
-                    ),
+                    "mean_byte": pd.Series([s[0] for s in stats], index=pdf.index, dtype="float64"),
+                    "feature": pd.Series([s[1] for s in stats], index=pdf.index),
                 }
             )
 
@@ -130,11 +162,33 @@ def resize_images(
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         target = width * height
+        if not fake:
+            try:
+                import io
+
+                from PIL import Image
+            except ImportError as exc:  # the container-gated seam
+                raise NotImplementedError(
+                    "real image resize requires PIL; install pillow or use fake=True"
+                ) from exc
         for pdf in batches:
             if not fake:
-                raise NotImplementedError(
-                    "real resize path: Image.open(io.BytesIO(b)).resize((width, height))"
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "out_width": width,
+                        "out_height": height,
+                        # raw grayscale pixel bytes of the resized image —
+                        # exactly width*height bytes, like the fake path
+                        "resized": pdf["payload"].map(
+                            lambda b: Image.open(io.BytesIO(bytes(b)))
+                            .convert("L")
+                            .resize((width, height), Image.NEAREST)
+                            .tobytes()
+                        ),
+                    }
                 )
+                continue
 
             def subsample(b: bytes) -> bytes:
                 if len(b) == 0:

@@ -45,12 +45,66 @@ def test_decode_partition_invariant(media):
     assert a == b
 
 
+def _have_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_have_pil(), reason="PIL present: the seam decodes instead of raising")
 def test_real_decode_seam_raises(media):
     with pytest.raises(Exception) as exc:
         decode_image_features(media, fake=False).collect()
     assert "NotImplementedError" in str(exc.value) or isinstance(
         exc.value, NotImplementedError
     )
+
+
+def _png_gray(pixels: bytes, w: int, h: int) -> bytes:
+    """Minimal 8-bit grayscale PNG writer — pure stdlib (zlib + struct), so
+    the test can CREATE a real PNG without any codec library; only reading
+    it back needs PIL."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        c = tag + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # depth 8, color 0 = gray
+    raw = b"".join(b"\x00" + pixels[y * w : (y + 1) * w] for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.skipif(not _have_pil(), reason="real decode requires PIL")
+def test_real_decode_roundtrips_png(spark):
+    """With PIL available, fake=False must decode ACTUAL image bytes through
+    the same mapInPandas plumbing: an 8x8 gray PNG with pixels 0..63 decodes
+    to width/height 8, mean 31.5, and a uniform mod-8 histogram."""
+    from gridmr_spark.operators.multimodal import MEDIA_META, resize_images
+
+    png = _png_gray(bytes(range(64)), 8, 8)
+    df = spark.createDataFrame(
+        [(1, bytearray(png), ("image", "image/png", 8, 8, 16000, 1))],
+        schema=f"doc_id long, payload binary, meta struct<{','.join(f'{f.name}:{f.dataType.simpleString()}' for f in MEDIA_META.fields)}>",
+    )
+    r = decode_image_features(df, fake=False).collect()[0]
+    assert (r.width, r.height) == (8, 8)
+    assert r.byte_len == len(png)
+    assert abs(r.mean_byte - 31.5) < 1e-12
+    assert r.feature == [8.0] * 8
+    rz = resize_images(df, width=4, height=4, fake=False).collect()[0]
+    assert (rz.out_width, rz.out_height) == (4, 4)
+    assert len(rz.resized) == 16
+    assert all(0 <= b <= 63 for b in rz.resized)  # nearest-neighbor keeps source pixels
 
 
 def test_frame_sampling(media):
