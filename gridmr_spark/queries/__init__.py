@@ -63,7 +63,7 @@ _DRIVER_PRIORITY: list[str] = [
     "graph_pagerank",
     "fuzzy_blocked_pairs",
     "ds_store_sales_rollup", "ds_returns_anti", "ds_date_star",
-    "ds_customer_ltv_window", "ds_inventory_gaps",
+    "ds_customer_ltv_window", "ds_channel_compare",
     # (c) queries whose only green row is round 1 — stale by three rounds;
     # events-dependent ones first (they sat behind the r2 loader regression
     # and re-proved only via pytest), then registration order.
@@ -96,6 +96,7 @@ def load_all() -> dict[str, Query]:
         sources_io,
         streaming_batch,
         textops,
+        tpcds_shapes,
         tpch_full,
         tpch_more,
         udx,

@@ -179,3 +179,34 @@ def test_fuzzy_blocked_pairs_is_equi_join(spark, sf_oracle):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "HashJoin" in plan, plan
+
+
+def test_ds_date_star_broadcasts_derived_dim(spark, sf_oracle):
+    """The derived date dimension must reach the fact join as a broadcast —
+    the star join itself may move no fact rows."""
+    plan = _plan(spark, sf_oracle, "ds_date_star")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ds_returns_anti_pushes_returnflag(spark, sf_oracle):
+    """The 'R' predicate must reach the lineitem scan (the anti side builds
+    from a filtered fraction, not the whole fact)."""
+    plan = _plan(spark, sf_oracle, "ds_returns_anti")
+    assert "LeftAnti" in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln and "l_returnflag" in ln]
+    assert pushed, plan
+
+
+def test_ds_rollup_windows_aggregate_not_fact(spark, sf_oracle):
+    """The moving-average window must sit ABOVE the monthly aggregate: plan
+    order is window after both partial+final hash aggregates (never a
+    window over raw fact rows)."""
+    import re as _re
+
+    plan = plan_string(REG["ds_store_sales_rollup"].fn(spark, sf_oracle), "simple")
+    win = plan.index("Window")
+    aggs = [m.start() for m in _re.finditer("HashAggregate", plan)]
+    # tree prints parents first: the window node must appear before (above)
+    # the aggregates feeding it
+    assert aggs and win < min(aggs), plan
