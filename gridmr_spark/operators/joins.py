@@ -85,3 +85,43 @@ def asof_join(
     else:
         out = out.drop("_is_left")
     return out
+
+
+def interval_join_bucketed(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Point-in-interval join with NO equi key, as a bucketed EQUI-join —
+    the both-sides-big range join (the broadcast-dim shape in
+    join_range_band stops working when the interval side outgrows a
+    broadcast). Time is partitioned into fixed buckets; every interval
+    explodes into each bucket it overlaps, every point maps to exactly one
+    bucket, and the join becomes an equi-join on bucket id followed by the
+    exact residual predicate start <= point < end. Lossless: an interval
+    covers every bucket its span touches, so each qualifying (point,
+    interval) pair meets in exactly the point's bucket.
+
+    Scale behavior: shuffle is hash(bucket) on both sides — linear, no
+    nested loop. Replication factor on the interval side is
+    ceil(span/bucket)+1, so pick bucket_seconds ~ the typical interval
+    length (replication <= 2); per-bucket row volume is bounded by time
+    locality, and a pathological hot bucket responds to AQE skew-join like
+    any other equi-join — none of which is true of a BroadcastNestedLoop.
+
+    Returns all point columns plus the interval columns (caller aliases
+    to avoid collisions).
+    """
+    p_bucket = F.floor(F.unix_timestamp(F.col(point_ts)) / F.lit(bucket_seconds))
+    i_lo = F.floor(F.unix_timestamp(F.col(start_ts)) / F.lit(bucket_seconds))
+    i_hi = F.floor(F.unix_timestamp(F.col(end_ts)) / F.lit(bucket_seconds))
+    p = points.withColumn("_bucket", p_bucket)
+    i = intervals.withColumn("_bucket", F.explode(F.sequence(i_lo, i_hi)))
+    return (
+        p.join(i, "_bucket")
+        .where((F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) < F.col(end_ts)))
+        .drop("_bucket")
+    )

@@ -224,6 +224,52 @@ def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKETED_INTERVAL_ORACLE = """
+WITH i AS (
+  SELECT o_orderkey AS i_key, o_orderdate AS start_ts,
+         o_orderdate + INTERVAL 7 DAY AS end_ts
+  FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT i.i_key,
+       COUNT(*) AS n_points,
+       CAST(SUM(CAST(p.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM i JOIN orders p
+  ON p.o_orderdate >= i.start_ts AND p.o_orderdate < i.end_ts
+GROUP BY i.i_key
+"""
+
+
+@query("join_range_bucketed", oracle=_BUCKETED_INTERVAL_ORACLE)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join where BOTH sides are fact-sized — the case
+    join_range_band's broadcast dimension cannot cover. Runs through
+    operators/joins.interval_join_bucketed: 7-day time buckets turn the
+    range predicate into an equi-join on bucket id + exact residual filter
+    (lossless — the oracle is the naive range join, so the hash gate proves
+    it). Interval side here: every 97th order opened to a week-long window;
+    point side: all orders."""
+    from gridmr_spark.operators.joins import interval_join_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    intervals = (
+        orders.where(F.col("o_orderkey") % 97 == 0)
+        .select(
+            F.col("o_orderkey").alias("i_key"),
+            F.col("o_orderdate").alias("start_ts"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("end_ts"),
+        )
+    )
+    points = orders.select("o_orderdate", "o_totalprice")
+    joined = interval_join_bucketed(
+        points, intervals, "o_orderdate", "start_ts", "end_ts",
+        bucket_seconds=7 * 86400,
+    )
+    return joined.groupBy("i_key").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Distinct aggregation family
 # ---------------------------------------------------------------------------

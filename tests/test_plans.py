@@ -210,3 +210,13 @@ def test_ds_rollup_windows_aggregate_not_fact(spark, sf_oracle):
     # tree prints parents first: the window node must appear before (above)
     # the aggregates feeding it
     assert aggs and win < min(aggs), plan
+
+
+def test_bucketed_interval_join_is_equi_join(spark, sf_oracle):
+    """The binned range join must plan as a hash equi-join on the bucket id
+    (+ residual filter) — the lossless replacement for a nested loop when
+    the interval side outgrows a broadcast."""
+    plan = _plan(spark, sf_oracle, "join_range_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan, plan
