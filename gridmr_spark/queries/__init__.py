@@ -61,7 +61,7 @@ _DRIVER_PRIORITY: list[str] = [
     # (b) new in round 4 — no driver row yet; graph_pagerank re-listed
     # because it gained a real DuckDB oracle this round (was rows-only).
     "graph_pagerank",
-    "fuzzy_blocked_pairs", "join_range_bucketed",
+    "fuzzy_blocked_pairs", "join_range_bucketed", "stream_stateful_totals",
     "ds_store_sales_rollup", "ds_returns_anti", "ds_date_star",
     "ds_customer_ltv_window", "ds_channel_compare",
     # (c) queries whose only green row is round 1 — stale by three rounds;

@@ -173,3 +173,36 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") >= F.col("c_ts"))
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
     ).select("c_id", "p_id")
+
+
+# Cents arithmetic uses BANKER'S rounding end-to-end: the stateful stream
+# accumulates int((value*100).round()) via pandas/numpy (half-to-even),
+# Spark's rint() and DuckDB's round_even() are the same IEEE
+# round-half-to-even on the identical value*100 double — three engines, one
+# rounding rule, bit-identical totals.
+_STATEFUL_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round_even(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("stream_stateful_totals", oracle=_STATEFUL_ORACLE)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/windows.running_user_totals_stateful — the
+    applyInPandasWithState custom stateful operator (arbitrary per-key
+    state beyond built-in windows: CDC accumulators, online features).
+    State is one (count, cents) pair per user, exact integer arithmetic at
+    any Arrow chunking; stream==batch equality is asserted in
+    tests/test_streaming.py, and this batch twin carries the DuckDB oracle
+    for the driver gate."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.expr("CAST(rint(value * 100) AS BIGINT)")).cast("double") / 100.0
+        ).alias("total_value"),
+    )

@@ -125,9 +125,11 @@ def test_stateful_running_totals(spark, sf_oracle):
         r.user_id: (r.n_events, r.total_value)
         for r in spark.sql("SELECT * FROM t_stateful").collect()
     }  # single availableNow pass -> one emit per user
+    # rint = round-half-to-even, the same rule pandas .round() applies in
+    # the stateful operator's cents accumulation (F.round would be HALF_UP).
     batch = load_table(spark, sf_oracle, "events").groupBy("user_id").agg(
         F.count("*").alias("n"),
-        (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100.0).alias("t"),
+        (F.sum(F.expr("CAST(rint(value * 100) AS BIGINT)")).cast("double") / 100.0).alias("t"),
     )
     want = {r.user_id: (r.n, r.t) for r in batch.collect()}
     assert got == want
