@@ -1098,3 +1098,120 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = attach_payload(docs, "doc_id", "text", kind="audio")
     return audio_frame_energy(media, frame_bytes=256)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style paragraph-level dedup: drop repeated chunks corpus-wide
+# ---------------------------------------------------------------------------
+
+_PARA_DEDUP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ','g')),' '), t -> t <> '') AS ws
+  FROM documents
+), chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(ws[i*10+1 : i*10+10], ' ') AS chunk
+  FROM toks, UNNEST(generate_series(0, GREATEST(CAST(CEIL(len(ws)/10.0) AS BIGINT), 1) - 1)) AS u(i)
+), ranked AS (
+  SELECT doc_id, chunk_idx, chunk,
+         ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(STRING_AGG(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE rn = 1), '')
+         AS cleaned_text
+FROM ranked
+GROUP BY doc_id
+"""
+
+
+@query("dedup_paragraphs", oracle=_PARA_DEDUP_ORACLE)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style sub-document dedup: the corpus is chunked (10-token
+    windows standing in for paragraphs — the synthetic text has no newline
+    structure) and every chunk that already occurred EARLIER in the corpus
+    (first occurrence = min (doc_id, chunk_idx)) is dropped; each document
+    is then reassembled from its surviving chunks. This removes boilerplate
+    repeated ACROSS documents, which document-level dedup can never see.
+
+    Plan: tokenize once, explode to chunks (rows ~ tokens/10), ONE shuffle
+    on the chunk text for the first-occurrence window (at 100 TB, shuffle a
+    64-bit xxhash of the chunk instead of the text and join survivors
+    back), one shuffle on doc_id to reassemble. No pair joins anywhere —
+    cost is linear in corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(text_ops.tokenize("text"), lambda t: t != "")
+    n_chunks = F.greatest(F.ceil(F.size("ws") / F.lit(10.0)), F.lit(1)).cast("bigint")
+    chunks = (
+        docs.select("doc_id", toks.alias("ws"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(F.slice(F.col("ws"), i * 10 + 1, 10), " "),
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    kept_sorted = F.array_sort(
+        F.collect_list(F.when(F.col("rn") == 1, F.struct("chunk_idx", "chunk")))
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(kept_sorted, lambda s: s["chunk"]), " "
+        ).alias("cleaned_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Importance-weighted sampling: quality-proportional deterministic Bernoulli
+# ---------------------------------------------------------------------------
+
+_IMPORTANCE_ORACLE = """
+WITH h AS (
+  SELECT doc_id, source, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+           / 4294967296.0 AS u,
+         LEAST(GREATEST(n_chars / 400.0, 0.05), 1.0) AS w
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_kept,
+       CAST(SUM(CAST(w AS DECIMAL(18,9))) AS DOUBLE) AS sum_weight
+FROM h WHERE u < w
+GROUP BY source
+"""
+
+
+@query("sample_importance_weighted", oracle=_IMPORTANCE_ORACLE)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional deterministic sampling — the training-mix
+    primitive (upsample long/high-quality documents, downsample boilerplate)
+    without an RNG: keep a row iff uniform(md5(doc_id)) < weight, where the
+    weight here is a length proxy clipped to [0.05, 1]. Deterministic under
+    reruns, partitioning, and engine choice (same first-32-md5-bits uniform
+    as sample_train_val_test); E[kept] = sum of weights, which the output
+    reports per source for calibration. Pure scan + filter + one tiny
+    aggregate — no shuffle of the payload."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double") / F.lit(4294967296.0)
+    )
+    w = F.least(F.greatest(F.col("n_chars") / F.lit(400.0), F.lit(0.05)), F.lit(1.0))
+    return (
+        docs.where(u < w)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(w.cast("decimal(18,9)")).cast("double").alias("sum_weight"),
+        )
+    )
