@@ -111,12 +111,14 @@ def pagerank(
     for undirected graphs). Returns DataFrame[id, rank], sum(rank) == 1.
 
     Per round: one broadcast-able join of ranks onto edges (ranks are
-    O(|V|) narrow rows), one shuffle aggregate on dst, plus ONE scalar
-    action for the dangling mass (vertices with no out-edges leak their
-    rank; the standard fix redistributes it uniformly). localCheckpoint per
-    round bounds the plan exactly like connected_components above. Fixed
-    iteration count keeps the result deterministic — convergence-threshold
-    loops make run-to-run output depend on float noise.
+    O(|V|) narrow rows), one shuffle aggregate on dst, and the dangling
+    mass (vertices with no out-edges leak their rank; the standard fix
+    redistributes it uniformly) as a broadcast 1-ROW AGGREGATE cross-joined
+    into the update — NO per-round driver action: the whole round stays one
+    lazy plan that the localCheckpoint materializes (which also bounds plan
+    growth, exactly like connected_components above). Fixed iteration count
+    keeps the result deterministic — convergence-threshold loops make
+    run-to-run output depend on float noise.
     """
     v = vertices.select(F.col(id_col).alias("id")).localCheckpoint()
     e = edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")).localCheckpoint()
@@ -129,11 +131,9 @@ def pagerank(
             ranks.join(outdeg, ranks["id"] == outdeg["_s"], "left")
             .select("id", "rank", "_deg")
         )
-        # dangling mass: rank held by vertices with no out-edges
         dangling = (
             contrib_src.where(F.col("_deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
         )
         msgs = (
             e.join(contrib_src.where(F.col("_deg").isNotNull()), e["_s"] == contrib_src["id"])
@@ -141,12 +141,18 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("_c").alias("_in"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
+        # Same IEEE expression shape as the DuckDB oracle:
+        # (1-d)/n + d*dm/n, then + d*coalesce(in, 0).
+        base = (
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping) * F.col("_dm") / F.lit(float(n))
+        )
         ranks = (
             v.join(msgs, "id", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "id",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))).alias("rank"),
+                (base + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))).alias("rank"),
             )
             .localCheckpoint()
         )

@@ -270,44 +270,58 @@ def fingerprint(text_col: str = "text", mod: int = 2147483647, mult: int = 31) -
     )
 
 
+def _deletion_variants(name, length):
+    """Single-character-deletion variants of ``name`` (array<string>)."""
+    return F.transform(
+        F.sequence(F.lit(1), length),
+        lambda i: F.concat(
+            F.substring(name, F.lit(1), i - F.lit(1)),
+            F.substring(name, i + F.lit(1), length),
+        ),
+    )
+
+
 def symdelete_fuzzy_pairs(
     df: DataFrame,
     id_col: str,
     str_col: str,
+    max_dist: int = 1,
     max_block_df: int | None = None,
 ) -> DataFrame:
-    """Exact Levenshtein<=1 pairs via symmetric-deletion blocking (the
-    SymSpell/FastSS construction): every string emits itself plus each
-    single-character-deletion variant as block keys; two strings within
-    edit distance 1 PROVABLY share a key (substitution/indel at position i
-    collides on the delete-i variant), so the equi-join on the key finds
-    every qualifying pair — no broadcast-nested-loop over the pair space,
-    unlike a theta-join with a length-band prefilter.
+    """Exact Levenshtein<=max_dist pairs via symmetric-deletion blocking
+    (the SymSpell/FastSS construction): every string emits its depth-d
+    deletion neighborhood (all variants with up to d characters removed) as
+    block keys; two strings within edit distance d PROVABLY share a key, so
+    the equi-join on the key finds every qualifying pair — no
+    broadcast-nested-loop over the pair space, unlike a theta-join with a
+    length-band prefilter.
 
-    Cost model: (len+1)x key blowup on the emit side, then one shuffle
-    equi-join on the key — both linear in data size; the verify step runs
-    the O(len^2) DP only on key-collision candidates. Generalizes to
-    distance d by emitting the depth-d deletion neighborhood (C(len,<=d)
-    keys) — the storage-for-shuffle trade to take when d grows.
+    Cost model: C(len, <=d) key blowup on the emit side (len+1 keys at d=1,
+    ~len²/2 at d=2), then one shuffle equi-join on the key — both linear in
+    data size; the verify step runs the O(len^2) DP only on key-collision
+    candidates. The storage-for-shuffle trade steepens with d — beyond d=2
+    switch to n-gram/minhash blocking (operators/dedup.py).
 
     ``max_block_df`` drops stop-keys hotter than the threshold (skew
     guard for pathological inputs, e.g. a shared constant prefix of
     single-char strings); None keeps completeness.
     """
+    if max_dist not in (1, 2):
+        raise ValueError("symdelete blocking implemented for max_dist in {1, 2}")
     s = df.select(
         F.col(id_col).alias("id"),
         F.col(str_col).alias("name"),
         F.length(str_col).alias("len"),
     )
-    dels = F.transform(
-        F.sequence(F.lit(1), F.col("len")),
-        lambda i: F.concat(
-            F.substring(F.col("name"), F.lit(1), i - F.lit(1)),
-            F.substring(F.col("name"), i + F.lit(1), F.col("len")),
-        ),
-    )
+    d1 = _deletion_variants(F.col("name"), F.col("len"))
+    variants = F.concat(F.array(F.col("name")), d1)
+    if max_dist == 2:
+        d2 = F.flatten(
+            F.transform(d1, lambda v: _deletion_variants(v, F.col("len") - F.lit(1)))
+        )
+        variants = F.concat(variants, d2)
     keyed = s.select(
-        "id", "name", F.explode(F.concat(F.array(F.col("name")), dels)).alias("v")
+        "id", "name", F.explode(F.array_distinct(variants)).alias("v")
     )
     if max_block_df is not None:
         hot = (
@@ -325,5 +339,5 @@ def symdelete_fuzzy_pairs(
         .select("id1", "id2", "n1", "n2")
         .distinct()
         .select("id1", "id2", F.levenshtein("n1", "n2").alias("dist"))
-        .where(F.col("dist") <= 1)
+        .where(F.col("dist") <= max_dist)
     )

@@ -82,23 +82,19 @@ WHERE levenshtein(a.s_name, b.s_name) <= 2
 
 @query("fuzzy_levenshtein_pairs", oracle=_FUZZY_ORACLE)
 def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-identical name pairs by edit distance — the record-linkage
-    primitive. The length-band prefilter (|len1-len2| <= d implies it can't
-    be pruned; anything wider is provably > d) removes most pairs before
-    the O(len²) DP runs — the first level of blocking. For facts, block
-    harder (prefix/phonetic key) then pair within blocks, like MinHash."""
+    """Near-identical name pairs by edit distance <= 2 — the record-linkage
+    primitive, via depth-2 symmetric-deletion blocking
+    (operators/text.symdelete_fuzzy_pairs): ~len²/2 deletion-variant keys
+    per string, shuffle equi-join on the key, DP verify only on collisions.
+    The oracle keeps the NAIVE theta-join definition (its length-band
+    prefilter is implied by dist <= 2), so the hash gate proves the blocked
+    plan loses no pair. Until round 4 this query WAS the broadcast
+    theta-join — correct for dims, quadratic on facts; the blocked form is
+    linear and AQE-skew-safe at any size."""
+    from gridmr_spark.operators.text import symdelete_fuzzy_pairs
+
     supp = load_table(spark, sf_dir, "supplier")
-    a = supp.select(F.col("s_suppkey").alias("id1"), F.col("s_name").alias("n1"))
-    b = supp.select(F.col("s_suppkey").alias("id2"), F.col("s_name").alias("n2"))
-    return (
-        a.join(
-            F.broadcast(b),
-            (F.col("id1") < F.col("id2"))
-            & (F.abs(F.length("n1") - F.length("n2")) <= 2),
-        )
-        .select("id1", "id2", F.levenshtein("n1", "n2").alias("dist"))
-        .where(F.col("dist") <= 2)
-    )
+    return symdelete_fuzzy_pairs(supp, "s_suppkey", "s_name", max_dist=2)
 
 
 # The oracle is deliberately the NAIVE quadratic definition (DuckDB is fine
