@@ -182,3 +182,44 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path,
         schema="c_custkey long, c_name string, c_mktsegment string, c_acctbal double",
     )
+
+
+_PYDS_ORACLE = """
+WITH g AS (
+  SELECT i AS row_id, i % 97 AS service,
+         CASE (i * 7) % 4 WHEN 0 THEN 'debug' WHEN 1 THEN 'info'
+                          WHEN 2 THEN 'warn' ELSE 'error' END AS level,
+         CAST((i * i) % 1000 AS DOUBLE) / 10.0 AS latency_ms
+  FROM (SELECT unnest(generate_series(0, 19999)) AS i)
+)
+SELECT service, level,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(latency_ms AS DECIMAL(18,1))) AS DOUBLE) AS sum_latency
+FROM g GROUP BY service, level
+"""
+
+
+@query("source_python_datasource", oracle=_PYDS_ORACLE)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector through the Python DataSource API
+    (sources/pyds.py): a partitioned synthetic-log source registered as
+    format("synthlog") — the Spark-4 extension point for readers Spark
+    lacks (REST services, bespoke formats, feature stores). partitions()
+    splits the scan into independent row ranges, so ingestion parallelism
+    is a source property, not a post-read repartition. Every generated
+    value is modular arithmetic on the row id, so the DuckDB oracle
+    re-derives the whole dataset with generate_series and the hash gate
+    proves end-to-end connector fidelity."""
+    from gridmr_spark.sources import pyds
+
+    pyds.register(spark)
+    df = (
+        spark.read.format("synthlog")
+        .option("rows", 20000)
+        .option("partitions", 16)
+        .load()
+    )
+    return df.groupBy("service", "level").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("latency_ms").cast("decimal(18,1)")).cast("double").alias("sum_latency"),
+    )
