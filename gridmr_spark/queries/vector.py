@@ -371,7 +371,8 @@ def _pagerank_oracle_sql(iters: int = 6, damping: float = 0.85) -> str:
         )
     parts[-1] = parts[-1].rstrip(",")
     parts.append(
-        f"SELECT id AS vec_id, CAST(rank AS DECIMAL(18,9)) AS rank FROM r{iters}"
+        f"SELECT id AS vec_id,"
+        f" CAST(CAST(rank AS DECIMAL(18,9)) AS DOUBLE) AS rank FROM r{iters}"
     )
     return "\n".join(parts)
 
@@ -383,10 +384,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicated document ranks higher than a fringe member). Iterative power
     method per operators/graph.py; verified against a NumPy power iteration
     in tests/test_graph.py AND against an unrolled-iteration DuckDB oracle
-    (_pagerank_oracle_sql). Ranks quantize to DECIMAL(18,9) on both sides:
-    the two engines sum float contributions in different orders, so the
-    raw doubles agree only to ~1e-15 relative — far inside the 1e-9
-    quantum."""
+    (_pagerank_oracle_sql). Ranks quantize through DECIMAL(18,9)
+    and back to DOUBLE on both sides: the engines sum float contributions
+    in different orders, so raw doubles agree only to ~1e-15 relative —
+    far inside the 1e-9 quantum — and the final double cast keeps the
+    pandas dtype float64 on both sides of the driver's gate (a bare
+    DECIMAL lands as object/Decimal from Spark but float64 from DuckDB)."""
     from gridmr_spark.operators.graph import pagerank
 
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
@@ -395,7 +398,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(
         emb.select("vec_id"), both, id_col="vec_id", src_col="id1", dst_col="id2", iters=6
     ).select(
-        F.col("id").alias("vec_id"), F.col("rank").cast("decimal(18,9)").alias("rank")
+        F.col("id").alias("vec_id"),
+        F.col("rank").cast("decimal(18,9)").cast("double").alias("rank"),
     )
 
 
