@@ -627,3 +627,66 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: median / MAD / outlier gate (3-sigma-free anomaly rule)
+# ---------------------------------------------------------------------------
+
+# Both engines compute exact interpolated percentiles over identical input
+# sets, but their even-n interpolation EXPRESSIONS may differ in the last
+# ulp ((a+b)/2 vs a+(b-a)*0.5), so med/mad quantize through DECIMAL(18,6)
+# and back to DOUBLE — noise ~1e-13, quantum 1e-6. The outlier count
+# compares raw values against 3*mad from the QUANTIZED stats, so both
+# engines apply bit-identical thresholds.
+_ROBUST_ORACLE = """
+WITH med AS (
+  SELECT event_type,
+         CAST(CAST(quantile_cont(value, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS med
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type,
+         CAST(CAST(quantile_cont(abs(e.value - m.med), 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS mad
+  FROM events e JOIN med m ON e.event_type = m.event_type
+  GROUP BY e.event_type
+)
+SELECT m.event_type, m.med, d.mad,
+       CAST(SUM(CASE WHEN abs(e.value - m.med) > 3.0 * d.mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM events e
+JOIN med m ON e.event_type = m.event_type
+JOIN mad d ON e.event_type = d.event_type
+GROUP BY m.event_type, m.med, d.mad
+"""
+
+
+@query("agg_robust_mad", oracle=_ROBUST_ORACLE)
+def agg_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group statistics: exact median, median absolute deviation,
+    and the |x - med| > 3*MAD outlier count — the skew-immune anomaly gate
+    (mean/stddev both move with the outliers they're supposed to flag; the
+    median pair doesn't). Plan: two grouped exact percentiles with a
+    broadcast join of the tiny per-type stats between them, then one
+    counting pass — three aggregations over the fact, zero driver actions.
+    At 100 TB swap percentile for approx_percentile per group and keep the
+    identical downstream rule."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).cast("decimal(18,6)").cast("double").alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5))
+        .cast("decimal(18,6)").cast("double").alias("mad")
+    )
+    stats = med.join(mad, "event_type")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(F.abs(F.col("value") - F.col("med")) > 3.0 * F.col("mad"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers")
+        )
+        .select("event_type", "med", "mad", "n_outliers")
+    )

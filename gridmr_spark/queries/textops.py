@@ -1215,3 +1215,57 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(w.cast("decimal(18,9)")).cast("double").alias("sum_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token entropy: distribution-shape quality signal
+# ---------------------------------------------------------------------------
+
+# H = -sum((c/n) ln (c/n)) = ln(n) - sum(c*ln c)/n — the single-aggregate
+# identity, so one grouped pass computes it. Both engines evaluate the SAME
+# expression shape; ln() may differ in the last ulp between libms and the
+# sum order differs, so the result quantizes through DECIMAL(18,9) and
+# back to DOUBLE (noise ~1e-15, quantum 1e-9).
+_ENTROPY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ','g')),' '), t -> t <> '')) AS tok
+  FROM documents
+), counts AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_distinct,
+       CAST(CAST(
+         ln(CAST(SUM(c) AS DOUBLE))
+           - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE)
+         AS DECIMAL(18,9)) AS DOUBLE) AS entropy
+FROM counts GROUP BY doc_id
+"""
+
+
+@query("text_token_entropy", oracle=_ENTROPY_ORACLE)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution — the
+    distribution-shape quality signal (near-zero entropy = keyword-stuffed
+    or boilerplate; high entropy relative to ln(n_distinct) = natural
+    prose). Computed with the single-aggregate identity
+    H = ln(n) - sum(c ln c)/n, so the plan is explode + two hash
+    aggregations — one shuffle on (doc_id, token), one on doc_id, nothing
+    quadratic."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("doc_id", F.explode(text_ops.tokenize("text")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").cast("double")
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (
+            F.log(n) - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))) / n
+        ).cast("decimal(18,9)").cast("double").alias("entropy"),
+    )
