@@ -690,3 +690,77 @@ def agg_robust_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "med", "mad", "n_outliers")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series resample: hourly spine + gap fill + last-observation-carried-
+# forward (the time_bucket_gapfill capability)
+# ---------------------------------------------------------------------------
+
+_RESAMPLE_ORACLE = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(time_bucket(INTERVAL '1 hour', make_timestamp(epoch_us(ts))) AS TIMESTAMP) AS hour,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(value) AS DOUBLE) AS mean_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, MIN(hour) AS lo, MAX(hour) AS hi FROM hourly GROUP BY event_type
+), spine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+)
+SELECT s.event_type, s.hour,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+       LAST_VALUE(h.mean_value IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_locf
+FROM spine s LEFT JOIN hourly h
+  ON s.event_type = h.event_type AND s.hour = h.hour
+"""
+
+
+@query("events_resample_locf", oracle=_RESAMPLE_ORACLE)
+def events_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resampling with gap fill: a generated hourly spine per
+    event type (sequence over the type's observed [min, max] hour), left
+    join of the hourly aggregate, counts zero-filled and the mean value
+    carried forward over gaps (LOCF) — what feature pipelines and
+    dashboards need from irregular event streams (TimescaleDB's
+    time_bucket_gapfill shape). The spine is GENERATED, never scanned: its
+    row count is hours x types regardless of fact size, and the window runs
+    over that tiny grid. Hourly means go through the decimal-exact davg
+    convention so the carried values hash identically."""
+    from gridmr_spark.functions.numeric import dmoney
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(dmoney("value", 2)).cast("double")
+            / F.count("value").cast("double")
+        ).alias("mean_value"),
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "hour"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "hour",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("mean_value", ignorenulls=True).over(w).alias("value_locf"),
+    )
