@@ -20,6 +20,11 @@ _TZ_SENSITIVE = [
     "join_asof",
     "date_funcs",
     "events_transition_matrix",
+    # round-4 timestamp queries
+    "ds_store_sales_rollup",
+    "ds_date_star",
+    "events_resample_locf",
+    "join_range_bucketed",
 ]
 
 
