@@ -64,7 +64,8 @@ _DRIVER_PRIORITY: list[str] = [
     "fuzzy_blocked_pairs", "join_range_bucketed", "stream_stateful_totals",
     "dedup_paragraphs", "sample_importance_weighted",
     "source_python_datasource", "agg_robust_mad", "text_token_entropy",
-    "events_resample_locf",
+    "events_resample_locf", "source_dynamic_partition_pruning",
+    "agg_quantile_sketch",
     "ds_store_sales_rollup", "ds_returns_anti", "ds_date_star",
     "ds_customer_ltv_window", "ds_channel_compare",
     # (c) queries whose only green row is round 1 — stale by three rounds;

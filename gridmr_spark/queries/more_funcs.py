@@ -764,3 +764,22 @@ def events_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
         F.last("mean_value", ignorenulls=True).over(w).alias("value_locf"),
     )
+
+
+@query("agg_quantile_sketch", oracle=None)  # approximate by contract: error-bound tested
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate quantiles (approx_percentile, a GK-style
+    sketch): per event type, the p50/p90/p99 estimates at relative accuracy
+    1/acc with acc=10000. Like the HLL family this is rows-only by design —
+    the sketch is approximate by contract — and tests/test_hostile_session.py
+    style guarantees come from tests/test_udx.py's error-bound check: each
+    estimate must land within rank tolerance acc_rank = n/acc of the exact
+    percentile. The sketch's merge is associative, so partial aggregation
+    works map-side and the same operator serves streaming state."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.percentile_approx("value", F.lit(0.9), F.lit(10000)).alias("p90"),
+        F.percentile_approx("value", F.lit(0.99), F.lit(10000)).alias("p99"),
+    )

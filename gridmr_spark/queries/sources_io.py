@@ -223,3 +223,50 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("latency_ms").cast("decimal(18,1)")).cast("double").alias("sum_latency"),
     )
+
+
+_DPP_ORACLE = """
+WITH dim AS (
+  SELECT DISTINCT o_orderpriority AS priority FROM orders
+), hot AS (
+  SELECT priority FROM dim WHERE priority IN ('1-URGENT', '2-HIGH')
+)
+SELECT h.priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders o JOIN hot h ON o.o_orderpriority = h.priority
+GROUP BY h.priority
+"""
+
+
+@query("source_dynamic_partition_pruning", oracle=_DPP_ORACLE)
+def source_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the join-driven sibling of
+    source_partition_pruning's static case: the fact is partitioned on the
+    join key, the filter lives on the DIMENSION side only, and Catalyst
+    injects a runtime `dynamicpruning` subquery into the fact scan's
+    PartitionFilters (reusing the broadcast), so only the dimension-selected
+    partitions are ever read. At 100 TB this is what keeps
+    "join facts to this month's dim slice" from scanning every partition —
+    no literal predicate on the fact exists to push statically. Plan
+    property asserted in tests/test_plans.py."""
+    path = _scratch(sf_dir, "dpp")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    sources.write(orders, path, partition_by=["o_orderpriority"])
+    fact = sources.read_parquet(spark, path)
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("priority")).distinct()
+        .where(F.col("priority").isin("1-URGENT", "2-HIGH"))
+    )
+    return (
+        fact.join(F.broadcast(dim), fact["o_orderpriority"] == dim["priority"])
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        )
+    )

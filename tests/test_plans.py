@@ -220,3 +220,11 @@ def test_bucketed_interval_join_is_equi_join(spark, sf_oracle):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "HashJoin" in plan, plan
+
+
+def test_dynamic_partition_pruning_in_fact_scan(spark, sf_oracle):
+    """The DPP query's fact scan must carry a runtime dynamicpruning
+    expression in PartitionFilters — the join-driven pruning that static
+    pushdown cannot provide."""
+    plan = _plan(spark, sf_oracle, "source_dynamic_partition_pruning")
+    assert "dynamicpruning" in plan, plan

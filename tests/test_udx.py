@@ -71,3 +71,24 @@ def test_bucketed_join_skips_shuffle(spark, sf_oracle, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         spark.sql("DROP TABLE IF EXISTS b_li")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_quantile_sketch_error_bound(spark, sf_oracle):
+    """approx_percentile estimates must fall within the sketch's rank
+    guarantee (rank error <= n/accuracy) of the exact percentile, and be
+    deterministic across partitionings (the GK merge is order-insensitive
+    for a fixed input set)."""
+    from gridmr_spark.queries import load_all
+
+    fn = load_all()["agg_quantile_sketch"].fn
+    got = {r.event_type: r for r in fn(spark, sf_oracle).collect()}
+    ev = spark.read.parquet(f"{sf_oracle}/events.parquet")
+    for et, row in got.items():
+        vals = sorted(r.value for r in ev.where(ev.event_type == et).select("value").collect())
+        n = len(vals)
+        tol = max(1, n // 10000 + 1)
+        for p, est in ((0.5, row.p50), (0.9, row.p90), (0.99, row.p99)):
+            target = int(p * (n - 1))
+            lo = vals[max(0, target - tol)]
+            hi = vals[min(n - 1, target + tol)]
+            assert lo <= est <= hi, (et, p, est, lo, hi)
