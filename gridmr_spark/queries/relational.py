@@ -1190,3 +1190,74 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply with ordered ops incl. DELETE (the full change-log semantics)
+# ---------------------------------------------------------------------------
+
+_CDC_DELETES_ORACLE = """
+WITH target AS (
+  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey < 5000
+), log AS (
+  SELECT 1 AS seq, 'U' AS op, o_orderkey, o_custkey,
+         CAST(o_totalprice + 100.0 AS DOUBLE) AS o_totalprice
+  FROM target WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT 2, 'D', o_orderkey, o_custkey, o_totalprice
+  FROM target WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT 3, 'I', o_orderkey + 10000000, o_custkey, o_totalprice
+  FROM target WHERE o_orderkey % 100 = 0
+), latest AS (
+  SELECT * FROM (
+    SELECT log.*, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+    FROM log
+  ) WHERE rn = 1
+)
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM latest WHERE op <> 'D'
+UNION ALL
+SELECT t.* FROM target t
+WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM log)
+"""
+
+
+@query("merge_cdc_with_deletes", oracle=_CDC_DELETES_ORACLE)
+def merge_cdc_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full change-data-capture apply: an ORDERED log of insert/update/
+    DELETE ops collapses to the latest op per key (one window over the log,
+    which is small — never over the target), deletes drop the key, survivors
+    override or extend the target via anti-join + union. This is the piece
+    merge_upsert_cdc lacks (no tombstones there); together they are MERGE
+    WHEN MATCHED [THEN DELETE] on plain parquet. Keys divisible by 70
+    receive an update THEN a delete — proving op order, not just op
+    presence, decides the outcome."""
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 5000)
+    target = orders.select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    log = (
+        target.where(F.col("o_orderkey") % 10 == 0)
+        .select(F.lit(1).alias("seq"), F.lit("U").alias("op"), "o_orderkey", "o_custkey",
+                (F.col("o_totalprice") + 100.0).alias("o_totalprice"))
+        .unionAll(
+            target.where(F.col("o_orderkey") % 7 == 0)
+            .select(F.lit(2).alias("seq"), F.lit("D").alias("op"), "o_orderkey", "o_custkey",
+                    "o_totalprice")
+        )
+        .unionAll(
+            target.where(F.col("o_orderkey") % 100 == 0)
+            .select(F.lit(3).alias("seq"), F.lit("I").alias("op"),
+                    (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"), "o_custkey",
+                    "o_totalprice")
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+    latest = log.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    survivors = latest.where(F.col("op") != "D").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    untouched = target.join(log.select("o_orderkey"), "o_orderkey", "left_anti")
+    return survivors.unionAll(untouched.select("o_orderkey", "o_custkey", "o_totalprice"))
