@@ -272,3 +272,76 @@ def sample_frames(media: DataFrame, every_nth: int = 5) -> DataFrame:
         )
         .where(F.col("frame_idx") % every_nth == 0)
     )
+
+
+ARROW_BYTE_STATS = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("byte_len", T.LongType()),
+        T.StructField("byte_sum", T.LongType()),
+        T.StructField("min_byte", T.IntegerType()),
+        T.StructField("max_byte", T.IntegerType()),
+    ]
+)
+
+
+def arrow_byte_stats(media: DataFrame) -> DataFrame:
+    """Payload byte statistics via mapInArrow — the ZERO-COPY tier of the
+    Python boundary (mapInPandas still materializes a pandas object per
+    column; here the computation runs directly on the Arrow RecordBatch's
+    offsets/values buffers). One np.add.reduceat/minimum.reduceat over the
+    batch's contiguous values buffer computes every row's sum/min/max AT
+    ONCE — vectorization across rows, not per-row numpy calls; per-batch
+    Python cost is O(1) interpreter work + O(bytes) SIMD.
+
+    The pattern to copy for real 100 TB media scans: payload bytes never
+    leave the Arrow buffer they arrived in from the JVM.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def stats(batches):
+        for batch in batches:
+            ids = batch.column("doc_id")
+            pay = batch.column("payload")
+            if pay.null_count:
+                raise ValueError("arrow_byte_stats expects non-null payloads")
+            off_dtype = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
+            offsets = np.frombuffer(pay.buffers()[1], dtype=off_dtype)[
+                pay.offset : pay.offset + len(pay) + 1
+            ].astype(np.int64)
+            values = np.frombuffer(pay.buffers()[2], dtype=np.uint8)
+            lens = np.diff(offsets)
+            starts = offsets[:-1]
+            nonempty = lens > 0
+            sums = np.zeros(len(pay), dtype=np.int64)
+            mins = np.zeros(len(pay), dtype=np.int32)
+            maxs = np.zeros(len(pay), dtype=np.int32)
+            if nonempty.any():
+                # reduceat yields values[start] for empty segments — mask after.
+                s = np.add.reduceat(values.astype(np.int64), starts.clip(max=len(values) - 1))
+                mn = np.minimum.reduceat(values, starts.clip(max=len(values) - 1))
+                mx = np.maximum.reduceat(values, starts.clip(max=len(values) - 1))
+                sums[nonempty] = s[nonempty]
+                mins[nonempty] = mn[nonempty]
+                maxs[nonempty] = mx[nonempty]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.cast(pa.int64()),
+                    pa.array(lens, type=pa.int64()),
+                    pa.array(sums, type=pa.int64()),
+                    pa.array(mins, type=pa.int32()),
+                    pa.array(maxs, type=pa.int32()),
+                ],
+                schema=pa.schema(
+                    [
+                        ("doc_id", pa.int64()),
+                        ("byte_len", pa.int64()),
+                        ("byte_sum", pa.int64()),
+                        ("min_byte", pa.int32()),
+                        ("max_byte", pa.int32()),
+                    ]
+                ),
+            )
+
+    return media.select("doc_id", "payload").mapInArrow(stats, schema=ARROW_BYTE_STATS)

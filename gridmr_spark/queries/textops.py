@@ -1269,3 +1269,38 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(n) - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))) / n
         ).cast("decimal(18,9)").cast("double").alias("entropy"),
     )
+
+
+_ARROW_STATS_ORACLE = r"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+), bytes AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(hx, CAST(2 * t.i + 1 AS INT), 2)) AS INTEGER) AS byte
+  FROM b, unnest(generate_series(0, n - 1)) AS t(i)
+)
+SELECT b.doc_id,
+       CAST(b.n AS BIGINT) AS byte_len,
+       CAST(COALESCE(SUM(y.byte), 0) AS BIGINT) AS byte_sum,
+       CAST(COALESCE(MIN(y.byte), 0) AS INT) AS min_byte,
+       CAST(COALESCE(MAX(y.byte), 0) AS INT) AS max_byte
+FROM b LEFT JOIN bytes y USING (doc_id)
+GROUP BY b.doc_id, b.n
+"""
+
+
+@query("multimodal_arrow_byte_stats", oracle=_ARROW_STATS_ORACLE)
+def multimodal_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy payload statistics via mapInArrow
+    (operators/multimodal.arrow_byte_stats): sums/mins/maxs for every row
+    of a batch computed by ONE reduceat over the Arrow values buffer —
+    no pandas objects, no per-row Python, bytes never copied out of the
+    buffer the JVM shipped. Completes the Python-boundary ladder the repo
+    demonstrates: pandas_udf < mapInPandas/applyInPandas < mapInArrow.
+    Oracle re-derives the integer stats through DuckDB hex-pair expansion
+    (exact in both engines)."""
+    from gridmr_spark.operators.multimodal import arrow_byte_stats, attach_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return arrow_byte_stats(attach_payload(docs, "doc_id", "text"))
