@@ -66,7 +66,7 @@ _DRIVER_PRIORITY: list[str] = [
     "source_python_datasource", "agg_robust_mad", "text_token_entropy",
     "events_resample_locf", "source_dynamic_partition_pruning",
     "agg_quantile_sketch", "merge_cdc_with_deletes",
-    "multimodal_arrow_byte_stats",
+    "multimodal_arrow_byte_stats", "ds_time_band_counts",
     "ds_store_sales_rollup", "ds_returns_anti", "ds_date_star",
     "ds_customer_ltv_window", "ds_channel_compare",
     # (c) queries whose only green row is round 1 — stale by three rounds;

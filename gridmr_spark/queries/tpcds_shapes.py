@@ -265,3 +265,48 @@ def ds_channel_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("other_spend", F.lit(0.0)).alias("other_spend"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ds_time_band_counts — q88: many banded counts from ONE scan
+# ---------------------------------------------------------------------------
+
+_TIME_BANDS_ORACLE = """
+SELECT
+  COUNT(*) FILTER (WHERE l_quantity < 10)                        AS band_q_lt10,
+  COUNT(*) FILTER (WHERE l_quantity >= 10 AND l_quantity < 25)   AS band_q_10_25,
+  COUNT(*) FILTER (WHERE l_quantity >= 25 AND l_quantity < 40)   AS band_q_25_40,
+  COUNT(*) FILTER (WHERE l_quantity >= 40)                       AS band_q_ge40,
+  COUNT(*) FILTER (WHERE l_discount < 0.02)                      AS band_d_lo,
+  COUNT(*) FILTER (WHERE l_discount >= 0.02 AND l_discount < 0.06) AS band_d_mid,
+  COUNT(*) FILTER (WHERE l_discount >= 0.06)                     AS band_d_hi,
+  COUNT(*) FILTER (WHERE l_returnflag = 'R')                     AS band_returned
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+"""
+
+
+@query("ds_time_band_counts", oracle=_TIME_BANDS_ORACLE)
+def ds_time_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q88 shape: eight banded counts answered from ONE scan of the
+    fact (conditional aggregation), where the naive rendering is eight
+    self-joined subqueries — at 100 TB the difference between one pass and
+    eight. The date predicate still pushes to the parquet scan;
+    tests/test_plans.py asserts the single-scan property."""
+    li = load_table(spark, sf_dir, "lineitem")
+    c = lambda pred, name: F.count(F.when(pred, 1)).alias(name)  # noqa: E731
+    q = F.col("l_quantity")
+    d = F.col("l_discount")
+    return (
+        li.where(F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .agg(
+            c(q < 10, "band_q_lt10"),
+            c((q >= 10) & (q < 25), "band_q_10_25"),
+            c((q >= 25) & (q < 40), "band_q_25_40"),
+            c(q >= 40, "band_q_ge40"),
+            c(d < 0.02, "band_d_lo"),
+            c((d >= 0.02) & (d < 0.06), "band_d_mid"),
+            c(d >= 0.06, "band_d_hi"),
+            c(F.col("l_returnflag") == "R", "band_returned"),
+        )
+    )

@@ -228,3 +228,15 @@ def test_dynamic_partition_pruning_in_fact_scan(spark, sf_oracle):
     pushdown cannot provide."""
     plan = _plan(spark, sf_oracle, "source_dynamic_partition_pruning")
     assert "dynamicpruning" in plan, plan
+
+
+def test_time_band_counts_single_scan(spark, sf_oracle):
+    """q88 shape: eight banded counts must come from ONE fact scan
+    (conditional aggregation), never eight subquery scans."""
+    import re as _re
+
+    plan = _plan(spark, sf_oracle, "ds_time_band_counts")
+    n_scans = len(_re.findall(r"^\(\d+\) Scan parquet", plan, _re.M))
+    assert n_scans == 1, plan
+    pushed = plan.split("PushedFilters:", 1)[1].split("\n", 1)[0]
+    assert "l_shipdate" in pushed, pushed
