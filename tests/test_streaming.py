@@ -202,3 +202,44 @@ def test_foreach_batch_sink_equals_batch(spark, sf_oracle, tmp_path):
     run_stream_foreach_batch(spark, stream, sink, output_mode="complete")
     out = spark.read.parquet(sink + "/batch=*")
     assert _as_sorted_rows(out, cols) == _as_sorted_rows(batch, cols)
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """File-source streaming with a checkpoint must resume after a restart
+    WITHOUT reprocessing: two availableNow runs over a growing directory
+    yield each input row exactly once in the sink — the recovery contract
+    that makes an unbounded ingest restartable at any point."""
+    import pyspark.sql.functions as SF
+
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("id long, v double")
+            .format("parquet").load(str(src))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.range(0, 100).select(
+        SF.col("id"), (SF.col("id") * 1.5).alias("v")
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+    run_once()
+    spark.range(100, 250).select(
+        SF.col("id"), (SF.col("id") * 1.5).alias("v")
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+
+    got = spark.read.parquet(str(sink)).groupBy().agg(
+        SF.count("*").alias("n"), SF.count_distinct("id").alias("d")
+    ).collect()[0]
+    assert (got.n, got.d) == (250, 250)  # no loss, no reprocessing
