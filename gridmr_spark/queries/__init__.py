@@ -67,6 +67,7 @@ _DRIVER_PRIORITY: list[str] = [
     "events_resample_locf", "source_dynamic_partition_pruning",
     "agg_quantile_sketch", "merge_cdc_with_deletes",
     "multimodal_arrow_byte_stats", "ds_time_band_counts",
+    "dedup_containment_pairs", "udtf_analyze_firstk",
     "ds_store_sales_rollup", "ds_returns_anti", "ds_date_star",
     "ds_customer_ltv_window", "ds_channel_compare",
     # (c) queries whose only green row is round 1 — stale by three rounds;

@@ -1304,3 +1304,65 @@ def multimodal_arrow_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return arrow_byte_stats(attach_payload(docs, "doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup: |A ∩ B| / |A| — the subset/quotation detector
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ','g')),' '), t -> t <> '') AS ws
+  FROM documents WHERE doc_id < 200
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(ws)-2),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+  FROM toks WHERE len(ws) >= 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.id1, c.id2,
+       CAST(c.c AS DOUBLE) / CAST(s1.sz AS DOUBLE) AS containment
+FROM common c
+JOIN sizes s1 ON c.id1 = s1.doc_id
+WHERE CAST(c.c AS DOUBLE) / CAST(s1.sz AS DOUBLE) >= 0.5
+"""
+
+
+@query("dedup_containment_pairs", oracle=_CONTAINMENT_ORACLE)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT |A∩B|/|A| — the asymmetric cousin of Jaccard
+    that catches a document EMBEDDED in a larger one (quotes, boilerplate
+    wrappers, near-supersets), which symmetric Jaccard under-scores because
+    the union is dominated by the big side. Ordered pairs (id1 contained in
+    id2). Same inverted-index join shape as dedup_ngram_jaccard — shuffle
+    on the shingle, never all-pairs — and the same input bound (the
+    quadratic-capable exact form is the oracle for a banded variant at
+    scale). One tokenize pass feeds shingles and sizes."""
+    from gridmr_spark.operators.dedup import _shingle_sizes, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    sh = word_shingles(docs, "doc_id", "text", 3).localCheckpoint(eager=True)
+    sizes = _shingle_sizes(sh)
+    a = sh.select(F.col("id").alias("id1"), "shingle")
+    b = sh.select(F.col("id").alias("id2"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id1") != F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        common.join(sizes.select(F.col("id").alias("id1"), F.col("sz").alias("sz1")), "id1")
+        .select(
+            "id1", "id2",
+            (F.col("c").cast("double") / F.col("sz1").cast("double")).alias("containment"),
+        )
+        .where(F.col("containment") >= 0.5)
+    )

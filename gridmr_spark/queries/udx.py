@@ -174,3 +174,55 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Polymorphic Python UDTF: output schema computed by analyze() from the call
+# ---------------------------------------------------------------------------
+
+_UDTF_ANALYZE_ORACLE = """
+SELECT doc_id,
+       COALESCE(ws[1], '') AS tok_0,
+       COALESCE(ws[2], '') AS tok_1,
+       COALESCE(ws[3], '') AS tok_2,
+       COALESCE(ws[4], '') AS tok_3
+FROM (
+  SELECT doc_id,
+         list_filter(string_split(lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ','g')),' '), t -> t <> '') AS ws
+  FROM documents WHERE doc_id < 50
+)
+"""
+
+
+@query("udtf_analyze_firstk", oracle=_UDTF_ANALYZE_ORACLE)
+def udtf_analyze_firstk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 `analyze()`): the output schema —
+    one tok_i column per requested position — is computed at plan time from
+    the call's literal argument, the table-function equivalent of a dynamic
+    pivot. Here k=4 leading tokens widen into 4 typed columns; calling with
+    a different k re-plans with a different schema, no code change.
+    Empty-padded so every row is schema-complete."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class FirstK:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(int(k.value)):
+                schema = schema.add(f"tok_{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, k: int):
+            import re
+
+            toks = re.sub(r"[^a-zA-Z0-9]+", " ", (text or "").lower()).split()
+            yield tuple((toks[i] if i < len(toks) else "") for i in range(k))
+
+    spark.udtf.register("gridmr_firstk", udtf(FirstK))
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("udtf_docs_k")
+    return spark.sql(
+        "SELECT doc_id, t.* FROM udtf_docs_k, LATERAL gridmr_firstk(text, 4) t"
+    )
