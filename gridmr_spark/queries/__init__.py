@@ -68,6 +68,7 @@ _DRIVER_PRIORITY: list[str] = [
     "agg_quantile_sketch", "merge_cdc_with_deletes",
     "multimodal_arrow_byte_stats", "ds_time_band_counts",
     "dedup_containment_pairs", "udtf_analyze_firstk",
+    "events_subsequence_match",
     "ds_store_sales_rollup", "ds_returns_anti", "ds_date_star",
     "ds_customer_ltv_window", "ds_channel_compare",
     # (c) queries whose only green row is round 1 — stale by three rounds;

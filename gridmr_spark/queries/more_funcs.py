@@ -783,3 +783,69 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", F.lit(0.9), F.lit(10000)).alias("p90"),
         F.percentile_approx("value", F.lit(0.99), F.lit(10000)).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series subsequence matching: top-k windows nearest a query pattern
+# ---------------------------------------------------------------------------
+
+_SUBSEQ_ORACLE = """
+WITH h AS (
+  SELECT event_type,
+         CAST(time_bucket(INTERVAL '1 hour', make_timestamp(epoch_us(ts))) AS TIMESTAMP) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, hour, n,
+         LEAD(n, 1) OVER win AS n1, LEAD(n, 2) OVER win AS n2,
+         LEAD(n, 3) OVER win AS n3, LEAD(n, 4) OVER win AS n4,
+         LEAD(n, 5) OVER win AS n5
+  FROM h WINDOW win AS (PARTITION BY event_type ORDER BY hour)
+), d AS (
+  SELECT event_type, hour,
+         (n-20)*(n-20) + (n1-25)*(n1-25) + (n2-30)*(n2-30)
+           + (n3-25)*(n3-25) + (n4-20)*(n4-20) + (n5-15)*(n5-15) AS dist
+  FROM w WHERE n5 IS NOT NULL
+)
+SELECT event_type, hour, CAST(dist AS BIGINT) AS dist, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dist, hour) AS rnk
+  FROM d
+) WHERE rnk <= 5
+"""
+
+
+@query("events_subsequence_match", oracle=_SUBSEQ_ORACLE)
+def events_subsequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence search: the 5 six-hour windows of each
+    type's hourly-count series closest (squared distance) to a query
+    pattern — the motif/shape-matching primitive behind 'find me periods
+    that look like this launch spike'. Distances are INTEGER arithmetic on
+    counts, so both engines agree bit-exactly with no quantization. Plan:
+    one hash agg to hours (tiny), LEADs + ranking over the aggregated
+    series — the fact table is scanned once and never windowed directly;
+    at 100 TB the series length is hours x types regardless of fact
+    size."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    win = Window.partitionBy("event_type").orderBy("hour")
+    pattern = [20, 25, 30, 25, 20, 15]
+    leads = [F.col("n")] + [F.lead("n", i).over(win) for i in range(1, 6)]
+    dist = None
+    for c, p in zip(leads, pattern):
+        term = (c - p) * (c - p)
+        dist = term if dist is None else dist + term
+    d = (
+        hourly.select("event_type", "hour", F.lead("n", 5).over(win).alias("_n5"),
+                      dist.alias("dist"))
+        .where(F.col("_n5").isNotNull())
+    )
+    rnk = Window.partitionBy("event_type").orderBy("dist", "hour")
+    return (
+        d.withColumn("rnk", F.row_number().over(rnk))
+        .where(F.col("rnk") <= 5)
+        .select("event_type", "hour", F.col("dist").cast("bigint").alias("dist"),
+                F.col("rnk").cast("int").alias("rnk"))
+    )

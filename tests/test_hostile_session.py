@@ -25,6 +25,7 @@ _TZ_SENSITIVE = [
     "ds_date_star",
     "events_resample_locf",
     "join_range_bucketed",
+    "events_subsequence_match",
 ]
 
 
