@@ -240,3 +240,36 @@ def test_time_band_counts_single_scan(spark, sf_oracle):
     assert n_scans == 1, plan
     pushed = plan.split("PushedFilters:", 1)[1].split("\n", 1)[0]
     assert "l_shipdate" in pushed, pushed
+
+
+def test_resample_spine_is_generated_not_scanned(spark, sf_oracle):
+    """events_resample_locf: exactly ONE parquet scan feeds both the hourly
+    aggregate and the spine bounds — the spine itself is generated
+    (explode over sequence), never read from storage."""
+    import re as _re
+
+    plan = _plan(spark, sf_oracle, "events_resample_locf")
+    n_scans = len(set(_re.findall(r"Location: InMemoryFileIndex \[[^\]]+\]", plan)))
+    assert n_scans == 1, plan
+    assert "Generate" in plan, plan  # the sequence explode
+
+
+def test_cdc_deletes_window_over_log_not_target(spark, sf_oracle):
+    """merge_cdc_with_deletes: the latest-op window must consume the change
+    LOG (a union of filtered projections), and the target must reach the
+    result only through a LeftAnti join — never through the window."""
+    plan = _plan(spark, sf_oracle, "merge_cdc_with_deletes")
+    assert "LeftAnti" in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_subsequence_windows_aggregate_not_fact(spark, sf_oracle):
+    """events_subsequence_match: both windows (LEADs, ranking) must sit
+    above the hourly aggregate — the fact is scanned once and never
+    windowed directly."""
+    import re as _re
+
+    plan = plan_string(REG["events_subsequence_match"].fn(spark, sf_oracle), "simple")
+    win = plan.index("Window")
+    aggs = [m.start() for m in _re.finditer("HashAggregate", plan)]
+    assert aggs and win < min(aggs), plan
