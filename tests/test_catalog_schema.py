@@ -56,3 +56,20 @@ def test_table_columns_present(spark, sf_oracle, table):
     cols = set(load_table(spark, sf_oracle, table).columns)
     missing = [c for c in _EXPECTED_COLUMNS[table] if c not in cols]
     assert not missing, f"{table} is missing {missing} (has {sorted(cols)})"
+
+
+def test_python_datasource_partition_planning(spark):
+    """sources/pyds: partitions() must drive scan parallelism — requesting
+    P partitions yields exactly P input splits, each covering its own row
+    range (no overlap, no loss)."""
+    from gridmr_spark.sources import pyds
+
+    pyds.register(spark)
+    df = (
+        spark.read.format("synthlog")
+        .option("rows", 1000).option("partitions", 16).load()
+    )
+    assert df.rdd.getNumPartitions() == 16
+    assert df.count() == 1000
+    ids = [r.row_id for r in df.select("row_id").collect()]
+    assert sorted(ids) == list(range(1000))
