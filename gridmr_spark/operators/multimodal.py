@@ -297,51 +297,60 @@ def arrow_byte_stats(media: DataFrame) -> DataFrame:
     The pattern to copy for real 100 TB media scans: payload bytes never
     leave the Arrow buffer they arrived in from the JVM.
     """
+    return media.select("doc_id", "payload").mapInArrow(
+        _arrow_byte_stats_batches, schema=ARROW_BYTE_STATS
+    )
+
+
+def _arrow_byte_stats_batches(batches):
+    """Batch-level worker for arrow_byte_stats — module-level so slice
+    handling (offset AND logical end bound) is unit-testable off-cluster."""
     import numpy as np
     import pyarrow as pa
 
-    def stats(batches):
-        for batch in batches:
-            ids = batch.column("doc_id")
-            pay = batch.column("payload")
-            if pay.null_count:
-                raise ValueError("arrow_byte_stats expects non-null payloads")
-            off_dtype = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
-            offsets = np.frombuffer(pay.buffers()[1], dtype=off_dtype)[
-                pay.offset : pay.offset + len(pay) + 1
-            ].astype(np.int64)
-            values = np.frombuffer(pay.buffers()[2], dtype=np.uint8)
-            lens = np.diff(offsets)
-            starts = offsets[:-1]
-            nonempty = lens > 0
-            sums = np.zeros(len(pay), dtype=np.int64)
-            mins = np.zeros(len(pay), dtype=np.int32)
-            maxs = np.zeros(len(pay), dtype=np.int32)
-            if nonempty.any():
-                # reduceat yields values[start] for empty segments — mask after.
-                s = np.add.reduceat(values.astype(np.int64), starts.clip(max=len(values) - 1))
-                mn = np.minimum.reduceat(values, starts.clip(max=len(values) - 1))
-                mx = np.maximum.reduceat(values, starts.clip(max=len(values) - 1))
-                sums[nonempty] = s[nonempty]
-                mins[nonempty] = mn[nonempty]
-                maxs[nonempty] = mx[nonempty]
-            yield pa.RecordBatch.from_arrays(
+    for batch in batches:
+        ids = batch.column("doc_id")
+        pay = batch.column("payload")
+        if pay.null_count:
+            raise ValueError("arrow_byte_stats expects non-null payloads")
+        off_dtype = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
+        offsets = np.frombuffer(pay.buffers()[1], dtype=off_dtype)[
+            pay.offset : pay.offset + len(pay) + 1
+        ].astype(np.int64)
+        # Truncate to the logical end: for a sliced array reduceat's last
+        # segment would otherwise run past offsets[-1] into bytes that
+        # belong to rows beyond the slice.
+        values = np.frombuffer(pay.buffers()[2], dtype=np.uint8)[: offsets[-1]]
+        lens = np.diff(offsets)
+        starts = offsets[:-1]
+        nonempty = lens > 0
+        sums = np.zeros(len(pay), dtype=np.int64)
+        mins = np.zeros(len(pay), dtype=np.int32)
+        maxs = np.zeros(len(pay), dtype=np.int32)
+        if nonempty.any():
+            # reduceat yields values[start] for empty segments — mask after.
+            s = np.add.reduceat(values.astype(np.int64), starts.clip(max=len(values) - 1))
+            mn = np.minimum.reduceat(values, starts.clip(max=len(values) - 1))
+            mx = np.maximum.reduceat(values, starts.clip(max=len(values) - 1))
+            sums[nonempty] = s[nonempty]
+            mins[nonempty] = mn[nonempty]
+            maxs[nonempty] = mx[nonempty]
+        yield pa.RecordBatch.from_arrays(
+            [
+                ids.cast(pa.int64()),
+                pa.array(lens, type=pa.int64()),
+                pa.array(sums, type=pa.int64()),
+                pa.array(mins, type=pa.int32()),
+                pa.array(maxs, type=pa.int32()),
+            ],
+            schema=pa.schema(
                 [
-                    ids.cast(pa.int64()),
-                    pa.array(lens, type=pa.int64()),
-                    pa.array(sums, type=pa.int64()),
-                    pa.array(mins, type=pa.int32()),
-                    pa.array(maxs, type=pa.int32()),
-                ],
-                schema=pa.schema(
-                    [
-                        ("doc_id", pa.int64()),
-                        ("byte_len", pa.int64()),
-                        ("byte_sum", pa.int64()),
-                        ("min_byte", pa.int32()),
-                        ("max_byte", pa.int32()),
-                    ]
-                ),
-            )
+                    ("doc_id", pa.int64()),
+                    ("byte_len", pa.int64()),
+                    ("byte_sum", pa.int64()),
+                    ("min_byte", pa.int32()),
+                    ("max_byte", pa.int32()),
+                ]
+            ),
+        )
 
-    return media.select("doc_id", "payload").mapInArrow(stats, schema=ARROW_BYTE_STATS)

@@ -320,11 +320,6 @@ def symdelete_fuzzy_pairs(
             F.transform(d1, lambda v: _deletion_variants(v, F.col("len") - F.lit(1)))
         )
         variants = F.concat(variants, d2)
-    # Join on a 64-bit hash of the variant, not the variant string: the
-    # shuffle then moves 8-byte longs instead of ~len-char strings (the d=2
-    # neighborhood emits ~len²/2 keys per row, so key width IS the shuffle).
-    # A hash collision can only ADD a candidate pair, which the exact DP
-    # verify below rejects — completeness and correctness are unaffected.
     # Keys stay as strings: at shuffle-join scale, substituting
     # xxhash64(variant) as the key narrows the shuffle ~2x (collisions only
     # add candidates, which the DP verify rejects) — but measured at sf0.1,

@@ -29,7 +29,11 @@ class _RangeSplit(InputPartition):
 class SynthLogReader(DataSourceReader):
     def __init__(self, options):
         self.n_rows = int(options.get("rows", 1000))
-        self.n_parts = int(options.get("partitions", 8))
+        if self.n_rows < 0:
+            raise ValueError(f"synthlog: rows must be >= 0, got {self.n_rows}")
+        # Clamp, don't raise: partitions is a parallelism hint, and 0 would
+        # otherwise ZeroDivisionError in the ceil below.
+        self.n_parts = max(1, int(options.get("partitions", 8)))
 
     def partitions(self):
         per = max(1, -(-self.n_rows // self.n_parts))  # ceil

@@ -73,3 +73,18 @@ def test_python_datasource_partition_planning(spark):
     assert df.count() == 1000
     ids = [r.row_id for r in df.select("row_id").collect()]
     assert sorted(ids) == list(range(1000))
+
+
+def test_python_datasource_option_validation():
+    """Degenerate options must not crash partition planning: partitions=0
+    clamps to 1 (a hint, not a contract), rows=0 reads empty, rows<0 rejects."""
+    import pytest
+
+    from gridmr_spark.sources.pyds import SynthLogReader
+
+    r = SynthLogReader({"rows": "100", "partitions": "0"})
+    parts = r.partitions()
+    assert len(parts) == 1 and (parts[0].start, parts[0].end) == (0, 100)
+    assert SynthLogReader({"rows": "0"}).partitions() == []
+    with pytest.raises(ValueError, match="rows must be >= 0"):
+        SynthLogReader({"rows": "-5"})

@@ -144,6 +144,32 @@ def test_resize_real_seam_raises(media):
     )
 
 
+def test_arrow_byte_stats_sliced_batch():
+    """Regression: on a SLICED binary array the values buffer must be
+    truncated to offsets[-1], or the last row's reduceat segment runs into
+    bytes belonging to rows beyond the slice (sum/max inflated)."""
+    import pyarrow as pa
+
+    from gridmr_spark.operators.multimodal import _arrow_byte_stats_batches
+
+    ids = pa.array([10, 11, 12], type=pa.int64())
+    pay = pa.array([b"\x07\x07", b"\x30\x31", b"\x40\x40\x40"], type=pa.binary())
+    full = pa.RecordBatch.from_arrays([ids, pay], names=["doc_id", "payload"])
+    sliced = full.slice(1, 1)  # row 11 only: payload 0x30 0x31
+    (out,) = list(_arrow_byte_stats_batches([sliced]))
+    r = out.to_pylist()[0]
+    assert r == {
+        "doc_id": 11,
+        "byte_len": 2,
+        "byte_sum": 0x30 + 0x31,
+        "min_byte": 0x30,
+        "max_byte": 0x31,
+    }
+    # Unsliced parity: every row exact.
+    (out_full,) = list(_arrow_byte_stats_batches([full]))
+    assert [r["byte_sum"] for r in out_full.to_pylist()] == [14, 97, 192]
+
+
 def test_audio_frame_energy_matches_python_reference(spark, sf_smoke):
     """Frame energies must equal a pure-Python recomputation over the raw
     payload bytes, and the fake=False path must raise at the codec seam."""
