@@ -50,44 +50,43 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # here explicitly and served first; long-green queries re-verify with
 # whatever budget remains. Update per round as rows come back green.
 _DRIVER_PRIORITY: list[str] = [
-    # --- round-4 priority (driver budget ~50; first rows first) ---
-    # (a) the 9 round-3 additions the r3 budget never reached (r3 recorded
-    # exactly the first 50 priority entries; these were entries 51-59).
-    # All are local-oracle green; each needs its first driver row.
-    "window_value_range", "events_transition_matrix", "dedup_exact_digest",
-    "dq_profile_columns", "dq_orphan_check", "dq_constraint_check",
-    "merge_scd2_asof_lookup", "agg_equidepth_histogram",
-    "multimodal_audio_energy",
-    # (b) new in round 4 — no driver row yet; graph_pagerank re-listed
-    # because it gained a real DuckDB oracle this round (was rows-only).
-    "graph_pagerank",
-    "fuzzy_blocked_pairs", "join_range_bucketed", "stream_stateful_totals",
-    "dedup_paragraphs", "sample_importance_weighted",
-    "source_python_datasource", "agg_robust_mad", "text_token_entropy",
-    "events_resample_locf", "source_dynamic_partition_pruning",
-    "agg_quantile_sketch", "merge_cdc_with_deletes",
-    "multimodal_arrow_byte_stats", "ds_time_band_counts",
-    "dedup_containment_pairs", "udtf_analyze_firstk",
-    "events_subsequence_match",
-    "ds_store_sales_rollup", "ds_returns_anti", "ds_date_star",
-    "ds_customer_ltv_window", "ds_channel_compare",
-    # (c) queries whose only green row is round 1 — stale by three rounds;
-    # events-dependent ones first (they sat behind the r2 loader regression
-    # and re-proved only via pytest), then registration order.
-    "join_asof", "json_funcs", "conditional_funcs", "events_cohort_retention",
-    "stream_tumbling_1h", "stream_sliding_1h_30m", "stream_session_10m",
-    "window_distribution", "fuzzy_levenshtein_pairs",
-    "q1_pricing_summary", "filter_project", "join_star_revenue",
-    "join_semi", "join_anti", "join_range_band",
-    "agg_distinct", "agg_moments", "agg_rollup", "agg_cube",
-    "agg_grouping_sets", "set_ops", "distinct_rows",
-    "q3_shipping_priority", "q5_local_supplier_volume", "pivot_status",
-    "agg_percentiles", "subquery_scalar_exists", "pandas_udf_revenue",
-    "string_funcs", "date_funcs", "math_funcs", "unpivot_status",
-    "wordcount", "dedup_exact", "dedup_ngram_jaccard",
-    "text_lang_id", "text_quality", "text_token_count", "text_fingerprint",
-    "multimodal_meta", "q4_priority_late_ship",
-    # r2/r3-green queries follow in registration order with whatever
+    # --- round-5 priority (driver budget ~50; first rows first) ---
+    # (a) new or materially changed this round — no driver row at current
+    # semantics. agg_quantile_sketch gained an exact-regime oracle (was the
+    # one no_oracle r4 row); text_lang_id's scorer was rebuilt as a
+    # dictionary broadcast join (its only green row was r1).
+    "agg_quantile_sketch", "text_lang_id",
+    "source_stream_datasource", "stream_tws_sessions",
+    "multimodal_png_decode",
+    # (b) freshness rotation: the 23 queries whose latest green driver row
+    # is ROUND 1 — three rounds stale, several pre-date major reworks
+    # (winsorize, tokenize-once, events loader). Local oracle parity is
+    # green at HEAD; these need the hard driver signal refreshed.
+    "agg_cube", "agg_grouping_sets", "agg_percentiles", "date_funcs",
+    "dedup_exact", "dedup_ngram_jaccard", "distinct_rows", "math_funcs",
+    "multimodal_meta", "pandas_udf_revenue", "pivot_status",
+    "q3_shipping_priority", "q4_priority_late_ship",
+    "q5_local_supplier_volume", "set_ops", "string_funcs",
+    "subquery_scalar_exists", "text_fingerprint", "text_quality",
+    "text_token_count", "unpivot_status", "wordcount",
+    # (c) round-2-latest rows, oldest families first: the similarity/dedup/
+    # graph stack (most reworked since r2), then the remaining r2 set. The
+    # ~50-row budget cuts somewhere in here; round 6 rotates the tail in.
+    "dedup_minhash_lsh", "dedup_clusters_cc", "dedup_embedding_cosine",
+    "similarity_topk", "similarity_near_pairs", "similarity_topk_gemm",
+    "similarity_lsh_topk", "similarity_ivf_topk",
+    "graph_degree_distribution", "graph_triangle_count",
+    "merge_upsert_cdc", "pipeline_training_data", "sample_stratified_cap",
+    "sample_train_val_test", "text_pii_redact", "text_top_token_share",
+    "agg_collect", "agg_salted_skew", "array_funcs", "array_set_ops",
+    "layout_bucketed_join", "layout_zorder_key", "multimodal_frame_sample",
+    "q10_returned_items", "q12_priority_classes", "q14_promo_revenue",
+    "q18_large_volume", "q22_inactive_customers", "regex_funcs",
+    "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
+    "source_partition_pruning", "sql_api_revenue", "topk_global",
+    "udaf_apply_in_pandas", "udtf_tokenize", "window_frames",
+    "window_ntile_nav", "window_ranks", "window_topk_per_group",
+    # r3/r4-green queries follow in registration order with whatever
     # budget remains.
 ]
 

@@ -766,16 +766,29 @@ def events_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_quantile_sketch", oracle=None)  # approximate by contract: error-bound tested
+_QUANTILE_SKETCH_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_disc(value, 0.5)  AS p50,
+       quantile_disc(value, 0.9)  AS p90,
+       quantile_disc(value, 0.99) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+@query("agg_quantile_sketch", oracle=_QUANTILE_SKETCH_ORACLE)
 def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable approximate quantiles (approx_percentile, a GK-style
     sketch): per event type, the p50/p90/p99 estimates at relative accuracy
-    1/acc with acc=10000. Like the HLL family this is rows-only by design —
-    the sketch is approximate by contract — and tests/test_hostile_session.py
-    style guarantees come from tests/test_udx.py's error-bound check: each
-    estimate must land within rank tolerance acc_rank = n/acc of the exact
-    percentile. The sketch's merge is associative, so partial aggregation
-    works map-side and the same operator serves streaming state."""
+    1/acc with acc=10000. At sf0.01 every group is ~2k rows < acc, so the
+    sketch stores every value and returns EXACT discrete percentiles
+    (actual data elements) — the same exact-regime trick agg_heavy_hitters
+    uses — letting DuckDB quantile_disc hash-check it bit-for-bit. Beyond
+    the sketch's capacity the estimates go approximate, where the
+    guarantee reverts to tests/test_udx.py's rank-error bound (each
+    estimate within n/acc ranks of exact). The sketch's merge is
+    associative, so partial aggregation works map-side and the same
+    operator serves streaming state."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
