@@ -61,6 +61,217 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str, kind: str = "image
     return df.select(F.col(id_col).alias("doc_id"), payload.alias("payload"), meta.alias("meta"))
 
 
+# ---------------------------------------------------------------------------
+# Pure-stdlib PNG codec (zlib + struct + numpy): 8-bit grayscale, all five
+# scanline filters, no interlace. Public format per the PNG spec (RFC 2083).
+# This removes the PIL dependency from the REAL decode path for PNG payloads,
+# so real-codec evidence runs in codec-less containers; PIL remains the seam
+# for every other format.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_encode_gray(arr, filters=None) -> bytes:
+    """Encode an (h, w) uint8 array as an 8-bit grayscale PNG. ``filters``
+    picks the per-scanline filter type (default y % 5, cycling through all
+    five so a decode roundtrip exercises every unfilter branch)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape
+    if h < 1 or w < 1:
+        raise ValueError("png_encode_gray needs a non-empty array")
+    rows = []
+    prior = np.zeros(w, dtype=np.int32)
+    for y in range(h):
+        f = (y % 5) if filters is None else int(filters[y])
+        cur = arr[y].astype(np.int32)
+        left = np.concatenate(([0], cur[:-1]))
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prior
+        elif f == 3:
+            filt = cur - ((left + prior) >> 1)
+        elif f == 4:
+            ul = np.concatenate(([0], prior[:-1]))
+            pred = np.fromiter(
+                (_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prior, ul)),
+                dtype=np.int32,
+                count=w,
+            )
+            filt = cur - pred
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        rows.append(bytes([f]) + (filt % 256).astype(np.uint8).tobytes())
+        prior = cur
+    raw = b"".join(rows)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        c = tag + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def png_decode_gray(data: bytes):
+    """Decode an 8-bit grayscale non-interlaced PNG to an (h, w) uint8 array
+    using only stdlib zlib/struct + numpy (Sub unfilters as a cumsum; Up as a
+    vector add; Average/Paeth walk the scanline with numpy scalars)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    pos, w = len(_PNG_SIG), None
+    idat = []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt_m, interlace = struct.unpack(">IIBBBBB", body)
+            if (depth, color, comp, filt_m, interlace) != (8, 0, 0, 0, 0):
+                raise ValueError(
+                    "png_decode_gray supports 8-bit grayscale non-interlaced only "
+                    f"(got depth={depth} color={color} interlace={interlace})"
+                )
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # len + tag + body + crc
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError(f"PNG payload size mismatch: {len(raw)} != {h}*({w}+1)")
+    out = np.zeros((h, w), dtype=np.uint8)
+    prior = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        f = raw[y * (w + 1)]
+        line = np.frombuffer(raw, np.uint8, count=w, offset=y * (w + 1) + 1).astype(np.int64)
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub, bpp=1: recon = running sum of filtered bytes
+            rec = np.cumsum(line) % 256
+        elif f == 2:
+            rec = (line + prior) % 256
+        elif f == 3:
+            rec = np.empty(w, dtype=np.int64)
+            left = 0
+            for x in range(w):
+                left = (line[x] + ((left + int(prior[x])) >> 1)) % 256
+                rec[x] = left
+        elif f == 4:
+            rec = np.empty(w, dtype=np.int64)
+            left = 0
+            for x in range(w):
+                left = (line[x] + _paeth(left, int(prior[x]), int(prior[x - 1]) if x else 0)) % 256
+                rec[x] = left
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = rec.astype(np.uint8)
+        prior = rec
+    return out
+
+
+def _decode_gray_any(b: bytes, pil_image_mod):
+    """Decode payload bytes to an (h, w) uint8 grayscale array: PNGs go
+    through the deterministic stdlib decoder (container-independent); every
+    other format needs PIL and raises NotImplementedError without it."""
+    import io
+
+    import numpy as np
+
+    b = bytes(b)
+    if b.startswith(_PNG_SIG):
+        return png_decode_gray(b)
+    if pil_image_mod is None:
+        raise NotImplementedError(
+            "real decode of non-PNG formats requires PIL; install pillow or use fake=True"
+        )
+    im = pil_image_mod.open(io.BytesIO(b)).convert("L")
+    return np.asarray(im, dtype=np.uint8).reshape(im.height, im.width)
+
+
+def encode_png_media(
+    df: DataFrame, id_col: str, text_col: str, width: int = 16
+) -> DataFrame:
+    """Deterministic REAL-format media builder: pack each document's utf-8
+    bytes into an 8-bit grayscale PNG (h = n_bytes // width full scanlines,
+    filter type cycling y % 5 so every PNG filter appears in the corpus).
+    Rows shorter than one scanline are dropped — mirrored by the oracle's
+    WHERE clause. Arrow-batched mapInPandas; the payload is a genuine PNG
+    any external tool can open."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", MEDIA_META),
+        ]
+    )
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, metas = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                b = text.encode("utf-8")
+                h = len(b) // width
+                if h == 0:
+                    continue
+                arr = np.frombuffer(b, np.uint8, count=h * width).reshape(h, width)
+                ids.append(doc_id)
+                payloads.append(png_encode_gray(arr))
+                metas.append(
+                    {
+                        "kind": "image",
+                        "mime": "image/png",
+                        "width": width,
+                        "height": h,
+                        "sample_rate": 16000,
+                        "n_frames": 1,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype=object),
+                    "meta": pd.Series(metas, dtype=object),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(encode_batches, schema=out_schema)
+
+
+def _try_pil_image():
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_image_features(media: DataFrame, batch_size: int = 256, fake: bool = True) -> DataFrame:
     """Arrow-batched decode + feature extraction over the payload column.
 
@@ -73,28 +284,20 @@ def decode_image_features(media: DataFrame, batch_size: int = 256, fake: bool = 
     import numpy as np
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if not fake:
-            try:
-                import io
-
-                from PIL import Image
-            except ImportError as exc:  # the container-gated seam
-                raise NotImplementedError(
-                    "real image decode requires PIL; install pillow or use fake=True"
-                ) from exc
+        pil = _try_pil_image() if not fake else None
         for pdf in batches:
             payloads = pdf["payload"]
             if not fake:
-                # Real path: PIL decodes per image (codec APIs are
-                # per-image), but ALL pixel math is numpy over the decoded
-                # array — the same stats as the fake path, computed on
-                # pixels instead of raw payload bytes.
+                # Real path: the codec call is per-image (PNG via the
+                # stdlib decoder, anything else via PIL when present), but
+                # ALL pixel math is numpy over the decoded array — the same
+                # stats as the fake path, computed on pixels instead of raw
+                # payload bytes.
                 widths, heights, means, feats = [], [], [], []
                 for b in payloads:
-                    im = Image.open(io.BytesIO(bytes(b))).convert("L")
-                    arr = np.asarray(im, dtype=np.uint8)
-                    widths.append(im.width)
-                    heights.append(im.height)
+                    arr = _decode_gray_any(b, pil)
+                    heights.append(arr.shape[0])
+                    widths.append(arr.shape[1])
                     flat = arr.ravel()
                     means.append(float(flat.sum(dtype="int64")) / len(flat) if len(flat) else 0.0)
                     feats.append(np.bincount(flat & 7, minlength=8).astype("float64").tolist())
@@ -161,16 +364,21 @@ def resize_images(
     """
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        target = width * height
-        if not fake:
-            try:
-                import io
+        import numpy as np
 
-                from PIL import Image
-            except ImportError as exc:  # the container-gated seam
-                raise NotImplementedError(
-                    "real image resize requires PIL; install pillow or use fake=True"
-                ) from exc
+        target = width * height
+        pil = _try_pil_image() if not fake else None
+
+        def real_resize(b: bytes) -> bytes:
+            # Decode (stdlib for PNG, PIL otherwise), then deterministic
+            # floor-convention nearest-neighbor via numpy fancy indexing —
+            # identical output with or without PIL in the container.
+            arr = _decode_gray_any(b, pil)
+            in_h, in_w = arr.shape
+            ys = (np.arange(height, dtype=np.int64) * in_h) // height
+            xs = (np.arange(width, dtype=np.int64) * in_w) // width
+            return arr[np.ix_(ys, xs)].tobytes()
+
         for pdf in batches:
             if not fake:
                 yield pd.DataFrame(
@@ -180,12 +388,7 @@ def resize_images(
                         "out_height": height,
                         # raw grayscale pixel bytes of the resized image —
                         # exactly width*height bytes, like the fake path
-                        "resized": pdf["payload"].map(
-                            lambda b: Image.open(io.BytesIO(bytes(b)))
-                            .convert("L")
-                            .resize((width, height), Image.NEAREST)
-                            .tobytes()
-                        ),
+                        "resized": pdf["payload"].map(real_resize),
                     }
                 )
                 continue

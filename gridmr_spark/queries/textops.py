@@ -547,6 +547,61 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PNG_DECODE_ORACLE = r"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         (octet_length(encode(text)) // 16) * 16 AS n
+  FROM documents
+  WHERE octet_length(encode(text)) >= 16
+), bytes AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(hx, CAST(2 * t.i + 1 AS INT), 2)) AS INTEGER) AS byte
+  FROM b, unnest(generate_series(0, n - 1)) AS t(i)
+)
+SELECT doc_id,
+       CAST(16 AS INT) AS width,
+       CAST(COUNT(*) // 16 AS INT) AS height,
+       CAST(SUM(byte) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_byte,
+       concat_ws(',',
+         CAST(COUNT(*) FILTER (byte % 8 = 0) AS VARCHAR),
+         CAST(COUNT(*) FILTER (byte % 8 = 1) AS VARCHAR),
+         CAST(COUNT(*) FILTER (byte % 8 = 2) AS VARCHAR),
+         CAST(COUNT(*) FILTER (byte % 8 = 3) AS VARCHAR),
+         CAST(COUNT(*) FILTER (byte % 8 = 4) AS VARCHAR),
+         CAST(COUNT(*) FILTER (byte % 8 = 5) AS VARCHAR),
+         CAST(COUNT(*) FILTER (byte % 8 = 6) AS VARCHAR),
+         CAST(COUNT(*) FILTER (byte % 8 = 7) AS VARCHAR)) AS feature_csv
+FROM bytes GROUP BY doc_id
+"""
+
+
+@query("multimodal_png_decode", oracle=_PNG_DECODE_ORACLE)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec image decode, container-independent: each document's
+    utf-8 bytes are packed into a genuine 8-bit grayscale PNG (scanline
+    filters cycling 0-4, zlib-compressed — operators/multimodal.py:
+    png_encode_gray), then decode_image_features(fake=False) parses the
+    chunk stream, inflates, and unfilters every scanline with numpy
+    (png_decode_gray; PIL is only needed for non-PNG formats). The DuckDB
+    oracle recomputes width/height/mean/histogram straight from the text
+    bytes, so the hash match proves the full PNG roundtrip — filter
+    arithmetic included — is lossless. Unlike multimodal_decode (fake
+    codec, plumbing-only), this row is real-decoder evidence."""
+    from gridmr_spark.operators.multimodal import decode_image_features, encode_png_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = decode_image_features(encode_png_media(docs, "doc_id", "text", width=16), fake=False)
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "mean_byte",
+        F.concat_ws(
+            ",", F.transform("feature", lambda x: x.cast("int").cast("string"))
+        ).alias("feature_csv"),
+    )
+
+
 _FRAME_SAMPLE_ORACLE = """
 WITH media AS (
   SELECT doc_id, octet_length(encode(text)) % 30 + 1 AS n_frames FROM documents

@@ -55,12 +55,49 @@ def _have_pil() -> bool:
 
 
 @pytest.mark.skipif(_have_pil(), reason="PIL present: the seam decodes instead of raising")
-def test_real_decode_seam_raises(media):
+def test_real_decode_seam_raises_for_non_png(media):
+    """fake=False on NON-PNG payloads (these are raw text bytes) still needs
+    PIL — the stdlib decoder only claims the PNG format."""
     with pytest.raises(Exception) as exc:
         decode_image_features(media, fake=False).collect()
     assert "NotImplementedError" in str(exc.value) or isinstance(
         exc.value, NotImplementedError
     )
+
+
+def test_png_codec_roundtrip_all_filters():
+    """Pure-stdlib PNG codec: every scanline filter type (0-4) must decode
+    back to the original pixels, on random and adversarial arrays."""
+    import numpy as np
+
+    from gridmr_spark.operators.multimodal import png_decode_gray, png_encode_gray
+
+    rng = np.random.RandomState(11)
+    cases = [
+        rng.randint(0, 256, (23, 16)).astype(np.uint8),
+        np.zeros((5, 7), np.uint8),
+        np.full((4, 4), 255, np.uint8),
+        np.arange(256, dtype=np.uint8).reshape(16, 16),
+        rng.randint(0, 256, (1, 1)).astype(np.uint8),
+    ]
+    for a in cases:
+        h = a.shape[0]
+        for filters in (None, [0] * h, [1] * h, [2] * h, [3] * h, [4] * h):
+            got = png_decode_gray(png_encode_gray(a, filters))
+            assert (got == a).all()
+
+
+def test_png_decoder_reads_independent_writer():
+    """Cross-writer check: the decoder must read PNGs from the test suite's
+    own independent stdlib writer (filter 0 only), not just its paired
+    encoder."""
+    import numpy as np
+
+    from gridmr_spark.operators.multimodal import png_decode_gray
+
+    png = _png_gray(bytes(range(64)), 8, 8)
+    got = png_decode_gray(png)
+    assert (got == np.arange(64, dtype=np.uint8).reshape(8, 8)).all()
 
 
 def _png_gray(pixels: bytes, w: int, h: int) -> bytes:
@@ -84,11 +121,12 @@ def _png_gray(pixels: bytes, w: int, h: int) -> bytes:
     )
 
 
-@pytest.mark.skipif(not _have_pil(), reason="real decode requires PIL")
 def test_real_decode_roundtrips_png(spark):
-    """With PIL available, fake=False must decode ACTUAL image bytes through
-    the same mapInPandas plumbing: an 8x8 gray PNG with pixels 0..63 decodes
-    to width/height 8, mean 31.5, and a uniform mod-8 histogram."""
+    """fake=False must decode ACTUAL image bytes through the same
+    mapInPandas plumbing — via the stdlib PNG decoder, so this runs in
+    codec-less containers too (PIL, when present, is only used for non-PNG
+    formats): an 8x8 gray PNG with pixels 0..63 decodes to width/height 8,
+    mean 31.5, and a uniform mod-8 histogram."""
     from gridmr_spark.operators.multimodal import MEDIA_META, resize_images
 
     png = _png_gray(bytes(range(64)), 8, 8)
@@ -134,7 +172,8 @@ def test_resize_stub_semantics(spark, media):
         assert bytes(r.resized).rstrip(b"\x00")[: len(expect)] == expect.rstrip(b"\x00")[: len(expect)] or bytes(r.resized)[: len(expect)] == expect
 
 
-def test_resize_real_seam_raises(media):
+@pytest.mark.skipif(_have_pil(), reason="PIL present: the seam decodes instead of raising")
+def test_resize_real_seam_raises_for_non_png(media):
     from gridmr_spark.operators.multimodal import resize_images
 
     with pytest.raises(Exception) as exc:
@@ -142,6 +181,25 @@ def test_resize_real_seam_raises(media):
     assert "NotImplementedError" in str(exc.value) or isinstance(
         exc.value, NotImplementedError
     )
+
+
+def test_encode_png_media_real_payloads(spark, sf_oracle):
+    """encode_png_media emits genuine PNGs (signature + decoder roundtrip):
+    pixel bytes must equal the document's first (n//16)*16 utf-8 bytes."""
+    import numpy as np
+
+    from gridmr_spark.operators.multimodal import encode_png_media, png_decode_gray
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet").limit(20)
+    texts = {r.doc_id: r.text.encode("utf-8") for r in docs.collect()}
+    rows = encode_png_media(docs, "doc_id", "text", width=16).collect()
+    assert rows and all(bytes(r.payload).startswith(b"\x89PNG\r\n\x1a\n") for r in rows)
+    for r in rows:
+        b = texts[r.doc_id]
+        h = len(b) // 16
+        arr = png_decode_gray(bytes(r.payload))
+        assert arr.shape == (h, 16) == (r.meta.height, r.meta.width)
+        assert arr.tobytes() == b[: h * 16]
 
 
 def test_arrow_byte_stats_sliced_batch():
