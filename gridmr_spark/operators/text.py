@@ -45,40 +45,128 @@ def word_count(df: DataFrame, text_col: str = "text") -> DataFrame:
 # LLM-pipeline text analysis (language ID, quality, token counts, fingerprint)
 # ---------------------------------------------------------------------------
 
-# Marker-token lists per language for the n-gram/stopword heuristic. Tiny on
-# purpose: the operator pattern (token-set intersection scoring, argmax with
-# deterministic tie-break) is what scales; real deployments swap in fastText-
-# style tables via the same join.
-LANG_MARKERS: dict[str, tuple[str, ...]] = {
-    "en": ("the", "a", "of", "and", "is", "to", "in"),
-    "de": ("der", "die", "das", "und", "ist", "nicht"),
-    "es": ("el", "la", "los", "las", "y", "es", "que"),
-    "fr": ("le", "la", "les", "et", "est", "que", "une"),
-}
+# Language-ID dictionary: (token, lang, weight) rows — DATA, not code. This
+# is the production shape: a real deployment swaps in a fastText/CLD-scale
+# lexicon (100k+ rows) through the same broadcast join without touching the
+# operators. Weights are summed per (doc, lang); the default table carries
+# unit weights.
+DEFAULT_LANG_DICTIONARY: tuple[tuple[str, str, int], ...] = (
+    ("the", "en", 1), ("a", "en", 1), ("of", "en", 1), ("and", "en", 1),
+    ("is", "en", 1), ("to", "en", 1), ("in", "en", 1),
+    ("der", "de", 1), ("die", "de", 1), ("das", "de", 1), ("und", "de", 1),
+    ("ist", "de", 1), ("nicht", "de", 1),
+    ("el", "es", 1), ("la", "es", 1), ("los", "es", 1), ("las", "es", 1),
+    ("y", "es", 1), ("es", "es", 1), ("que", "es", 1),
+    ("le", "fr", 1), ("la", "fr", 1), ("les", "fr", 1), ("et", "fr", 1),
+    ("est", "fr", 1), ("que", "fr", 1), ("une", "fr", 1),
+)
 # Priority order for argmax ties (deterministic).
 LANG_PRIORITY: tuple[str, ...] = ("en", "de", "es", "fr")
+
+# Stopword list for quality scoring = the dictionary's distinct tokens (in
+# first-appearance order) — one lexicon feeds both operators.
+STOPWORDS: tuple[str, ...] = tuple(dict.fromkeys(t for t, _, _ in DEFAULT_LANG_DICTIONARY))
+
+_CJK_PATTERN = "[\\u4e00-\\u9fff]"
 
 
 def _tokens_col(text_col: str) -> Column:
     return F.filter(tokenize(text_col), lambda t: t != "")
 
 
+def lang_dictionary_df(spark) -> DataFrame:
+    """The default lexicon as a DataFrame — the broadcast side of
+    lang_id_join. Callers substitute their own (token, lang, weight) table
+    for real deployments."""
+    return spark.createDataFrame(
+        list(DEFAULT_LANG_DICTIONARY), schema="token string, lang string, weight int"
+    )
+
+
+def lang_id_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    dictionary: DataFrame | None = None,
+) -> DataFrame:
+    """Language ID via a dictionary-table broadcast join — the production
+    pattern (the lexicon is a table, arbitrarily large relative to a
+    when-chain, hot-swappable without a plan rebuild):
+
+        explode(tokens) -> broadcast join on token -> SUM(weight) per
+        (doc, lang) -> argmax with LANG_PRIORITY tie-break -> left join
+        back (no match => 'und'); a CJK codepoint anywhere wins outright.
+
+    Returns (id_col, predicted_lang). Scale shape: the dictionary join is
+    broadcast (zero shuffle); per-(doc,lang) sums partial-aggregate
+    map-side, so the only wide exchange carries <= |langs| rows per doc.
+
+    For inline single-pass gates (filter without a join) see lang_id(),
+    which compiles the SAME dictionary into a codegen'd expression."""
+    spark = df.sparkSession
+    dic = dictionary if dictionary is not None else lang_dictionary_df(spark)
+    rank = F.create_map(
+        *[x for i, lang in enumerate(LANG_PRIORITY) for x in (F.lit(lang), F.lit(i))]
+    )
+    toks = df.select(F.col(id_col), F.explode(_tokens_col(text_col)).alias("token"))
+    best = (
+        toks.join(F.broadcast(dic), "token")
+        .groupBy(id_col, "lang")
+        .agg(F.sum("weight").alias("score"))
+        # argmax(score) with ties to the earliest LANG_PRIORITY entry:
+        # max(struct) compares score first, then the negated rank.
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("score"),
+                    (-F.coalesce(rank[F.col("lang")], F.lit(99))).alias("neg_rank"),
+                    F.col("lang"),
+                )
+            ).alias("m")
+        )
+        .select(F.col(id_col), F.col("m.lang").alias("_matched_lang"))
+    )
+    base = df.select(
+        F.col(id_col), F.col(text_col).rlike(_CJK_PATTERN).alias("_has_cjk")
+    )
+    return base.join(best, id_col, "left").select(
+        F.col(id_col),
+        F.when(F.col("_has_cjk"), F.lit("zh"))
+        .otherwise(F.coalesce(F.col("_matched_lang"), F.lit("und")))
+        .alias("predicted_lang"),
+    )
+
+
+def _markers_by_lang() -> dict[str, tuple[str, ...]]:
+    out: dict[str, list[str]] = {}
+    for tok, lang, _w in DEFAULT_LANG_DICTIONARY:
+        out.setdefault(lang, []).append(tok)
+    return {lang: tuple(ms) for lang, ms in out.items()}
+
+
 def lang_scores(text_col: str = "text") -> dict[str, Column]:
-    """Marker-hit count per language (token-level, exact integers)."""
+    """Dictionary-hit count per language as inline Columns (token-level,
+    exact integers), compiled from DEFAULT_LANG_DICTIONARY. Unit weights
+    only — weighted lexicons go through lang_id_join."""
     toks = _tokens_col(text_col)
     out: dict[str, Column] = {}
-    for lang, markers in LANG_MARKERS.items():
+    for lang, markers in _markers_by_lang().items():
         marker_arr = F.array(*[F.lit(m) for m in markers])
         out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
     return out
 
 
 def lang_id(text_col: str = "text") -> Column:
-    """Predicted language: CJK presence wins outright, else marker-count
-    argmax in LANG_PRIORITY order; 'und' when no markers hit."""
+    """Inline-expression variant of lang_id_join, compiled from the SAME
+    dictionary: CJK presence wins outright, else dictionary-hit argmax in
+    LANG_PRIORITY order; 'und' when nothing hits. Use this form inside
+    single-pass gates (e.g. pipeline_training_data's language filter) where
+    a join would add an exchange; use lang_id_join when the lexicon is
+    table-sized. Both paths agree exactly on the default dictionary
+    (pytest-enforced)."""
     scores = lang_scores(text_col)
-    has_cjk = F.col(text_col).rlike("[\\u4e00-\\u9fff]")
-    best = None
+    has_cjk = F.col(text_col).rlike(_CJK_PATTERN)
     pred = F.lit("und")
     # Build when-chain in reverse priority so earlier langs win ties.
     for lang in reversed(LANG_PRIORITY):
@@ -120,7 +208,7 @@ def quality_features(df: DataFrame, id_col: str, text_col: str = "text") -> Data
     toks = _tokens_col(text_col)
     n_tokens = F.size(toks)
     n_chars = F.length(text_col)
-    stop_arr = F.array(*[F.lit(m) for ms in LANG_MARKERS.values() for m in ms])
+    stop_arr = F.array(*[F.lit(m) for m in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     n_punct = F.length(F.regexp_replace(text_col, "[a-zA-Z0-9\\s]+", ""))
     n_distinct = F.size(F.array_distinct(toks))

@@ -201,40 +201,54 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text analysis: language ID, quality scoring, token counting, fingerprints
 # ---------------------------------------------------------------------------
 
+# The oracle mirrors the Spark plan structurally — a dictionary-table join,
+# weight sums, ROW_NUMBER argmax with the priority tie-break — and its
+# VALUES rows are generated from the SAME Python table the Spark side
+# broadcasts, so the two can never drift.
+_LANGID_DICT_VALUES = ",\n    ".join(
+    f"('{t}', '{lang}', {w})" for t, lang, w in text_ops.DEFAULT_LANG_DICTIONARY
+)
+_LANGID_PRIO_VALUES = ", ".join(
+    f"('{lang}', {i})" for i, lang in enumerate(text_ops.LANG_PRIORITY)
+)
 _LANGID_ORACLE = r"""
-WITH t AS (
+WITH dict(token, lang, weight) AS (VALUES
+    {dict_values}
+), prio(lang, rk) AS (VALUES {prio_values}
+), t AS (
   SELECT doc_id, lang AS labeled_lang, text,
          list_filter(string_split(lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ','g')),' '), x -> x <> '') AS toks
   FROM documents
-), s AS (
-  SELECT doc_id, labeled_lang, text,
-    len(list_filter(toks, x -> list_contains(['the','a','of','and','is','to','in'], x))) AS s_en,
-    len(list_filter(toks, x -> list_contains(['der','die','das','und','ist','nicht'], x))) AS s_de,
-    len(list_filter(toks, x -> list_contains(['el','la','los','las','y','es','que'], x))) AS s_es,
-    len(list_filter(toks, x -> list_contains(['le','la','les','et','est','que','une'], x))) AS s_fr
-  FROM t
+), tok AS (
+  SELECT doc_id, unnest(toks) AS token FROM t
+), sc AS (
+  SELECT doc_id, d.lang, SUM(d.weight) AS score
+  FROM tok JOIN dict d USING (token) GROUP BY doc_id, d.lang
+), best AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, sc.lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, rk ASC) AS rn
+    FROM sc JOIN prio USING (lang)
+  ) WHERE rn = 1
 )
-SELECT doc_id, labeled_lang,
-  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
-       WHEN s_en > 0 AND s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
-       WHEN s_de > 0 AND s_de >= greatest(s_en, s_es, s_fr) THEN 'de'
-       WHEN s_es > 0 AND s_es >= greatest(s_en, s_de, s_fr) THEN 'es'
-       WHEN s_fr > 0 AND s_fr >= greatest(s_en, s_de, s_es) THEN 'fr'
-       ELSE 'und' END AS predicted_lang
-FROM s
-"""
+SELECT t.doc_id, t.labeled_lang,
+  CASE WHEN regexp_matches(t.text, '[\x{{4e00}}-\x{{9fff}}]') THEN 'zh'
+       ELSE COALESCE(b.lang, 'und') END AS predicted_lang
+FROM t LEFT JOIN best b USING (doc_id)
+""".format(dict_values=_LANGID_DICT_VALUES, prio_values=_LANGID_PRIO_VALUES)
 
 
 @query("text_lang_id", oracle=_LANGID_ORACLE)
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-token language ID (CJK regex + stopword argmax with
-    deterministic priority tie-break). Pure codegen expressions — the
-    operator shape real lang-ID tables plug into."""
+    """Language ID via the dictionary-table broadcast join
+    (operators/text.py:lang_id_join): explode tokens, broadcast-join the
+    (token, lang, weight) lexicon, sum weights per (doc, lang), argmax with
+    the LANG_PRIORITY tie-break; CJK wins outright, no match => 'und'.
+    The lexicon is data — a fastText-scale table drops in unchanged."""
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        text_ops.lang_id("text").alias("predicted_lang"),
+    pred = text_ops.lang_id_join(docs, "doc_id", "text")
+    return docs.select("doc_id", F.col("lang").alias("labeled_lang")).join(
+        pred, "doc_id"
     )
 
 
