@@ -225,6 +225,62 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PYDS_STREAM_ORACLE = """
+WITH g AS (
+  SELECT i AS row_id, i % 97 AS service,
+         CASE (i * 7) % 4 WHEN 0 THEN 'debug' WHEN 1 THEN 'info'
+                          WHEN 2 THEN 'warn' ELSE 'error' END AS level,
+         CAST((i * i) % 1000 AS DOUBLE) / 10.0 AS latency_ms
+  FROM (SELECT unnest(generate_series(0, 11999)) AS i)
+)
+SELECT service, level,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(latency_ms AS DECIMAL(18,1))) AS DOUBLE) AS sum_latency
+FROM g GROUP BY service, level
+"""
+
+
+@query("source_stream_datasource", oracle=_PYDS_STREAM_ORACLE)
+def source_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING side of the Python DataSource connector
+    (sources/pyds.py:SynthLogStreamReader): readStream over the custom
+    source — engine-checkpointed row-id offsets, per-micro-batch
+    partitions() splits — into a windowless streaming aggregation and a
+    memory sink, drained with availableNow. The DuckDB oracle re-derives
+    the full dataset, so the hash match proves offset planning loses and
+    duplicates nothing. Restart/exactly-once and the DataSource WRITER
+    (manifest-committed JSON-lines sink) are exercised in
+    tests/test_pyds_stream.py."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from gridmr_spark.sources import pyds
+
+    pyds.register(spark)
+    agg = (
+        spark.readStream.format("synthlog")
+        .option("rows", 12000)
+        .option("partitions", 8)
+        .load()
+        .groupBy("service", "level")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("latency_ms").cast("decimal(18,1)")).cast("double").alias("sum_latency"),
+        )
+    )
+    name = f"synthlog_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 _DPP_ORACLE = """
 WITH dim AS (
   SELECT DISTINCT o_orderpriority AS priority FROM orders
