@@ -206,3 +206,46 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("CAST(rint(value * 100) AS BIGINT)")).cast("double") / 100.0
         ).alias("total_value"),
     )
+
+
+# Identical ordering ((ts, event_id)) and integer-cents arithmetic as the
+# transformWithStateInPandas processor; round_even == Spark rint == numpy
+# rint, so all three engines agree bit-for-bit.
+_TWS_SESSIONS_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+              OR date_diff('microsecond', LAG(ts) OVER w, ts) >= 600000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+)
+SELECT user_id,
+       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round_even(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value
+FROM islands
+GROUP BY user_id, sid
+"""
+
+
+@query("stream_tws_sessions", oracle=_TWS_SESSIONS_ORACLE)
+def stream_tws_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/tws.py:user_sessions_tws — per-user
+    10-minute-gap sessions via transformWithStateInPandas (Spark 4's
+    arbitrary-stateful successor to applyInPandasWithState: typed state
+    handles, EVENT-TIME TIMERS closing the final session of a quiet key,
+    optional TTL, RocksDB state store). The processor's semantics are
+    proven against this twin by driving it directly through a fake state
+    handle in tests/test_tws.py (multi-batch splits + timer expiry); the
+    live readStream path runs where the protobuf runtime exists
+    (tws.has_protobuf() — absent from this container)."""
+    from gridmr_spark.streaming.tws import user_sessions_batch
+
+    return user_sessions_batch(load_table(spark, sf_dir, "events"))

@@ -1,0 +1,212 @@
+"""transformWithStateInPandas session operator (streaming/tws.py).
+
+The processor's semantics are proven WITHOUT the Spark state server by
+driving handleInputRows/handleExpiredTimer through a fake state handle —
+multi-batch splits, restarts mid-session, and timer-driven final flushes
+must reproduce the batch twin exactly. The live readStream path needs the
+protobuf runtime (absent from this container) and is skip-gated, like PIL
+was for the image codec before the stdlib decoder.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gridmr_spark.streaming.tws import (
+    GAP_US,
+    SessionProcessor,
+    has_protobuf,
+    user_sessions_batch,
+    user_sessions_tws,
+)
+
+
+class _FakeValueState:
+    def __init__(self):
+        self.v = None
+
+    def exists(self):
+        return self.v is not None
+
+    def get(self):
+        return self.v
+
+    def update(self, v):
+        self.v = v
+
+    def clear(self):
+        self.v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+        self.timers = set()
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+    def listTimers(self):
+        return iter(sorted(self.timers))
+
+    def registerTimer(self, ts_ms):
+        self.timers.add(ts_ms)
+
+    def deleteTimer(self, ts_ms):
+        self.timers.discard(ts_ms)
+
+
+def _drive(events_by_batch, gap_us=GAP_US):
+    """Run one key's events through the processor across micro-batches,
+    then fire the pending timer (watermark -> infinity) and collect every
+    emitted session as (start_us, end_us, n, cents)."""
+    proc = SessionProcessor(gap_us)
+    handle = _FakeHandle()
+    proc.init(handle)
+    out = []
+    for batch in events_by_batch:
+        if not batch:
+            continue
+        pdf = pd.DataFrame(
+            {
+                "user_id": [1] * len(batch),
+                "event_id": [e[0] for e in batch],
+                "ts_us": [e[1] for e in batch],
+                "value": [e[2] for e in batch],
+            }
+        )
+        out.extend(proc.handleInputRows((1,), iter([pdf]), None))
+    for _t in list(handle.timers):
+        out.extend(proc.handleExpiredTimer((1,), None, None))
+    rows = pd.concat(out, ignore_index=True) if out else pd.DataFrame()
+    return [
+        (int(r.start_us), int(r.end_us), int(r.n_events), int(r.cents))
+        for r in rows.itertuples()
+    ]
+
+
+MIN_US = 60_000_000  # one minute
+
+
+def _ev(eid, minute, value):
+    return (eid, minute * MIN_US, value)
+
+
+def test_processor_single_batch_gap_split():
+    got = _drive([[_ev(1, 0, 1.25), _ev(2, 5, 2.50), _ev(3, 20, 0.75)]])
+    assert got == [
+        (0, 5 * MIN_US, 2, 375),          # closed by the 15-min gap
+        (20 * MIN_US, 20 * MIN_US, 1, 75),  # flushed by the timer
+    ]
+
+
+def test_processor_multi_batch_continuation_equals_single_batch():
+    """A session spanning a micro-batch boundary must merge, not split."""
+    events = [_ev(1, 0, 1.0), _ev(2, 5, 1.0), _ev(3, 9, 1.0), _ev(4, 30, 2.0)]
+    whole = _drive([events])
+    for cut in (1, 2, 3):
+        assert _drive([events[:cut], events[cut:]]) == whole
+    assert whole == [(0, 9 * MIN_US, 3, 300), (30 * MIN_US, 30 * MIN_US, 1, 200)]
+
+
+def test_processor_unsorted_within_batch():
+    """Events inside one batch arrive unordered; the processor sorts by
+    (ts, event_id) before merging."""
+    assert _drive([[_ev(2, 5, 1.0), _ev(1, 0, 1.0), _ev(3, 20, 1.0)]]) == _drive(
+        [[_ev(1, 0, 1.0), _ev(2, 5, 1.0), _ev(3, 20, 1.0)]]
+    )
+
+
+def test_processor_timer_bookkeeping():
+    proc = SessionProcessor(GAP_US)
+    handle = _FakeHandle()
+    proc.init(handle)
+    pdf = pd.DataFrame({"user_id": [1], "event_id": [1], "ts_us": [0], "value": [1.0]})
+    list(proc.handleInputRows((1,), iter([pdf]), None))
+    assert handle.timers == {GAP_US // 1000}  # one timer at last + gap
+    pdf2 = pd.DataFrame({"user_id": [1], "event_id": [2], "ts_us": [MIN_US], "value": [1.0]})
+    list(proc.handleInputRows((1,), iter([pdf2]), None))
+    assert handle.timers == {(MIN_US + GAP_US) // 1000}  # re-registered, old deleted
+    list(proc.handleExpiredTimer((1,), None, None))
+    assert not handle.states["open"].exists()  # state evicted after flush
+
+
+def test_processor_matches_batch_twin_on_events_table(spark, sf_smoke):
+    """Fake-handle processor output over the real events table (split into 3
+    ts-ordered micro-batches per user) == the batch twin DataFrame — the
+    stream==batch equality, minus only the Spark transport."""
+    ev = (
+        spark.read.parquet(f"{sf_smoke}/events.parquet")
+        .select("user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"), "value")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.event_id, r.ts_us, r.value))
+    got = []
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda e: (e[1], e[0]))
+        k = max(1, len(rows) // 3)
+        batches = [rows[i : i + k] for i in range(0, len(rows), k)]
+        for s in _drive(batches):
+            got.append((uid, *s))
+    twin = user_sessions_batch(
+        spark.read.parquet(f"{sf_smoke}/events.parquet").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+    ).collect()
+    want = [
+        (
+            r.user_id,
+            int(r.session_start.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000),
+            int(r.session_end.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000),
+            r.n_events,
+            round(r.total_value * 100),
+        )
+        for r in twin
+    ]
+    assert sorted(got) == sorted(want) and len(want) > 0
+
+
+@pytest.mark.skipif(not has_protobuf(), reason="transformWithState state server needs google.protobuf")
+def test_tws_stream_equals_batch(spark, tmp_path):
+    """End-to-end readStream run (requires protobuf): two availableNow runs
+    over a growing directory; a far-future sentinel event advances the
+    watermark so timers flush every real session."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    T0 = dt.datetime(2026, 1, 1)
+
+    def t(m):
+        return T0 + dt.timedelta(minutes=m)
+
+    b1 = [(1, 1, t(0), 1.25), (2, 1, t(5), 2.50), (3, 1, t(20), 0.75),
+          (4, 2, t(0), 10.00), (5, 2, t(3), 0.05)]
+    b2 = [(6, 1, t(25), 1.00), (7, 2, t(30), 3.00), (8, 999, t(24 * 60), 0.01)]
+    d, ck, sink = str(tmp_path / "in"), str(tmp_path / "ck"), str(tmp_path / "out")
+    spark.createDataFrame(b1, schema).write.mode("overwrite").parquet(d)
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(d)
+        q = (
+            user_sessions_tws(src).writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: df.write.mode("append").parquet(sink))
+            .option("checkpointLocation", ck).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run()
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(d)
+    run()
+    got = spark.read.parquet(sink).where(F.col("user_id") != 999)
+    want = user_sessions_batch(
+        spark.createDataFrame(b1 + b2, schema)
+    ).where(F.col("user_id") != 999)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
