@@ -174,15 +174,20 @@ def cosine_topk_gemm_blocked(
     n_qblk = max(1, math.ceil(n / block_rows))
     if cand_blocks is None:
         cand_blocks = max(1, queries.sparkSession.sparkContext.defaultParallelism)
+    # Both grid keys must be the SAME type on both sides: pmod(xxhash64)
+    # yields long while explode(array(lit(int))) yields int, and cogroup
+    # groups each side independently — mismatched key types silently form
+    # disjoint (long 2, int 2) cells whose other side is empty, losing
+    # query×candidate coverage instead of failing loudly.
     qrep = queries.select(
         F.col(q_id).alias("q_id"),
         F.col(q_vec).alias("q_vec"),
-        F.pmod(F.xxhash64(q_id), F.lit(n_qblk)).alias("qblk"),
+        F.pmod(F.xxhash64(q_id), F.lit(n_qblk)).cast("int").alias("qblk"),
     ).withColumn("cblk", F.explode(F.array(*[F.lit(i) for i in range(cand_blocks)])))
     crep = candidates.select(
         F.col(c_id).alias("c_id"),
         F.col(c_vec).alias("c_vec"),
-        F.pmod(F.xxhash64(c_id), F.lit(cand_blocks)).alias("cblk"),
+        F.pmod(F.xxhash64(c_id), F.lit(cand_blocks)).cast("int").alias("cblk"),
     ).withColumn("qblk", F.explode(F.array(*[F.lit(i) for i in range(n_qblk)])))
 
     def gemm_cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
@@ -215,6 +220,9 @@ def cosine_topk_gemm_blocked(
         )
         return out[out["cosine"] != -np.inf]
 
+    qkt = [qrep.schema[k].dataType for k in ("qblk", "cblk")]
+    ckt = [crep.schema[k].dataType for k in ("qblk", "cblk")]
+    assert qkt == ckt, f"cogroup key dtypes must match: {qkt} vs {ckt}"
     cells = (
         qrep.groupBy("qblk", "cblk")
         .cogroup(crep.groupBy("qblk", "cblk"))
@@ -385,6 +393,9 @@ class IVFIndex:
             )
             return out[out["cosine"] != -np.inf]
 
+        assert qside.schema["cell"].dataType == base.schema["cell"].dataType, (
+            "cogroup key dtypes must match (mismatched types group disjointly)"
+        )
         cells = (
             qside.groupBy("cell")
             .cogroup(base.groupBy("cell"))

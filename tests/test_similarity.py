@@ -101,3 +101,9 @@ def test_blocked_gemm_equals_single_block(spark, sf_oracle):
     blocked = {(r.q_id, r.c_id)
                for r in cosine_topk_gemm_blocked(q, c, k=5, block_rows=180).collect()}
     assert blocked == single and len(single) == emb.count() * 5
+    # Anchor against the fold path too: equality with another GEMM variant
+    # can't mask a shared coverage defect (the cogroup key-type mismatch
+    # lost ~40% of query×candidate coverage while both paths still
+    # returned 5 rows/query).
+    exact, _ = _exact_topk_pairs(spark, sf_oracle, k=5)
+    assert blocked == exact
