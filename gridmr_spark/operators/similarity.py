@@ -532,3 +532,185 @@ class RandomHyperplaneLSH:
         )
         w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
         return sims.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+class ProductQuantizer:
+    """Product quantization (PQ) ANN: the memory-compressed third leg of the
+    approximate-similarity family, next to hyperplane LSH (hash buckets) and
+    IVF (centroid cells).
+
+    Vectors are split into ``m`` subvectors; each subspace gets a ``ksub``-
+    centroid codebook (seeded numpy Lloyd over a deterministic hash-sample,
+    driver-side — codebooks are m*ksub*dsub floats, always tiny). A vector
+    is then stored as m byte-sized codes — 8 bytes instead of 256 for a
+    64-dim float32 embedding, the 32x compression that lets a 100 TB corpus'
+    index live in cluster RAM. Search is asymmetric distance computation
+    (ADC): per query one (m, ksub) lookup table of subspace dot products;
+    scoring a candidate is m table lookups, no float multiply. The ADC
+    shortlist (top ``shortlist`` per query, merged across batches) is then
+    re-ranked EXACTLY against the raw vectors — the standard two-stage
+    pipeline, so PQ approximation error only costs recall when a true
+    neighbor falls outside the shortlist, never final-score accuracy.
+
+    Scale shape: codes stream through mapInPandas Arrow batches (candidate
+    side never collected, shuffled bytes ~ n*m codes); per-batch top-R per
+    query bounds what leaves Python; the exact re-rank touches only
+    |queries| * shortlist rows. The query side is bounded by the same
+    "fits the driver" contract as cosine_topk_gemm.
+    """
+
+    def __init__(
+        self,
+        m: int = 16,
+        ksub: int = 32,
+        iters: int = 10,
+        seed: int = 7,
+        fit_sample: int = 2048,
+        shortlist: int = 96,
+    ):
+        self.m = m
+        self.ksub = ksub
+        self.iters = iters
+        self.seed = seed
+        self.fit_sample = fit_sample
+        self.shortlist = shortlist
+
+    def fit(self, df: DataFrame, vec_col: str) -> np.ndarray:
+        """Per-subspace codebooks from a deterministic hash-sample.
+
+        Returns (m, ksub, dsub) float64. Sampling mirrors IVFIndex: order by
+        xxhash64 of the vector bytes, take fit_sample rows — a one-job,
+        partition-invariant sample; Lloyd then runs in numpy on the driver
+        (fit_sample x dim floats, bounded)."""
+        rows = (
+            df.select(
+                F.col(vec_col).alias("v"),
+                F.xxhash64(F.col(vec_col).cast("array<float>").cast("string")).alias("h"),
+            )
+            .orderBy("h")
+            .limit(self.fit_sample)
+            .collect()
+        )
+        X = np.stack([np.asarray(r.v, dtype="float64") for r in rows])
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        dim = X.shape[1]
+        assert dim % self.m == 0, f"dim {dim} not divisible by m={self.m}"
+        dsub = dim // self.m
+        rng = np.random.RandomState(self.seed)
+        books = np.empty((self.m, self.ksub, dsub))
+        for s in range(self.m):
+            Xs = X[:, s * dsub : (s + 1) * dsub]
+            C = Xs[rng.choice(len(Xs), self.ksub, replace=False)]
+            for _ in range(self.iters):
+                d = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                a = d.argmin(axis=1)
+                for j in range(self.ksub):
+                    pts = Xs[a == j]
+                    if len(pts):
+                        C[j] = pts.mean(axis=0)
+            books[s] = C
+        return books
+
+    def topk(
+        self,
+        df: DataFrame,
+        id_col: str,
+        vec_col: str,
+        k: int = 5,
+        query_bound: int = 1000,
+    ) -> DataFrame:
+        """Approximate top-k for the (bounded) query set against every row.
+
+        Stage 1 — ADC: candidates are encoded and scored per Arrow batch
+        against all queries at once via numpy gather (no per-row Python);
+        per-batch top-``shortlist`` per query survives, the union's global
+        top-``shortlist`` is the re-rank input (a superset argument makes
+        the merge lossless w.r.t. the batch scores, same as the GEMM grid).
+        Stage 2 — exact re-rank: shortlist pairs join back to raw candidate
+        vectors; true cosine per pair; window top-k with the family's
+        (cosine desc, cid asc) tiebreak."""
+        books = self.fit(df, vec_col)
+        m, ksub, dsub = books.shape
+
+        qpdf = (
+            df.where(F.col(id_col) < query_bound)
+            .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+            .toPandas()
+        )
+        q_ids = qpdf["qid"].to_numpy()
+        Q = np.stack(qpdf["qvec"].to_list()).astype("float64")
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        # LUT[q, s, j] = dot(q_sub_s, codebook[s, j]); ADC score of a coded
+        # candidate approximates dot(q_unit, c_unit) = cosine.
+        lut = np.einsum("qsd,sjd->qsj", Qn.reshape(len(Qn), m, dsub), books)
+        R = self.shortlist
+
+        def adc_batches(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                cids = pdf["cid"].to_numpy()
+                C = np.stack(pdf["cvec"].to_list()).astype("float64")
+                C /= np.linalg.norm(C, axis=1, keepdims=True)
+                Cs = C.reshape(len(C), m, dsub)
+                # encode: per-subspace nearest codebook entry
+                codes = np.empty((len(C), m), dtype="int64")
+                for s in range(m):
+                    d = (
+                        (Cs[:, s, None, :] - books[None, s, :, :]) ** 2
+                    ).sum(axis=2)
+                    codes[:, s] = d.argmin(axis=1)
+                # ADC gather: S[q, c] = sum_s lut[q, s, codes[c, s]]
+                S = np.zeros((len(Qn), len(C)))
+                for s in range(m):
+                    S += lut[:, s, codes[:, s]]
+                S[:, :] = np.where(
+                    cids[None, :] == q_ids[:, None], -np.inf, S
+                )  # self-pairs out
+                rr = min(R, S.shape[1])
+                order = np.lexsort(
+                    (np.broadcast_to(cids[None, :], S.shape), -S), axis=1
+                )[:, :rr]
+                out = pd.DataFrame(
+                    {
+                        "qid": np.repeat(q_ids, rr),
+                        "cid": np.take_along_axis(
+                            np.broadcast_to(cids[None, :], S.shape), order, axis=1
+                        ).ravel(),
+                        "adc": np.take_along_axis(S, order, axis=1).ravel(),
+                    }
+                )
+                yield out[out["adc"] != -np.inf]
+
+        cand = df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        scored = cand.mapInPandas(adc_batches, schema="qid long, cid long, adc double")
+        wr = Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("cid"))
+        short = (
+            scored.withColumn("r", F.row_number().over(wr))
+            .where(F.col("r") <= R)
+            .select("qid", "cid")
+        )
+        # Exact re-rank: only |queries| * shortlist pairs touch raw vectors.
+        rejoin = short.join(
+            cand.withColumnRenamed("cvec", "v"), "cid"
+        )
+
+        def exact_rerank(it):
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                C = np.stack(pdf["v"].to_list()).astype("float64")
+                C /= np.linalg.norm(C, axis=1, keepdims=True)
+                qi = pdf["qid"].to_numpy()
+                idx = {int(q): i for i, q in enumerate(q_ids)}
+                rows = np.array([idx[int(q)] for q in qi])
+                cos = (Qn[rows] * C).sum(axis=1)
+                yield pd.DataFrame(
+                    {"qid": pdf["qid"], "cid": pdf["cid"], "cosine": cos}
+                )
+
+        exact = rejoin.mapInPandas(exact_rerank, schema="qid long, cid long, cosine double")
+        w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+        return (
+            exact.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+        )

@@ -57,7 +57,8 @@ _DRIVER_PRIORITY: list[str] = [
     # dictionary broadcast join (its only green row was r1).
     "agg_quantile_sketch", "text_lang_id",
     "source_stream_datasource", "stream_tws_sessions",
-    "multimodal_png_decode",
+    "multimodal_png_decode", "cluster_kmeans_assign", "similarity_pq_topk",
+    "join_bloom_runtime",
     # (b) freshness rotation: the 23 queries whose latest green driver row
     # is ROUND 1 — three rounds stale, several pre-date major reworks
     # (winsorize, tokenize-once, events loader). Local oracle parity is

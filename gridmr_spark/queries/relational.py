@@ -1261,3 +1261,52 @@ def merge_cdc_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     untouched = target.join(log.select("o_orderkey"), "o_orderkey", "left_anti")
     return survivors.unionAll(untouched.select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+# ---------------------------------------------------------------------------
+# Runtime bloom-filter join pruning
+# ---------------------------------------------------------------------------
+
+_BLOOM_JOIN_ORACLE = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS sum_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("join_bloom_runtime", oracle=_BLOOM_JOIN_ORACLE)
+def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle join guarded by a RUNTIME BLOOM FILTER (Spark's
+    InjectRuntimeFilter): the selective dimension side first aggregates a
+    bloom filter over its join keys; Catalyst injects
+    might_contain(bloom, xxhash64(l_orderkey)) into the FACT scan's filter,
+    so ~4/5 of fact rows die at the scan instead of riding the shuffle —
+    the row-level sibling of dynamic partition pruning for joins where the
+    fact is not partitioned on the join key. At 100 TB this is the
+    difference between shuffling the whole fact table and shuffling the
+    matching fifth.
+
+    Spark injects the filter only when the dimension is too big to
+    broadcast BY SIZE (hints don't count: a broadcast join prunes through
+    its hash table already, so bloom targets genuine shuffle joins). At
+    test scale the dim fits in a broadcast and this query correctly plans
+    as a broadcast join — the bloom-injection property is therefore proven
+    in tests/test_plans.py under the production-shaped confs
+    (autoBroadcastJoinThreshold=-1 to express "the dim is big",
+    applicationSideScanSizeThreshold=0 to express "the fact is big"),
+    asserting the bloom subquery lands in the fact scan's filter."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )

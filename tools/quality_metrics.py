@@ -57,6 +57,13 @@ def main() -> None:
         "metric": "recall@5 vs exact",
         "value": round(recall(pairs(reg["similarity_ivf_topk"].fn(spark, sf_dir), "qid", "cid"), exact_all), 4),
     }
+    # PQ bounds its query side to vec_id < 1000 by the same driver-fit
+    # contract as the GEMM path — recall is defined over those queries.
+    exact_pq = {(a, b) for a, b in exact_all if a < 1000}
+    out["similarity_pq_topk"] = {
+        "metric": "recall@5 vs exact",
+        "value": round(recall(pairs(reg["similarity_pq_topk"].fn(spark, sf_dir), "qid", "cid"), exact_pq), 4),
+    }
 
     # Exact GEMM paths: neighbor-set recall vs the fold path must be 1.0.
     # similarity_topk_gemm bounds its query side to vec_id < 1000 by
