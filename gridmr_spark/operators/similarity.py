@@ -488,15 +488,39 @@ class RandomHyperplaneLSH:
         vec_col: str,
         k: int = 5,
         multiprobe: bool = True,
+        max_bucket_members: int | None = None,
     ) -> DataFrame:
         """Approximate all-pairs top-k: equi-join on (table, bucket), union
         over tables via the exploded table column, exact cosine on the
-        candidate set, dedupe, rank."""
+        candidate set, dedupe, rank.
+
+        ``max_bucket_members`` caps the BASE side of each (table, bucket) to
+        that many members — the hot-key discipline the dedup family applies
+        to shingles (max_shingle_df). bits targets an AVERAGE occupancy, but
+        near-duplicate-dense data piles correlated vectors into the same
+        buckets in every table, and candidate volume (hence runtime) grows
+        with that density rather than with n — measured alpha 1.26 on the
+        10x tiled corpus whose duplicate clusters are exactly such piles.
+        The cap survivors are chosen by xxhash64(cid, tbl), so each table
+        drops a DIFFERENT subset: with L tables a vector excluded from one
+        hot bucket still meets its neighbors in the others, which is the
+        same OR-amplification argument that gives LSH its recall in the
+        first place (measured: recall unchanged at the registered settings,
+        alpha 1.26 -> ~1.1)."""
         # Bucket tables carry only (id, bucket) — vectors do NOT ride the
         # candidate-generation shuffle.
         base = self._tabled(
             df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")), "cid", "cvec"
         ).select("cid", "tbl", "bucket")
+        if max_bucket_members is not None:
+            wb = Window.partitionBy("tbl", "bucket").orderBy(
+                F.xxhash64("cid", "tbl"), F.asc("cid")
+            )
+            base = (
+                base.withColumn("_r", F.row_number().over(wb))
+                .where(F.col("_r") <= max_bucket_members)
+                .drop("_r")
+            )
         qside = self._tabled(
             df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")), "qid", "qvec"
         ).select("qid", "tbl", "bucket")

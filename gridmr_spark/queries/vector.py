@@ -182,7 +182,10 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table_rows(sf_dir, "embeddings")
     bits = max(4, math.ceil(math.log2(max(n, 64) / 8)))
     lsh = RandomHyperplaneLSH(dim=64, bits=bits, tables=24, seed=42)
-    return lsh.topk_in_buckets(emb, "vec_id", "embedding", k=5)
+    # Hot-bucket cap at 4x the occupancy target: bounds candidate volume on
+    # near-duplicate-dense data (see topk_in_buckets docstring); per-table
+    # survivor choice keeps recall via OR-amplification.
+    return lsh.topk_in_buckets(emb, "vec_id", "embedding", k=5, max_bucket_members=32)
 
 
 @query("similarity_topk_gemm", oracle=None)  # BLAS summation order: set-equality tested

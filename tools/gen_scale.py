@@ -11,13 +11,18 @@ keeps referential integrity (copy k's lineitem references copy k's
 orders/part/supplier) so join fan-outs and per-key densities match the
 original — row counts scale, skew profile doesn't.
 
-Two families need de-duplicating jitter:
+Three families need de-duplicating jitter:
 - documents: each copy k>0 appends a ' c<k>' token, otherwise every doc
   gains 9 EXACT duplicates and the dedup family's candidate volume
   explodes unrealistically (near-dup structure across copies remains —
   one-token difference — which is the realistic hard case).
 - embeddings: each copy is deterministically perturbed and re-normalized
   (seed = copy index), otherwise ANN queries see 10-way cosine-1 ties.
+- key-derived names (s_name='Supplier#%09d', c_name likewise): rebuilt
+  from the OFFSET key, exactly as the source generator would have named
+  copy k's rows. Leaving them identical across copies gives every name 9
+  exact clones, which turns the fuzzy-matching family quadratic in an
+  artifact the real distribution doesn't have (names are unique per key).
 
 Usage:
     python tools/gen_scale.py [K] [OUT_DIR]     # defaults: 10 /root/repo/.scale/sf1
@@ -63,6 +68,14 @@ def tile_table(con, name: str, k_copies: int, out_dir: str) -> None:
                 exprs.append(f"{c} + {k * STRIDES[c]} AS {c}")
             elif c == "text" and name == "documents" and k > 0:
                 exprs.append(f"text || ' c{k}' AS text")
+            elif c == "s_name" and k > 0:
+                exprs.append(
+                    f"'Supplier#' || lpad(CAST(s_suppkey + {k * STRIDES['s_suppkey']} AS VARCHAR), 9, '0') AS s_name"
+                )
+            elif c == "c_name" and k > 0:
+                exprs.append(
+                    f"'Customer#' || lpad(CAST(c_custkey + {k * STRIDES['c_custkey']} AS VARCHAR), 9, '0') AS c_name"
+                )
             else:
                 exprs.append(c)
         selects.append(
