@@ -505,8 +505,9 @@ class RandomHyperplaneLSH:
         drops a DIFFERENT subset: with L tables a vector excluded from one
         hot bucket still meets its neighbors in the others, which is the
         same OR-amplification argument that gives LSH its recall in the
-        first place (measured: recall unchanged at the registered settings,
-        alpha 1.26 -> ~1.1)."""
+        first place (measured at the registered settings: recall 0.965 at
+        sf0.1 — unchanged — and the sf0.1→sf1 scaling exponent fell from
+        1.26 to 0.88, SCALING.md §Measured)."""
         # Bucket tables carry only (id, bucket) — vectors do NOT ride the
         # candidate-generation shuffle.
         base = self._tabled(
