@@ -58,7 +58,7 @@ _DRIVER_PRIORITY: list[str] = [
     "agg_quantile_sketch", "text_lang_id",
     "source_stream_datasource", "stream_tws_sessions",
     "multimodal_png_decode", "cluster_kmeans_assign", "similarity_pq_topk",
-    "join_bloom_runtime",
+    "join_bloom_runtime", "dedup_minhash_clusters", "text_quality_classifier",
     # (b) freshness rotation: the 23 queries whose latest green driver row
     # is ROUND 1 — three rounds stale, several pre-date major reworks
     # (winsorize, tokenize-once, events loader). Local oracle parity is
