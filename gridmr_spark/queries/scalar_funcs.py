@@ -364,3 +364,115 @@ def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k_or_default"),
         F.try_element_at(F.split("event_type", "i"), F.lit(3)).alias("third_or_null"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 surface: VARIANT, SQL pipe syntax, collations
+# ---------------------------------------------------------------------------
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("events_variant_props", oracle=_VARIANT_ORACLE)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads through the VARIANT type (Spark 4): props
+    parses ONCE into the binary variant encoding, then typed path
+    extraction (variant_get with a target type) feeds ordinary aggregates.
+    vs json_funcs' get_json_object (per-path string re-parse): variant
+    parses each payload once and stores a traversable binary — at 100 TB
+    the difference between p parses per row (p = paths touched) and one.
+    try_variant_get returns NULL on absent paths, mirroring JSON
+    extraction semantics; integer-only output for the hash gate."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return (
+        ev.select(
+            "event_type",
+            F.try_variant_get(v, "$.k", "bigint").alias("k"),
+            F.try_variant_get(v, "$.missing", "bigint").alias("m"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("m").isNull(), 1).otherwise(0)).alias("n_missing"),
+        )
+    )
+
+
+_PIPE_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+"""
+
+
+@query("sql_pipe_syntax", oracle=_PIPE_ORACLE)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME relational semantics through Spark 4's SQL pipe syntax
+    (|> operators compose top-down like DataFrame calls) — API-surface
+    parity evidence beside sql_api_revenue's classic SQL entry: one
+    logical plan family, three authoring surfaces (DataFrame, ANSI SQL,
+    pipe SQL), one Catalyst optimization path."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe")
+    return spark.sql(
+        """
+        FROM orders_pipe
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders, sum_price
+        """
+    )
+
+
+_COLLATION_ORACLE = """
+SELECT lower(p_type) AS type_ci,
+       COUNT(*) AS n_parts,
+       CAST(SUM(CASE WHEN lower(p_brand) = 'brand#17' THEN 1 ELSE 0 END) AS BIGINT) AS n_brand17
+FROM part
+GROUP BY lower(p_type)
+"""
+
+
+@query("string_collation_ci", oracle=_COLLATION_ORACLE)
+def string_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping/comparison via Spark 4 collations: the
+    UTF8_LCASE collation makes '=' and GROUP BY case-insensitive INSIDE
+    the engine — no per-row lower() materialization in user code, and the
+    collation travels with the column through joins and aggregates.
+    The output key is normalized with lower() only so both engines print
+    one canonical spelling (DuckDB has no column collations); the
+    grouping itself runs on the collated column."""
+    part = load_table(spark, sf_dir, "part")
+    ptype_ci = F.collate(F.col("p_type"), "UTF8_LCASE")
+    return (
+        part.groupBy(ptype_ci.alias("type_ci_grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(
+                F.when(
+                    F.collate(F.col("p_brand"), "UTF8_LCASE") == F.lit("BRAND#17"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_brand17"),
+        )
+        .select(
+            F.lower(F.col("type_ci_grp")).cast("string").alias("type_ci"),
+            "n_parts",
+            "n_brand17",
+        )
+    )
