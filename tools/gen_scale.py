@@ -40,21 +40,32 @@ import pyarrow.parquet as pq
 
 BASE = "/root/testdata/sf0.1"
 
-# key column -> offset stride per copy (dense 0..N-1 at sf0.1)
-STRIDES = {
-    "c_custkey": 15_000,
-    "s_suppkey": 1_000,
-    "p_partkey": 20_000,
-    "o_orderkey": 150_000,
-    "o_custkey": 15_000,
-    "l_orderkey": 150_000,
-    "l_partkey": 20_000,
-    "l_suppkey": 1_000,
-    "event_id": 100_000,
-    "user_id": 15_000,  # events.user_id joins c_custkey: same stride as customer
-    "doc_id": 5_000,
-    "vec_id": 2_000,
+# key column -> (owning table, primary key) — the per-copy offset stride is
+# max(pk)+1 MEASURED from the base (keys are dense 0..N-1 at every driver
+# SF, but measuring keeps the tiler correct for any base). FK columns use
+# their referenced table's stride so referential integrity holds per copy.
+KEY_FAMILIES = {
+    "c_custkey": ("customer", "c_custkey"),
+    "s_suppkey": ("supplier", "s_suppkey"),
+    "p_partkey": ("part", "p_partkey"),
+    "o_orderkey": ("orders", "o_orderkey"),
+    "o_custkey": ("customer", "c_custkey"),
+    "l_orderkey": ("orders", "o_orderkey"),
+    "l_partkey": ("part", "p_partkey"),
+    "l_suppkey": ("supplier", "s_suppkey"),
+    "event_id": ("events", "event_id"),
+    "user_id": ("customer", "c_custkey"),  # events.user_id joins c_custkey
+    "doc_id": ("documents", "doc_id"),
+    "vec_id": ("embeddings", "vec_id"),
 }
+STRIDES: dict[str, int] = {}
+
+
+def compute_strides(con, base: str) -> None:
+    for col, (table, pk) in KEY_FAMILIES.items():
+        STRIDES[col] = con.execute(
+            f"SELECT max({pk}) + 1 FROM read_parquet('{base}/{table}.parquet')"
+        ).fetchone()[0]
 
 
 def tile_table(con, name: str, k_copies: int, out_dir: str) -> None:
@@ -112,10 +123,14 @@ def tile_embeddings(k_copies: int, out_dir: str) -> None:
 
 
 def main() -> None:
+    global BASE
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scale/sf1"
+    if len(sys.argv) > 3:
+        BASE = sys.argv[3]
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
+    compute_strides(con, BASE)
     for name in ("region", "nation"):  # fixed-size dimensions: copy once
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{BASE}/{name}.parquet')) "
