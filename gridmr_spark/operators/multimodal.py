@@ -557,3 +557,116 @@ def _arrow_byte_stats_batches(batches):
             ),
         )
 
+
+
+# ---------------------------------------------------------------------------
+# Real audio container: RIFF/WAVE (stdlib wave module — no codec deps)
+# ---------------------------------------------------------------------------
+# The audio twin of the PNG path above: a genuine container format encoded
+# and decoded in-container, so "real audio decode" evidence does not depend
+# on librosa/ffmpeg being installed. 8-bit unsigned mono PCM is a valid WAV
+# configuration, and the frame-energy math downstream of the parse is the
+# same integer arithmetic audio_frame_energy uses — which is what lets a
+# DuckDB oracle re-derive every energy from the source bytes.
+
+WAV_FRAMES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def wav_encode_u8(samples, sample_rate: int = 8000) -> bytes:
+    """Genuine RIFF/WAVE bytes: mono, 1 byte/sample (8-bit unsigned PCM)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype=np.uint8).tobytes())
+    return buf.getvalue()
+
+
+def encode_wav_media(
+    df: DataFrame, id_col: str, text_col: str, sample_rate: int = 8000
+) -> DataFrame:
+    """Pack each row's utf-8 text bytes as 8-bit PCM into a real WAV file
+    (Arrow-batched). Deterministic: payload depends only on the row."""
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                samples = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                ids.append(doc_id)
+                payloads.append(wav_encode_u8(samples, sample_rate))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(enc, schema=schema)
+
+
+def wav_frame_energy(media: DataFrame, frame_samples: int = 256) -> DataFrame:
+    """REAL container parse + framed energies: stdlib wave reads the RIFF
+    header (channels/width/rate validated), PCM bytes come out of
+    readframes, and each frame_samples window emits sum((s-128)^2) — the
+    same integer energy audio_frame_energy computes on raw bytes, so the
+    whole parse round-trip is oracle-checkable. Per-batch Python cost is
+    one wave.open per payload (header walk) + vectorized numpy energy."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, totals, idxs, energies = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                    if w.getnchannels() != 1 or w.getsampwidth() != 1:
+                        raise ValueError("expected 8-bit mono PCM WAV")
+                    rate = w.getframerate()
+                    n = w.getnframes()
+                    pcm = np.frombuffer(w.readframes(n), dtype=np.uint8)
+                n_frames = len(pcm) // frame_samples
+                if n_frames == 0:
+                    continue
+                centered = pcm[: n_frames * frame_samples].astype("int64") - 128
+                e = (centered * centered).reshape(n_frames, frame_samples).sum(axis=1)
+                ids.extend([doc_id] * n_frames)
+                rates.extend([rate] * n_frames)
+                totals.extend([n] * n_frames)
+                idxs.extend(range(n_frames))
+                energies.extend(e.tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_samples": pd.Series(totals, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(frames, schema=WAV_FRAMES)

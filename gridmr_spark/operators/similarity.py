@@ -622,10 +622,15 @@ class ProductQuantizer:
         assert dim % self.m == 0, f"dim {dim} not divisible by m={self.m}"
         dsub = dim // self.m
         rng = np.random.RandomState(self.seed)
-        books = np.empty((self.m, self.ksub, dsub))
+        # A codebook can't have more entries than fit rows (tiny tables):
+        # shrink ksub rather than crash — codes stay valid, recall if
+        # anything improves (quantization approaches identity).
+        ksub = min(self.ksub, len(X))
+        self.ksub = ksub
+        books = np.empty((self.m, ksub, dsub))
         for s in range(self.m):
             Xs = X[:, s * dsub : (s + 1) * dsub]
-            C = Xs[rng.choice(len(Xs), self.ksub, replace=False)]
+            C = Xs[rng.choice(len(Xs), ksub, replace=False)]
             for _ in range(self.iters):
                 d = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
                 a = d.argmin(axis=1)

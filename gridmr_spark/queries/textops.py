@@ -1590,3 +1590,45 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("quality_score"),
         F.when(score >= 0.5, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real audio container decode: RIFF/WAVE round-trip (stdlib wave)
+# ---------------------------------------------------------------------------
+
+_WAV_DECODE_ORACLE = r"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+), bytes AS (
+  SELECT doc_id,
+         t.i,
+         CAST(('0x' || substr(hx, CAST(2 * t.i + 1 AS INT), 2)) AS INTEGER) AS byte
+  FROM b, unnest(generate_series(0, (n // 256) * 256 - 1)) AS t(i)
+)
+SELECT bytes.doc_id,
+       8000 AS sample_rate,
+       CAST(b.n AS BIGINT) AS n_samples,
+       CAST(i // 256 AS INT) AS frame_idx,
+       CAST(SUM((byte - 128) * (byte - 128)) AS BIGINT) AS energy
+FROM bytes JOIN b ON bytes.doc_id = b.doc_id
+GROUP BY bytes.doc_id, b.n, i // 256
+"""
+
+
+@query("multimodal_wav_decode", oracle=_WAV_DECODE_ORACLE)
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-container audio decode, the WAV twin of multimodal_png_decode:
+    each document's utf-8 bytes become 8-bit mono PCM inside a genuine
+    RIFF/WAVE file (stdlib wave — no librosa/ffmpeg dependency), then
+    wav_frame_energy parses the header (channels/width/rate validated),
+    extracts the PCM, and emits per-256-sample frame energies. The DuckDB
+    oracle re-derives sample count and every frame energy straight from
+    the text bytes, so the hash match proves the container round-trip is
+    lossless — closing the 'real audio codec' seam multimodal_audio_energy
+    (raw-byte plumbing) left open."""
+    from gridmr_spark.operators.multimodal import encode_wav_media, wav_frame_energy
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = encode_wav_media(docs, "doc_id", "text", sample_rate=8000)
+    return wav_frame_energy(media, frame_samples=256)

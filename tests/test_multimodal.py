@@ -251,3 +251,34 @@ def test_audio_frame_energy_matches_python_reference(spark, sf_smoke):
     assert got == want and len(want) > 0
     with pytest.raises(Exception, match="NotImplementedError|real audio"):
         audio_frame_energy(media, fake=False).collect()
+
+
+def test_wav_roundtrip_real_container(spark, sf_smoke):
+    """encode_wav_media writes genuine RIFF/WAVE (stdlib wave re-opens it:
+    mono, 1-byte samples, the requested rate) and wav_frame_energy's parse
+    agrees byte-for-byte with the raw-byte energy path on the same data."""
+    import io
+    import wave
+
+    from gridmr_spark.operators.multimodal import (
+        attach_payload,
+        audio_frame_energy,
+        encode_wav_media,
+        wav_frame_energy,
+    )
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    media = encode_wav_media(docs, "doc_id", "text", sample_rate=8000)
+    one = media.limit(1).collect()[0]
+    with wave.open(io.BytesIO(bytes(one.payload)), "rb") as w:
+        assert (w.getnchannels(), w.getsampwidth(), w.getframerate()) == (1, 1, 8000)
+    via_wav = {
+        (r.doc_id, r.frame_idx): r.energy
+        for r in wav_frame_energy(media, frame_samples=256).collect()
+    }
+    raw = attach_payload(docs, "doc_id", "text", kind="audio")
+    via_bytes = {
+        (r.doc_id, r.frame_idx): r.energy
+        for r in audio_frame_energy(raw, frame_bytes=256).collect()
+    }
+    assert via_wav == via_bytes and len(via_wav) > 0
