@@ -26,6 +26,10 @@ _TZ_SENSITIVE = [
     "events_resample_locf",
     "join_range_bucketed",
     "events_subsequence_match",
+    # round-5 timestamp queries (tws sessions aggregate event timestamps;
+    # the stream datasource generates and windows its own timestamps)
+    "stream_tws_sessions",
+    "source_stream_datasource",
 ]
 
 
