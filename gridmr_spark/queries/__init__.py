@@ -60,7 +60,7 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_png_decode", "cluster_kmeans_assign", "similarity_pq_topk",
     "join_bloom_runtime", "dedup_minhash_clusters", "text_quality_classifier",
     "events_variant_props", "sql_pipe_syntax", "string_collation_ci",
-    "multimodal_wav_decode",
+    "multimodal_wav_decode", "source_xml_roundtrip",
     # (b) freshness rotation: the 23 queries whose latest green driver row
     # is ROUND 1 — three rounds stale, several pre-date major reworks
     # (winsorize, tokenize-once, events loader). Local oracle parity is

@@ -326,3 +326,35 @@ def source_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFr
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
         )
     )
+
+
+_XML_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal
+FROM customer
+WHERE c_custkey < 500
+"""
+
+
+@query("source_xml_roundtrip", oracle=_XML_ORACLE)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + source fidelity through Spark 4's NATIVE xml format (the
+    former spark-xml package, now built in): one row element per record
+    under a root tag, explicit read schema (XML inference scans
+    everything, same rule as JSON). The double column round-trips
+    bit-identically, which the value hash proves — completing the format
+    family parquet/csv/json/orc/text(+http)/xml plus the custom Python
+    DataSource."""
+    path = _scratch(sf_dir, "xml")
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 500).select(
+        "c_custkey", "c_name", "c_mktsegment", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    cust.write.format("xml").option("rootTag", "customers").option("rowTag", "customer").mode(
+        "overwrite"
+    ).save(path)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "customer")
+        .schema("c_custkey long, c_name string, c_mktsegment string, c_acctbal double")
+        .load(path)
+    )
