@@ -108,11 +108,15 @@ def png_encode_gray(arr, filters=None) -> bytes:
         elif f == 3:
             filt = cur - ((left + prior) >> 1)
         elif f == 4:
+            # Encoder-side Paeth has no reconstruction dependency (left/
+            # prior/ul come from the ORIGINAL arrays), so the predictor
+            # vectorizes: pick a, b, or c by the standard tie-broken
+            # distance rule with np.where instead of a per-pixel loop.
             ul = np.concatenate(([0], prior[:-1]))
-            pred = np.fromiter(
-                (_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prior, ul)),
-                dtype=np.int32,
-                count=w,
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
             )
             filt = cur - pred
         else:

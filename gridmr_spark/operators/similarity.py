@@ -659,14 +659,20 @@ class ProductQuantizer:
         Stage 2 — exact re-rank: shortlist pairs join back to raw candidate
         vectors; true cosine per pair; window top-k with the family's
         (cosine desc, cid asc) tiebreak."""
-        books = self.fit(df, vec_col)
-        m, ksub, dsub = books.shape
-
         qpdf = (
             df.where(F.col(id_col) < query_bound)
             .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
             .toPandas()
         )
+        if len(qpdf) == 0:
+            # No queries under the bound (e.g. an id space starting above
+            # it): empty result with the contract schema, not an np.stack
+            # crash three layers down.
+            return df.sparkSession.createDataFrame(
+                [], "qid long, cid long, cosine double, rnk int"
+            )
+        books = self.fit(df, vec_col)
+        m, ksub, dsub = books.shape
         q_ids = qpdf["qid"].to_numpy()
         Q = np.stack(qpdf["qvec"].to_list()).astype("float64")
         Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)

@@ -154,11 +154,14 @@ class _JsonTaskWriter:
         return _FileCommit(fname, n)
 
 
-def _write_manifest(path: str, commit_id: str, messages) -> bool:
+def _write_manifest(path: str, commit_id: str, messages, supersedes=None) -> bool:
     """Driver-side atomic commit: a manifest under <path>/_commits names the
     batch's files. Idempotent — a replayed commit (same id) is a no-op, which
     is what makes the sink exactly-once under engine retries. Returns True
-    if this call created the manifest."""
+    if this call created the manifest. ``supersedes`` (overwrite mode) lists
+    earlier manifest names this commit replaces: readers skip superseded
+    manifests, so the overwrite becomes visible atomically with THIS file's
+    link — no delete-then-write window where the table reads empty."""
     files = [m.filename for m in messages if m is not None and m.filename]
     cdir = os.path.join(path, "_commits")
     os.makedirs(cdir, exist_ok=True)
@@ -167,7 +170,7 @@ def _write_manifest(path: str, commit_id: str, messages) -> bool:
         return False
     tmp = os.path.join(cdir, f".{commit_id}.{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as fh:
-        json.dump({"files": files}, fh)
+        json.dump({"files": files, "supersedes": sorted(supersedes or [])}, fh)
     try:
         # On POSIX link+unlink refuses to clobber an existing manifest, so
         # concurrent duplicate commits resolve to exactly one winner.
@@ -201,11 +204,35 @@ class SynthLogBatchWriter(DataSourceWriter):
 
     def commit(self, messages):
         if self.overwrite:
+            # Atomic overwrite: the NEW manifest lists the manifests it
+            # supersedes and lands first (link = the visibility flip), THEN
+            # the superseded manifests and their now-invisible data files
+            # are removed as best-effort cleanup. A crash at any point
+            # leaves readers seeing either the old table or the new one,
+            # never an empty or doubled one.
             cdir = os.path.join(self.path, "_commits")
-            if os.path.isdir(cdir):
-                for f in os.listdir(cdir):
+            old_manifests = (
+                sorted(f for f in os.listdir(cdir) if not f.startswith("."))
+                if os.path.isdir(cdir)
+                else []
+            )
+            old_files = committed_files(self.path)
+            _write_manifest(
+                self.path, f"batch-{uuid.uuid4().hex}", messages,
+                supersedes=old_manifests,
+            )
+            for f in old_manifests:
+                try:
                     os.remove(os.path.join(cdir, f))
-        _write_manifest(self.path, f"batch-{uuid.uuid4().hex}", messages)
+                except FileNotFoundError:
+                    pass
+            for full in old_files:
+                try:
+                    os.remove(full)
+                except FileNotFoundError:
+                    pass
+        else:
+            _write_manifest(self.path, f"batch-{uuid.uuid4().hex}", messages)
 
     def abort(self, messages):
         _abort_staged(self.path, messages)
@@ -234,16 +261,26 @@ class SynthLogStreamWriter(DataSourceStreamWriter):
 
 
 def committed_files(path: str) -> list[str]:
-    """All data files named by any committed manifest (reader's view)."""
+    """All data files named by any committed manifest (reader's view),
+    skipping manifests an overwrite commit superseded — those may coexist
+    with their replacement for the instant before cleanup (or forever, if
+    the writer died mid-cleanup) without doubling the table."""
     cdir = os.path.join(path, "_commits")
     if not os.path.isdir(cdir):
         return []
-    out: list[str] = []
+    manifests = {}
+    superseded: set[str] = set()
     for c in sorted(os.listdir(cdir)):
         if c.startswith("."):
             continue
         with open(os.path.join(cdir, c)) as fh:
-            out.extend(json.load(fh)["files"])
+            m = json.load(fh)
+        manifests[c] = m["files"]
+        superseded.update(m.get("supersedes", []))
+    out: list[str] = []
+    for c in sorted(manifests):
+        if c not in superseded:
+            out.extend(manifests[c])
     return [os.path.join(path, "data", f) for f in out]
 
 

@@ -111,14 +111,28 @@ class SessionProcessor(StatefulProcessor):
             if n > 0 and int(ts[i]) - last >= self.gap_us:
                 yield self._emit(user_id, start, last, n, total)
                 start, n, total = int(ts[i]), 0, 0
-            last = int(ts[i])
+            # A late-but-in-watermark event (ts < last) extends the open
+            # session BACKWARD, never regresses its high-water mark: with
+            # last = ts[i] a later event could measure its gap from the
+            # stale low point and emit an inverted (end < start) session
+            # the batch twin never produces. min/max merging matches the
+            # batch twin whenever watermark_delay <= gap (a later event
+            # can then never belong to an already-closed earlier session),
+            # which is the operator's documented operating range.
+            if n == 0:
+                start = int(ts[i])
+            else:
+                start = min(start, int(ts[i]))
+            last = max(last, int(ts[i]))
             n += 1
             total += int(cents[i])
         self.open.update((start, last, n, total))
-        # One live timer per key: the open session's close horizon.
+        # One live timer per key: the open session's close horizon. Ceil to
+        # the ms grid — floor would fire up to 999us BEFORE last+gap and
+        # close a session a just-inside-the-gap event should extend.
         for t in self.handle.listTimers():
             self.handle.deleteTimer(t)
-        self.handle.registerTimer(last // 1000 + self.gap_us // 1000)
+        self.handle.registerTimer(-(-(last + self.gap_us) // 1000))
 
     def handleExpiredTimer(self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo):
         if self.open.exists():
@@ -146,7 +160,13 @@ def user_sessions_tws(
 ) -> DataFrame:
     """Streaming form: watermarked events through the SessionProcessor.
     Requires the RocksDB state store provider
-    (spark.sql.streaming.stateStore.providerClass)."""
+    (spark.sql.streaming.stateStore.providerClass).
+
+    Operating range: watermark_delay must not exceed the session gap.
+    Late events within the watermark merge into the open session via
+    min/max (backward extension); a watermark longer than the gap could
+    deliver an event belonging to a session the timer already closed,
+    which no per-key single-session state can stitch back together."""
     proc_in = (
         events.withWatermark("ts", watermark_delay)
         .select("user_id", "event_id", "ts", F.unix_micros("ts").alias("ts_us"), "value")

@@ -116,3 +116,43 @@ def test_manifest_commit_idempotent(tmp_path):
     assert pyds._write_manifest(path, "streambatch-7", [m1]) is True
     assert pyds._write_manifest(path, "streambatch-7", [m1, m2]) is False  # replay
     assert pyds.committed_files(path) == [os.path.join(path, "data", "a.json")]
+
+
+def test_overwrite_commit_is_atomic(spark, tmp_path):
+    """mode('overwrite') replaces the table atomically: the new manifest
+    lands FIRST, naming the manifests it supersedes, so at no instant does
+    a reader see an empty or doubled table; cleanup then removes the
+    superseded manifests and their data files."""
+    pyds.register(spark)
+    path = str(tmp_path / "out")
+    src = spark.read.format("synthlog").option("rows", 300).option("partitions", 2).load()
+    src.write.format("synthlog").mode("append").save(path)
+    assert pyds.read_committed(spark, path, _SCHEMA).count() == 300
+    src2 = spark.read.format("synthlog").option("rows", 120).option("partitions", 2).load()
+    src2.write.format("synthlog").mode("overwrite").save(path)
+    assert pyds.read_committed(spark, path, _SCHEMA).count() == 120
+    # cleanup actually removed the superseded generation
+    cdir = os.path.join(path, "_commits")
+    assert len([f for f in os.listdir(cdir) if not f.startswith(".")]) == 1
+    data = os.listdir(os.path.join(path, "data"))
+    assert len(data) == 2  # only the overwrite's two partitions remain
+
+
+def test_overwrite_crash_window_reads_old_or_new_never_empty(tmp_path):
+    """The crash-window property directly: with old manifests still on disk
+    NEXT TO the superseding manifest (writer died before cleanup), readers
+    see exactly the new generation — and before the new manifest exists,
+    exactly the old one."""
+    path = str(tmp_path / "out")
+    os.makedirs(os.path.join(path, "data"))
+    for fname in ("old.json", "new.json"):
+        with open(os.path.join(path, "data", fname), "w") as fh:
+            fh.write("{}\n")
+    assert pyds._write_manifest(path, "batch-old", [pyds._FileCommit("old.json", 1)])
+    # pre-overwrite: old generation visible
+    assert pyds.committed_files(path) == [os.path.join(path, "data", "old.json")]
+    # overwrite manifest lands, old one NOT yet cleaned up (simulated crash)
+    assert pyds._write_manifest(
+        path, "batch-new", [pyds._FileCommit("new.json", 1)], supersedes=["batch-old"]
+    )
+    assert pyds.committed_files(path) == [os.path.join(path, "data", "new.json")]

@@ -210,3 +210,33 @@ def test_tws_stream_equals_batch(spark, tmp_path):
         spark.createDataFrame(b1 + b2, schema)
     ).where(F.col("user_id") != 999)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_processor_late_event_does_not_regress_session(spark=None):
+    """A late-but-in-watermark event (earlier ts than the open session's
+    high-water mark, arriving in a later micro-batch) must extend the
+    session BACKWARD, not regress `last`: pre-fix, the next gap test
+    measured from the stale low point and emitted an inverted
+    (end < high-water) session the batch twin never produces."""
+    events_in_order = [_ev(1, 1, 1.0), _ev(2, 5, 1.0), _ev(3, 9, 1.0), _ev(4, 18, 1.0)]
+    whole = _drive([events_in_order])
+    # min-5 event arrives late, in the second batch, after min-9; min-18 is
+    # 9 min from the TRUE high-water mark (merge) but 13 min from the
+    # regressed one (bogus split + inverted end pre-fix)
+    late = _drive([[_ev(1, 1, 1.0), _ev(3, 9, 1.0)], [_ev(2, 5, 1.0), _ev(4, 18, 1.0)]])
+    assert late == whole
+    # gaps 4/4/9 min are all under the 10-min gap: one session, upright
+    assert whole == [(1 * MIN_US, 18 * MIN_US, 4, 400)]
+    for s, e, _, _ in late:
+        assert s <= e
+
+
+def test_processor_timer_ceils_to_ms_grid():
+    """Timer must register at ceil((last+gap)/1000) ms: floor fires up to
+    999us early and would close a session an in-gap event should extend."""
+    proc = SessionProcessor(GAP_US)
+    handle = _FakeHandle()
+    proc.init(handle)
+    pdf = pd.DataFrame({"user_id": [1], "event_id": [1], "ts_us": [500], "value": [1.0]})
+    list(proc.handleInputRows((1,), iter([pdf]), None))
+    assert handle.timers == {(500 + GAP_US + 999) // 1000}

@@ -57,21 +57,20 @@ def main() -> None:
         "metric": "recall@5 vs exact",
         "value": round(recall(pairs(reg["similarity_ivf_topk"].fn(spark, sf_dir), "qid", "cid"), exact_all), 4),
     }
-    # PQ bounds its query side to vec_id < 1000 by the same driver-fit
-    # contract as the GEMM path — recall is defined over those queries.
-    exact_pq = {(a, b) for a, b in exact_all if a < 1000}
+    # PQ and the single-collect GEMM both bound their query side to
+    # vec_id < 1000 by the driver-fit contract — one shared reference set.
+    exact_lt1000 = {(a, b) for a, b in exact_all if a < 1000}
     out["similarity_pq_topk"] = {
         "metric": "recall@5 vs exact",
-        "value": round(recall(pairs(reg["similarity_pq_topk"].fn(spark, sf_dir), "qid", "cid"), exact_pq), 4),
+        "value": round(recall(pairs(reg["similarity_pq_topk"].fn(spark, sf_dir), "qid", "cid"), exact_lt1000), 4),
     }
 
     # Exact GEMM paths: neighbor-set recall vs the fold path must be 1.0.
     # similarity_topk_gemm bounds its query side to vec_id < 1000 by
     # contract, so its reference is the fold top-5 restricted to those.
-    exact_1k = {(a, b) for a, b in exact_all if a < 1000}
     out["similarity_topk_gemm"] = {
         "metric": "neighbor-set recall vs exact fold (must be 1.0)",
-        "value": round(recall(pairs(reg["similarity_topk_gemm"].fn(spark, sf_dir), "q_id", "c_id"), exact_1k), 4),
+        "value": round(recall(pairs(reg["similarity_topk_gemm"].fn(spark, sf_dir), "q_id", "c_id"), exact_lt1000), 4),
     }
     out["similarity_topk_gemm_blocked"] = {
         "metric": "neighbor-set recall vs exact fold (must be 1.0)",
