@@ -617,16 +617,25 @@ class ProductQuantizer:
             .collect()
         )
         X = np.stack([np.asarray(r.v, dtype="float64") for r in rows])
-        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        # All-zero vectors have no direction: drop them from the fit sample
+        # rather than dividing by zero into NaN codebooks (encoding still
+        # handles them — a zero vector quantizes to whatever cell is nearest
+        # to the origin, and its cosine is 0 against everything anyway).
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        X = X[norms[:, 0] > 0] / np.maximum(norms[norms[:, 0] > 0], 1e-300)
+        if len(X) == 0:
+            raise ValueError("PQ fit sample contains only zero vectors")
         dim = X.shape[1]
         assert dim % self.m == 0, f"dim {dim} not divisible by m={self.m}"
         dsub = dim // self.m
         rng = np.random.RandomState(self.seed)
         # A codebook can't have more entries than fit rows (tiny tables):
-        # shrink ksub rather than crash — codes stay valid, recall if
-        # anything improves (quantization approaches identity).
+        # shrink ksub LOCALLY rather than crash — codes stay valid, recall
+        # if anything improves (quantization approaches identity). Never
+        # write the shrunken value back to self: a reused instance must not
+        # carry a tiny table's codebook size into later fits (topk derives
+        # m/ksub from books.shape, so nothing downstream needs self.ksub).
         ksub = min(self.ksub, len(X))
-        self.ksub = ksub
         books = np.empty((self.m, ksub, dsub))
         for s in range(self.m):
             Xs = X[:, s * dsub : (s + 1) * dsub]
@@ -634,7 +643,7 @@ class ProductQuantizer:
             for _ in range(self.iters):
                 d = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
                 a = d.argmin(axis=1)
-                for j in range(self.ksub):
+                for j in range(ksub):
                     pts = Xs[a == j]
                     if len(pts):
                         C[j] = pts.mean(axis=0)

@@ -30,6 +30,13 @@ def get_spark(app_name: str = "gridmr_spark", cpus: int | None = None) -> SparkS
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    # Before the JVM starts: make a protobuf runtime importable (current
+    # process + future Python workers via PYTHONPATH) so the
+    # transformWithStateInPandas state server can run. No-op when protobuf
+    # is properly installed or no vendored runtime exists.
+    from gridmr_spark.compat.pbshim import ensure_protobuf
+
+    ensure_protobuf()
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

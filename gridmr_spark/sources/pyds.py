@@ -216,7 +216,21 @@ class SynthLogBatchWriter(DataSourceWriter):
                 if os.path.isdir(cdir)
                 else []
             )
-            old_files = committed_files(self.path)
+            # Deletable files come from EVERY manifest being removed —
+            # including ones an earlier (crashed) overwrite already
+            # superseded. committed_files() skips superseded manifests by
+            # design (reader view), so using it here would leak the crashed
+            # generation's data files in data/ forever.
+            old_files = []
+            for c in old_manifests:
+                try:
+                    with open(os.path.join(cdir, c)) as fh:
+                        m = json.load(fh)
+                except (FileNotFoundError, json.JSONDecodeError):
+                    continue
+                old_files.extend(
+                    os.path.join(self.path, "data", f) for f in m["files"]
+                )
             _write_manifest(
                 self.path, f"batch-{uuid.uuid4().hex}", messages,
                 supersedes=old_manifests,
@@ -273,8 +287,15 @@ def committed_files(path: str) -> list[str]:
     for c in sorted(os.listdir(cdir)):
         if c.startswith("."):
             continue
-        with open(os.path.join(cdir, c)) as fh:
-            m = json.load(fh)
+        try:
+            with open(os.path.join(cdir, c)) as fh:
+                m = json.load(fh)
+        except FileNotFoundError:
+            # A concurrent overwrite commit deletes superseded manifests
+            # right after linking its replacement; a manifest that vanished
+            # between listdir and open is by construction superseded, so
+            # skipping it preserves "readers see old or new, never an error".
+            continue
         manifests[c] = m["files"]
         superseded.update(m.get("supersedes", []))
     out: list[str] = []

@@ -8,21 +8,33 @@ the canonical "built-in windows can't express it" stateful shape (a session
 must close either when a LATER event reveals the gap, or when the WATERMARK
 passes the gap horizon with no later event; the second needs timers).
 
-State per user is ONE open-session accumulator (start/last/n/cents — four
-longs), independent of history length, and every session is emitted exactly
-once, so state size and output are both bounded — the property that lets
-this run on an unbounded 100 TB ingest. Exact integer cents (banker's
-rounding, matching Spark rint / DuckDB round_even) keep stream, batch twin,
-and oracle bit-identical.
+Emission is WATERMARK-GATED, not eager: a session revealed as gap-closed by
+a later in-batch event is buffered in a ListState and only emitted once the
+watermark passes its close horizon (last + gap). Eager emission is unsound
+under late data — after a split at S with session end L, an event with
+L < ts < L + gap stays admissible whenever (S - L) - gap < watermark_delay,
+and the batch twin merges it into the already-emitted session. Deferring
+until the watermark proves no admissible event can extend a session makes
+stream == batch over the ADMITTED events for ANY watermark delay (dropped
+too-late rows are the only divergence, and that is the watermark contract
+itself).
+
+State per user is the list of not-yet-final sessions (each four longs:
+start/last/n/cents); its length is bounded by the number of sessions that
+fit inside one watermark delay, independent of history length, and every
+session is emitted exactly once — the properties that let this run on an
+unbounded 100 TB ingest. Exact integer cents (banker's rounding, matching
+Spark rint / DuckDB round_even) keep stream, batch twin, and oracle
+bit-identical.
 
 Stream==batch equality is asserted in tests/test_tws.py two ways: the
 processor is driven DIRECTLY through a fake state handle (multi-batch
-splits + timer expiry — no Spark plumbing needed, runs everywhere), and
-end-to-end through a real readStream when the protobuf runtime is present
-(transformWithState's Python<->JVM state server speaks protobuf, which this
-container lacks — `has_protobuf()` gates that test, like PIL gated the
-image codec before the stdlib decoder). The batch twin carries the DuckDB
-gaps-and-islands oracle for the driver gate
+splits + late events + timer expiry — no Spark plumbing needed, runs
+everywhere), and end-to-end through a real readStream when the protobuf
+runtime is importable (transformWithState's Python<->JVM state server
+speaks protobuf; ``gridmr_spark.compat.pbshim`` makes a vendored runtime
+importable when no site-packages protobuf exists). The batch twin carries
+the DuckDB gaps-and-islands oracle for the driver gate
 (queries/streaming_batch.py:stream_tws_sessions).
 """
 
@@ -42,11 +54,12 @@ GAP_US = 600_000_000  # 10 minutes, microsecond-exact
 
 def has_protobuf() -> bool:
     """transformWithState's state-server protocol needs the google.protobuf
-    runtime; absent, the driver-side schema worker crashes at query start."""
+    runtime; absent, the driver-side schema worker crashes at query start.
+    ``compat.pbshim`` can make a vendored runtime importable first."""
     try:
-        from google.protobuf import descriptor  # noqa: F401
+        from gridmr_spark.compat.pbshim import ensure_protobuf
 
-        return True
+        return ensure_protobuf()
     except ImportError:
         return False
 
@@ -54,14 +67,16 @@ _PROC_OUT = "user_id long, start_us long, end_us long, n_events long, cents long
 
 
 class SessionProcessor(StatefulProcessor):
-    """Per-user 10-minute-gap sessionization.
+    """Per-user 10-minute-gap sessionization with watermark-gated emission.
 
-    handleInputRows merges the batch's events (sorted by ts, event_id) into
-    the open-session state, emits every session CLOSED by a later event's
-    gap, and (re)registers an event-time timer at open.last + gap.
-    handleExpiredTimer emits the still-open session once the watermark
-    passes that horizon — the only way the final session of a quiet key
-    ever closes on an unbounded stream."""
+    handleInputRows merges the batch's events into the buffered session
+    list (interval union with gap tolerance — the exact islands partition
+    of the underlying events, independent of arrival order), emits every
+    session whose close horizon (last + gap) the watermark has passed, and
+    keeps one live timer at the earliest remaining horizon.
+    handleExpiredTimer re-runs the same finalize step once the watermark
+    fires it — the only way the final session of a quiet key ever closes
+    on an unbounded stream."""
 
     def __init__(self, gap_us: int = GAP_US, ttl_ms: int | None = None):
         self.gap_us = gap_us
@@ -72,22 +87,77 @@ class SessionProcessor(StatefulProcessor):
         # Optional TTL: for ephemeral analytics a deployment may let idle
         # keys' state lapse instead of timer-flushing; default off because
         # TTL is processing-time and therefore non-deterministic.
-        self.open = handle.getValueState(
-            "open", "start long, last long, n long, cents long", ttlDurationMs=self.ttl_ms
+        self.sessions = handle.getListState(
+            "sessions", "start long, last long, n long, cents long", ttlDurationMs=self.ttl_ms
         )
 
-    def _emit(self, user_id, start, last, n, cents):
+    @staticmethod
+    def _emit(user_id, finals):
         import pandas as pd
 
         return pd.DataFrame(
             {
-                "user_id": pd.Series([user_id], dtype="int64"),
-                "start_us": pd.Series([start], dtype="int64"),
-                "end_us": pd.Series([last], dtype="int64"),
-                "n_events": pd.Series([n], dtype="int64"),
-                "cents": pd.Series([cents], dtype="int64"),
+                "user_id": pd.Series([user_id] * len(finals), dtype="int64"),
+                "start_us": pd.Series([s[0] for s in finals], dtype="int64"),
+                "end_us": pd.Series([s[1] for s in finals], dtype="int64"),
+                "n_events": pd.Series([s[2] for s in finals], dtype="int64"),
+                "cents": pd.Series([s[3] for s in finals], dtype="int64"),
             }
         )
+
+    @staticmethod
+    def _wm_us(timerValues: TimerValues | None) -> int | None:
+        """Current watermark in us; None (fake-handle harness) means the
+        batch isn't watermark-driven — finalize nothing here, everything at
+        timer expiry (the harness's watermark -> infinity convention)."""
+        if timerValues is None:
+            return None
+        wm_ms = timerValues.getCurrentWatermarkInMs()
+        return wm_ms * 1000 if wm_ms is not None and wm_ms > 0 else 0
+
+    def _merge(self, sessions, batch_islands):
+        """Interval union with gap tolerance over buffered sessions + the
+        batch's event islands, sorted by start. Equals the batch twin's
+        islands partition of all underlying events regardless of how they
+        were batched: two sessions merge iff next.start - prev.last < gap,
+        which is exactly the consecutive-gap rule on the merged point set."""
+        out = []
+        for s in sorted(sessions + batch_islands):
+            if out and s[0] - out[-1][1] < self.gap_us:
+                p = out[-1]
+                out[-1] = (min(p[0], s[0]), max(p[1], s[1]), p[2] + s[2], p[3] + s[3])
+            else:
+                out.append(tuple(s))
+        return out
+
+    def _finalize(self, user_id, sessions, wm_us):
+        """Split sessions into (emitted finals, kept), update state and the
+        single live timer, and yield the emission frame if any."""
+        if wm_us is None:
+            finals, kept = [], sessions
+        else:
+            finals = [s for s in sessions if s[1] + self.gap_us <= wm_us]
+            kept = [s for s in sessions if s[1] + self.gap_us > wm_us]
+        if kept:
+            self.sessions.put(kept)
+        else:
+            self.sessions.clear()
+        # One live timer per key: the earliest remaining close horizon.
+        # Ceil to the ms grid — floor would fire up to 999us BEFORE
+        # last+gap and close a session a just-inside-the-gap event
+        # should extend.
+        want = (
+            {-(-(min(s[1] for s in kept) + self.gap_us) // 1000)} if kept else set()
+        )
+        for t in list(self.handle.listTimers()):
+            if t not in want:
+                self.handle.deleteTimer(t)
+            else:
+                want.discard(t)
+        for t in want:
+            self.handle.registerTimer(t)
+        if finals:
+            yield self._emit(user_id, finals)
 
     def handleInputRows(self, key, rows, timerValues: TimerValues):
         import numpy as np
@@ -99,47 +169,38 @@ class SessionProcessor(StatefulProcessor):
         pdf = pdf.sort_values(["ts_us", "event_id"], kind="mergesort")
         ts = pdf["ts_us"].to_numpy(dtype="int64")
         cents = np.rint(pdf["value"].to_numpy(dtype="float64") * 100).astype("int64")
+        # Vectorized islands split of the batch's own events: boundaries
+        # where the consecutive gap >= gap_us; one reduceat per aggregate
+        # (no per-event Python loop).
+        starts = np.flatnonzero(
+            np.concatenate(([True], np.diff(ts) >= self.gap_us))
+        )
+        islands = [
+            (
+                int(ts[a]),
+                int(ts[b - 1]),
+                int(b - a),
+                int(cents[a:b].sum()),
+            )
+            for a, b in zip(starts, np.append(starts[1:], len(ts)))
+        ]
+        buffered = [tuple(int(x) for x in s) for s in self.sessions.get()]
+        merged = self._merge(buffered, islands)
         (user_id,) = key
-        user_id = int(user_id)
-        if self.open.exists():
-            start, last, n, total = (int(x) for x in self.open.get())
-        else:
-            start, last, n, total = int(ts[0]), int(ts[0]) - 1, 0, 0
-            # (last is a sentinel below the first event; the first gap test
-            # against it can never close an empty session because n == 0)
-        for i in range(len(ts)):
-            if n > 0 and int(ts[i]) - last >= self.gap_us:
-                yield self._emit(user_id, start, last, n, total)
-                start, n, total = int(ts[i]), 0, 0
-            # A late-but-in-watermark event (ts < last) extends the open
-            # session BACKWARD, never regresses its high-water mark: with
-            # last = ts[i] a later event could measure its gap from the
-            # stale low point and emit an inverted (end < start) session
-            # the batch twin never produces. min/max merging matches the
-            # batch twin whenever watermark_delay <= gap (a later event
-            # can then never belong to an already-closed earlier session),
-            # which is the operator's documented operating range.
-            if n == 0:
-                start = int(ts[i])
-            else:
-                start = min(start, int(ts[i]))
-            last = max(last, int(ts[i]))
-            n += 1
-            total += int(cents[i])
-        self.open.update((start, last, n, total))
-        # One live timer per key: the open session's close horizon. Ceil to
-        # the ms grid — floor would fire up to 999us BEFORE last+gap and
-        # close a session a just-inside-the-gap event should extend.
-        for t in self.handle.listTimers():
-            self.handle.deleteTimer(t)
-        self.handle.registerTimer(-(-(last + self.gap_us) // 1000))
+        yield from self._finalize(int(user_id), merged, self._wm_us(timerValues))
 
     def handleExpiredTimer(self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo):
-        if self.open.exists():
-            start, last, n, total = (int(x) for x in self.open.get())
-            if n > 0:
-                yield self._emit(int(key[0]), start, last, n, total)
-            self.open.clear()
+        buffered = [tuple(int(x) for x in s) for s in self.sessions.get()]
+        if not buffered:
+            self.sessions.clear()
+            return
+        # Fake-handle harness passes timerValues=None meaning watermark ->
+        # infinity (flush everything); the real engine supplies the actual
+        # watermark and only the passed horizons emit.
+        wm_us = None if timerValues is None else self._wm_us(timerValues)
+        yield from self._finalize(
+            int(key[0]), buffered, float("inf") if wm_us is None else wm_us
+        )
 
     def close(self) -> None:
         pass
@@ -162,11 +223,11 @@ def user_sessions_tws(
     Requires the RocksDB state store provider
     (spark.sql.streaming.stateStore.providerClass).
 
-    Operating range: watermark_delay must not exceed the session gap.
-    Late events within the watermark merge into the open session via
-    min/max (backward extension); a watermark longer than the gap could
-    deliver an event belonging to a session the timer already closed,
-    which no per-key single-session state can stitch back together."""
+    Late events within the watermark merge into buffered sessions (the
+    emission is watermark-gated, so nothing a late admissible event could
+    extend has been emitted yet); events later than the watermark are
+    dropped by the engine — the only stream/batch divergence, at any
+    delay."""
     proc_in = (
         events.withWatermark("ts", watermark_delay)
         .select("user_id", "event_id", "ts", F.unix_micros("ts").alias("ts_us"), "value")

@@ -42,6 +42,29 @@ class _FakeValueState:
         self.v = None
 
 
+class _FakeListState:
+    def __init__(self):
+        self.v = []
+
+    def exists(self):
+        return bool(self.v)
+
+    def get(self):
+        return iter(list(self.v))
+
+    def put(self, vs):
+        self.v = list(vs)
+
+    def appendValue(self, v):
+        self.v.append(v)
+
+    def appendList(self, vs):
+        self.v.extend(vs)
+
+    def clear(self):
+        self.v = []
+
+
 class _FakeHandle:
     def __init__(self):
         self.states = {}
@@ -49,6 +72,9 @@ class _FakeHandle:
 
     def getValueState(self, name, schema, ttlDurationMs=None):
         return self.states.setdefault(name, _FakeValueState())
+
+    def getListState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeListState())
 
     def listTimers(self):
         return iter(sorted(self.timers))
@@ -132,7 +158,8 @@ def test_processor_timer_bookkeeping():
     list(proc.handleInputRows((1,), iter([pdf2]), None))
     assert handle.timers == {(MIN_US + GAP_US) // 1000}  # re-registered, old deleted
     list(proc.handleExpiredTimer((1,), None, None))
-    assert not handle.states["open"].exists()  # state evicted after flush
+    assert not handle.states["sessions"].exists()  # state evicted after flush
+    assert not handle.timers  # no sessions left -> no live timer
 
 
 def test_processor_matches_batch_twin_on_events_table(spark, sf_smoke):
@@ -212,6 +239,52 @@ def test_tws_stream_equals_batch(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+@pytest.mark.skipif(not has_protobuf(), reason="transformWithState state server needs google.protobuf")
+def test_tws_stream_late_merge_equals_batch(spark, tmp_path):
+    """The round-5-advice unsoundness scenario, END TO END: batch 1 reveals
+    a 25-min gap split (sessions [0] and [25]); with a 20-min watermark
+    delay the late ts=7min event in batch 2 is still admissible
+    (wm = 25-20 = 5min <= 7) and belongs to the FIRST session. Eager
+    emission had already emitted [0,0] and could not stitch it back;
+    watermark-gated emission matches the batch twin exactly."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    T0 = dt.datetime(2026, 1, 1)
+
+    def t(m):
+        return T0 + dt.timedelta(minutes=m)
+
+    b1 = [(1, 1, t(0), 1.00), (2, 1, t(25), 2.00)]
+    b2 = [(3, 1, t(7), 4.00), (4, 999, t(24 * 60), 0.01)]  # late + sentinel
+    d, ck, sink = str(tmp_path / "in"), str(tmp_path / "ck"), str(tmp_path / "out")
+    spark.createDataFrame(b1, schema).write.mode("overwrite").parquet(d)
+
+    def run():
+        src = spark.readStream.schema(schema).parquet(d)
+        q = (
+            user_sessions_tws(src, watermark_delay="20 minutes")
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: df.write.mode("append").parquet(sink))
+            .option("checkpointLocation", ck).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+
+    run()
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(d)
+    run()
+    got = spark.read.parquet(sink).where(F.col("user_id") != 999)
+    want = user_sessions_batch(
+        spark.createDataFrame(b1 + b2, schema)
+    ).where(F.col("user_id") != 999)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the late event DID merge: first session spans 0..7min with 2 events
+    spans = sorted((r.session_start, r.session_end, r.n_events) for r in got.collect())
+    assert spans == [(t(0), t(7), 2), (t(25), t(25), 1)]
+
+
 def test_processor_late_event_does_not_regress_session(spark=None):
     """A late-but-in-watermark event (earlier ts than the open session's
     high-water mark, arriving in a later micro-batch) must extend the
@@ -229,6 +302,67 @@ def test_processor_late_event_does_not_regress_session(spark=None):
     assert whole == [(1 * MIN_US, 18 * MIN_US, 4, 400)]
     for s, e, _, _ in late:
         assert s <= e
+
+
+def test_processor_late_merge_into_gap_closed_session():
+    """The eager-emission unsoundness (round-5 advice): a gap split revealed
+    by a later in-batch event must NOT emit the closed session while a late
+    admissible event could still merge into it. Batch 1 reveals the 25-min
+    gap after ts=0; the late ts=5min event in batch 2 belongs to the FIRST
+    session. Deferred (watermark-gated) emission makes the stream equal the
+    batch twin regardless of which batch the late event lands in."""
+    events = [_ev(1, 0, 1.0), _ev(2, 5, 1.0), _ev(3, 25, 1.0)]
+    whole = _drive([events])
+    late = _drive([[_ev(1, 0, 1.0), _ev(3, 25, 1.0)], [_ev(2, 5, 1.0)]])
+    assert late == whole == [
+        (0, 5 * MIN_US, 2, 200),
+        (25 * MIN_US, 25 * MIN_US, 1, 100),
+    ]
+
+
+class _FakeTimerValues:
+    def __init__(self, wm_ms):
+        self._wm_ms = wm_ms
+
+    def getCurrentWatermarkInMs(self):
+        return self._wm_ms
+
+    def getCurrentProcessingTimeInMs(self):
+        return 0
+
+
+def test_processor_watermark_gates_emission():
+    """With a real watermark, a session emits exactly when the watermark
+    passes last + gap — not before (a late event could merge), not never."""
+    proc = SessionProcessor(GAP_US)
+    handle = _FakeHandle()
+    proc.init(handle)
+
+    def feed(batch, wm_ms):
+        pdf = pd.DataFrame(
+            {
+                "user_id": [1] * len(batch),
+                "event_id": [e[0] for e in batch],
+                "ts_us": [e[1] for e in batch],
+                "value": [e[2] for e in batch],
+            }
+        )
+        return list(proc.handleInputRows((1,), iter([pdf]), _FakeTimerValues(wm_ms)))
+
+    # Batch 1: two sessions revealed by the in-batch gap; watermark still 0
+    # -> nothing emits, both buffered.
+    assert feed([_ev(1, 0, 1.0), _ev(2, 25, 1.0)], 0) == []
+    assert len(handle.states["sessions"].v) == 2
+    # Batch 2: watermark passes the first session's horizon (0 + gap) but
+    # not the second's -> exactly the first session emits.
+    out = feed([_ev(3, 60, 1.0)], (25 * MIN_US + GAP_US) // 1000 - 1)
+    emitted = pd.concat(out, ignore_index=True)
+    assert [(int(r.start_us), int(r.end_us)) for r in emitted.itertuples()] == [(0, 0)]
+    assert len(handle.states["sessions"].v) == 2  # [25] still held + [60]
+    # Timer expiry at infinite watermark flushes the rest.
+    rest = pd.concat(list(proc.handleExpiredTimer((1,), None, None)), ignore_index=True)
+    assert sorted(int(r.start_us) for r in rest.itertuples()) == [25 * MIN_US, 60 * MIN_US]
+    assert not handle.timers
 
 
 def test_processor_timer_ceils_to_ms_grid():
