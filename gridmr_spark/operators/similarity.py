@@ -366,6 +366,11 @@ class IVFIndex:
         qside = self.probe_cells(
             df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")), "qvec", centroids
         ).select("cell", "qid", "qvec")
+        return self._cogroup_topk(qside, base, k)
+
+    def _cogroup_topk(self, qside: DataFrame, base: DataFrame, k: int) -> DataFrame:
+        """The search tail shared by the in-memory and persisted-index
+        paths: per-cell cogrouped GEMM, cross-cell dedupe, global merge."""
 
         def gemm_cell(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
             if len(qpdf) == 0 or len(cpdf) == 0:
@@ -729,6 +734,13 @@ class ProductQuantizer:
 
         cand = df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
         scored = cand.mapInPandas(adc_batches, schema="qid long, cid long, adc double")
+        return self._shortlist_rerank(scored, cand, Qn, q_ids, k)
+
+    def _shortlist_rerank(self, scored, cand, Qn, q_ids, k: int) -> DataFrame:
+        """Stage 2 shared by the in-memory and persisted-index paths:
+        global top-``shortlist`` merge of the per-batch ADC survivors, then
+        exact cosine re-rank over only |queries| x shortlist raw vectors."""
+        R = self.shortlist
         wr = Window.partitionBy("qid").orderBy(F.desc("adc"), F.asc("cid"))
         short = (
             scored.withColumn("r", F.row_number().over(wr))

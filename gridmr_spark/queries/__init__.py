@@ -50,46 +50,33 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # here explicitly and served first; long-green queries re-verify with
 # whatever budget remains. Update per round as rows come back green.
 _DRIVER_PRIORITY: list[str] = [
-    # --- round-5 priority (driver budget ~50; first rows first) ---
-    # (a) new or materially changed this round — no driver row at current
-    # semantics. agg_quantile_sketch gained an exact-regime oracle (was the
-    # one no_oracle r4 row); text_lang_id's scorer was rebuilt as a
-    # dictionary broadcast join (its only green row was r1).
-    "agg_quantile_sketch", "text_lang_id",
-    "source_stream_datasource", "stream_tws_sessions",
-    "multimodal_png_decode", "cluster_kmeans_assign", "similarity_pq_topk",
-    "join_bloom_runtime", "dedup_minhash_clusters", "text_quality_classifier",
-    "events_variant_props", "sql_pipe_syntax", "string_collation_ci",
-    "multimodal_wav_decode", "source_xml_roundtrip",
-    # (b) freshness rotation: the 23 queries whose latest green driver row
-    # is ROUND 1 — three rounds stale, several pre-date major reworks
-    # (winsorize, tokenize-once, events loader). Local oracle parity is
-    # green at HEAD; these need the hard driver signal refreshed.
-    "agg_cube", "agg_grouping_sets", "agg_percentiles", "date_funcs",
-    "dedup_exact", "dedup_ngram_jaccard", "distinct_rows", "math_funcs",
-    "multimodal_meta", "pandas_udf_revenue", "pivot_status",
-    "q3_shipping_priority", "q4_priority_late_ship",
-    "q5_local_supplier_volume", "set_ops", "string_funcs",
-    "subquery_scalar_exists", "text_fingerprint", "text_quality",
-    "text_token_count", "unpivot_status", "wordcount",
-    # (c) round-2-latest rows, oldest families first: the similarity/dedup/
-    # graph stack (most reworked since r2), then the remaining r2 set. The
-    # ~50-row budget cuts somewhere in here; round 6 rotates the tail in.
-    "dedup_minhash_lsh", "dedup_clusters_cc", "dedup_embedding_cosine",
-    "similarity_topk", "similarity_near_pairs", "similarity_topk_gemm",
-    "similarity_lsh_topk", "similarity_ivf_topk",
-    "graph_degree_distribution", "graph_triangle_count",
-    "merge_upsert_cdc", "pipeline_training_data", "sample_stratified_cap",
-    "sample_train_val_test", "text_pii_redact", "text_top_token_share",
+    # --- round-6 priority (driver budget ~50; first rows first) ---
+    # (a) behavior touched THIS round or after the r5 record was stamped:
+    # the round-6 additions (registered below as they land), then the four
+    # queries the r5 hardening commit (7400f03) and the round-6 rework
+    # (watermark-gated tws emission, pyds overwrite cleanup, PQ fit fix)
+    # postdate.
+    "source_warc_ingest", "similarity_pq_persisted", "similarity_ivf_persisted",
+    "stream_tws_sessions", "source_stream_datasource", "similarity_pq_topk",
+    "multimodal_png_decode",
+    # (b) freshness rotation: the 28 queries whose latest green driver row
+    # is ROUND 2 — the final stale tail (VERDICT r5 §Next-1). Local oracle
+    # parity is green at HEAD; this rotation gives every registered query
+    # a driver row <= 2 rounds old.
     "agg_collect", "agg_salted_skew", "array_funcs", "array_set_ops",
     "layout_bucketed_join", "layout_zorder_key", "multimodal_frame_sample",
     "q10_returned_items", "q12_priority_classes", "q14_promo_revenue",
     "q18_large_volume", "q22_inactive_customers", "regex_funcs",
-    "source_csv_roundtrip", "source_json_roundtrip", "source_orc_roundtrip",
-    "source_partition_pruning", "sql_api_revenue", "topk_global",
+    "sample_train_val_test", "source_csv_roundtrip", "source_json_roundtrip",
+    "source_orc_roundtrip", "source_partition_pruning", "sql_api_revenue",
+    "text_pii_redact", "text_top_token_share", "topk_global",
     "udaf_apply_in_pandas", "udtf_tokenize", "window_frames",
     "window_ntile_nav", "window_ranks", "window_topk_per_group",
-    # r3/r4-green queries follow in registration order with whatever
+    # (c) next-oldest evidence (round 3) with remaining budget, heaviest-
+    # reworked families first.
+    "join_asof", "join_asof_tolerance", "join_range_band",
+    "join_semi", "join_anti", "filter_project",
+    # r3/r4/r5-green queries follow in registration order with whatever
     # budget remains.
 ]
 

@@ -336,6 +336,49 @@ WHERE c_custkey < 500
 """
 
 
+_WARC_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS content_length,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
+@query("source_warc_ingest", oracle=_WARC_ORACLE)
+def source_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC round-trip through the custom ``format("warc")`` DataSource
+    (sources/warc.py) — the de-facto LLM-pipeline ingest format (Common
+    Crawl ships WARC). The documents table is written as standard WARC/1.0
+    response records (one .warc file per task), then read back through the
+    RECORD-BOUNDARY-SAFE byte-range reader with a deliberately small
+    chunk_mb so records straddle split boundaries (the reference's
+    line-safe ~N MB input splits, cpp/worker/src/common/fs.cc:28-53,
+    generalized to structured records). The oracle re-derives every
+    record's identity, octet length, and payload md5 from the original
+    parquet, so a green row proves exactly-once, byte-exact ingestion
+    across splits."""
+    from gridmr_spark.sources import warc as W
+
+    W.register(spark)
+    path = _scratch(sf_dir, "warc")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select(
+        F.concat(F.lit("http://synth.example/doc/"), F.col("doc_id")).alias("target_uri"),
+        F.encode("text", "utf-8").alias("payload"),
+    ).write.format("warc").mode("overwrite").save(path)
+    back = (
+        spark.read.format("warc")
+        .option("chunk_mb", 0.01)  # ~10 KB splits force boundary straddling
+        .option("path", path)
+        .load()
+    )
+    return back.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        "content_length",
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
 @query("source_xml_roundtrip", oracle=_XML_ORACLE)
 def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML sink + source fidelity through Spark 4's NATIVE xml format (the

@@ -1,0 +1,365 @@
+"""WARC (ISO 28500) ingestion — the de-facto LLM-pipeline ingest format
+(Common Crawl ships WARC), as a Python DataSource: ``format("warc")`` with
+RECORD-BOUNDARY-SAFE byte-range partitioning, plus a writer so round-trip
+fidelity is testable end to end.
+
+This generalizes the reference's only ingest path — whole text files staged
+onto a shared mount and split at line boundaries
+(cpp/worker/src/common/fs.cc:28-53, tools/gridmr_submit.py:22-54) — to a
+structured record format with the same split contract Spark's own
+LineRecordReader uses:
+
+- ``partitions()`` cuts every plain ``.warc`` file into ~``chunk_mb``
+  byte ranges [lo, hi). A record belongs to the split containing its FIRST
+  byte; a split may read payload bytes past its ``hi`` to finish its last
+  record, and a split whose range begins mid-record skips forward to the
+  next record start. Every record is read exactly once, for any chunk
+  size — asserted by tests/test_warc.py over boundary-straddling records.
+- Mid-range sync scans for ``\\r\\n\\r\\nWARC/1.0\\r\\n`` and VALIDATES the
+  candidate by parsing its header block (version line + Content-Length);
+  an unlucky payload containing the delimiter is rejected by validation
+  and scanning continues. (Uncompressed WARC has no escaping, so sync is
+  necessarily heuristic — the same trade every Hadoop WARC reader makes;
+  Common Crawl's per-record-gzip-member layout exists precisely so that
+  splitters can use member boundaries instead.)
+- ``.warc.gz`` files are one split each (a gzip stream is not
+  byte-addressable without an index); records are parsed from the
+  decompressed stream sequentially. At 100 TB the scale path is many
+  moderate .gz files (Common Crawl ships ~1 GB segments), so per-file
+  parallelism is already ample; per-member splitting is a documented
+  extension seam.
+
+Reader schema (all splits)::
+
+    record_id string, warc_type string, target_uri string, warc_date string,
+    content_type string, content_length long, payload binary,
+    file string, offset long
+
+The writer (``df.write.format("warc").mode(...).save(path)``) emits one
+``part-*.warc`` file per task with standard WARC/1.0 response records;
+required input columns ``target_uri`` (string) and ``payload`` (binary),
+optional ``record_id``/``warc_type``/``warc_date``/``content_type``
+override the deterministic defaults. Files stage dot-prefixed and rename
+into place on task success; readers ignore dotfiles, so partially-written
+tasks are never visible.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import gzip
+import hashlib
+import os
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+_MAGIC = b"WARC/1.0\r\n"
+_SEP = b"\r\n\r\n"
+_SCHEMA = (
+    "record_id string, warc_type string, target_uri string, warc_date string, "
+    "content_type string, content_length long, payload binary, "
+    "file string, offset long"
+)
+_MAX_HEADER = 64 * 1024  # spec headers are tiny; 64 KB is a hard sanity cap
+
+
+class _WarcSplit(InputPartition):
+    def __init__(self, path: str, start: int, end: int | None):
+        self.path = path
+        self.start = start
+        self.end = end  # None => gzip stream, parse to EOF
+
+
+def _list_warc_files(path: str) -> list[str]:
+    """Expand a file, directory, or glob into the sorted file list,
+    skipping in-flight dot-prefixed staging files."""
+    if os.path.isdir(path):
+        names = [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if not f.startswith(".") and (f.endswith(".warc") or f.endswith(".warc.gz"))
+        ]
+    elif os.path.isfile(path):
+        names = [path]
+    else:
+        names = [
+            f for f in _glob.glob(path) if not os.path.basename(f).startswith(".")
+        ]
+    if not names and not os.path.isdir(path):
+        raise FileNotFoundError(f"warc: no input files at {path!r}")
+    return sorted(names)
+
+
+def _parse_header_block(buf: bytes):
+    """Parse one record's header block from ``buf`` starting at offset 0.
+    Returns (headers dict, header_block_len incl. terminating CRLFCRLF) or
+    None if ``buf`` does not start a well-formed WARC/1.0 record."""
+    if not buf.startswith(b"WARC/"):
+        return None
+    hend = buf.find(_SEP, 0, _MAX_HEADER)
+    if hend < 0:
+        return None
+    headers: dict[str, str] = {}
+    lines = buf[:hend].split(b"\r\n")
+    for line in lines[1:]:  # lines[0] is the version line
+        k, sep, v = line.partition(b":")
+        if not sep:
+            return None
+        try:
+            headers[k.strip().decode("utf-8").lower()] = v.strip().decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if "content-length" not in headers or not headers["content-length"].isdigit():
+        return None
+    return headers, hend + len(_SEP)
+
+
+def _read_records(fh, base_offset: int, end: int | None, fname: str):
+    """Yield schema rows for records starting at stream offsets in
+    [base_offset, end) (end=None: to EOF). ``fh`` must be positioned at
+    ``base_offset``, which must be a record start. Reads sequentially —
+    no seeks — so it works on gzip streams too."""
+    pos = base_offset
+    buf = b""
+    while end is None or pos < end:
+        # top up the buffer until the header block is complete
+        while _SEP not in buf[: _MAX_HEADER + len(_SEP)]:
+            chunk = fh.read(65536)
+            if not chunk:
+                break
+            buf += chunk
+        if not buf:
+            return
+        parsed = _parse_header_block(buf)
+        if parsed is None:
+            raise ValueError(
+                f"warc: malformed record at {fname}:{pos} "
+                f"(bytes: {buf[:40]!r})"
+            )
+        headers, hlen = parsed
+        clen = int(headers["content-length"])
+        need = hlen + clen + len(_SEP)
+        while len(buf) < need:
+            chunk = fh.read(max(65536, need - len(buf)))
+            if not chunk:
+                break
+            buf += chunk
+        payload = buf[hlen : hlen + clen]
+        if len(payload) < clen:
+            raise ValueError(f"warc: truncated payload at {fname}:{pos}")
+        yield (
+            headers.get("warc-record-id"),
+            headers.get("warc-type"),
+            headers.get("warc-target-uri"),
+            headers.get("warc-date"),
+            headers.get("content-type"),
+            clen,
+            payload,
+            fname,
+            pos,
+        )
+        # spec: every record is followed by CRLFCRLF; tolerate EOF instead
+        tail = buf[hlen + clen : need]
+        if tail not in (_SEP, _SEP[: len(tail)]):
+            raise ValueError(f"warc: missing record separator at {fname}:{pos}")
+        buf = buf[need:]
+        pos += need
+
+
+def _sync_to_record(fh, start: int, fsize: int) -> int | None:
+    """First record start at-or-after ``start`` in a plain file, validated
+    by a header parse; None when the range holds no record start. Scans
+    from start - len(SEP) so a record beginning exactly AT ``start`` (whose
+    preceding separator lies before the range) is found."""
+    if start == 0:
+        return 0
+    pat = _SEP + _MAGIC
+    scan_from = max(0, start - len(_SEP))
+    fh.seek(scan_from)
+    window = b""
+    wbase = scan_from
+    while True:
+        chunk = fh.read(1 << 20)
+        window += chunk
+        at = 0
+        while True:
+            hit = window.find(pat, at)
+            if hit < 0:
+                break
+            cand = wbase + hit + len(_SEP)
+            if cand >= start:
+                # validate: the candidate must parse as a record header
+                save = fh.tell()
+                fh.seek(cand)
+                probe = fh.read(_MAX_HEADER + len(_SEP))
+                fh.seek(save)
+                if _parse_header_block(probe) is not None:
+                    return cand
+            at = hit + 1
+        if not chunk:
+            return None
+        # keep only a seam's worth of residue to bound memory
+        keep = len(pat) - 1
+        if len(window) > keep:
+            wbase += len(window) - keep
+            window = window[-keep:]
+
+
+class WarcReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc source requires a path (load(path) or option('path'))")
+        chunk_mb = float(options.get("chunk_mb", 64))
+        # floor of 4 KB keeps degenerate options from exploding the split
+        # count; tests use small chunks to force boundary straddling
+        self.chunk = max(4096, int(chunk_mb * 1024 * 1024))
+
+    def partitions(self):
+        splits: list[_WarcSplit] = []
+        for f in _list_warc_files(self.path):
+            if f.endswith(".gz"):
+                splits.append(_WarcSplit(f, 0, None))
+                continue
+            size = os.path.getsize(f)
+            for lo in range(0, max(size, 1), self.chunk):
+                splits.append(_WarcSplit(f, lo, min(lo + self.chunk, size)))
+        return splits or [_WarcSplit("", 0, 0)]
+
+    def read(self, split):
+        if not split.path:
+            return
+        fname = os.path.basename(split.path)
+        if split.end is None:
+            with gzip.open(split.path, "rb") as fh:
+                yield from _read_records(fh, 0, None, fname)
+            return
+        with open(split.path, "rb") as fh:
+            fsize = os.path.getsize(split.path)
+            first = _sync_to_record(fh, split.start, fsize)
+            if first is None or first >= split.end:
+                return
+            fh.seek(first)
+            yield from _read_records(fh, first, split.end, fname)
+
+
+def format_record(
+    target_uri: str,
+    payload: bytes,
+    record_id: str | None = None,
+    warc_type: str = "response",
+    warc_date: str = "2026-01-01T00:00:00Z",
+    content_type: str = "text/plain",
+) -> bytes:
+    """One standard WARC/1.0 record. The default record id is deterministic
+    (md5 of uri+payload as a urn:uuid) so round-trip fixtures are stable."""
+    if record_id is None:
+        h = hashlib.md5(target_uri.encode() + b"\x00" + payload).hexdigest()
+        record_id = f"<urn:uuid:{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Record-ID: {record_id}\r\n"
+        f"WARC-Date: {warc_date}\r\n"
+        f"WARC-Target-URI: {target_uri}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        f"\r\n"
+    ).encode("utf-8")
+    return head + payload + _SEP
+
+
+class _WarcCommit(WriterCommitMessage):
+    def __init__(self, filename):
+        self.filename = filename
+
+
+class WarcWriter(DataSourceWriter):
+    def __init__(self, options, schema: StructType, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc sink requires a path (save(path))")
+        self.overwrite = overwrite
+        names = [f.name for f in schema.fields]
+        for req in ("target_uri", "payload"):
+            if req not in names:
+                raise ValueError(f"warc sink input must have a {req!r} column")
+        self.idx = {n: i for i, n in enumerate(names)}
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        os.makedirs(self.path, exist_ok=True)
+        fname = f"part-{pid:05d}-{uuid.uuid4().hex}.warc"
+        tmp = os.path.join(self.path, f".{fname}")
+        idx = self.idx
+        n = 0
+
+        def opt(row, col):
+            return row[idx[col]] if col in idx and row[idx[col]] is not None else None
+
+        with open(tmp, "wb") as fh:
+            for row in iterator:
+                payload = row[idx["payload"]]
+                kwargs = {}
+                for col in ("record_id", "warc_type", "warc_date", "content_type"):
+                    v = opt(row, col)
+                    if v is not None:
+                        kwargs[col] = v
+                fh.write(
+                    format_record(row[idx["target_uri"]], bytes(payload), **kwargs)
+                )
+                n += 1
+        if n == 0:
+            os.remove(tmp)
+            return _WarcCommit(None)
+        os.rename(tmp, os.path.join(self.path, fname))  # task-level atomicity
+        return _WarcCommit(fname)
+
+    def commit(self, messages):
+        if self.overwrite:
+            new = {m.filename for m in messages if m is not None and m.filename}
+            for f in os.listdir(self.path):
+                if not f.startswith(".") and f.endswith(".warc") and f not in new:
+                    os.remove(os.path.join(self.path, f))
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and m.filename:
+                try:
+                    os.remove(os.path.join(self.path, m.filename))
+                except FileNotFoundError:
+                    pass
+
+
+class WarcDataSource(DataSource):
+    """spark.read.format("warc").option("chunk_mb", 64).load(path) /
+    df.write.format("warc").save(path) — register with
+    spark.dataSource.register(WarcDataSource)."""
+
+    @classmethod
+    def name(cls):
+        return "warc"
+
+    def schema(self):
+        return _SCHEMA
+
+    def reader(self, schema):
+        return WarcReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return WarcWriter(self.options, schema, overwrite)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the warc format on a session."""
+    spark.dataSource.register(WarcDataSource)

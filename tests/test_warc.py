@@ -1,0 +1,193 @@
+"""WARC ingestion source (sources/warc.py).
+
+The split contract under test is the one the reference applies to text
+files (line-safe ~N MB chunks, cpp/worker/src/common/fs.cc:28-53)
+generalized to WARC records: a record belongs to the split containing its
+first byte, splits may read past their end to finish a record, and every
+record is read exactly once for ANY chunk size — including records that
+straddle chunk boundaries and payloads that contain the record delimiter.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gridmr_spark.sources import warc as W
+
+
+def _mk_warc(path, payloads, uri_prefix="http://t.example/"):
+    blob = b"".join(
+        W.format_record(f"{uri_prefix}{i}", p) for i, p in enumerate(payloads)
+    )
+    with open(path, "wb") as fh:
+        fh.write(blob)
+    return blob
+
+
+def _payloads():
+    # sizes chosen so records straddle every 4 KB boundary; one payload
+    # embeds a decoy record delimiter whose header block does NOT parse
+    # (non-numeric Content-Length), so sync validation must reject it
+    decoy = b"xx\r\n\r\nWARC/1.0\r\nContent-Length: NaN\r\n\r\nyy"
+    return [
+        b"a" * 100,
+        b"b" * 5000,
+        decoy * 3,
+        b"c" * 12000,
+        b"d",
+        b"e" * 3000,
+        b"",  # zero-length payload is legal
+        b"f" * 9000,
+    ]
+
+
+def _read(spark, path, chunk_mb):
+    W.register(spark)
+    return (
+        spark.read.format("warc")
+        .option("chunk_mb", chunk_mb)
+        .option("path", path)
+        .load()
+    )
+
+
+def test_chunk_size_invariance_exactly_once(spark, tmp_path):
+    """Any chunk size yields the same record set, each record once."""
+    f = str(tmp_path / "t.warc")
+    payloads = _payloads()
+    _mk_warc(f, payloads)
+    want = sorted((f"http://t.example/{i}", p) for i, p in enumerate(payloads))
+    for chunk_mb in (0.001, 0.004, 0.01, 64):  # 4 KB floor .. whole file
+        got = sorted(
+            (r.target_uri, bytes(r.payload))
+            for r in _read(spark, f, chunk_mb).collect()
+        )
+        assert got == want, f"chunk_mb={chunk_mb}"
+
+
+def test_partition_planning(spark, tmp_path):
+    """partitions() cuts plain files into ceil(size/chunk) byte ranges and
+    gzip files into exactly one split each."""
+    f = str(tmp_path / "t.warc")
+    blob = _mk_warc(f, _payloads())
+    gz = str(tmp_path / "t2.warc.gz")
+    with gzip.open(gz, "wb") as fh:
+        fh.write(blob)
+    reader = W.WarcReader({"path": str(tmp_path), "chunk_mb": 0.004})
+    splits = reader.partitions()
+    chunk = max(4096, int(0.004 * 1024 * 1024))
+    n_plain = -(-os.path.getsize(f) // chunk)
+    assert len(splits) == n_plain + 1
+    plain = [s for s in splits if s.end is not None]
+    assert [s.start for s in plain] == [i * chunk for i in range(n_plain)]
+    assert plain[-1].end == os.path.getsize(f)
+    (gzs,) = [s for s in splits if s.end is None]
+    assert gzs.path == gz
+
+
+def test_gzip_stream_equals_plain(spark, tmp_path):
+    f = str(tmp_path / "t.warc")
+    blob = _mk_warc(f, _payloads())
+    gz = str(tmp_path / "t.warc.gz")
+    os.remove(f)
+    with gzip.open(gz, "wb") as fh:
+        fh.write(blob)
+    got = sorted(
+        (r.target_uri, bytes(r.payload), r.content_length)
+        for r in _read(spark, gz, 64).collect()
+    )
+    assert got == sorted(
+        (f"http://t.example/{i}", p, len(p)) for i, p in enumerate(_payloads())
+    )
+
+
+def test_record_metadata_fields(spark, tmp_path):
+    f = str(tmp_path / "t.warc")
+    _mk_warc(f, [b"hello"])
+    (r,) = _read(spark, f, 64).collect()
+    assert r.warc_type == "response"
+    assert r.warc_date == "2026-01-01T00:00:00Z"
+    assert r.content_type == "text/plain"
+    assert r.content_length == 5
+    assert r.offset == 0
+    assert r.file == "t.warc"
+    assert r.record_id.startswith("<urn:uuid:") and r.record_id.endswith(">")
+
+
+def test_writer_roundtrip_distributed(spark, tmp_path):
+    """Spark-side write (one file per task) then read back: value-exact,
+    and overwrite replaces prior generations."""
+    out = str(tmp_path / "w")
+    W.register(spark)
+    df = spark.range(0, 200, 1, 8).select(
+        F.concat(F.lit("http://w.example/"), F.col("id")).alias("target_uri"),
+        F.encode(F.concat(F.lit("payload-"), F.col("id")), "utf-8").alias("payload"),
+    )
+    df.write.format("warc").mode("append").save(out)
+    back = _read(spark, out, 64)
+    got = sorted((r.target_uri, bytes(r.payload)) for r in back.collect())
+    assert got == sorted(
+        (f"http://w.example/{i}", f"payload-{i}".encode()) for i in range(200)
+    )
+    # overwrite with a smaller table: old part files must be gone
+    df.where(F.col("target_uri") == "http://w.example/7").write.format(
+        "warc"
+    ).mode("overwrite").save(out)
+    assert _read(spark, out, 64).count() == 1
+
+
+def test_sync_rejects_decoy_and_mid_record_start(tmp_path):
+    """A split starting inside a payload (including inside the decoy
+    delimiter bytes) must sync to the NEXT true record start."""
+    f = str(tmp_path / "t.warc")
+    payloads = _payloads()
+    _mk_warc(f, payloads)
+    # record offsets from a full sequential parse
+    with open(f, "rb") as fh:
+        offsets = [r[8] for r in W._read_records(fh, 0, None, "t.warc")]
+    with open(f, "rb") as fh:
+        fsize = os.path.getsize(f)
+        for k, off in enumerate(offsets[1:], start=1):
+            # a range starting 1 byte into the previous record syncs here
+            assert W._sync_to_record(fh, offsets[k - 1] + 1, fsize) == off
+            # a range starting exactly at a record start claims it
+            assert W._sync_to_record(fh, off, fsize) == off
+        # past the last record: no sync target
+        assert W._sync_to_record(fh, offsets[-1] + 1, fsize) is None
+
+
+def test_documents_pipeline_feed(spark, sf_smoke):
+    """WARC -> documents-shaped frame: the ingest output joins the existing
+    text operators without adaptation."""
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").limit(50)
+    out_dir = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), "gridmr_warc_feed_test"
+    )
+    W.register(spark)
+    docs.select(
+        F.concat(F.lit("http://synth.example/doc/"), F.col("doc_id")).alias(
+            "target_uri"
+        ),
+        F.encode("text", "utf-8").alias("payload"),
+    ).write.format("warc").mode("overwrite").save(out_dir)
+    back = (
+        _read(spark, out_dir, 64)
+        .select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+            F.decode("payload", "utf-8").alias("text"),
+        )
+    )
+    want = sorted((r.doc_id, r.text) for r in docs.select("doc_id", "text").collect())
+    assert sorted((r.doc_id, r.text) for r in back.collect()) == want
+
+
+def test_malformed_input_raises(spark, tmp_path):
+    f = str(tmp_path / "bad.warc")
+    with open(f, "wb") as fh:
+        fh.write(b"WARC/1.0\r\nContent-Length: 10\r\n\r\nshort")
+    with pytest.raises(Exception, match="truncated|malformed"):
+        _read(spark, f, 64).collect()
