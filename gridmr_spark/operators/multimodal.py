@@ -208,9 +208,13 @@ def _decode_gray_any(b: bytes, pil_image_mod):
     b = bytes(b)
     if b.startswith(_PNG_SIG):
         return png_decode_gray(b)
+    if b.startswith(b"\xff\xd8"):
+        from gridmr_spark.operators.jpeg import jpeg_decode_gray
+
+        return jpeg_decode_gray(b)
     if pil_image_mod is None:
         raise NotImplementedError(
-            "real decode of non-PNG formats requires PIL; install pillow or use fake=True"
+            "real decode of non-PNG/JPEG formats requires PIL; install pillow or use fake=True"
         )
     im = pil_image_mod.open(io.BytesIO(b)).convert("L")
     return np.asarray(im, dtype=np.uint8).reshape(im.height, im.width)
@@ -252,6 +256,64 @@ def encode_png_media(
                         "mime": "image/png",
                         "width": width,
                         "height": h,
+                        "sample_rate": 16000,
+                        "n_frames": 1,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype=object),
+                    "meta": pd.Series(metas, dtype=object),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(encode_batches, schema=out_schema)
+
+
+def encode_jpeg_media(
+    df: DataFrame, id_col: str, text_col: str, blocks_per_row: int = 16
+) -> DataFrame:
+    """Deterministic REAL-format JPEG media builder: each document byte
+    becomes one CONSTANT 8x8 block (blocks_per_row blocks per row, so the
+    image is 8*blocks_per_row wide), encoded as a genuine baseline JFIF
+    JPEG (operators/jpeg.py). Block-constant content + DC quantization
+    step 8 makes the lossy codec EXACTLY lossless here (see jpeg.py
+    docstring), which is what lets the DuckDB oracle re-derive decoded
+    pixel statistics straight from the text bytes. Rows shorter than one
+    block row are dropped — mirrored by the oracle's WHERE clause."""
+    import numpy as np
+
+    from gridmr_spark.operators.jpeg import jpeg_encode_gray
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("meta", MEDIA_META),
+        ]
+    )
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, metas = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                b = text.encode("utf-8")
+                rows = len(b) // blocks_per_row
+                if rows == 0:
+                    continue
+                vals = np.frombuffer(
+                    b, np.uint8, count=rows * blocks_per_row
+                ).reshape(rows, blocks_per_row)
+                img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+                ids.append(doc_id)
+                payloads.append(jpeg_encode_gray(img))
+                metas.append(
+                    {
+                        "kind": "image",
+                        "mime": "image/jpeg",
+                        "width": 8 * blocks_per_row,
+                        "height": 8 * rows,
                         "sample_rate": 16000,
                         "n_frames": 1,
                     }

@@ -89,3 +89,21 @@ def audit(df) -> PlanReport:
         has_window_group_limit="WindowGroupLimit" in simple,
         has_cartesian="CartesianProduct" in simple,
     )
+
+
+def aqe_final_plan(df) -> str:
+    """EXECUTE the frame and return its AQE FINAL plan (isFinalPlan=true).
+
+    The pre-execution explain shows only the initial plan: AQE's runtime
+    decisions — skew-join splitting, partition coalescing, join demotion —
+    exist only in the final plan, which Spark materializes on the SAME
+    DataFrame's queryExecution once an action has run. Callers pay one
+    collect(); use a row-light projection when auditing wide joins."""
+    df.collect()
+    return physical_plan(df, "simple")
+
+
+def skew_split_joins(plan: str) -> int:
+    """How many join nodes AQE actually split for skew (``skew=true``
+    markers in a final plan from :func:`aqe_final_plan`)."""
+    return plan.count("skew=true")

@@ -616,6 +616,66 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JPEG_DECODE_ORACLE = r"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         (octet_length(encode(text)) // 16) * 16 AS n
+  FROM documents
+  WHERE octet_length(encode(text)) >= 16
+), bytes AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(hx, CAST(2 * t.i + 1 AS INT), 2)) AS INTEGER) AS byte
+  FROM b, unnest(generate_series(0, n - 1)) AS t(i)
+)
+SELECT doc_id,
+       CAST(128 AS INT) AS width,
+       CAST((COUNT(*) // 16) * 8 AS INT) AS height,
+       CAST(SUM(byte) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_byte,
+       concat_ws(',',
+         CAST(64 * COUNT(*) FILTER (byte % 8 = 0) AS VARCHAR),
+         CAST(64 * COUNT(*) FILTER (byte % 8 = 1) AS VARCHAR),
+         CAST(64 * COUNT(*) FILTER (byte % 8 = 2) AS VARCHAR),
+         CAST(64 * COUNT(*) FILTER (byte % 8 = 3) AS VARCHAR),
+         CAST(64 * COUNT(*) FILTER (byte % 8 = 4) AS VARCHAR),
+         CAST(64 * COUNT(*) FILTER (byte % 8 = 5) AS VARCHAR),
+         CAST(64 * COUNT(*) FILTER (byte % 8 = 6) AS VARCHAR),
+         CAST(64 * COUNT(*) FILTER (byte % 8 = 7) AS VARCHAR)) AS feature_csv
+FROM bytes GROUP BY doc_id
+"""
+
+
+@query("multimodal_jpeg_decode", oracle=_JPEG_DECODE_ORACLE)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec JPEG decode, the lossy-format twin of
+    multimodal_png_decode: each document's utf-8 bytes become the 8x8-block
+    values of a genuine baseline JFIF JPEG (full DCT + zigzag + Annex-K
+    Huffman pipeline, operators/jpeg.py), then
+    decode_image_features(fake=False) Huffman-decodes, dequantizes, and
+    IDCTs every block. Block-constant content with DC step 8 makes the
+    round trip EXACTLY lossless (all AC = 0 and the DC quantization
+    divides exactly; float DCT error vanishes under integer rounding), so
+    the DuckDB oracle re-derives every decoded pixel statistic from the
+    text bytes — each byte appears as 64 identical pixels (width 128 = 16
+    blocks/row, mean unchanged, histogram counts x64). Arbitrary-content
+    fidelity (the codec is not a constant-block toy) is PSNR-floored in
+    tests/test_multimodal.py."""
+    from gridmr_spark.operators.multimodal import decode_image_features, encode_jpeg_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = decode_image_features(
+        encode_jpeg_media(docs, "doc_id", "text", blocks_per_row=16), fake=False
+    )
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        "mean_byte",
+        F.concat_ws(
+            ",", F.transform("feature", lambda x: x.cast("int").cast("string"))
+        ).alias("feature_csv"),
+    )
+
+
 _FRAME_SAMPLE_ORACLE = """
 WITH media AS (
   SELECT doc_id, octet_length(encode(text)) % 30 + 1 AS n_frames FROM documents

@@ -282,3 +282,88 @@ def test_wav_roundtrip_real_container(spark, sf_smoke):
         for r in audio_frame_energy(raw, frame_bytes=256).collect()
     }
     assert via_wav == via_bytes and len(via_wav) > 0
+
+
+class TestJpegCodec:
+    """Baseline JPEG codec (operators/jpeg.py): exactness on block-constant
+    content (the oracle's regime), PSNR floor on arbitrary content (proof
+    it is a real codec), and interop with PIL when present."""
+
+    def test_block_constant_roundtrip_exact(self):
+        import numpy as np
+
+        from gridmr_spark.operators.jpeg import jpeg_decode_gray, jpeg_encode_gray
+
+        rng = np.random.RandomState(7)
+        vals = rng.randint(0, 256, size=(5, 16)).astype(np.uint8)
+        img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+        assert np.array_equal(jpeg_decode_gray(jpeg_encode_gray(img)), img)
+
+    def test_arbitrary_content_psnr_floor(self):
+        import numpy as np
+
+        from gridmr_spark.operators.jpeg import jpeg_decode_gray, jpeg_encode_gray
+
+        rng = np.random.RandomState(3)
+        for img in (
+            rng.randint(0, 256, size=(32, 40)).astype(np.uint8),  # worst case
+            (
+                np.sin(np.linspace(0, 12, 64))[:, None]
+                * np.cos(np.linspace(0, 9, 48))[None, :]
+                * 100
+                + 128
+            ).astype(np.uint8),  # smooth, realistic
+        ):
+            dec = jpeg_decode_gray(jpeg_encode_gray(img))
+            mse = ((dec.astype(float) - img) ** 2).mean()
+            psnr = 10 * np.log10(255**2 / max(mse, 1e-12))
+            assert psnr >= 30.0, f"PSNR {psnr:.1f} below floor"
+
+    def test_dims_must_be_multiple_of_8(self):
+        import numpy as np
+        import pytest
+
+        from gridmr_spark.operators.jpeg import jpeg_encode_gray
+
+        with pytest.raises(ValueError, match="divisible by 8"):
+            jpeg_encode_gray(np.zeros((10, 16), dtype=np.uint8))
+
+    def test_interop_with_pil_if_present(self):
+        import numpy as np
+        import pytest
+
+        from gridmr_spark.operators.jpeg import jpeg_encode_gray
+
+        PIL_Image = pytest.importorskip("PIL.Image")
+        import io
+
+        vals = np.arange(128, dtype=np.uint8).reshape(8, 16)
+        img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
+        pil_dec = np.asarray(
+            PIL_Image.open(io.BytesIO(jpeg_encode_gray(img))).convert("L")
+        )
+        assert np.array_equal(pil_dec, img)  # lossless regime: PIL agrees
+
+    def test_decode_image_features_jpeg_path(self, spark, sf_smoke):
+        import numpy as np
+
+        from gridmr_spark.operators.multimodal import (
+            decode_image_features,
+            encode_jpeg_media,
+        )
+
+        docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").limit(20)
+        feats = decode_image_features(
+            encode_jpeg_media(docs, "doc_id", "text"), fake=False
+        ).collect()
+        raw = {r.doc_id: r.text.encode() for r in docs.collect()}
+        assert feats
+        for r in feats:
+            b = raw[r.doc_id]
+            n = (len(b) // 16) * 16
+            assert (r.width, r.height) == (128, (n // 16) * 8)
+            assert abs(r.mean_byte - sum(b[:n]) / n) < 1e-12
+            want_hist = np.bincount(
+                np.frombuffer(b, np.uint8, count=n) & 7, minlength=8
+            ) * 64
+            assert [int(x) for x in r.feature] == want_hist.tolist()

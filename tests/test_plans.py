@@ -300,3 +300,51 @@ def test_bloom_filter_injected_under_production_sizes(spark, sf_oracle):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join(spark):
+    """At 100 TB the FIRST line of defense against a skewed join key is
+    AQE's automatic skew-join split (manual salting — join_salted_skew —
+    is the fallback for the cases AQE can't see). This proves the split
+    actually fires: a 90%-hot key through a merge-hinted SMJ, thresholds
+    scaled to local data volumes (the mechanism is identical at 256 MB
+    defaults on a cluster), and the FINAL adaptive plan must show
+    SortMergeJoin(skew=true) with a skewed AQEShuffleRead. The result must
+    also stay correct: split partitions duplicate the other side's rows,
+    never the join's output."""
+    from gridmr_spark.plans import aqe_final_plan, skew_split_joins
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 300000, 1, 8).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 997).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id")).alias("pay"),
+        )
+        right = spark.range(0, 997).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        # keep the fat payload in the output: Catalyst would otherwise
+        # prune it and the hot partition drops under the (test-scaled)
+        # skew threshold
+        j = left.hint("merge").join(right, "k").select("k", "pay", "v")
+        plan = aqe_final_plan(j)
+        assert "isFinalPlan=true" in plan
+        assert skew_split_joins(plan) >= 1, plan
+        assert "AQEShuffleRead coalesced and skewed" in plan
+        # correctness under the split: every left row joins exactly once
+        assert j.count() == 300000
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
