@@ -101,13 +101,36 @@ def _bootstrap_current_process() -> bool:
 
 def ensure_protobuf() -> bool:
     """Bootstrap the current process AND export the shim to future Python
-    workers via PYTHONPATH (must run before the SparkSession's JVM starts —
-    the worker daemon inherits the JVM's environment). Idempotent."""
+    workers. Two channels, because the JVM may already be running:
+
+    - os.environ PYTHONPATH: covers workers of any SparkSession whose JVM
+      starts AFTER this call (the session factory calls this pre-build).
+    - SparkContext.environment of the ACTIVE context, if any: PySpark
+      captures this dict into every subsequently-created Python function's
+      envVars, and the worker factory merges that PYTHONPATH into the
+      worker's — which covers the driver-gate scenario where an outside
+      harness built the session before importing this repo.
+
+    Idempotent."""
     ok = _bootstrap_current_process()
-    if ok and os.path.isfile(os.path.join(_SHIM_PATH_DIR, "sitecustomize.py")):
-        parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
-        if _SHIM_PATH_DIR not in parts:
-            os.environ["PYTHONPATH"] = os.pathsep.join(
-                [p for p in parts if p] + [_SHIM_PATH_DIR]
-            )
+    if not ok or not os.path.isfile(os.path.join(_SHIM_PATH_DIR, "sitecustomize.py")):
+        return ok
+    parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if _SHIM_PATH_DIR not in parts:
+        os.environ["PYTHONPATH"] = os.pathsep.join(
+            [p for p in parts if p] + [_SHIM_PATH_DIR]
+        )
+    try:
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        if sc is not None:
+            cur = sc.environment.get("PYTHONPATH", "")
+            sc_parts = [p for p in cur.split(os.pathsep) if p]
+            if _SHIM_PATH_DIR not in sc_parts:
+                sc.environment["PYTHONPATH"] = os.pathsep.join(
+                    sc_parts + [_SHIM_PATH_DIR]
+                )
+    except Exception:  # pragma: no cover - never break a caller over this
+        pass
     return ok

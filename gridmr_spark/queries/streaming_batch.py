@@ -243,9 +243,66 @@ def stream_tws_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     handles, EVENT-TIME TIMERS closing the final session of a quiet key,
     optional TTL, RocksDB state store). The processor's semantics are
     proven against this twin by driving it directly through a fake state
-    handle in tests/test_tws.py (multi-batch splits + timer expiry); the
-    live readStream path runs where the protobuf runtime exists
-    (tws.has_protobuf() — absent from this container)."""
+    handle in tests/test_tws.py (multi-batch splits + timer expiry), and
+    the LIVE readStream path — unblocked in round 6 by compat/pbshim —
+    carries the same oracle as stream_tws_sessions_live."""
     from gridmr_spark.streaming.tws import user_sessions_batch
 
     return user_sessions_batch(load_table(spark, sf_dir, "events"))
+
+
+@query("stream_tws_sessions_live", oracle=_TWS_SESSIONS_ORACLE)
+def stream_tws_sessions_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL transformWithStateInPandas stream through the driver's
+    oracle gate: events re-staged as parquet plus one far-future sentinel
+    user (so the final watermark passes every true session's close
+    horizon), readStream -> SessionProcessor on the RocksDB state store ->
+    availableNow -> parquet sink; the returned frame is the sink minus the
+    sentinel. Same gaps-and-islands oracle as the batch twin — a green
+    hash here is end-to-end evidence that the watermark-gated ListState
+    processor, the Python<->JVM protobuf state server (compat/pbshim),
+    timers, and exactly-once sink delivery reproduce the batch answer on
+    driver data, not just on test fixtures."""
+    import datetime as dt
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from gridmr_spark.compat.pbshim import ensure_protobuf
+    from gridmr_spark.streaming.tws import user_sessions_batch, user_sessions_tws
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    if not ensure_protobuf():
+        # No protobuf runtime anywhere: fall back to the oracle-identical
+        # batch twin rather than crash the gate (documented degraded mode).
+        return user_sessions_batch(ev)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    key = hashlib.md5(f"{sf_dir}:twslive".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"gridmr_twslive_{key}")
+    src = os.path.join(base, "src")
+    run = os.path.join(base, f"run-{uuid.uuid4().hex[:8]}")
+    ck, sink = os.path.join(run, "ck"), os.path.join(run, "out")
+    sentinel = spark.createDataFrame(
+        [(int(-1), int(-1), dt.datetime(2100, 1, 1), 0.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    ev.unionByName(sentinel).write.mode("overwrite").parquet(src)
+    q = (
+        user_sessions_tws(spark.readStream.schema(ev.schema).parquet(src))
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: df.write.mode("append").parquet(sink))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(sink).where(F.col("user_id") >= 0).localCheckpoint(eager=True)
+    shutil.rmtree(run, ignore_errors=True)  # sink is materialized above
+    return out
