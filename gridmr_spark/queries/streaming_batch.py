@@ -251,6 +251,57 @@ def stream_tws_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_sessions_batch(load_table(spark, sf_dir, "events"))
 
 
+def _run_tws_live(spark, sf_dir: str, tag: str, sentinel_row, build_stream):
+    """Shared live-run harness for the transformWithStateInPandas queries:
+    stage events (+ one far-future sentinel row so the final watermark
+    passes every pending horizon) as parquet, run build_stream(readStream)
+    availableNow through the RocksDB state store into a parquet sink,
+    return the sink minus the sentinel. Returns None when no protobuf
+    runtime exists anywhere (callers fall back to their batch twin)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from gridmr_spark.compat.pbshim import ensure_protobuf
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value", "event_type"
+    )
+    if not ensure_protobuf():
+        return None
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    key = hashlib.md5(f"{sf_dir}:{tag}".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"gridmr_{tag}_{key}")
+    src = os.path.join(base, "src")
+    run = os.path.join(base, f"run-{uuid.uuid4().hex[:8]}")
+    ck, sink = os.path.join(run, "ck"), os.path.join(run, "out")
+    sentinel = spark.createDataFrame(
+        [sentinel_row],
+        "event_id long, user_id long, ts timestamp, value double, event_type string",
+    )
+    ev.unionByName(sentinel).write.mode("overwrite").parquet(src)
+    q = (
+        build_stream(spark.readStream.schema(ev.schema).parquet(src))
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: df.write.mode("append").parquet(sink))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(sink).where(F.col("user_id") >= 0).localCheckpoint(eager=True)
+    shutil.rmtree(run, ignore_errors=True)  # sink is materialized above
+    return out
+
+
+_SENTINEL = (int(-1), int(-1), __import__("datetime").datetime(2100, 1, 1), 0.0, "x")
+
+
 @query("stream_tws_sessions_live", oracle=_TWS_SESSIONS_ORACLE)
 def stream_tws_sessions_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL transformWithStateInPandas stream through the driver's
@@ -263,46 +314,39 @@ def stream_tws_sessions_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     processor, the Python<->JVM protobuf state server (compat/pbshim),
     timers, and exactly-once sink delivery reproduce the batch answer on
     driver data, not just on test fixtures."""
-    import datetime as dt
-    import hashlib
-    import os
-    import shutil
-    import tempfile
-    import uuid
-
-    from gridmr_spark.compat.pbshim import ensure_protobuf
     from gridmr_spark.streaming.tws import user_sessions_batch, user_sessions_tws
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "ts", "value"
-    )
-    if not ensure_protobuf():
+    out = _run_tws_live(spark, sf_dir, "twslive", _SENTINEL, user_sessions_tws)
+    if out is None:
         # No protobuf runtime anywhere: fall back to the oracle-identical
         # batch twin rather than crash the gate (documented degraded mode).
-        return user_sessions_batch(ev)
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        return user_sessions_batch(load_table(spark, sf_dir, "events"))
+    return out.drop("event_type")
+
+
+_TWS_FIRST_SEEN_ORACLE = """
+SELECT user_id, event_type, CAST(MIN(ts) AS TIMESTAMP) AS first_ts
+FROM events GROUP BY user_id, event_type
+"""
+
+
+@query("stream_tws_first_seen_live", oracle=_TWS_FIRST_SEEN_ORACLE)
+def stream_tws_first_seen_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapState through the same live harness: per-user FIRST occurrence
+    of each event type (streaming/tws.py: FirstSeenProcessor), emission
+    watermark-gated so an emitted minimum can never be lowered by a
+    still-admissible late event — Append-mode exactly-once without
+    retraction. Completes the typed-state family end to end on driver
+    data: ValueState (r4 running totals), ListState (sessions), MapState
+    (this row), all against exact SQL oracles."""
+    from gridmr_spark.streaming.tws import (
+        user_type_first_seen_batch,
+        user_type_first_seen_tws,
     )
-    key = hashlib.md5(f"{sf_dir}:twslive".encode()).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), f"gridmr_twslive_{key}")
-    src = os.path.join(base, "src")
-    run = os.path.join(base, f"run-{uuid.uuid4().hex[:8]}")
-    ck, sink = os.path.join(run, "ck"), os.path.join(run, "out")
-    sentinel = spark.createDataFrame(
-        [(int(-1), int(-1), dt.datetime(2100, 1, 1), 0.0)],
-        "event_id long, user_id long, ts timestamp, value double",
+
+    out = _run_tws_live(
+        spark, sf_dir, "twsfirst", _SENTINEL, user_type_first_seen_tws
     )
-    ev.unionByName(sentinel).write.mode("overwrite").parquet(src)
-    q = (
-        user_sessions_tws(spark.readStream.schema(ev.schema).parquet(src))
-        .writeStream.outputMode("append")
-        .foreachBatch(lambda df, bid: df.write.mode("append").parquet(sink))
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = spark.read.parquet(sink).where(F.col("user_id") >= 0).localCheckpoint(eager=True)
-    shutil.rmtree(run, ignore_errors=True)  # sink is materialized above
-    return out
+    if out is None:
+        return user_type_first_seen_batch(load_table(spark, sf_dir, "events"))
+    return out  # sentinel already excluded by user_id >= 0

@@ -206,6 +206,122 @@ class SessionProcessor(StatefulProcessor):
         pass
 
 
+_FIRST_SEEN_OUT = "user_id long, event_type string, first_us long"
+
+
+class FirstSeenProcessor(StatefulProcessor):
+    """Per-user FIRST occurrence of each event type — the MapState member
+    of the typed-state family (sessions cover ListState; the r4 running
+    totals cover ValueState). Emission is watermark-gated and therefore
+    exactly-once-correct under late data: an entry (type -> min_ts) emits
+    only once the watermark passes min_ts, and any still-admissible event
+    of that type necessarily has ts >= watermark >= min_ts, so nothing can
+    lower an emitted minimum. State per user is one map entry per DISTINCT
+    type (bounded by type cardinality, not history), with emitted entries
+    kept as tombstones (min=-1) so re-arrivals neither re-emit nor grow
+    state."""
+
+    def __init__(self):
+        pass
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
+        self.seen = handle.getMapState(
+            "seen", "event_type string", "min_us long, emitted smallint"
+        )
+
+    @staticmethod
+    def _emit(user_id, rows):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series([user_id] * len(rows), dtype="int64"),
+                "event_type": pd.Series([r[0] for r in rows], dtype=object),
+                "first_us": pd.Series([r[1] for r in rows], dtype="int64"),
+            }
+        )
+
+    def _finalize(self, user_id, wm_us):
+        """Emit every unemitted entry whose min the watermark has passed;
+        re-arm one timer at the earliest remaining horizon."""
+        finals, pending = [], []
+        for k, v in self.seen.iterator():
+            (etype,) = k
+            min_us, emitted = int(v[0]), int(v[1])
+            if emitted:
+                continue
+            if wm_us is not None and min_us <= wm_us:
+                finals.append((etype, min_us))
+            else:
+                pending.append(min_us)
+        for etype, min_us in finals:
+            self.seen.updateValue((etype,), (-1, 1))
+        want = {-(-min(pending) // 1000)} if pending else set()
+        for t in list(self.handle.listTimers()):
+            if t not in want:
+                self.handle.deleteTimer(t)
+            else:
+                want.discard(t)
+        for t in want:
+            self.handle.registerTimer(t)
+        if finals:
+            yield self._emit(user_id, finals)
+
+    def handleInputRows(self, key, rows, timerValues: TimerValues):
+        import pandas as pd
+
+        pdf = pd.concat(list(rows), ignore_index=True)
+        if pdf.empty:
+            return
+        mins = pdf.groupby("event_type")["ts_us"].min()
+        for etype, ts in mins.items():
+            k = (str(etype),)
+            if self.seen.containsKey(k):
+                cur_min, emitted = (int(x) for x in self.seen.getValue(k))
+                if not emitted and int(ts) < cur_min:
+                    self.seen.updateValue(k, (int(ts), 0))
+            else:
+                self.seen.updateValue(k, (int(ts), 0))
+        (user_id,) = key
+        yield from self._finalize(int(user_id), SessionProcessor._wm_us(timerValues))
+
+    def handleExpiredTimer(self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo):
+        wm_us = None if timerValues is None else SessionProcessor._wm_us(timerValues)
+        yield from self._finalize(
+            int(key[0]), float("inf") if wm_us is None else wm_us
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_type_first_seen_tws(
+    events: DataFrame, watermark_delay: str = "0 seconds"
+) -> DataFrame:
+    """Streaming form: watermarked events through FirstSeenProcessor."""
+    proc_in = (
+        events.withWatermark("ts", watermark_delay)
+        .select("user_id", "ts", F.unix_micros("ts").alias("ts_us"), "event_type")
+    )
+    out = proc_in.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=FirstSeenProcessor(),
+        outputStructType=_FIRST_SEEN_OUT,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+    return out.select(
+        "user_id", "event_type", F.timestamp_micros("first_us").alias("first_ts")
+    )
+
+
+def user_type_first_seen_batch(events: DataFrame) -> DataFrame:
+    """Batch twin: MIN(ts) per (user_id, event_type)."""
+    return events.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts")
+    )
+
+
 def _finish(out: DataFrame) -> DataFrame:
     return out.select(
         "user_id",

@@ -4,8 +4,9 @@ The processor's semantics are proven WITHOUT the Spark state server by
 driving handleInputRows/handleExpiredTimer through a fake state handle —
 multi-batch splits, restarts mid-session, and timer-driven final flushes
 must reproduce the batch twin exactly. The live readStream path needs the
-protobuf runtime (absent from this container) and is skip-gated, like PIL
-was for the image codec before the stdlib decoder.
+protobuf runtime; compat/pbshim makes one importable in this container
+(round 6), so the end-to-end tests run here too — the skipif gate remains
+for environments with neither an install nor a vendored runtime.
 """
 
 from __future__ import annotations
@@ -374,3 +375,89 @@ def test_processor_timer_ceils_to_ms_grid():
     pdf = pd.DataFrame({"user_id": [1], "event_id": [1], "ts_us": [500], "value": [1.0]})
     list(proc.handleInputRows((1,), iter([pdf]), None))
     assert handle.timers == {(500 + GAP_US + 999) // 1000}
+
+
+class _FakeMapState:
+    def __init__(self):
+        self.m = {}
+
+    def exists(self):
+        return bool(self.m)
+
+    def containsKey(self, k):
+        return k in self.m
+
+    def getValue(self, k):
+        return self.m[k]
+
+    def updateValue(self, k, v):
+        self.m[k] = v
+
+    def iterator(self):
+        return iter(list(self.m.items()))
+
+    def keys(self):
+        return iter(list(self.m))
+
+    def values(self):
+        return iter(list(self.m.values()))
+
+    def removeKey(self, k):
+        self.m.pop(k, None)
+
+    def clear(self):
+        self.m = {}
+
+
+def _first_seen_drive(batches_with_wm):
+    """Drive FirstSeenProcessor: batches_with_wm = [(events, wm_ms)] where
+    events = [(event_type, ts_us)]; returns emitted (etype, first_us)."""
+    from gridmr_spark.streaming.tws import FirstSeenProcessor
+
+    class _H(_FakeHandle):
+        def getMapState(self, name, ks, vs, ttlDurationMs=None):
+            return self.states.setdefault(name, _FakeMapState())
+
+    proc = FirstSeenProcessor()
+    handle = _H()
+    proc.init(handle)
+    out = []
+    for events, wm_ms in batches_with_wm:
+        pdf = pd.DataFrame(
+            {
+                "user_id": [1] * len(events),
+                "ts_us": [e[1] for e in events],
+                "event_type": [e[0] for e in events],
+            }
+        )
+        out.extend(
+            proc.handleInputRows((1,), iter([pdf]), _FakeTimerValues(wm_ms))
+        )
+    for _t in list(handle.timers):
+        out.extend(proc.handleExpiredTimer((1,), None, None))
+    rows = pd.concat(out, ignore_index=True) if out else pd.DataFrame()
+    return [(r.event_type, int(r.first_us)) for r in rows.itertuples()]
+
+
+def test_first_seen_watermark_gates_and_late_min_merges():
+    """A late admissible event with an EARLIER ts must lower the pending
+    minimum; once emitted, re-arrivals neither re-emit nor regress."""
+    got = _first_seen_drive(
+        [
+            ([("click", 5_000_000), ("view", 9_000_000)], 0),      # nothing final
+            ([("click", 2_000_000)], 3),                            # late click lowers min; wm 3ms
+            ([("click", 7_000_000)], 10_000),                       # wm passes both mins
+        ]
+    )
+    assert sorted(got) == [("click", 2_000_000), ("view", 9_000_000)]
+
+
+def test_first_seen_exactly_once_across_batches():
+    got = _first_seen_drive(
+        [
+            ([("a", 1_000)], 1_000_000),     # wm far past: emits immediately
+            ([("a", 500_000)], 1_000_000),   # later arrival of same type: silence
+            ([("b", 2_000)], 1_000_000),
+        ]
+    )
+    assert sorted(got) == [("a", 1_000), ("b", 2_000)]
