@@ -58,7 +58,7 @@ _DRIVER_PRIORITY: list[str] = [
     # postdate.
     "source_warc_ingest", "similarity_pq_persisted", "similarity_ivf_persisted",
     "multimodal_jpeg_decode", "stream_tws_sessions_live",
-    "stream_tws_first_seen_live",
+    "stream_tws_first_seen_live", "text_bigram_lm_score",
     "stream_tws_sessions", "source_stream_datasource", "similarity_pq_topk",
     "multimodal_png_decode",
     # (b) freshness rotation: the 28 queries whose latest green driver row

@@ -1692,3 +1692,77 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = encode_wav_media(docs, "doc_id", "text", sample_rate=8000)
     return wav_frame_energy(media, frame_samples=256)
+
+
+_BIGRAM_LM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+                     w -> w <> '') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id, t[CAST(g.i AS INT)] AS w1, t[CAST(g.i + 1 AS INT)] AS w2
+  FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i)
+  WHERE len(t) >= 2
+), b AS (
+  SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2
+), u AS (
+  SELECT w1, COUNT(*) AS cu FROM bg GROUP BY w1
+)
+SELECT bg.doc_id,
+       COUNT(*) AS n_bigrams,
+       SUM(CAST(FLOOR(ln(CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE)) * 1000000000) AS BIGINT))
+         AS sum_qlog
+FROM bg JOIN b USING (w1, w2) JOIN u USING (w1)
+GROUP BY bg.doc_id
+"""
+
+
+@query("text_bigram_lm_score", oracle=_BIGRAM_LM_ORACLE)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model scoring — the KenLM-shaped perplexity
+    signal real pretraining pipelines gate on, as a pure DataFrame plan:
+    tokenize once (same tokenizer as wordcount), explode bigrams, count
+    the corpus bigram table B(w1,w2) and its left-marginal U(w1) (two
+    aggregations over one exploded frame), join each bigram occurrence
+    back to its MLE log-probability ln(B/U), and report per doc the
+    bigram count plus the sum of nanolog-quantized log-probs
+    (floor(ln*1e9) as BIGINT — integer sums are order-insensitive and
+    engine-exact, the same trick as the PageRank/classifier oracles;
+    avg log-prob = sum_qlog / n_bigrams / 1e9 for consumers).
+
+    Scale shape: the bigram table is vocab-bounded (broadcast when small;
+    shuffled equi-join on zipf-skewed keys otherwise — exactly what AQE
+    skew split handles, see test_aqe_splits_skewed_join); the doc side
+    streams. No Python in the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    tdf = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]+", " ")), " "),
+            lambda w: w != "",
+        ).alias("t"),
+    ).where(F.size("t") >= 2)
+    bg = tdf.select(
+        "doc_id",
+        F.expr(
+            "explode(zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+            " (a, b) -> struct(a AS w1, b AS w2)))"
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    b = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    u = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    scored = (
+        bg.join(b, ["w1", "w2"]).join(u, ["w1"])
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(F.col("cb").cast("double") / F.col("cu").cast("double"))
+                * F.lit(1000000000.0)
+            ).cast("long").alias("qlog"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("qlog").alias("sum_qlog"),
+    )
