@@ -55,6 +55,7 @@ import uuid
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -341,8 +342,56 @@ class WarcWriter(DataSourceWriter):
                     pass
 
 
+class WarcStreamReader(DataSourceStreamReader):
+    """Micro-batch ingestion of ARRIVING crawl segments: each offset is the
+    lexicographic high-water file name under the directory, so a restart
+    resumes from the checkpointed name and every record is delivered
+    exactly once (Common Crawl segment names — and this writer's part
+    names — sort monotonically; a producer with non-monotone names needs a
+    manifest, which is what sources/pyds.py demonstrates). Every new file
+    is chunked with the SAME byte-range splits as the batch reader, so
+    stream-scan parallelism per micro-batch matches batch-scan
+    parallelism."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc stream requires a directory path")
+        chunk_mb = float(options.get("chunk_mb", 64))
+        self.chunk = max(4096, int(chunk_mb * 1024 * 1024))
+
+    def initialOffset(self):
+        return {"upto": ""}
+
+    def latestOffset(self):
+        files = [os.path.basename(f) for f in _list_warc_files(self.path)]
+        return {"upto": max(files) if files else ""}
+
+    def partitions(self, start, end):
+        lo, hi = start["upto"], end["upto"]
+        splits: list[_WarcSplit] = []
+        for f in _list_warc_files(self.path):
+            name = os.path.basename(f)
+            if not (lo < name <= hi):
+                continue
+            if f.endswith(".gz"):
+                splits.append(_WarcSplit(f, 0, None))
+                continue
+            size = os.path.getsize(f)
+            for off in range(0, max(size, 1), self.chunk):
+                splits.append(_WarcSplit(f, off, min(off + self.chunk, size)))
+        return splits or [_WarcSplit("", 0, 0)]
+
+    def read(self, partition):
+        return WarcReader.read(self, partition)  # identical record parse
+
+    def commit(self, end):
+        pass  # nothing external to clean up
+
+
 class WarcDataSource(DataSource):
     """spark.read.format("warc").option("chunk_mb", 64).load(path) /
+    spark.readStream.format("warc") over a growing directory /
     df.write.format("warc").save(path) — register with
     spark.dataSource.register(WarcDataSource)."""
 
@@ -355,6 +404,9 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema):
         return WarcReader(self.options)
+
+    def streamReader(self, schema):
+        return WarcStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool):
         return WarcWriter(self.options, schema, overwrite)

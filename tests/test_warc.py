@@ -191,3 +191,38 @@ def test_malformed_input_raises(spark, tmp_path):
         fh.write(b"WARC/1.0\r\nContent-Length: 10\r\n\r\nshort")
     with pytest.raises(Exception, match="truncated|malformed"):
         _read(spark, f, 64).collect()
+
+
+def test_stream_ingests_arriving_segments_exactly_once(spark, tmp_path):
+    """readStream over a growing WARC directory: run 1 ingests segment A;
+    segment B arrives; run 2 (same checkpoint) ingests ONLY B — the
+    lexicographic high-water offset makes delivery exactly-once across
+    restarts, and each new file is byte-range-split like the batch scan."""
+    d = tmp_path / "warc"
+    d.mkdir()
+    _mk_warc(str(d / "seg-00001.warc"), [b"a" * 100, b"b" * 9000])
+    W.register(spark)
+    ck, sink = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def run():
+        q = (
+            spark.readStream.format("warc")
+            .option("chunk_mb", 0.004)
+            .option("path", str(d))
+            .load()
+            .select("target_uri", "content_length", "file")
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: df.write.mode("append").parquet(sink))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    got1 = sorted((r.file, r.target_uri) for r in spark.read.parquet(sink).collect())
+    assert [f for f, _ in got1] == ["seg-00001.warc"] * 2
+    _mk_warc(str(d / "seg-00002.warc"), [b"c" * 5000], uri_prefix="http://t2.example/")
+    run()
+    got2 = sorted((r.file, r.target_uri) for r in spark.read.parquet(sink).collect())
+    assert got2 == got1 + [("seg-00002.warc", "http://t2.example/0")]
