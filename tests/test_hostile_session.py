@@ -30,6 +30,11 @@ _TZ_SENSITIVE = [
     # the stream datasource generates and windows its own timestamps)
     "stream_tws_sessions",
     "source_stream_datasource",
+    # round-6: the LIVE transformWithState runs stage events to parquet and
+    # re-read them under the hostile session (watermarks + timers + sinks
+    # all cross the timestamp boundary)
+    "stream_tws_sessions_live",
+    "stream_tws_first_seen_live",
 ]
 
 
