@@ -299,7 +299,9 @@ def _run_tws_live(spark, sf_dir: str, tag: str, sentinel_row, build_stream):
     return out
 
 
-_SENTINEL = (int(-1), int(-1), __import__("datetime").datetime(2100, 1, 1), 0.0, "x")
+import datetime as _dt
+
+_SENTINEL = (int(-1), int(-1), _dt.datetime(2100, 1, 1), 0.0, "x")
 
 
 @query("stream_tws_sessions_live", oracle=_TWS_SESSIONS_ORACLE)

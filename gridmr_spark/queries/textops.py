@@ -1711,8 +1711,8 @@ WITH toks AS (
 )
 SELECT bg.doc_id,
        COUNT(*) AS n_bigrams,
-       SUM(CAST(FLOOR(ln(CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE)) * 1000000000) AS BIGINT))
-         AS sum_qlog
+       CAST(SUM(CAST(FLOOR(ln(CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE)) * 1000000000) AS BIGINT))
+         AS BIGINT) AS sum_qlog
 FROM bg JOIN b USING (w1, w2) JOIN u USING (w1)
 GROUP BY bg.doc_id
 """

@@ -65,6 +65,18 @@ def main() -> None:
         "value": round(recall(pairs(reg["similarity_pq_topk"].fn(spark, sf_dir), "qid", "cid"), exact_lt1000), 4),
     }
 
+    # Persisted-index twins (round 6): search from on-disk artifacts is
+    # row-exact to the in-memory operators (tests/test_ann_index.py), so
+    # these recalls must match similarity_pq_topk / similarity_ivf_topk.
+    out["similarity_pq_persisted"] = {
+        "metric": "recall@5 vs exact",
+        "value": round(recall(pairs(reg["similarity_pq_persisted"].fn(spark, sf_dir), "qid", "cid"), exact_lt1000), 4),
+    }
+    out["similarity_ivf_persisted"] = {
+        "metric": "recall@5 vs exact",
+        "value": round(recall(pairs(reg["similarity_ivf_persisted"].fn(spark, sf_dir), "qid", "cid"), exact_all), 4),
+    }
+
     # Exact GEMM paths: neighbor-set recall vs the fold path must be 1.0.
     # similarity_topk_gemm bounds its query side to vec_id < 1000 by
     # contract, so its reference is the fold top-5 restricted to those.
