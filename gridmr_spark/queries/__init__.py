@@ -56,6 +56,8 @@ _DRIVER_PRIORITY: list[str] = [
     # queries the r5 hardening commit (7400f03) and the round-6 rework
     # (watermark-gated tws emission, pyds overwrite cleanup, PQ fit fix)
     # postdate.
+    "join_lateral_topk", "sql_recursive_cte", "url_funcs",
+    "pipeline_observed_metrics",
     "source_warc_ingest", "similarity_pq_persisted", "similarity_ivf_persisted",
     "multimodal_jpeg_decode", "stream_tws_sessions_live",
     "stream_tws_first_seen_live", "text_bigram_lm_score",

@@ -1310,3 +1310,76 @@ def join_bloom_runtime(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice"), 2).alias("sum_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL surface: LATERAL subquery join, recursive CTE
+# ---------------------------------------------------------------------------
+
+_LATERAL_TOPK_ORACLE = """
+SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+FROM customer c
+CROSS JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 3
+) l
+WHERE c.c_mktsegment = 'AUTOMOBILE'
+"""
+
+
+@query("join_lateral_topk", oracle=_LATERAL_TOPK_ORACLE)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — the SQL-standard
+    spelling of per-group top-k (top-3 orders by price per AUTOMOBILE
+    customer), new surface in Spark 4's SQL front end. DuckDB runs the
+    identical statement, so the oracle checks Spark's decorrelation
+    end-to-end, not a rewritten twin.
+
+    Scale shape: Catalyst decorrelates the lateral subquery into a
+    window/rank over a single orders shuffle partitioned by o_custkey —
+    the same physical plan as window_topk_per_group, NOT one subquery
+    execution per outer row (which would be O(customers) jobs). The
+    per-group LIMIT bounds output at 3 rows/customer regardless of order
+    history length. o_totalprice passes through unmodified (no float
+    arithmetic), so the cross-engine hash is bit-stable."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_TOPK_ORACLE)
+
+
+# DuckDB dialect: integer division is //; Spark's is DIV. Same tree walk.
+_RECURSIVE_CTE_ORACLE = """
+WITH RECURSIVE anc(p_partkey, root, depth) AS (
+  SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey < 10
+  UNION ALL
+  SELECT p.p_partkey, a.root, a.depth + 1
+  FROM part p JOIN anc a ON p.p_partkey // 10 = a.p_partkey
+  WHERE p.p_partkey >= 10
+)
+SELECT root, COUNT(*) AS n_parts, CAST(MAX(depth) AS BIGINT) AS max_depth
+FROM anc GROUP BY root
+"""
+
+
+@query("sql_recursive_cte", oracle=_RECURSIVE_CTE_ORACLE)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE — Spark 4.1's recursive common table expression,
+    walking the implicit decimal tree over part (parent(p) = p DIV 10,
+    guarded by p >= 10 because partkeys are 0-based and 0 DIV 10 = 0
+    would self-loop): every part reaches a single-digit root, and the
+    query reports per-root subtree size and height. DuckDB executes the
+    same recursion (// for integer division), so the oracle validates
+    Spark's iterative UNION ALL semantics, not a closed-form rewrite.
+
+    Scale shape: each recursion level is one hash join of the current
+    frontier against the part scan — depth is log10(max key) (~7 levels
+    at 100 TB key ranges), and the frontier is a proper tree level, never
+    the accumulated result, so work per level is bounded by level size.
+    This is the declarative twin of the driver-looped iteration pattern
+    graph_pagerank uses; for UNBOUNDED iteration counts the loop form
+    with localCheckpoint remains the right tool (recursion level is
+    capped, default 100)."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_RECURSIVE_CTE_ORACLE.replace("//", "DIV"))

@@ -476,3 +476,57 @@ def string_collation_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_brand17",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL functions over synthesized document URLs
+# ---------------------------------------------------------------------------
+
+# DuckDB has no parse_url; the oracle re-parses the SAME url string with
+# regexes, so the two engines agree only if Spark's parser extracts exactly
+# the components the grammar says.
+_URL_ORACLE = r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.org/docs/' || CAST(doc_id AS VARCHAR)
+           || '?lang=' || lang || '&v=2' AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, 'https://([^/?#]+)', 1) AS host,
+       regexp_extract(url, 'https://[^/?#]+(/[^?#]*)', 1) AS path,
+       regexp_extract(url, '\?([^#]*)', 1) AS qs,
+       regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+       CAST(NULL AS VARCHAR) AS bad_host
+FROM u
+"""
+
+
+@query("url_funcs", oracle=_URL_ORACLE)
+def url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction — parse_url / try_parse_url (HOST, PATH,
+    QUERY, QUERY:key), the function family an LLM crawl pipeline leans on
+    for host-level dedup caps and tracking-param stripping. URLs are
+    synthesized deterministically from document columns (same
+    bytes-from-columns trick as the WAV/PNG queries), then parsed with
+    Spark's real URI parser; the DuckDB oracle re-parses the same strings
+    with regexes, so the hash match proves parser semantics, not string
+    concatenation. try_parse_url on a scheme-less string documents the
+    NULL-not-throw contract (its ANSI sibling parse_url raises).
+
+    Scale shape: pure codegen'd scalar expressions in one scan — no
+    shuffle, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        F.lit("&v=2"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("qs"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.try_parse_url(F.lit("not a url"), F.lit("HOST")).alias("bad_host"),
+    )

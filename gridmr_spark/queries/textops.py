@@ -1766,3 +1766,57 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("qlog").alias("sum_qlog"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Observation API: single-pass pipeline accounting
+# ---------------------------------------------------------------------------
+
+_OBSERVED_ORACLE = """
+SELECT COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN n_tok < 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+       CAST(SUM(CASE WHEN n_tok >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN n_tok >= 8 THEN n_tok ELSE 0 END) AS BIGINT) AS tok_kept
+FROM (
+  SELECT len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tok
+  FROM documents
+) t
+"""
+
+
+@query("pipeline_observed_metrics", oracle=_OBSERVED_ORACLE)
+def pipeline_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline accounting via the Observation API (``df.observe``):
+    total / dropped / kept document counts and the kept-token total are
+    collected as named aggregates ON THE SAME PASS that executes the
+    filter pipeline — Spark's accumulator-backed answer to "how many rows
+    did each stage drop", the number every data-curation run must report.
+
+    Scale shape: this is the whole point — at 100 TB a separate
+    count-per-stage would re-scan the corpus once per metric;
+    observe() piggybacks the aggregates on the one materializing action
+    for zero extra scans and no extra shuffle (metrics merge driver-side
+    like accumulators). The observed metrics are integers only, so the
+    cross-engine hash is exact. The returned frame is the metrics row
+    itself (driver-built, 1 row), the shape a pipeline report consumes."""
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
+    staged = docs.select(n_tok.alias("n_tok"))
+    obs = Observation("pipeline_metrics")
+    observed = staged.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("n_tok") < 8, 1).otherwise(0)).cast("long").alias("n_short"),
+        F.sum(F.when(F.col("n_tok") >= 8, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("n_tok") >= 8, F.col("n_tok")).otherwise(0)).cast("long").alias("tok_kept"),
+    )
+    # The action that would materialize the curated output downstream; the
+    # metrics ride on it. count() stands in for the production write.
+    observed.where(F.col("n_tok") >= 8).count()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_total"]), int(m["n_short"]), int(m["n_kept"]), int(m["tok_kept"]))],
+        "n_total long, n_short long, n_kept long, tok_kept long",
+    )
