@@ -1820,3 +1820,44 @@ def pipeline_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(m["n_total"]), int(m["n_short"]), int(m["n_kept"]), int(m["tok_kept"]))],
         "n_total long, n_short long, n_kept long, tok_kept long",
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer: distributed fit + encode, lossless round-trip oracle
+# ---------------------------------------------------------------------------
+
+_BPE_ORACLE = """
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       array_to_string(toks, ' ') AS detok
+FROM (
+  SELECT doc_id,
+         list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+                     w -> w <> '') AS toks
+  FROM documents
+) t
+"""
+
+
+@query("text_bpe_tokenize", oracle=_BPE_ORACLE)
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained BPE subword tokenization (operators/bpe.py): fit the merge
+    table on the corpus word-frequency aggregation (the only corpus-sized
+    pass; the merge loop is vocab-bounded driver work), then encode every
+    document with Arrow-batched mapInPandas.
+
+    Exact-regime oracle, same pattern as agg_quantile_sketch: with
+    num_merges past convergence (no pair left to merge), BPE segmentation
+    closes over whole words, so n_tokens equals the whitespace token count
+    and detok equals the normalization-canonical text — both DuckDB-
+    derivable. The hash match therefore proves fit + encode + round-trip
+    end-to-end (a wrong merge table or a mis-applied rank would fragment
+    some word and break BOTH columns). Sub-convergent segmentation
+    behavior (the production regime) is pinned by tests/test_bpe.py
+    invariants: token monotonicity, words <= tokens <= chars, artifact
+    save/load identity, rank-greedy order."""
+    from gridmr_spark.operators.bpe import encode_bpe, fit_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = fit_bpe(docs, "text", num_merges=300)
+    return encode_bpe(docs, merges, "doc_id", "text")
