@@ -435,3 +435,64 @@ def symdelete_fuzzy_pairs(
         .select("id1", "id2", F.levenshtein("n1", "n2").alias("dist"))
         .where(F.col("dist") <= max_dist)
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask: int = 64,
+) -> DataFrame:
+    """Content-defined chunking: degree-7 polynomial rolling hash (base 31)
+    over the character stream; a boundary closes a chunk wherever
+    hash % ``mask`` == 0 (expected chunk length ~= mask chars). Returns one
+    row per chunk: (id, chunk_idx, n_chars, chunk_md5, dup_count) with
+    dup_count the corpus-wide count of content-identical chunks.
+
+    Shift-robust by construction: the hash at position i depends only on
+    the previous 8 characters, so an insertion/deletion perturbs boundary
+    placement only until the window slides past the edit — downstream
+    boundaries re-synchronize (tests/test_cdc.py pins this). Exact BIGINT
+    arithmetic throughout (max term ~3.5e12 * 8 < 2^63), no Python in the
+    plan."""
+    from pyspark.sql import Window
+
+    chars = docs.select(
+        id_col,
+        text_col,
+        F.posexplode(
+            F.expr(f"transform(split({text_col}, ''), c -> CAST(ascii(c) AS BIGINT))")
+        ).alias("pos", "code"),
+    ).select(id_col, text_col, F.col("pos").cast("long").alias("pos"), "code")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    h = (
+        F.col("code")
+        + F.lit(31) * F.lag("code", 1, 0).over(w)
+        + F.lit(961) * F.lag("code", 2, 0).over(w)
+        + F.lit(29791) * F.lag("code", 3, 0).over(w)
+        + F.lit(923521) * F.lag("code", 4, 0).over(w)
+        + F.lit(28629151) * F.lag("code", 5, 0).over(w)
+        + F.lit(887503681) * F.lag("code", 6, 0).over(w)
+        + F.lit(27512614111) * F.lag("code", 7, 0).over(w)
+    )
+    hashed = chars.select(
+        id_col, text_col, "pos",
+        F.when((F.col("pos") >= 7) & (h % mask == 0), 1).otherwise(0).alias("flag"),
+    )
+    wcum = w.rowsBetween(Window.unboundedPreceding, -1)
+    idx = hashed.select(
+        id_col, text_col, "pos",
+        F.coalesce(F.sum("flag").over(wcum), F.lit(0)).cast("long").alias("chunk_idx"),
+    )
+    chunks = idx.groupBy(id_col, "chunk_idx").agg(
+        F.substring(
+            F.min(text_col), F.min("pos").cast("int") + F.lit(1), F.count(F.lit(1)).cast("int")
+        ).alias("chunk"),
+        F.count(F.lit(1)).alias("n_chars"),
+    )
+    return chunks.select(
+        id_col, "chunk_idx", "n_chars",
+        F.md5(F.col("chunk")).alias("chunk_md5"),
+        F.count(F.lit(1)).over(Window.partitionBy("chunk")).cast("long").alias("dup_count"),
+    )

@@ -57,7 +57,7 @@ _DRIVER_PRIORITY: list[str] = [
     # (watermark-gated tws emission, pyds overwrite cleanup, PQ fit fix)
     # postdate.
     "join_lateral_topk", "sql_recursive_cte", "url_funcs",
-    "pipeline_observed_metrics", "text_bpe_tokenize",
+    "pipeline_observed_metrics", "text_bpe_tokenize", "text_cdc_chunks",
     "source_warc_ingest", "similarity_pq_persisted", "similarity_ivf_persisted",
     "multimodal_jpeg_decode", "stream_tws_sessions_live",
     "stream_tws_first_seen_live", "text_bigram_lm_score",

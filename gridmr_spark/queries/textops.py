@@ -1861,3 +1861,74 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = fit_bpe(docs, "text", num_merges=300)
     return encode_bpe(docs, merges, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking: rolling-hash boundaries, shift-robust dedup
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, text, CAST(g.i - 1 AS BIGINT) AS pos,
+         CAST(ascii(substr(text, CAST(g.i AS INT), 1)) AS BIGINT) AS code
+  FROM documents, unnest(generate_series(1, len(text))) AS g(i)
+), hashed AS (
+  SELECT doc_id, text, pos,
+         CASE WHEN pos >= 7 AND (
+              code
+            + 31 * lag(code, 1, 0) OVER w
+            + 961 * lag(code, 2, 0) OVER w
+            + 29791 * lag(code, 3, 0) OVER w
+            + 923521 * lag(code, 4, 0) OVER w
+            + 28629151 * lag(code, 5, 0) OVER w
+            + 887503681 * lag(code, 6, 0) OVER w
+            + 27512614111 * lag(code, 7, 0) OVER w) % 64 = 0
+           THEN 1 ELSE 0 END AS flag
+  FROM chars
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), idx AS (
+  SELECT doc_id, text, pos,
+         CAST(COALESCE(SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS chunk_idx
+  FROM hashed
+), chunks AS (
+  SELECT doc_id, chunk_idx,
+         substr(MIN(text), CAST(MIN(pos) + 1 AS INT), CAST(COUNT(*) AS INT)) AS chunk,
+         COUNT(*) AS n_chars
+  FROM idx GROUP BY doc_id, chunk_idx
+)
+SELECT doc_id, chunk_idx, n_chars, md5(chunk) AS chunk_md5,
+       CAST(COUNT(*) OVER (PARTITION BY chunk) AS BIGINT) AS dup_count
+FROM chunks
+"""
+
+
+@query("text_cdc_chunks", oracle=_CDC_ORACLE)
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (LBFS/rsync/restic-style): a degree-7
+    polynomial rolling hash over the character stream cuts a chunk
+    boundary wherever hash % 64 == 0, and each chunk's corpus-wide
+    duplicate count comes from one grouping over chunk content. The
+    property fixed windows (text_chunk_windows) lack: INSERTING one
+    character re-aligns only the chunk containing the edit — every
+    downstream boundary re-synchronizes within one window — so
+    sub-document dedup survives shifts, the reason backup/dedup systems
+    define chunks by content, not offsets.
+
+    All integer arithmetic in exact BIGINT (max term ~3.5e12, 8-term sum
+    far under 2^63) — the DuckDB oracle replays the identical recurrence,
+    lag defaults and all, so the hash match proves boundary placement,
+    chunk reassembly (contiguity => substr), and the duplicate counts.
+
+    Scale shape: chars explode scan-locally; the rolling hash is 8 lag
+    windows inside ONE window spec (single sort per doc partition, no
+    Python); chunk reassembly groups on (doc, chunk) — bounded rows —
+    and dedup counting shuffles chunk digests, which is the minimum any
+    content-addressed store pays. At 100 TB the explode is the cost: in
+    production the same recurrence compiles to a mapInPandas over byte
+    arrays; the declarative form here keeps the oracle bit-exact."""
+    from gridmr_spark.operators.text import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return cdc_chunks(docs)

@@ -1,0 +1,64 @@
+"""Content-defined chunking properties (operators/text.py: cdc_chunks):
+the shift-robustness claim fixed windows can't make, chunk reassembly,
+and determinism. Oracle correctness of the registered query is covered by
+the registry-wide gates."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from gridmr_spark.operators.text import cdc_chunks
+
+
+def _chunk_multiset(df, doc_id):
+    rows = df.where(F.col("doc_id") == doc_id).collect()
+    return sorted((r["chunk_md5"], r["n_chars"]) for r in rows)
+
+
+def test_chunks_reassemble_and_are_deterministic(spark):
+    # aperiodic text: periodic input can legitimately never hit a boundary
+    # (44 distinct windows, none == 0 mod 64), another reason production
+    # CDC adds a max-size forced cut
+    text = " ".join(f"tok{i * 7919 % 1000} word{i}" for i in range(220))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = cdc_chunks(docs)
+    total = out.agg(F.sum("n_chars")).collect()[0][0]
+    assert total == len(text)
+    assert _chunk_multiset(out, 1) == _chunk_multiset(cdc_chunks(docs), 1)
+    # mask 64 actually cuts: more than one chunk on ~1.8k chars
+    assert out.count() > 1
+
+
+def test_insertion_resynchronizes_boundaries(spark):
+    """Insert one character near the front; all boundaries after the
+    rolling window slides past the edit are unchanged, so the two chunk
+    multisets share every chunk except the O(1) around the edit."""
+    base = "key agg row scan slow fast table value part hash merge batch " * 30
+    edited = base[:10] + "X" + base[10:]
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    out = cdc_chunks(docs)
+    a = dict()
+    for md5, n in _chunk_multiset(out, 1):
+        a[(md5, n)] = a.get((md5, n), 0) + 1
+    b = dict()
+    for md5, n in _chunk_multiset(out, 2):
+        b[(md5, n)] = b.get((md5, n), 0) + 1
+    n_a = sum(a.values())
+    shared = sum(min(a.get(k, 0), b.get(k, 0)) for k in a)
+    # fixed windows would share ~0 chunks after the shift; CDC shares all
+    # but the edited neighborhood
+    assert shared >= n_a - 3, (n_a, shared)
+    assert n_a > 10
+
+
+def test_dup_count_counts_identical_chunks_across_docs(spark):
+    text = " ".join(f"w{i * 31 % 97}x{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    out = cdc_chunks(docs)
+    # every chunk of doc 1 recurs identically in doc 2
+    assert out.count() > 4
+    assert out.where(F.col("dup_count") < 2).count() == 0
