@@ -1383,3 +1383,64 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped, default 100)."""
     load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_RECURSIVE_CTE_ORACLE.replace("//", "DIV"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (mergeable partial state)
+# ---------------------------------------------------------------------------
+
+_INC_MERGE_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("agg_incremental_merge", oracle=_INC_MERGE_ORACLE)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/incremental.py): the
+    grouped lineitem aggregate is maintained as PERSISTED partial state
+    (count + exact DECIMAL sums per group) computed once over history
+    (l_shipdate < 1998-09-01), then each refresh merges that stored state
+    with partials of the DELTA only (>= 1998-09-01). The oracle recomputes
+    the aggregate over the FULL table — the hash match is the claim:
+    incremental maintenance is indistinguishable from recompute, because
+    DECIMAL partial sums form an exact commutative monoid (Spark's own
+    partial/final agg split, lifted across runs).
+
+    Scale shape: refresh cost is O(delta + |groups|) with history never
+    rescanned — the difference between re-aggregating 100 TB nightly and
+    aggregating the day's append. tests/test_incremental.py proves the
+    refresh plan reads the state artifact + a shipdate-pruned delta scan,
+    and that merge order / increment granularity cannot change a bit."""
+    import hashlib as _h
+    import os as _os
+    import tempfile as _t
+
+    from gridmr_spark.operators.incremental import (
+        finalize_aggs,
+        merge_partial_aggs,
+        partial_aggs,
+    )
+
+    keys = ["l_returnflag", "l_linestatus"]
+    sums = {"qty": "l_quantity", "price": "l_extendedprice"}
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-09-01").cast("date")
+
+    key = _h.md5(f"{sf_dir}:incagg".encode()).hexdigest()[:12]
+    path = _os.path.join(_t.gettempdir(), f"gridmr_incagg_{key}")
+    if not _os.path.isdir(path):
+        base = partial_aggs(li.where(F.col("l_shipdate") < cutoff), keys, sums)
+        base.coalesce(1).write.mode("overwrite").parquet(path)
+
+    stored = spark.read.parquet(path)
+    delta = partial_aggs(li.where(F.col("l_shipdate") >= cutoff), keys, sums)
+    return finalize_aggs(merge_partial_aggs([stored, delta], keys), keys)
