@@ -1932,3 +1932,111 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return cdc_chunks(docs)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-span profiling (ExactSubstr shape): k-gram repeat coverage
+# ---------------------------------------------------------------------------
+
+_DUP_SPANS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+                     w -> w <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos,
+         array_to_string(t[CAST(g.i AS INT):CAST(g.i + 9 AS INT)], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, len(t) - 9)) AS g(i)
+  WHERE len(t) >= 10
+), cnt AS (
+  SELECT shingle, COUNT(*) AS c FROM sh GROUP BY shingle
+), dup AS (
+  SELECT sh.doc_id, sh.pos FROM sh JOIN cnt USING (shingle) WHERE c > 1
+), cov AS (
+  SELECT doc_id, pos,
+         GREATEST(0, pos + 10 - GREATEST(
+           COALESCE(MAX(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0),
+           pos)) AS added
+  FROM dup
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_dup_shingles, CAST(SUM(added) AS BIGINT) AS covered
+  FROM cov GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       COALESCE(agg.n_dup_shingles, 0) AS n_dup_shingles,
+       COALESCE(agg.covered, 0) AS covered
+FROM toks LEFT JOIN agg ON toks.doc_id = agg.doc_id
+"""
+
+
+@query("dedup_duplicate_spans", oracle=_DUP_SPANS_ORACLE)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring duplication profile — the ExactSubstr
+    measurement from Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"): for every document, how many of its token
+    positions sit inside a 10-gram that occurs more than once in the
+    corpus. Unlike document/paragraph dedup this localizes duplication to
+    SPANS (quotes, licenses, templates), the unit that paper removes.
+
+    Pipeline: shingles are built in ARRAY land (transform over sequence +
+    slice + array_join — no explode until the shingle frame), counted
+    corpus-wide, and repeated shingles' [pos, pos+10) intervals are
+    union-measured per document with the running-max-end window trick —
+    all exact integer arithmetic, replayed verbatim by the DuckDB oracle
+    (left join keeps zero-duplication docs in the result).
+
+    Scale shape: the shingle shuffle is the dominant cost and is the same
+    shape as dedup_ngram_jaccard's inverted index — at 100 TB one hashes
+    the shingle (xxhash64) instead of shipping strings, and caps hot
+    shingles the way max_shingle_df does; the interval union is one
+    window over each doc's duplicated positions only."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]+", " ")), " "),
+            lambda w: w != "",
+        ).alias("t"),
+    )
+    sh = toks.where(F.size("t") >= 10).select(
+        "doc_id",
+        F.posexplode(
+            F.expr("transform(sequence(0, size(t) - 10), i -> array_join(slice(t, i + 1, 10), ' '))")
+        ).alias("pos", "shingle"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "shingle")
+
+    cnt = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("c"))
+    dup = sh.join(cnt.where(F.col("c") > 1), "shingle").select("doc_id", "pos")
+
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = dup.select(
+        "doc_id", "pos",
+        F.greatest(
+            F.lit(0),
+            F.col("pos") + 10
+            - F.greatest(
+                F.coalesce(F.max(F.col("pos") + 10).over(wprev), F.lit(0)),
+                F.col("pos"),
+            ),
+        ).alias("added"),
+    )
+    agg = cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_shingles"),
+        F.sum("added").cast("long").alias("covered"),
+    )
+    return (
+        toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            F.coalesce("n_dup_shingles", F.lit(0)).cast("long").alias("n_dup_shingles"),
+            F.coalesce("covered", F.lit(0)).cast("long").alias("covered"),
+        )
+    )
