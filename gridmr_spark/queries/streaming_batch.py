@@ -352,3 +352,44 @@ def stream_tws_first_seen_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     if out is None:
         return user_type_first_seen_batch(load_table(spark, sf_dir, "events"))
     return out  # sentinel already excluded by user_id >= 0
+
+
+_INTERVAL_JOIN_LEFT_ORACLE = """
+SELECT c.event_id AS c_id, p.event_id AS p_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+"""
+
+
+@query("stream_interval_join_left", oracle=_INTERVAL_JOIN_LEFT_ORACLE)
+def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the watermarked LEFT OUTER stream-stream interval join
+    — the state-eviction-hard variant of stream_interval_join: a click with
+    no purchase within 30 minutes must still emit (with nulls), but only
+    once the watermark proves no matching purchase can arrive. Stream ==
+    batch equality is asserted live in
+    tests/test_streaming.py::test_stream_stream_left_join_matches_batch.
+
+    Scale shape: same bounded state as the inner join (watermark horizon
+    bounds both buffers); the null-emission bookkeeping is per-buffered-row,
+    not per-key-history. In batch the range rides the user_id equi-join as
+    a residual — no cross product."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left",
+    ).select("c_id", "p_id")
