@@ -226,3 +226,52 @@ def udtf_analyze_firstk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, t.* FROM udtf_docs_k, LATERAL gridmr_firstk(text, 4) t"
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native grouped map: applyInArrow (Spark 4)
+# ---------------------------------------------------------------------------
+
+_UDAF_ARROW_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round_even(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0
+         AS total_value,
+       CAST(MIN(user_id) AS BIGINT) AS first_user
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("udaf_apply_in_arrow", oracle=_UDAF_ARROW_ORACLE)
+def udaf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-NATIVE grouped map (Spark 4 ``applyInArrow``): the whole group
+    arrives as a pyarrow.Table and one summary Table returns — the same
+    escape hatch as applyInPandas minus the Arrow->pandas->Arrow
+    conversion, which matters when the per-group payload is large binary
+    or deeply nested (pandas materialization is the overhead). Arithmetic
+    is exact integer cents via pyarrow.compute with round-half-to-even —
+    the same rule as Spark rint() and DuckDB round_even(), so three
+    engines produce bit-identical totals (the stream_stateful_totals
+    precedent). Same dispatch economics as applyInPandas: per-group Python
+    crossing, so for plain sums built-ins win 100x; this seam is for
+    group-local logic Arrow kernels can vectorize."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def per_type(table: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(table.column("value"), 100.0)).cast(pa.int64())
+        return pa.table(
+            {
+                "event_type": [table.column("event_type")[0].as_py()],
+                "n_events": [table.num_rows],
+                "total_value": [pc.sum(cents).as_py() / 100.0],
+                "first_user": [pc.min(table.column("user_id")).as_py()],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").applyInArrow(
+        per_type,
+        schema="event_type string, n_events long, total_value double, first_user long",
+    )
