@@ -530,3 +530,86 @@ def url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
         F.try_parse_url(F.lit("not a url"), F.lit("HOST")).alias("bad_host"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL scripting (Spark 4: BEGIN/END, DECLARE, WHILE) and parameterized SQL
+# ---------------------------------------------------------------------------
+
+_SCRIPTING_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue_1995,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE year(l_shipdate) = 1995
+"""
+
+
+@query("sql_scripting_loop", oracle=_SCRIPTING_ORACLE)
+def sql_scripting_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4's procedural surface: BEGIN/END blocks,
+    DECLARE'd variables, WHILE) — 1995 revenue accumulated month by month
+    through a loop of scalar subqueries into a DECIMAL variable. The
+    DuckDB oracle computes the whole year in one aggregate: exact decimal
+    accumulation makes twelve monthly partial sums bit-equal to one
+    yearly sum, so the hash match proves the script's control flow and
+    variable semantics, not just the final SELECT.
+
+    Each iteration is its own Spark job over a month-pruned scan — the
+    right tool when refresh logic is genuinely sequential (backfills,
+    convergence loops); for a plain partition the single-pass GROUP BY
+    remains 12x cheaper."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_s")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE m INT DEFAULT 1;
+          DECLARE total DECIMAL(18,2) DEFAULT 0.00;
+          DECLARE n BIGINT DEFAULT 0;
+          WHILE m <= 12 DO
+            SET total = total + (
+              SELECT COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 0.00)
+              FROM lineitem_s
+              WHERE year(l_shipdate) = 1995 AND month(l_shipdate) = m);
+            SET n = n + (
+              SELECT COUNT(*) FROM lineitem_s
+              WHERE year(l_shipdate) = 1995 AND month(l_shipdate) = m);
+            SET m = m + 1;
+          END WHILE;
+          SELECT CAST(total AS DOUBLE) AS revenue_1995, n AS n_items;
+        END
+        """
+    )
+
+
+_PARAM_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders
+WHERE o_orderstatus = 'F' AND o_orderdate >= DATE '1994-01-01'
+GROUP BY o_orderpriority
+"""
+
+
+@query("sql_parameterized", oracle=_PARAM_ORACLE)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL with named parameter markers (spark.sql(...,
+    args={...})): values bind as literals in the PARSED plan, not via
+    string interpolation — the injection-safe templating surface a
+    multi-tenant 100 TB warehouse standardizes on. Constant folding and
+    partition/filter pushdown see the bound literal exactly as if it were
+    inlined (same plan, same pruning), which string-assembled SQL only
+    achieves by trusting its callers."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_p")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders_p
+        WHERE o_orderstatus = :status AND o_orderdate >= :cutoff
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "F", "cutoff": "1994-01-01"},
+    )
