@@ -60,7 +60,7 @@ _DRIVER_PRIORITY: list[str] = [
     "pipeline_observed_metrics", "text_bpe_tokenize", "text_cdc_chunks",
     "agg_incremental_merge", "dedup_duplicate_spans",
     "stream_interval_join_left", "udaf_apply_in_arrow",
-    "sql_scripting_loop", "sql_parameterized",
+    "sql_scripting_loop", "sql_parameterized", "ml_tree_inference",
     "source_warc_ingest", "similarity_pq_persisted", "similarity_ivf_persisted",
     "multimodal_jpeg_decode", "stream_tws_sessions_live",
     "stream_tws_first_seen_live", "text_bigram_lm_score",

@@ -2040,3 +2040,76 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("covered", F.lit(0)).cast("long").alias("covered"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision-tree model inference compiled to CASE expressions
+# ---------------------------------------------------------------------------
+
+_TREE_ORACLE = """
+WITH f AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tok,
+         len(list_distinct(list_filter(string_split(text, ' '), w -> w <> ''))) AS n_distinct,
+         len(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN n_tok < 56 THEN
+              CASE WHEN n_distinct < 20 THEN 0 ELSE 1 END
+            ELSE
+              CASE WHEN n_chars < 306 THEN 2
+                   WHEN n_distinct < 28 THEN 3 ELSE 4 END
+       END AS leaf,
+       CASE WHEN n_tok < 56 THEN
+              CASE WHEN n_distinct < 20 THEN 0 ELSE 1 END
+            ELSE
+              CASE WHEN n_chars < 306 THEN 1
+                   WHEN n_distinct < 28 THEN 0 ELSE 1 END
+       END AS keep
+FROM f
+"""
+
+
+@query("ml_tree_inference", oracle=_TREE_ORACLE)
+def ml_tree_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-tree model inference COMPILED TO THE PLAN: a depth-3 tree
+    over integer document features (token count, distinct-token count,
+    char length) becomes nested CASE WHEN expressions — the
+    model-to-SQL compilation pattern production scoring uses so that a
+    trained tree/GBDT runs at 100 TB as pure whole-stage-codegen'd
+    branching, no model server, no Python, no UDF. Output is the leaf id
+    (the audit trail: WHICH rule fired) plus the keep/drop label. The
+    sibling of text_quality_classifier (linear model as plan): together
+    they cover the two standard quality-gate model shapes. Thresholds are
+    shipped model constants (training happens offline; a refit only
+    re-emits the expression), all-integer comparisons so the oracle twin
+    is trivially exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    f = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length("text").alias("n_chars"),
+    )
+    left = F.when(F.col("n_distinct") < 20, F.lit(0)).otherwise(F.lit(1))
+    leaf = F.when(
+        F.col("n_tok") < 56, left
+    ).otherwise(
+        F.when(F.col("n_chars") < 306, F.lit(2))
+        .when(F.col("n_distinct") < 28, F.lit(3))
+        .otherwise(F.lit(4))
+    )
+    keep = F.when(
+        F.col("n_tok") < 56, left
+    ).otherwise(
+        F.when(F.col("n_chars") < 306, F.lit(1))
+        .when(F.col("n_distinct") < 28, F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    return f.select(
+        "doc_id",
+        leaf.cast("int").alias("leaf"),
+        keep.cast("int").alias("keep"),
+    )
