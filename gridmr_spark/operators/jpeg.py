@@ -188,61 +188,89 @@ def jpeg_encode_gray(arr: np.ndarray, qtable: np.ndarray | None = None) -> bytes
     return out
 
 
-class _BitReader:
-    """MSB-first bit reader over entropy-coded data with FF00 unstuffing."""
-
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self) -> None:
-        b = self.data[self.pos]
-        if b == 0xFF:
-            nxt = self.data[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
-            elif nxt == 0xD9:  # EOI reached mid-read: only pad bits remain
-                raise EOFError("hit EOI")
-            else:
-                raise ValueError(f"unsupported marker 0xff{nxt:02x} in scan (restarts not emitted)")
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
-
-    def bits(self, n: int) -> int:
-        while self.nbits < n:
-            self._fill()
-        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-        return v
+def _unstuff_scan(data: bytes, scan_start: int) -> bytes:
+    """Entropy-coded bytes from scan_start to EOI, with 0xFF00 stuffing
+    removed — one numpy pass instead of per-byte Python. Any other marker
+    inside the scan (restarts are never emitted by our encoder) raises."""
+    raw = np.frombuffer(data, dtype=np.uint8)[scan_start:]
+    ff = np.flatnonzero(raw[:-1] == 0xFF)
+    nxt = raw[ff + 1]
+    eoi_hits = ff[nxt == 0xD9]
+    end = int(eoi_hits[0]) if len(eoi_hits) else len(raw)
+    bad = ff[(nxt != 0x00) & (nxt != 0xD9) & (ff < end)]
+    if len(bad):
+        code = int(raw[bad[0] + 1])
+        raise ValueError(f"unsupported marker 0xff{code:02x} in scan (restarts not emitted)")
+    body = raw[:end]
+    stuffed = ff[(nxt == 0x00) & (ff + 1 < end)] + 1  # the 0x00 stuffing bytes
+    if len(stuffed):
+        body = np.delete(body, stuffed)
+    return body.tobytes()
 
 
-def _build_decode(bits, vals):
-    """(length, code) -> symbol for canonical tables."""
-    table = {}
+def _build_lut(bits, vals) -> np.ndarray:
+    """Fast canonical-Huffman decode table: next 16 bits -> (length << 8) |
+    symbol, one array index per symbol instead of bit-by-bit dict probes.
+    Entries left at 0 are invalid codes (length 0)."""
+    lut = np.zeros(1 << 16, dtype=np.uint16)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            lut[lo:hi] = (length << 8) | vals[k]
             code += 1
             k += 1
         code <<= 1
-    return table
+    return lut
 
 
-def _read_symbol(br: _BitReader, table) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.bits(1)
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in scan")
+class _BitReader:
+    """MSB-first accumulator bit reader over pre-unstuffed scan bytes.
+    Two zero pad bytes let peek16 run to the exact end of the stream; a
+    symbol that would CONSUME padding means the scan ended early (EOI mid
+    read) and raises EOFError like the byte-at-a-time reader did."""
+
+    __slots__ = ("buf", "real_bits", "pos", "acc", "nbits")
+
+    def __init__(self, scan: bytes):
+        self.buf = scan + b"\x00\x00\x00"
+        self.real_bits = 8 * len(scan)
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _need(self, n: int) -> None:
+        while self.nbits < n:
+            self.acc = (self.acc << 8) | self.buf[self.pos]
+            self.pos += 1
+            self.nbits += 8
+
+    def peek16(self) -> int:
+        self._need(16)
+        return (self.acc >> (self.nbits - 16)) & 0xFFFF
+
+    def consume(self, n: int) -> None:
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        if self.pos * 8 - self.nbits > self.real_bits:
+            raise EOFError("hit EOI")
+
+    def bits(self, n: int) -> int:
+        self._need(n)
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.consume(n)
+        return v
+
+
+def _read_symbol(br: _BitReader, lut: np.ndarray) -> int:
+    entry = int(lut[br.peek16()])
+    length = entry >> 8
+    if length == 0:
+        raise ValueError("invalid Huffman code in scan")
+    br.consume(length)
+    return entry & 0xFF
 
 
 def _extend(v: int, size: int) -> int:
@@ -297,7 +325,7 @@ def jpeg_decode_gray(data: bytes) -> np.ndarray:
                 bits = list(body[off + 1 : off + 17])
                 n = sum(bits)
                 vals = list(body[off + 17 : off + 17 + n])
-                huff[(tc, th)] = _build_decode(bits, vals)
+                huff[(tc, th)] = _build_lut(bits, vals)
                 off += 17 + n
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")
@@ -309,39 +337,45 @@ def jpeg_decode_gray(data: bytes) -> np.ndarray:
     if scan_start is None or h is None:
         raise ValueError("JPEG missing SOS/SOF0")
 
-    br = _BitReader(data, scan_start)
+    br = _BitReader(_unstuff_scan(data, scan_start))
     bh, bw_ = -(-h // 8), -(-w // 8)
     Q = qtables[comp_q]
-    dc_tab, ac_tab = huff[(0, dc_id)], huff[(1, ac_id)]
-    out = np.zeros((bh * 8, bw_ * 8), dtype=np.uint8)
+    dc_lut, ac_lut = huff[(0, dc_id)], huff[(1, ac_id)]
+    nblk = bh * bw_
+    # Entropy decode every block into a zigzag coefficient matrix first;
+    # dequantization + IDCT then run ONCE over all blocks (einsum), which
+    # moves the per-block 8x8 matmuls out of the Python loop.
+    zz = np.zeros((nblk, 64), dtype=np.int64)
     prev_dc = 0
-    for by in range(bh):
-        for bx in range(bw_):
-            zz = np.zeros(64, dtype=np.int64)
-            s = _read_symbol(br, dc_tab)
-            diff = _extend(br.bits(s), s) if s else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = _read_symbol(br, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0xF
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("invalid AC symbol")
-                    i += 16  # ZRL
-                    continue
-                i += run
-                if i >= 64:
-                    raise ValueError("AC run overflows block")
-                zz[i] = _extend(br.bits(size), size)
-                i += 1
-            coeff = np.zeros(64, dtype=np.int64)
-            coeff[_ZIGZAG] = zz
-            F = coeff.reshape(8, 8) * Q
-            f = _DCT.T @ F @ _DCT
-            blk = np.clip(np.rint(f + 128.0), 0, 255).astype(np.uint8)
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+    for b in range(nblk):
+        s = _read_symbol(br, dc_lut)
+        diff = _extend(br.bits(s), s) if s else 0
+        prev_dc += diff
+        zz[b, 0] = prev_dc
+        i = 1
+        while i < 64:
+            sym = _read_symbol(br, ac_lut)
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0xF
+            if size == 0:
+                if run != 15:
+                    raise ValueError("invalid AC symbol")
+                i += 16  # ZRL
+                continue
+            i += run
+            if i >= 64:
+                raise ValueError("AC run overflows block")
+            zz[b, i] = _extend(br.bits(size), size)
+            i += 1
+    coeff = np.zeros((nblk, 64), dtype=np.int64)
+    coeff[:, _ZIGZAG] = zz
+    F = coeff.reshape(nblk, 8, 8) * Q[None]
+    f = np.einsum("xu,bxy,yv->buv", _DCT, F.astype(np.float64), _DCT)
+    blocks = np.clip(np.rint(f + 128.0), 0, 255).astype(np.uint8)
+    out = (
+        blocks.reshape(bh, bw_, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(bh * 8, bw_ * 8)
+    )
     return out[:h, :w]

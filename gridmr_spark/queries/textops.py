@@ -603,7 +603,11 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec, plumbing-only), this row is real-decoder evidence."""
     from gridmr_spark.operators.multimodal import decode_image_features, encode_png_media
 
-    docs = load_table(spark, sf_dir, "documents")
+    # Same explicit-parallelism rule as multimodal_jpeg_decode: CPU-bound
+    # Python codec stages must not inherit the small file's one partition.
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     feats = decode_image_features(encode_png_media(docs, "doc_id", "text", width=16), fake=False)
     return feats.select(
         "doc_id",
@@ -661,7 +665,16 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_multimodal.py."""
     from gridmr_spark.operators.multimodal import decode_image_features, encode_jpeg_media
 
-    docs = load_table(spark, sf_dir, "documents")
+    # Codec work is CPU-bound Python: spread it across every core. The
+    # small local parquet otherwise scans as ONE partition and the whole
+    # encode+decode pipeline runs single-threaded (measured 43 s -> ~4 s
+    # here); at 100 TB the scan has thousands of splits and this
+    # repartition is a no-op in spirit, but a Python-heavy stage should
+    # always be explicit about its parallelism rather than inheriting
+    # whatever the upstream file layout happened to produce.
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     feats = decode_image_features(
         encode_jpeg_media(docs, "doc_id", "text", blocks_per_row=16), fake=False
     )
