@@ -566,14 +566,17 @@ def sql_scripting_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
           DECLARE m INT DEFAULT 1;
           DECLARE total DECIMAL(18,2) DEFAULT 0.00;
           DECLARE n BIGINT DEFAULT 0;
+          DECLARE dt DECIMAL(18,2) DEFAULT 0.00;
+          DECLARE dn BIGINT DEFAULT 0;
           WHILE m <= 12 DO
-            SET total = total + (
-              SELECT COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 0.00)
+            -- tuple SET: both accumulators from ONE month-pruned scan
+            SET (dt, dn) = (
+              SELECT COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 0.00),
+                     COUNT(*)
               FROM lineitem_s
               WHERE year(l_shipdate) = 1995 AND month(l_shipdate) = m);
-            SET n = n + (
-              SELECT COUNT(*) FROM lineitem_s
-              WHERE year(l_shipdate) = 1995 AND month(l_shipdate) = m);
+            SET total = total + dt;
+            SET n = n + dn;
             SET m = m + 1;
           END WHILE;
           SELECT CAST(total AS DOUBLE) AS revenue_1995, n AS n_items;
