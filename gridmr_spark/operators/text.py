@@ -454,16 +454,23 @@ def cdc_chunks(
     placement only until the window slides past the edit — downstream
     boundaries re-synchronize (tests/test_cdc.py pins this). Exact BIGINT
     arithmetic throughout (max term ~3.5e12 * 8 < 2^63), no Python in the
-    plan."""
+    plan. The exploded frame carries (id, pos, code) ONLY — the document
+    text re-joins once per CHUNK for the substring, never riding the
+    per-character shuffles (per-doc shuffle volume stays O(n), not O(n^2)
+    bytes); the dedup-count window partitions on the md5 digest, so that
+    exchange moves fixed 32-byte keys."""
     from pyspark.sql import Window
 
-    chars = docs.select(
+    # Guard empty documents: Spark's split('', '') returns [''] (one
+    # phantom element), which would fabricate a 1-char chunk for a 0-char
+    # doc; the oracle's generate_series(1, 0) correctly yields no rows.
+    docs_ne = docs.where(F.length(text_col) > 0)
+    chars = docs_ne.select(
         id_col,
-        text_col,
         F.posexplode(
             F.expr(f"transform(split({text_col}, ''), c -> CAST(ascii(c) AS BIGINT))")
         ).alias("pos", "code"),
-    ).select(id_col, text_col, F.col("pos").cast("long").alias("pos"), "code")
+    ).select(id_col, F.col("pos").cast("long").alias("pos"), "code")
 
     w = Window.partitionBy(id_col).orderBy("pos")
     h = (
@@ -477,22 +484,27 @@ def cdc_chunks(
         + F.lit(27512614111) * F.lag("code", 7, 0).over(w)
     )
     hashed = chars.select(
-        id_col, text_col, "pos",
+        id_col, "pos",
         F.when((F.col("pos") >= 7) & (h % mask == 0), 1).otherwise(0).alias("flag"),
     )
     wcum = w.rowsBetween(Window.unboundedPreceding, -1)
     idx = hashed.select(
-        id_col, text_col, "pos",
+        id_col, "pos",
         F.coalesce(F.sum("flag").over(wcum), F.lit(0)).cast("long").alias("chunk_idx"),
     )
-    chunks = idx.groupBy(id_col, "chunk_idx").agg(
-        F.substring(
-            F.min(text_col), F.min("pos").cast("int") + F.lit(1), F.count(F.lit(1)).cast("int")
-        ).alias("chunk"),
+    spans = idx.groupBy(id_col, "chunk_idx").agg(
+        F.min("pos").cast("int").alias("start"),
         F.count(F.lit(1)).alias("n_chars"),
     )
-    return chunks.select(
+    chunks = spans.join(docs_ne.select(id_col, text_col), id_col).select(
         id_col, "chunk_idx", "n_chars",
-        F.md5(F.col("chunk")).alias("chunk_md5"),
-        F.count(F.lit(1)).over(Window.partitionBy("chunk")).cast("long").alias("dup_count"),
+        F.md5(
+            F.substring(
+                F.col(text_col), F.col("start") + F.lit(1), F.col("n_chars").cast("int")
+            )
+        ).alias("chunk_md5"),
+    )
+    return chunks.select(
+        id_col, "chunk_idx", "n_chars", "chunk_md5",
+        F.count(F.lit(1)).over(Window.partitionBy("chunk_md5")).cast("long").alias("dup_count"),
     )

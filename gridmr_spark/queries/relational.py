@@ -1435,9 +1435,16 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cutoff = F.lit("1998-09-01").cast("date")
 
-    key = _h.md5(f"{sf_dir}:incagg".encode()).hexdigest()[:12]
+    # Cache key includes the source file's (mtime, size) so regenerated
+    # data invalidates the state; validity gate is the _SUCCESS marker
+    # Spark's committer writes LAST, so a crashed first build (directory
+    # exists, no marker) rebuilds with mode=overwrite instead of silently
+    # merging a torn base.
+    src = _os.path.join(sf_dir, "lineitem.parquet")
+    st = _os.stat(src)
+    key = _h.md5(f"{sf_dir}:incagg:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:12]
     path = _os.path.join(_t.gettempdir(), f"gridmr_incagg_{key}")
-    if not _os.path.isdir(path):
+    if not _os.path.isfile(_os.path.join(path, "_SUCCESS")):
         base = partial_aggs(li.where(F.col("l_shipdate") < cutoff), keys, sums)
         base.coalesce(1).write.mode("overwrite").parquet(path)
 

@@ -2009,10 +2009,7 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.filter(
-            F.split(F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]+", " ")), " "),
-            lambda w: w != "",
-        ).alias("t"),
+        F.filter(text_ops.tokenize("text"), lambda w: w != "").alias("t"),
     )
     sh = toks.where(F.size("t") >= 10).select(
         "doc_id",

@@ -62,3 +62,15 @@ def test_dup_count_counts_identical_chunks_across_docs(spark):
     # every chunk of doc 1 recurs identically in doc 2
     assert out.count() > 4
     assert out.where(F.col("dup_count") < 2).count() == 0
+
+
+def test_empty_document_yields_no_chunks(spark):
+    """Spark split('','') returns [''] — the operator must not fabricate a
+    phantom 1-char chunk for a 0-char document (the oracle yields none)."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "some nonempty text " + "x" * 200)],
+        "doc_id long, text string",
+    )
+    out = cdc_chunks(docs)
+    assert out.where(F.col("doc_id") == 1).count() == 0
+    assert out.where(F.col("doc_id") == 2).count() >= 1
