@@ -65,3 +65,60 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zonemap_write(
+    df: DataFrame,
+    path: str,
+    col: str,
+    n_files: int = 16,
+) -> None:
+    """Write ``df`` as parquet range-clustered on ``col`` plus a file-level
+    zone map (per-file min/max of ``col``) at ``path + "/zonestats"`` — the
+    Delta/Iceberg file-statistics pattern reduced to its core. Range
+    partitioning makes the zones DISJOINT, so a point/range predicate
+    overlaps O(1) of the files instead of all of them; the stats table is
+    one row per file (at 100 TB: millions of rows — still a trivially
+    broadcastable/queryable parquet, exactly a transaction-log checkpoint)."""
+    from pyspark.sql import functions as F
+
+    (
+        df.repartitionByRange(n_files, col)
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .parquet(path + "/data")
+    )
+    spark = df.sparkSession
+    stats = (
+        spark.read.parquet(path + "/data")
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(F.min(col).alias("zmin"), F.max(col).alias("zmax"))
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(path + "/zonestats")
+
+
+def zonemap_pruned_read(
+    spark,
+    path: str,
+    col: str,
+    lo,
+    hi,
+) -> tuple[DataFrame, int, int]:
+    """Read back only the files whose [zmin, zmax] zone overlaps [lo, hi],
+    then apply the exact predicate. Returns (df, n_files_read,
+    n_files_total). The file-list selection reads the TINY stats parquet —
+    never the data — so a selective predicate touches a constant number of
+    files regardless of table size; the collect is bounded by the file
+    count (the same driver-side footprint as Spark's own file-index
+    listing, and at real scale the prune itself runs as a distributed
+    filter over the stats table feeding a file-source relation)."""
+    from pyspark.sql import functions as F
+
+    stats = spark.read.parquet(path + "/zonestats")
+    n_total = stats.count()
+    hit = [
+        r["file"]
+        for r in stats.where((F.col("zmin") <= hi) & (F.col("zmax") >= lo)).collect()
+    ]
+    df = spark.read.parquet(*hit).where((F.col(col) >= lo) & (F.col(col) <= hi))
+    return df, len(hit), n_total

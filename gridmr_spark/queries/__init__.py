@@ -56,6 +56,8 @@ _DRIVER_PRIORITY: list[str] = [
     # queries the r5 hardening commit (7400f03) and the round-6 rework
     # (watermark-gated tws emission, pyds overwrite cleanup, PQ fit fix)
     # postdate.
+    "search_bm25_topk", "sketch_kmv_overlap", "skyline_pareto_front",
+    "vector_jl_projection", "layout_zonemap_skip",
     "join_lateral_topk", "sql_recursive_cte", "url_funcs",
     "pipeline_observed_metrics", "text_bpe_tokenize", "text_cdc_chunks",
     "agg_incremental_merge", "dedup_duplicate_spans",
@@ -95,6 +97,7 @@ def load_all() -> dict[str, Query]:
         more_funcs,
         quality,
         relational,
+        retrieval,
         scalar_funcs,
         sources_io,
         streaming_batch,

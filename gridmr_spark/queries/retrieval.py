@@ -1,0 +1,337 @@
+"""Retrieval & corpus-analytics queries: BM25 keyword search, KMV-sketch
+corpus-overlap set algebra, and a Pareto (skyline) frontier.
+
+These extend the LLM-pipeline surface with the *search* side of a data
+engine — the reference (SebasUr/GridMR) only ships wordcount-shaped
+map/reduce jobs (`docs/` examples), but a user curating training data
+needs to QUERY the corpus too: "which documents best match this probe
+query" (BM25), "how much does corpus A overlap corpus B" (KMV distinct
+sketches), "which candidates are not dominated on two axes" (skyline).
+
+Determinism contract (same as the rest of the repo): every float that
+reaches an aggregation is first quantized to an integer (floor(x * 1e9))
+so sums are order-insensitive and engine-exact; every division/multiply
+chain is written in the SAME order in the Spark plan and the DuckDB
+oracle so the IEEE doubles are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gridmr_spark.catalog import load_table
+from gridmr_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval
+# ---------------------------------------------------------------------------
+
+# Probe queries over the synthetic corpus vocabulary. Literal and fixed so
+# both engines see the same set; in production this is a small parameter
+# table (always broadcast).
+_BM25_QUERIES: list[tuple[int, str]] = [
+    (0, "hash join table"),
+    (1, "window agg row"),
+    (2, "fast scan filter value"),
+    (3, "spark data column"),
+]
+_BM25_K1 = 1.2  # same literal parses to the same IEEE double in both engines
+_BM25_B = 0.75  # exactly representable
+_BM25_TOPK = 5
+
+_BM25_QUERY_VALUES = ", ".join(
+    f"({qid}, '{text}')" for qid, text in _BM25_QUERIES
+)
+
+_BM25_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+                     w -> w <> '') AS t
+  FROM documents
+), d AS (
+  SELECT doc_id, len(t) AS dl, t FROM toks WHERE len(t) > 0
+), tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(t) AS tok FROM d) GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM d
+), q AS (
+  SELECT qid, unnest(list_filter(string_split(qtext, ' '), w -> w <> '')) AS tok
+  FROM (VALUES {_BM25_QUERY_VALUES}) AS v(qid, qtext)
+), scored AS (
+  SELECT q.qid, tf.doc_id,
+         CAST(FLOOR(
+           ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+           * ((CAST(tf AS DOUBLE) * (1.2 + 1.0))
+              / (CAST(tf AS DOUBLE)
+                 + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))
+           * 1000000000.0) AS BIGINT) AS qscore
+  FROM q
+  JOIN tf ON tf.tok = q.tok
+  JOIN df ON df.tok = q.tok
+  JOIN d ON d.doc_id = tf.doc_id
+  CROSS JOIN stats
+), agg AS (
+  SELECT qid, doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(qscore) AS BIGINT) AS score_q
+  FROM scored GROUP BY qid, doc_id
+)
+SELECT CAST(qid AS BIGINT) AS query_id, doc_id, n_terms, score_q, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_q DESC, doc_id ASC) AS rnk
+  FROM agg
+) WHERE rnk <= {_BM25_TOPK}
+"""
+
+
+@query("search_bm25_topk", oracle=_BM25_ORACLE)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: top-5 documents per probe query, scored with
+    the Robertson/Sparck-Jones formula over an inverted index built in one
+    pass (the same explode→(doc,term)-count→document-frequency shape as
+    text_tfidf_topterms).
+
+    idf uses the raw rational (N - df + 0.5)/(df + 0.5) rather than its
+    log: ln differs in final ulps across libm implementations and BM25
+    SUMS per-term scores, so unlike tf-idf's per-term ranking the
+    monotone-transform trick does not apply — instead each per-term score
+    is nanolog-quantized (floor(score*1e9) as BIGINT) before the sum, the
+    repo-standard order-insensitive exact aggregation.
+
+    Scale shape: the term dictionary (df) and corpus stats are vocabulary-
+    bounded (Heaps' law) and broadcast; the query set is a literal
+    broadcast table; the only wide shuffle is the (doc,term) count — the
+    same one every index build pays. Top-k per query is WindowGroupLimit,
+    never a global sort. At 100 TB with a real query LOG (millions of
+    queries) the q⋈tf join becomes the classic impact-ordered postings
+    problem; the plan here is the batch-scoring shape (query set ≪ corpus)
+    which is what training-data curation runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]+", " ")), " "),
+            lambda w: w != "",
+        ).alias("t"),
+    ).where(F.size("t") > 0)
+    d = toks.select("doc_id", F.size("t").cast("long").alias("dl"), "t")
+    tf = (
+        d.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+    q = spark.createDataFrame(_BM25_QUERIES, "qid long, qtext string").select(
+        "qid", F.explode(F.filter(F.split("qtext", " "), lambda w: w != "")).alias("tok")
+    )
+    tfd = F.col("tf").cast("double")
+    dfd = F.col("df").cast("double")
+    nd = F.col("n").cast("double")
+    dld = F.col("dl").cast("double")
+    score = (
+        ((nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)))
+        * (
+            (tfd * F.lit(_BM25_K1 + 1.0))
+            / (tfd + F.lit(_BM25_K1) * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * (dld / F.col("avgdl"))))
+        )
+    )
+    scored = (
+        q.join(tf, "tok")
+        .join(F.broadcast(df_t), "tok")
+        .join(d.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid", "doc_id",
+            F.floor(score * F.lit(1000000000.0)).cast("long").alias("qscore"),
+        )
+    )
+    agg = scored.groupBy("qid", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"), F.sum("qscore").alias("score_q")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _BM25_TOPK)
+        .select(
+            F.col("qid").alias("query_id"), "doc_id", "n_terms", "score_q", "rnk"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketches: corpus-overlap set algebra
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64  # >= per-language distinct-token counts at test SFs => exact regime
+
+# 60-bit md5-portable hash (same idiom as simhash / sampling oracles).
+_KMV_H_SQL = "CAST(CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT) AS BIGINT)"
+
+_KMV_ORACLE = rf"""
+WITH toks AS (
+  SELECT DISTINCT lang,
+         unnest(list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+                w -> w <> '')) AS tok
+  FROM documents
+), h AS (
+  SELECT DISTINCT lang, {_KMV_H_SQL} AS h FROM toks
+), sk AS (
+  SELECT lang, h FROM (
+    SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h ASC) AS rn FROM h
+  ) WHERE rn <= {_KMV_K}
+), s AS (
+  SELECT lang, list_sort(list(h)) AS sk FROM sk GROUP BY lang
+), pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, a.sk AS ska, b.sk AS skb
+  FROM s a JOIN s b ON a.lang < b.lang
+), m AS (
+  SELECT lang_a, lang_b,
+         CAST(len(ska) AS BIGINT) AS ka,
+         CAST(len(skb) AS BIGINT) AS kb,
+         list_slice(list_sort(list_distinct(list_concat(ska, skb))), 1, {_KMV_K}) AS un,
+         list_intersect(ska, skb) AS inter
+  FROM pairs
+)
+SELECT lang_a, lang_b, ka, kb,
+       CAST(len(un) AS BIGINT) AS k_union,
+       CAST(len(list_intersect(un, inter)) AS BIGINT) AS k_inter,
+       CAST(FLOOR(CAST(len(list_intersect(un, inter)) AS DOUBLE)
+                  / CAST(len(un) AS DOUBLE) * 1000000000.0) AS BIGINT) AS jaccard_q
+FROM m
+"""
+
+
+@query("sketch_kmv_overlap", oracle=_KMV_ORACLE)
+def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap set algebra via KMV (k-minimum-values) distinct
+    sketches: for every pair of language sub-corpora, estimate |A|, |B|,
+    |A∪B| and |A∩B| over distinct TOKENS from two k=64 sketches instead of
+    re-scanning either corpus. The KMV estimator: keep the k smallest
+    hash values per set; union-sketch = k smallest of the concatenation
+    (pure k-truncation — sketches are mergeable with bounded state, the
+    same contract as HLL but supporting INTERSECTION via
+    J = |union_sk ∩ A_sk ∩ B_sk| / |union_sk|.
+
+    Driver-gate regime: k=64 >= every per-language distinct-token count at
+    test SFs, so every sketch is the full hashed set and the outputs are
+    EXACTLY the distinct cardinalities — same exact-regime trick as
+    agg_heavy_hitters / agg_quantile_sketch. The approximate regime
+    (k=8 over the same data) is covered by an error-bound pytest, and the
+    k-truncation merge law (merge(sk(X), sk(Y)) == sk(X∪Y)) by a property
+    test.
+
+    Scale shape: one wide shuffle (DISTINCT (lang, token)); the per-corpus
+    top-k-smallest is vocabulary-bounded input and k-bounded output; the
+    pair join is #corpora² over k-length arrays — driver-tiny. Hash is the
+    repo-standard 60-bit md5 (engine-portable); production would swap
+    xxhash64 (`F.xxhash64`) with the same plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return kmv_sketch_pairs(docs, _KMV_K)
+
+
+def kmv_sketch_pairs(docs: DataFrame, k: int) -> DataFrame:
+    """The KMV plan on any (lang, text) frame at sketch size ``k`` — the
+    query uses the exact regime; tests/test_retrieval.py uses k=8 for the
+    approximate-regime error bound and the k-truncation merge law."""
+    toks = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]+", " ")), " "),
+                    lambda w: w != "",
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+        .select("lang", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long").alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("h"))
+    sk = (
+        toks.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy("lang")
+        .agg(F.sort_array(F.collect_list("h")).alias("sk"))
+    )
+    a = sk.select(F.col("lang").alias("lang_a"), F.col("sk").alias("ska"))
+    b = sk.select(F.col("lang").alias("lang_b"), F.col("sk").alias("skb"))
+    pairs = a.join(F.broadcast(b), F.col("lang_a") < F.col("lang_b"))
+    un = F.slice(F.array_sort(F.array_union("ska", "skb")), 1, k)
+    inter = F.array_intersect("ska", "skb")
+    k_inter = F.size(F.array_intersect(un, inter)).cast("long")
+    k_union = F.size(un).cast("long")
+    return pairs.select(
+        "lang_a", "lang_b",
+        F.size("ska").cast("long").alias("ka"),
+        F.size("skb").cast("long").alias("kb"),
+        k_union.alias("k_union"),
+        k_inter.alias("k_inter"),
+        F.floor(k_inter.cast("double") / k_union.cast("double") * F.lit(1000000000.0))
+        .cast("long")
+        .alias("jaccard_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline)
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+SELECT p.p_partkey, p.p_size, CAST(p.p_retailprice AS DOUBLE) AS p_retailprice
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice)
+)
+"""
+
+
+@query("skyline_pareto_front", oracle=_SKYLINE_ORACLE)
+def skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) over part: rows not dominated on
+    (maximize p_size, minimize p_retailprice). The textbook formulation is
+    a quadratic NOT EXISTS self-join (the oracle); the distributed plan is
+    O(n) after one narrow aggregation:
+
+      1. group by p_size -> min price per size (bounded: #distinct sizes),
+      2. one ordered window over that TINY grouped table: running min of
+         price over strictly larger sizes,
+      3. broadcast the per-size thresholds back onto the fact scan;
+         a row survives iff no strictly-larger size has price <= its own
+         AND it achieves its own size's minimum price (ties both kept —
+         dominance requires strict improvement on one axis).
+
+    So the fact table is scanned once, shuffled once (the size group-by,
+    combiner-reduced to <=#sizes rows), and the quadratic comparison never
+    materializes — the skyline join is a broadcast of a dimension the size
+    of the distinct-key count. At 100 TB this is the difference between a
+    cartesian self-join and a pushdown-friendly single pass."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", F.col("p_retailprice").cast("double").alias("p_retailprice")
+    )
+    return pareto_front(part, maximize="p_size", minimize="p_retailprice")
+
+
+def pareto_front(df: DataFrame, maximize: str, minimize: str) -> DataFrame:
+    """Skyline of ``df`` on (maximize ↑, minimize ↓) via the grouped-
+    threshold plan described in skyline_pareto_front (ties on both axes
+    all survive — dominance requires strict improvement on one axis)."""
+    g = df.groupBy(maximize).agg(F.min(minimize).alias("gmin"))
+    w = Window.orderBy(F.desc(maximize)).rowsBetween(Window.unboundedPreceding, -1)
+    thresholds = g.withColumn("run_min", F.min("gmin").over(w))
+    joined = df.join(F.broadcast(thresholds), maximize)
+    dominated = (
+        F.col("run_min").isNotNull() & (F.col("run_min") <= F.col(minimize))
+    ) | (F.col("gmin") < F.col(minimize))
+    return joined.where(~dominated).select(*df.columns)

@@ -401,3 +401,34 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("c_custkey long, c_name string, c_mktsegment string, c_acctbal double")
         .load(path)
     )
+
+
+_ZONEMAP_ORACLE = """
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders
+WHERE o_totalprice >= 400000.0 AND o_totalprice <= 450000.0
+"""
+
+
+@query("layout_zonemap_skip", oracle=_ZONEMAP_ORACLE)
+def layout_zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level data skipping via an explicit zone map (the Delta/Iceberg
+    file-statistics pattern): orders is written range-clustered on
+    o_totalprice with a per-file min/max sidecar table; a range predicate
+    then selects overlapping files from the TINY stats parquet and opens
+    only those — parquet row-group stats prune within a file, the zone map
+    prunes whole files before the scan is even planned. Because the write
+    is range-partitioned the zones are disjoint: this predicate touches
+    ~1-2 of 16 files (asserted by tests/test_layout.py), independent of
+    table size. The oracle is the plain filter over the original table, so
+    a green row proves the clustered-write -> prune -> exact-filter loop
+    is lossless."""
+    from gridmr_spark.operators.layout import zonemap_pruned_read, zonemap_write
+
+    path = _scratch(sf_dir, "zonemap")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    zonemap_write(orders, path, "o_totalprice", n_files=16)
+    df, _n_hit, _n_total = zonemap_pruned_read(spark, path, "o_totalprice", 400000.0, 450000.0)
+    return df

@@ -601,3 +601,64 @@ def similarity_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(
         spark, emb.select("vec_id", "embedding"), "vec_id", "embedding", path, k=5
     )
+
+
+_JL_IN_DIM, _JL_OUT_DIM = 64, 8
+
+# One projected coordinate as DuckDB SQL: sequential left fold (prepended
+# 0.0 so the fold order is IDENTICAL to F.aggregate's zero + t1 + t2 ...),
+# Rademacher sign from the first md5 hex digit's parity of "i_j".
+def _jl_sql(j: int) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(generate_series(1, {_JL_IN_DIM}), i -> v[CAST(i AS INT)] * "
+        "(1.0 - 2.0 * CAST(CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || "
+        f"'_{j}'), 1, 1)) AS UBIGINT) % 2 AS DOUBLE)))), (x, y) -> x + y)"
+    )
+
+
+_JL_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id, {", ".join(f"{_jl_sql(j)} AS p{j}" for j in range(_JL_OUT_DIM))}
+FROM e
+"""
+
+
+@query("vector_jl_projection", oracle=_JL_ORACLE)
+def vector_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 8 dims with a
+    DETERMINISTIC Rademacher (±1) matrix derived from md5 parity of
+    "i_j" — no materialized matrix, no randomness to ship: any executor
+    (or any other engine) reconstructs the same projection from the
+    formula, which is how a 100 TB re-run stays reproducible. Each output
+    coordinate is a sequential left fold (F.aggregate) over the input
+    dims, bit-identical to the DuckDB list_reduce twin — the same
+    verified-not-assumed float contract as similarity_topk.
+
+    Why it matters: JL projection is the cheap front half of embedding
+    pipelines (coarse clustering, LSH seeding, dedup pre-filters) — an
+    8-dim sketch cuts downstream shuffle bytes 8x while preserving
+    pairwise geometry (distance-ratio property test in
+    tests/test_retrieval.py). Per-row work is dim_in*dim_out JVM
+    expression evaluations, embarrassingly parallel, no shuffle at all."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def _coord(j: int):
+        def term(acc, i):
+            parity = (
+                F.conv(
+                    F.substring(F.md5(F.concat(i.cast("string"), F.lit(f"_{j}"))), 1, 1),
+                    16, 10,
+                ).cast("long") % 2
+            ).cast("double")
+            return acc + F.element_at(F.col("v"), i.cast("int")) * (
+                F.lit(1.0) - F.lit(2.0) * parity
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(_JL_IN_DIM)), F.lit(0.0), term
+        ).alias(f"p{j}")
+
+    return emb.select("vec_id", *[_coord(j) for j in range(_JL_OUT_DIM)])
