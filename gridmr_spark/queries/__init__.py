@@ -57,7 +57,9 @@ _DRIVER_PRIORITY: list[str] = [
     # (watermark-gated tws emission, pyds overwrite cleanup, PQ fit fix)
     # postdate.
     "search_bm25_topk", "sketch_kmv_overlap", "skyline_pareto_front",
-    "vector_jl_projection", "layout_zonemap_skip",
+    "vector_jl_projection", "layout_zonemap_skip", "search_rrf_fusion",
+    "text_token_drift", "graph_bfs_distance", "dq_k_anonymity",
+    "agg_groupwise_ols", "er_resolve_entities", "incremental_join_view",
     "join_lateral_topk", "sql_recursive_cte", "url_funcs",
     "pipeline_observed_metrics", "text_bpe_tokenize", "text_cdc_chunks",
     "agg_incremental_merge", "dedup_duplicate_spans",

@@ -167,3 +167,36 @@ def dq_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)"
     )
+
+
+_KANON_ORACLE = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+       CAST(COUNT(*) AS BIGINT) AS group_size
+FROM customer
+GROUP BY 1, 2, 3
+HAVING COUNT(*) < 5
+"""
+
+
+@query("dq_k_anonymity", oracle=_KANON_ORACLE)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the quasi-identifier tuple
+    (nation, market segment, account-balance band): every combination
+    shared by fewer than k individuals is a re-identification risk — the
+    standard privacy gate before releasing or training on user-derived
+    tables. One hash aggregation with map-side combine and a HAVING
+    filter; output is bounded by the quasi-identifier cardinality, never
+    the table. The generalization lattice step (coarsen bands until all
+    groups pass) is just re-running with a wider FLOOR divisor — each
+    probe is one cheap scan."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / F.lit(2000.0)).cast("long").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .where(F.col("group_size") < 5)
+    )

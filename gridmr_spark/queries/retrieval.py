@@ -44,7 +44,9 @@ _BM25_QUERY_VALUES = ", ".join(
     f"({qid}, '{text}')" for qid, text in _BM25_QUERIES
 )
 
-_BM25_ORACLE = rf"""
+# Shared CTE chain (everything through the per-(query, doc) aggregate);
+# search_bm25_topk and search_rrf_fusion both build on it.
+_BM25_CTES = rf"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
@@ -82,6 +84,9 @@ WITH toks AS (
          CAST(SUM(qscore) AS BIGINT) AS score_q
   FROM scored GROUP BY qid, doc_id
 )
+"""
+
+_BM25_ORACLE = rf"""{_BM25_CTES}
 SELECT CAST(qid AS BIGINT) AS query_id, doc_id, n_terms, score_q, rnk FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_q DESC, doc_id ASC) AS rnk
   FROM agg
@@ -111,6 +116,20 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries) the q⋈tf join becomes the classic impact-ordered postings
     problem; the plan here is the batch-scoring shape (query set ≪ corpus)
     which is what training-data curation runs."""
+    agg, _d = _bm25_agg(spark, sf_dir)
+    w = Window.partitionBy("qid").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _BM25_TOPK)
+        .select(
+            F.col("qid").alias("query_id"), "doc_id", "n_terms", "score_q", "rnk"
+        )
+    )
+
+
+def _bm25_agg(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The shared BM25 plan through the per-(query, doc) aggregate; returns
+    (agg[qid, doc_id, n_terms, score_q], d[doc_id, dl])."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -157,13 +176,157 @@ def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = scored.groupBy("qid", "doc_id").agg(
         F.count(F.lit(1)).alias("n_terms"), F.sum("qscore").alias("score_q")
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("score_q"), F.asc("doc_id"))
-    return (
-        agg.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= _BM25_TOPK)
-        .select(
-            F.col("qid").alias("query_id"), "doc_id", "n_terms", "score_q", "rnk"
+    return agg, d.select("doc_id", "dl")
+
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+_RRF_TOPK = 5
+
+_RRF_ORACLE = rf"""{_BM25_CTES}
+, bm AS (
+  SELECT qid, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_q DESC, doc_id ASC) AS r1
+  FROM agg
+), prior AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY dl DESC, doc_id ASC) AS r2 FROM d
+), fused AS (
+  SELECT bm.qid, bm.doc_id, bm.r1, prior.r2,
+         CAST(FLOOR((1.0 / ({_RRF_K}.0 + CAST(bm.r1 AS DOUBLE))
+                     + 1.0 / ({_RRF_K}.0 + CAST(prior.r2 AS DOUBLE)))
+                    * 1000000000.0) AS BIGINT) AS rrf_q
+  FROM bm JOIN prior USING (doc_id)
+)
+SELECT CAST(qid AS BIGINT) AS query_id, doc_id,
+       CAST(r1 AS BIGINT) AS r1, CAST(r2 AS BIGINT) AS r2, rrf_q, rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf_q DESC, doc_id ASC) AS rnk
+  FROM fused
+) WHERE rnk <= {_RRF_TOPK}
+"""
+
+
+@query("search_rrf_fusion", oracle=_RRF_ORACLE)
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 relevance
+    ranking fused with a query-independent document prior (here: length
+    rank — the slot a quality-classifier or embedding ranking plugs into)
+    by RRF score 1/(60+r1) + 1/(60+r2), the standard trick for combining
+    heterogeneous rankings without score calibration. Ranks come from
+    row_number windows (deterministic tiebreaks), the fused score is one
+    mirrored double expression on integer ranks quantized to BIGINT, so
+    the oracle is hash-exact. Scale shape: reuses the BM25 aggregate
+    (vocabulary-bounded dictionaries, one wide shuffle); the prior ranking
+    is a global sort of doc STATISTICS (two window columns), not content,
+    and fusing is an equi-join on doc_id. This is the retrieval stack's
+    answer-merging layer — BM25 + ANN rankings fuse identically."""
+    agg, d = _bm25_agg(spark, sf_dir)
+    w_bm = Window.partitionBy("qid").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    bm = agg.select("qid", "doc_id", F.row_number().over(w_bm).alias("r1"))
+    w_pr = Window.orderBy(F.desc("dl"), F.asc("doc_id"))
+    prior = d.select("doc_id", F.row_number().over(w_pr).alias("r2"))
+    fused = bm.join(prior, "doc_id").select(
+        "qid", "doc_id", "r1", "r2",
+        F.floor(
+            (
+                F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("r1").cast("double"))
+                + F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("r2").cast("double"))
+            )
+            * F.lit(1000000000.0)
         )
+        .cast("long")
+        .alias("rrf_q"),
+    )
+    w_f = Window.partitionBy("qid").orderBy(F.desc("rrf_q"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(w_f))
+        .where(F.col("rnk") <= _RRF_TOPK)
+        .select(
+            F.col("qid").alias("query_id"), "doc_id",
+            F.col("r1").cast("long").alias("r1"),
+            F.col("r2").cast("long").alias("r2"),
+            "rrf_q", "rnk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution drift between corpus halves
+# ---------------------------------------------------------------------------
+
+_DRIFT_TOPK = 20
+
+_DRIFT_ORACLE = rf"""
+WITH t AS (
+  SELECT CASE WHEN length(source) = 4 THEN 'a' ELSE 'b' END AS grp,
+         unnest(list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+                w -> w <> '')) AS tok
+  FROM documents
+), c AS (
+  SELECT tok,
+         CAST(SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+  FROM t GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(na) AS BIGINT) AS ta, CAST(SUM(nb) AS BIGINT) AS tb FROM c
+), s AS (
+  SELECT tok, na, nb,
+         CAST(FLOOR((CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)
+                     - CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)) * 1000000000.0) AS BIGINT) AS diff_q
+  FROM c CROSS JOIN tot
+)
+SELECT tok, na, nb, diff_q, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY abs(diff_q) DESC, tok ASC) AS rk FROM s
+) WHERE rk <= {_DRIFT_TOPK}
+"""
+
+
+@query("text_token_drift", oracle=_DRIFT_ORACLE)
+def text_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus halves (sources
+    src0-src9 vs src10-src19): per-token occurrence-rate difference,
+    top-20 by magnitude — the distribution-shift monitor a training
+    pipeline runs between ingest batches (did the new crawl's language
+    shift under us?). The rate difference is one mirrored double
+    expression on exact integer counts, quantized; ranking deterministic.
+    Scale shape: one exploded count aggregation (map-side combined,
+    vocabulary-bounded output), a single-row totals broadcast, and a
+    top-k over the vocabulary — never a second corpus scan. Swapping the
+    rate difference for chi-square or PSI is one expression change on the
+    same sufficient statistics."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.when(F.length("source") == 4, F.lit("a")).otherwise(F.lit("b")).alias("grp"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]+", " ")), " "),
+                lambda w: w != "",
+            )
+        ).alias("tok"),
+    )
+    c = t.groupBy("tok").agg(
+        F.sum(F.when(F.col("grp") == "a", 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("grp") == "b", 1).otherwise(0)).cast("long").alias("nb"),
+    )
+    tot = c.agg(
+        F.sum("na").cast("long").alias("ta"), F.sum("nb").cast("long").alias("tb")
+    )
+    s = c.crossJoin(F.broadcast(tot)).select(
+        "tok", "na", "nb",
+        F.floor(
+            (
+                F.col("na").cast("double") / F.col("ta").cast("double")
+                - F.col("nb").cast("double") / F.col("tb").cast("double")
+            )
+            * F.lit(1000000000.0)
+        )
+        .cast("long")
+        .alias("diff_q"),
+    )
+    w = Window.orderBy(F.abs(F.col("diff_q")).desc(), F.asc("tok"))
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _DRIFT_TOPK)
+        .select("tok", "na", "nb", "diff_q", "rk")
     )
 
 

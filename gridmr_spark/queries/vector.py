@@ -662,3 +662,61 @@ def vector_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"p{j}")
 
     return emb.select("vec_id", *[_coord(j) for j in range(_JL_OUT_DIM)])
+
+
+_BFS_ROUNDS = 4
+
+_BFS_ORACLE = f"""
+WITH RECURSIVE p AS ({_PAIRS_500_SQL}),
+e AS (SELECT id1 AS s, id2 AS d FROM p UNION ALL SELECT id2 AS s, id1 AS d FROM p),
+walk(id, dist) AS (
+  SELECT vec_id AS id, 0 AS dist FROM embeddings WHERE vec_id < 5
+  UNION
+  SELECT e.d AS id, w.dist + 1 AS dist
+  FROM walk w JOIN e ON e.s = w.id
+  WHERE w.dist < {_BFS_ROUNDS}
+)
+SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM walk GROUP BY id
+"""
+
+
+@query("graph_bfs_distance", oracle=_BFS_ORACLE)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the near-dup graph: hop distance (capped at
+    4 rounds) from the seed set {vec_id < 5} — the "how far does this
+    contamination/duplication spread" primitive. Distributed shape: the
+    frontier pattern — each round joins ONLY the newly-discovered frontier
+    against the edge list (never the whole visited set), anti-joins out
+    already-known vertices, and localCheckpoints to keep lineage flat;
+    rounds are data-independent (fixed cap) so the job graph is static.
+    At 100 TB edge scale each round is one shuffle join keyed on vertex
+    id — the same co-location the CC operator uses, and the frontier
+    shrinks geometrically on high-expansion graphs. The oracle is the
+    DuckDB recursive-CTE walk with MIN(dist) — exact integer outputs."""
+    p = _bounded_pairs(spark, sf_dir)
+    e = (
+        p.select(F.col("id1").alias("s"), F.col("id2").alias("d"))
+        .union(p.select(F.col("id2").alias("s"), F.col("id1").alias("d")))
+        .localCheckpoint()
+    )
+    seeds = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("id"), F.lit(0).cast("long").alias("dist"))
+    )
+    dist = seeds.localCheckpoint()
+    frontier = dist
+    for r in range(1, _BFS_ROUNDS + 1):
+        cand = (
+            frontier.join(e, frontier["id"] == e["s"])
+            .select(F.col("d").alias("id"))
+            .distinct()
+        )
+        new = (
+            cand.join(dist.select("id"), "id", "left_anti")
+            .select("id", F.lit(r).cast("long").alias("dist"))
+            .localCheckpoint()
+        )
+        dist = dist.union(new).localCheckpoint()
+        frontier = new
+    return dist
