@@ -736,3 +736,57 @@ def wav_frame_energy(media: DataFrame, frame_samples: int = 256) -> DataFrame:
             )
 
     return media.mapInPandas(frames, schema=WAV_FRAMES)
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) over REAL decoded images: decode each
+    PNG payload (png_decode_gray — stdlib codec), split the pixel grid into
+    8x8 blocks (block of pixel (y, x) = (y*8//h, x*8//w)), set bit j=br*8+bc
+    iff the block mean exceeds the image mean — compared by integer
+    cross-multiplication (block_sum * total_cnt > total_sum * block_cnt) so
+    no division/float ever enters and the hash is bit-exact on any engine.
+    Returns doc_id plus the 64-bit hash split into two BIGINT halves
+    (ahash_hi = bits 32..63, ahash_lo = bits 0..31) to stay in signed-64
+    range. Images shorter than 8 scanlines are skipped (no full block
+    grid). Arrow-batched mapInPandas; per-image work is one decode + two
+    bincounts — embarrassingly parallel, no shuffle."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ahash_hi", T.LongType()),
+            T.StructField("ahash_lo", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, his, los = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = png_decode_gray(bytes(payload))
+                h, w = arr.shape
+                if h < 8 or w < 8:
+                    continue
+                ys = (np.arange(h) * 8) // h
+                xs = (np.arange(w) * 8) // w
+                idx = (ys[:, None] * 8 + xs[None, :]).ravel()
+                flat = arr.astype(np.int64).ravel()
+                sums = np.bincount(idx, weights=flat, minlength=64).astype(np.int64)
+                cnts = np.bincount(idx, minlength=64).astype(np.int64)
+                tsum, tcnt = int(flat.sum()), int(flat.size)
+                bits = (sums * tcnt) > (tsum * cnts)
+                hi = sum(1 << (j - 32) for j in range(32, 64) if bits[j])
+                lo = sum(1 << j for j in range(32) if bits[j])
+                ids.append(doc_id)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "ahash_hi": pd.Series(his, dtype="int64"),
+                    "ahash_lo": pd.Series(los, dtype="int64"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(batches, schema=out_schema)

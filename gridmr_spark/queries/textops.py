@@ -2123,3 +2123,67 @@ def ml_tree_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         leaf.cast("int").alias("leaf"),
         keep.cast("int").alias("keep"),
     )
+
+
+_AHASH_ORACLE = r"""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         (octet_length(encode(text)) // 16) * 16 AS n
+  FROM documents
+  WHERE octet_length(encode(text)) >= 128
+), px AS (
+  SELECT doc_id, n // 16 AS h,
+         CAST(('0x' || substr(hx, CAST(2 * t.i + 1 AS INT), 2)) AS BIGINT) AS byte,
+         t.i // 16 AS y, t.i % 16 AS x
+  FROM b, unnest(generate_series(0, n - 1)) AS t(i)
+), blk AS (
+  SELECT doc_id, ((y * 8) // h) * 8 + (x // 2) AS j,
+         CAST(SUM(byte) AS BIGINT) AS bsum, CAST(COUNT(*) AS BIGINT) AS bcnt
+  FROM px GROUP BY doc_id, ((y * 8) // h) * 8 + (x // 2)
+), tot AS (
+  SELECT doc_id, CAST(SUM(bsum) AS BIGINT) AS tsum, CAST(SUM(bcnt) AS BIGINT) AS tcnt
+  FROM blk GROUP BY doc_id
+), hsh AS (
+  SELECT blk.doc_id,
+    CAST(SUM(CASE WHEN bsum * tcnt > tsum * bcnt AND j >= 32
+                  THEN (CAST(1 AS BIGINT) << CAST(j - 32 AS INT)) ELSE 0 END) AS BIGINT) AS ahash_hi,
+    CAST(SUM(CASE WHEN bsum * tcnt > tsum * bcnt AND j < 32
+                  THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS ahash_lo
+  FROM blk JOIN tot ON blk.doc_id = tot.doc_id
+  GROUP BY blk.doc_id
+)
+SELECT ahash_hi, ahash_lo, CAST(COUNT(*) AS BIGINT) AS n_images,
+       MIN(doc_id) AS rep_doc_id
+FROM hsh GROUP BY ahash_hi, ahash_lo
+"""
+
+
+@query("multimodal_image_ahash_dedup", oracle=_AHASH_ORACLE)
+def multimodal_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over REAL decoded images: every document's
+    bytes become a genuine grayscale PNG (encode_png_media), the stdlib
+    codec decodes it back to pixels, and image_ahash computes the
+    classic 64-bit average-hash (8x8 block means vs the image mean,
+    compared by integer cross-multiplication — division-free, so
+    bit-exact). Images sharing an aHash are perceptual duplicates; the
+    query groups them into clusters with a min-id representative — the
+    image-corpus twin of dedup_exact_digest. The DuckDB oracle recomputes
+    the hash from the ORIGINAL text bytes, so a hash match proves
+    PNG-encode -> real-decode -> blockwise aHash is exactly lossless
+    end to end.
+
+    Scale shape: the codec stage is Arrow-batched mapInPandas with
+    explicit parallelism (no shuffle), the cluster group-by keys on the
+    8-byte hash — the narrowest possible dedup shuffle. A Hamming-ball
+    (near-duplicate) variant is the existing simhash pigeonhole machinery
+    pointed at these two BIGINT halves."""
+    from gridmr_spark.operators.multimodal import encode_png_media, image_ahash
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    hashed = image_ahash(encode_png_media(docs, "doc_id", "text", width=16))
+    return hashed.groupBy("ahash_hi", "ahash_lo").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("doc_id").alias("rep_doc_id"),
+    )

@@ -275,3 +275,61 @@ def udaf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_type,
         schema="event_type string, n_events long, total_value double, first_user long",
     )
+
+
+# Partitioned-input Python UDTF: TABLE(...) PARTITION BY, eval-per-row +
+# terminate-per-partition — Spark 4's grouped table-function surface.
+
+_UDTF_PART_ORACLE = """
+SELECT lang, doc_id, n_chars, CAST(rnk AS INT) AS rnk FROM (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rnk
+  FROM documents
+) WHERE rnk <= 3
+"""
+
+
+@query("udtf_partitioned_topk", oracle=_UDTF_PART_ORACLE)
+def udtf_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF over a PARTITIONED TABLE argument (Spark 4):
+    `gridmr_topk(TABLE(docs) PARTITION BY lang ORDER BY ...)` streams each
+    language's rows through one UDTF instance — eval() accumulates a
+    bounded top-3 heap, terminate() emits it when the partition ends. This
+    is the stateful-per-group table-function surface (the UDTF twin of
+    applyInPandas), and the ORDER BY clause makes arrival order
+    deterministic so the heap's tiebreaks are reproducible. State is
+    O(k) per partition regardless of group size — the property that lets
+    it run at 100 TB group sizes where collect-the-group operators OOM.
+    Oracle: the plain window top-k."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="lang: string, doc_id: bigint, n_chars: bigint, rnk: int")
+    class TopK:
+        def __init__(self):
+            self.rows = []
+            self.lang = None
+
+        def eval(self, row):
+            # rows arrive ORDER BY n_chars DESC, doc_id ASC within the
+            # partition; keep the first 3 — O(k) state
+            self.lang = row["lang"]
+            if len(self.rows) < 3:
+                self.rows.append((row["doc_id"], row["n_chars"]))
+
+        def terminate(self):
+            for i, (doc_id, n_chars) in enumerate(self.rows, start=1):
+                yield self.lang, doc_id, n_chars, i
+
+    spark.udtf.register("gridmr_topk", TopK)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("udtf_part_docs")
+    return spark.sql(
+        """
+        SELECT lang, doc_id, n_chars, rnk
+        FROM gridmr_topk(
+          TABLE(SELECT doc_id, n_chars, lang FROM udtf_part_docs)
+          PARTITION BY lang
+          ORDER BY (n_chars DESC, doc_id ASC)
+        )
+        """
+    )
