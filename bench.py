@@ -59,7 +59,16 @@ def main() -> None:
     }
     if errors:
         record["errors"] = errors
-    print(json.dumps(record))
+    line = json.dumps(record)
+    # Persist next to the repo root in addition to stdout: the driver's
+    # stdout-tail capture truncates long JSON lines (BENCH_r06.json recorded
+    # ``parsed: null`` because the record outgrew its 2 KB buffer), so the
+    # file is the durable copy of record.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_local.json")
+    with open(out_path, "w") as fh:
+        fh.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

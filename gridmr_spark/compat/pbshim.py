@@ -58,7 +58,22 @@ def _runtime_importable() -> bool:
         return False
 
 
+def _runtime_is_vendored() -> bool:
+    """True iff the resolved ``google.protobuf`` was loaded from one of the
+    _VENDOR_DIRS rather than a real site-packages install."""
+    mod = sys.modules.get("google.protobuf")
+    origin = getattr(mod, "__file__", None) if mod is not None else None
+    if origin is None:
+        return False
+    return any(os.path.abspath(origin).startswith(os.path.abspath(d) + os.sep)
+               for d in _VENDOR_DIRS)
+
+
 def _defuse_version_gate() -> None:
+    """No-op the patch-level gencode>runtime check — ONLY called when the
+    resolved runtime is the vendored 6.32 fallback, so a real installed
+    protobuf keeps its validator and genuine major-version gencode/runtime
+    incompatibilities still fail loudly for every user in the process."""
     try:
         from google.protobuf import runtime_version
 
@@ -68,11 +83,12 @@ def _defuse_version_gate() -> None:
 
 
 def _bootstrap_current_process() -> bool:
-    """Best-effort: make ``google.protobuf`` importable in THIS process and
-    defuse the patch-level gencode>runtime version check. Returns True if
-    the runtime imports."""
+    """Best-effort: make ``google.protobuf`` importable in THIS process and,
+    on the vendored-runtime fallback path only, defuse the patch-level
+    gencode>runtime version check. Returns True if the runtime imports."""
     if _runtime_importable():
-        _defuse_version_gate()
+        if _runtime_is_vendored():
+            _defuse_version_gate()
         return True
     hit = next(
         (

@@ -84,7 +84,12 @@ def parse_submit_request(form: dict) -> SubmitRequest:
         raise ValueError("output_uri: required")
     desired_maps = form.get("desired_maps")
     if desired_maps is not None:
-        desired_maps = int(desired_maps)
+        try:
+            desired_maps = int(desired_maps)
+        except (TypeError, ValueError):
+            raise ValueError("desired_maps: not an int") from None
+        if desired_maps < 1:
+            raise ValueError("desired_maps: must be >= 1")
     group = str(form.get("group_partitioning", "false")).lower() in ("1", "true", "yes")
     ignored = {
         k: form[k]
@@ -140,6 +145,20 @@ def submit_job(remote_url: str, **form) -> dict:
     from gridmr_spark import sources
     from gridmr_spark.operators.text import word_count
 
+    ignored = dict(req.ignored)
+    if req.desired_maps is not None:
+        # The reference's desired_maps picks the map-task count; Spark's
+        # lever is the split size. Derive it from the total input bytes
+        # when the URIs are locally statable (file: / bare paths); a
+        # remote store's size isn't visible from the client, so there the
+        # hint is recorded as ignored rather than silently misapplied.
+        total = _local_input_bytes(req.input_uris)
+        if total is not None and total > 0:
+            per_split = max(4 * 1024 * 1024, -(-total // req.desired_maps))
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(per_split))
+        else:
+            ignored["desired_maps"] = req.desired_maps
+
     text = sources.read_text(spark, ",".join(req.input_uris))
     counts = word_count(text.withColumnRenamed("value", "text"))
     out = counts.select(
@@ -150,5 +169,33 @@ def submit_job(remote_url: str, **form) -> dict:
         "job_id": spark.conf.get("spark.app.id", "connect-session"),
         "status": "completed",
         "output_uri": req.output_uri,
-        "ignored": req.ignored,
+        "ignored": ignored,
     }
+
+
+def _local_input_bytes(uris: list[str]) -> int | None:
+    """Total size of locally-statable input URIs (bare paths, file:
+    schemes, globs). Returns None when any URI points at a remote store —
+    the caller records the hint as ignored instead of guessing."""
+    import glob as _glob
+    import os as _os
+
+    total = 0
+    for uri in uris:
+        path = uri[len("file:"):] if uri.startswith("file:") else uri
+        if "://" in path:
+            return None
+        hits = _glob.glob(path) if any(c in path for c in "*?[") else [path]
+        if not hits:
+            return None
+        for h in hits:
+            if _os.path.isdir(h):
+                for root, _dirs, files in _os.walk(h):
+                    total += sum(
+                        _os.path.getsize(_os.path.join(root, f)) for f in files
+                    )
+            elif _os.path.isfile(h):
+                total += _os.path.getsize(h)
+            else:
+                return None
+    return total

@@ -120,5 +120,12 @@ def zonemap_pruned_read(
         r["file"]
         for r in stats.where((F.col("zmin") <= hi) & (F.col("zmax") >= lo)).collect()
     ]
+    if not hit:
+        # Fully-selective predicate: no zone overlaps. Return an empty frame
+        # with the DATA schema (probe one file's footer — metadata only, no
+        # row groups are read) instead of crashing on a zero-path read.
+        any_file = stats.select("file").first()["file"]
+        schema = spark.read.parquet(any_file).schema
+        return spark.createDataFrame([], schema), 0, n_total
     df = spark.read.parquet(*hit).where((F.col(col) >= lo) & (F.col(col) <= hi))
     return df, len(hit), n_total

@@ -50,44 +50,28 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # here explicitly and served first; long-green queries re-verify with
 # whatever budget remains. Update per round as rows come back green.
 _DRIVER_PRIORITY: list[str] = [
-    # --- round-6 priority (driver budget ~50; first rows first) ---
-    # (a) behavior touched THIS round or after the r5 record was stamped:
-    # the round-6 additions (registered below as they land), then the four
-    # queries the r5 hardening commit (7400f03) and the round-6 rework
-    # (watermark-gated tws emission, pyds overwrite cleanup, PQ fit fix)
-    # postdate.
-    "search_bm25_topk", "sketch_kmv_overlap", "skyline_pareto_front",
-    "vector_jl_projection", "layout_zonemap_skip", "search_rrf_fusion",
-    "text_token_drift", "graph_bfs_distance", "dq_k_anonymity",
-    "agg_groupwise_ols", "er_resolve_entities", "incremental_join_view",
-    "join_lateral_topk", "sql_recursive_cte", "url_funcs",
-    "pipeline_observed_metrics", "text_bpe_tokenize", "text_cdc_chunks",
-    "agg_incremental_merge", "dedup_duplicate_spans",
-    "stream_interval_join_left", "udaf_apply_in_arrow",
-    "sql_scripting_loop", "sql_parameterized", "ml_tree_inference",
-    "source_warc_ingest", "similarity_pq_persisted", "similarity_ivf_persisted",
-    "multimodal_jpeg_decode", "stream_tws_sessions_live",
-    "stream_tws_first_seen_live", "text_bigram_lm_score",
-    "stream_tws_sessions", "source_stream_datasource", "similarity_pq_topk",
-    "multimodal_png_decode",
-    # (b) freshness rotation: the 28 queries whose latest green driver row
-    # is ROUND 2 — the final stale tail (VERDICT r5 §Next-1). Local oracle
-    # parity is green at HEAD; this rotation gives every registered query
-    # a driver row <= 2 rounds old.
-    "agg_collect", "agg_salted_skew", "array_funcs", "array_set_ops",
-    "layout_bucketed_join", "layout_zorder_key", "multimodal_frame_sample",
-    "q10_returned_items", "q12_priority_classes", "q14_promo_revenue",
-    "q18_large_volume", "q22_inactive_customers", "regex_funcs",
-    "sample_train_val_test", "source_csv_roundtrip", "source_json_roundtrip",
-    "source_orc_roundtrip", "source_partition_pruning", "sql_api_revenue",
-    "text_pii_redact", "text_top_token_share", "topk_global",
-    "udaf_apply_in_pandas", "udtf_tokenize", "window_frames",
-    "window_ntile_nav", "window_ranks", "window_topk_per_group",
-    # (c) next-oldest evidence (round 3) with remaining budget, heaviest-
-    # reworked families first.
+    # --- round-7 priority (driver budget ~50; first rows first) ---
+    # (a) the ONLY two registered queries with no driver row in any round
+    # (they postdate the round-6 correctness run; local oracle parity green):
+    "multimodal_image_ahash_dedup", "udtf_partitioned_topk",
+    # (b) round-7 additions register below as they land; freshly-oracled
+    # exact-regime variants of former no_oracle queries next so the driver
+    # records their first hash rows.
+    # (c) freshness rotation: the 14 queries whose latest green driver row
+    # is ROUND 2 (VERDICT r6 §Next-2) — oldest evidence first.
+    "udaf_apply_in_pandas", "udtf_tokenize", "window_topk_per_group",
+    "window_ranks", "window_frames", "topk_global", "source_csv_roundtrip",
+    "source_json_roundtrip", "window_ntile_nav", "sql_api_revenue",
+    "source_partition_pruning", "source_orc_roundtrip", "text_pii_redact",
+    "text_top_token_share",
+    # (d) next-oldest (round 3) with remaining budget, heaviest-reworked
+    # families first.
     "join_asof", "join_asof_tolerance", "join_range_band",
     "join_semi", "join_anti", "filter_project",
-    # r3/r4/r5-green queries follow in registration order with whatever
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "agg_grouping_sets", "agg_cube", "agg_rollup",
+    "set_ops", "set_ops_all",
+    # r4/r5/r6-green queries follow in registration order with whatever
     # budget remains.
 ]
 

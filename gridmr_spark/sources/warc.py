@@ -79,9 +79,12 @@ class _WarcSplit(InputPartition):
         self.end = end  # None => gzip stream, parse to EOF
 
 
-def _list_warc_files(path: str) -> list[str]:
+def _list_warc_files(path: str, missing_ok: bool = False) -> list[str]:
     """Expand a file, directory, or glob into the sorted file list,
-    skipping in-flight dot-prefixed staging files."""
+    skipping in-flight dot-prefixed staging files. With ``missing_ok``
+    (the streaming path), a not-yet-created directory is simply an empty
+    listing — a stream started before its producer must idle at the empty
+    offset, not crash; the batch reader keeps the loud error."""
     if os.path.isdir(path):
         names = [
             os.path.join(path, f)
@@ -94,7 +97,7 @@ def _list_warc_files(path: str) -> list[str]:
         names = [
             f for f in _glob.glob(path) if not os.path.basename(f).startswith(".")
         ]
-    if not names and not os.path.isdir(path):
+    if not names and not os.path.isdir(path) and not missing_ok:
         raise FileNotFoundError(f"warc: no input files at {path!r}")
     return sorted(names)
 
@@ -294,13 +297,20 @@ class WarcWriter(DataSourceWriter):
             if req not in names:
                 raise ValueError(f"warc sink input must have a {req!r} column")
         self.idx = {n: i for i, n in enumerate(names)}
+        # Per-job prefix, stamped once on the DRIVER and pickled into every
+        # task: lets commit() reconcile THIS job's files against its commit
+        # messages in append mode too, so a duplicated task attempt
+        # (speculation / retry where both attempts rename their
+        # uniquely-named part files) can't leave an orphan .warc that
+        # readers would see as duplicate records.
+        self.job_prefix = f"job-{uuid.uuid4().hex[:12]}"
 
     def write(self, iterator):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         os.makedirs(self.path, exist_ok=True)
-        fname = f"part-{pid:05d}-{uuid.uuid4().hex}.warc"
+        fname = f"{self.job_prefix}-part-{pid:05d}-{uuid.uuid4().hex}.warc"
         tmp = os.path.join(self.path, f".{fname}")
         idx = self.idx
         n = 0
@@ -327,11 +337,17 @@ class WarcWriter(DataSourceWriter):
         return _WarcCommit(fname)
 
     def commit(self, messages):
-        if self.overwrite:
-            new = {m.filename for m in messages if m is not None and m.filename}
-            for f in os.listdir(self.path):
-                if not f.startswith(".") and f.endswith(".warc") and f not in new:
-                    os.remove(os.path.join(self.path, f))
+        new = {m.filename for m in messages if m is not None and m.filename}
+        for f in os.listdir(self.path):
+            if f.startswith(".") or not f.endswith(".warc") or f in new:
+                continue
+            mine = f.startswith(self.job_prefix + "-")
+            # Overwrite replaces the directory: drop every uncommitted file.
+            # Append keeps other jobs' output but still reconciles THIS
+            # job's files against its commit messages (duplicate-attempt
+            # orphans carry our prefix and are not in `new`).
+            if self.overwrite or mine:
+                os.remove(os.path.join(self.path, f))
 
     def abort(self, messages):
         for m in messages:
@@ -364,13 +380,16 @@ class WarcStreamReader(DataSourceStreamReader):
         return {"upto": ""}
 
     def latestOffset(self):
-        files = [os.path.basename(f) for f in _list_warc_files(self.path)]
+        files = [
+            os.path.basename(f)
+            for f in _list_warc_files(self.path, missing_ok=True)
+        ]
         return {"upto": max(files) if files else ""}
 
     def partitions(self, start, end):
         lo, hi = start["upto"], end["upto"]
         splits: list[_WarcSplit] = []
-        for f in _list_warc_files(self.path):
+        for f in _list_warc_files(self.path, missing_ok=True):
             name = os.path.basename(f)
             if not (lo < name <= hi):
                 continue

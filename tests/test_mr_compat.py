@@ -283,3 +283,36 @@ class TestRemoteSubmit:
                 map_bin_uri="/bin/map", reduce_bin_uri="/bin/reduce",
                 output_uri="out",
             )
+
+
+class TestRemoteSubmitDesiredMaps:
+    """ADVICE r6 fixes: desired_maps 400-path names the field, and the
+    parsed value is derivable into a maxPartitionBytes split size."""
+
+    def test_bad_desired_maps_names_field(self):
+        import pytest
+
+        from gridmr_spark.compat.remote import parse_submit_request
+
+        base = {
+            "input_uris": "in.txt", "map_bin_uri": "m", "reduce_bin_uri": "r",
+            "output_uri": "out",
+        }
+        with pytest.raises(ValueError, match="desired_maps"):
+            parse_submit_request({**base, "desired_maps": "many"})
+        with pytest.raises(ValueError, match="desired_maps"):
+            parse_submit_request({**base, "desired_maps": "0"})
+
+    def test_local_input_bytes(self, tmp_path):
+        from gridmr_spark.compat.remote import _local_input_bytes
+
+        f1 = tmp_path / "a.txt"
+        f1.write_bytes(b"x" * 100)
+        f2 = tmp_path / "b.txt"
+        f2.write_bytes(b"y" * 50)
+        assert _local_input_bytes([str(f1), str(f2)]) == 150
+        assert _local_input_bytes([str(tmp_path / "*.txt")]) == 150
+        assert _local_input_bytes([str(tmp_path)]) == 150  # directory walk
+        assert _local_input_bytes(["file:" + str(f1)]) == 100
+        assert _local_input_bytes(["s3://bucket/x"]) is None  # remote: hint ignored
+        assert _local_input_bytes([str(tmp_path / "missing.txt")]) is None

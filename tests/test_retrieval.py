@@ -191,3 +191,12 @@ def test_zonemap_prunes_files(spark, sf_smoke):
     )
     for (_amin, amax), (bmin, _bmax) in zip(stats, stats[1:]):
         assert amax <= bmin
+    # fully-selective predicate: NO zone overlaps -> empty frame with the
+    # data schema, zero files read (regression: used to crash on a
+    # zero-path spark.read.parquet)
+    df0, n_hit0, n_total0 = zonemap_pruned_read(
+        spark, path, "o_totalprice", -2.0, -1.0
+    )
+    assert (n_hit0, n_total0) == (0, 16)
+    assert df0.count() == 0
+    assert df0.schema == df.schema

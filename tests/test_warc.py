@@ -226,3 +226,70 @@ def test_stream_ingests_arriving_segments_exactly_once(spark, tmp_path):
     run()
     got2 = sorted((r.file, r.target_uri) for r in spark.read.parquet(sink).collect())
     assert got2 == got1 + [("seg-00002.warc", "http://t2.example/0")]
+
+
+def test_stream_idles_on_missing_directory(spark, tmp_path):
+    """A stream started BEFORE the producer creates the watched directory
+    idles at the empty offset instead of crashing (ADVICE r6: latestOffset
+    used to raise FileNotFoundError); once the directory appears with a
+    segment, a later run picks it up from the same checkpoint."""
+    d = tmp_path / "not_yet"  # never mkdir'd before run 1
+    W.register(spark)
+    ck, sink = str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def run():
+        q = (
+            spark.readStream.format("warc")
+            .option("path", str(d))
+            .load()
+            .select("target_uri")
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: df.write.mode("append").parquet(sink))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()  # must not raise; zero batches with rows
+    assert not os.path.exists(sink) or spark.read.parquet(sink).count() == 0
+    d.mkdir()
+    _mk_warc(str(d / "seg-00001.warc"), [b"hello"])
+    run()
+    assert spark.read.parquet(sink).count() == 1
+
+
+def test_append_commit_reconciles_duplicate_attempt_orphans(spark, tmp_path):
+    """Append-mode commit() removes THIS job's uncommitted part files (a
+    duplicated task attempt's orphan) while leaving other jobs' output
+    alone (ADVICE r6: only overwrite mode used to reconcile)."""
+    from pyspark.sql import Row
+
+    W.register(spark)
+    out = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [Row(target_uri="http://a/1", payload=bytearray(b"x"))]
+    )
+    df.coalesce(1).write.format("warc").mode("append").save(out)
+    df.coalesce(1).write.format("warc").mode("append").save(out)
+    files = sorted(os.listdir(out))
+    assert len(files) == 2  # two jobs, one committed file each
+
+    # simulate a duplicate attempt from job 2: an orphan carrying job 2's
+    # prefix that is NOT in the commit messages
+    job2_prefix = files[1].split("-part-")[0]
+    orphan = os.path.join(out, f"{job2_prefix}-part-00000-deadbeef.warc")
+    with open(orphan, "wb") as fh:
+        fh.write(W.format_record("http://dup/0", b"dup"))
+
+    writer = W.WarcWriter(
+        {"path": out}, spark.createDataFrame(
+            [Row(target_uri="u", payload=bytearray(b"p"))]
+        ).schema, overwrite=False,
+    )
+    writer.job_prefix = job2_prefix  # reconcile as job 2 would
+    writer.commit([W._WarcCommit(files[1])])
+    left = sorted(os.listdir(out))
+    assert left == files  # orphan gone, both committed files intact
+    got = spark.read.format("warc").load(out)
+    assert got.count() == 2  # no duplicated records visible to readers
