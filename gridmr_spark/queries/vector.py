@@ -160,6 +160,47 @@ def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("vec_id"), "component")
 
 
+def _fold_rerank(
+    sel: DataFrame, emb: DataFrame, k: int, q_col: str = "q_id", c_col: str = "c_id"
+) -> DataFrame:
+    """Selection by the fast path, VALUES by the canonical fold.
+
+    ``sel`` carries the (query, neighbor) pairs some vectorized path picked
+    (GEMM / IVF / PQ — BLAS summation order differs from the sequential
+    fold in the last ulps, so their scores are not oracle-hash-comparable);
+    this joins the pairs back to the embeddings, recomputes cosine as the
+    sequential double fold (bit-identical to DuckDB's list_reduce), and
+    re-ranks with the family tiebreak. When the fast path's selection is
+    EXACT (full GEMM, IVF probing every cell, PQ re-ranking every
+    candidate), the output is byte-identical to the brute-force SQL oracle
+    — which is what turns those paths from rows-only into hash-checked.
+    Cost: |sel| = |queries|*k rows join back twice — broadcast-hinted, a
+    rounding error against the selection scan at any scale."""
+    from gridmr_spark.operators.similarity import _dot, with_norm
+
+    eq = with_norm(
+        emb.select(F.col("vec_id").alias(q_col), F.col("embedding").alias("_qraw")),
+        "_qraw", "_qv", "_qn",
+    ).select(q_col, "_qv", "_qn")
+    ec = with_norm(
+        emb.select(F.col("vec_id").alias(c_col), F.col("embedding").alias("_craw")),
+        "_craw", "_cv", "_cn",
+    ).select(c_col, "_cv", "_cn")
+    j = (
+        eq.join(F.broadcast(sel.select(q_col, c_col)), q_col)
+        .join(ec, c_col)
+        .select(
+            q_col,
+            c_col,
+            (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy(q_col).orderBy(F.desc("cosine"), F.asc(c_col))
+    return j.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
 @query("similarity_lsh_topk", oracle=None)  # approximate: recall-tested in tests/
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate all-pairs top-5 via random-hyperplane LSH with multi-probe
@@ -188,7 +229,24 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh.topk_in_buckets(emb, "vec_id", "embedding", k=5, max_bucket_members=32)
 
 
-@query("similarity_topk_gemm", oracle=None)  # BLAS summation order: set-equality tested
+_GEMM_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT q_id, c_id, cosine, rnk FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         {_cos_sql('q.v', 'c.v')} AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_cos_sql('q.v', 'c.v')} DESC, c.vec_id
+         ) AS rnk
+  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 1000
+) t WHERE rnk <= 5
+"""
+
+_GEMM_FULL_ORACLE = _GEMM_ORACLE.replace("  WHERE q.vec_id < 1000\n", "")
+
+
+@query("similarity_topk_gemm", oracle=_GEMM_ORACLE)
 def similarity_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-query exact top-5 via the vectorized GEMM path (mapInPandas +
     numpy matrix multiply) — ~100x the scalar-fold throughput; the
@@ -196,7 +254,12 @@ def similarity_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     small enough to broadcast", so the registered query enforces it: only a
     bounded query set (vec_id < 1000) is collected, never the whole table —
     the candidate side streams through executors at any scale.
-    tests/test_similarity.py asserts set-equality with the fold path."""
+
+    SELECTION comes from the GEMM; the reported cosines are re-attached via
+    the sequential fold (_fold_rerank), so the result is hash-checked
+    against the brute-force SQL oracle — GEMM selection is exact, only its
+    BLAS summation order was ever non-comparable. tests/test_similarity.py
+    additionally asserts operator-level set-equality with the fold path."""
     from gridmr_spark.operators.similarity import cosine_topk_gemm
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -205,7 +268,7 @@ def similarity_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     )
     c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    return cosine_topk_gemm(q.toPandas(), c, k=5)
+    return _fold_rerank(cosine_topk_gemm(q.toPandas(), c, k=5), emb, k=5)
 
 
 @query("similarity_ivf_topk", oracle=None)  # approximate: recall-tested in tests/
@@ -237,7 +300,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf.topk(emb, "vec_id", "embedding", k=5)
 
 
-@query("similarity_topk_gemm_blocked", oracle=None)  # BLAS order: set-equality tested
+@query("similarity_topk_gemm_blocked", oracle=_GEMM_FULL_ORACLE)
 def similarity_topk_gemm_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-matrix GEMM exact top-5 over the FULL query side — the shape
     that removes cosine_topk_gemm's 'query side must fit the driver' limit:
@@ -245,16 +308,21 @@ def similarity_topk_gemm_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     one numpy GEMM, all cells in parallel in a single Spark job — nothing is
     ever collected to the driver. tests/test_similarity.py asserts equality
     with the single-collect result. Grid sizing comes from parquet footer
-    metadata (table_rows), not a count() job — planning is job-free."""
+    metadata (table_rows), not a count() job — planning is job-free.
+
+    Like similarity_topk_gemm: GEMM selects, the sequential fold re-attaches
+    the reported cosines (_fold_rerank), so the full all-pairs result is
+    hash-checked against the brute-force SQL oracle."""
     from gridmr_spark.catalog import table_rows
     from gridmr_spark.operators.similarity import cosine_topk_gemm_blocked
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    return cosine_topk_gemm_blocked(
+    sel = cosine_topk_gemm_blocked(
         q, c, k=5, block_rows=1024, n_rows=table_rows(sf_dir, "embeddings")
     )
+    return _fold_rerank(sel, emb, k=5)
 
 
 # ---------------------------------------------------------------------------
@@ -541,44 +609,77 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ProductQuantizer().topk(emb, "vec_id", "embedding", k=5, query_bound=1000)
 
 
-@query("similarity_pq_persisted", oracle=None)  # equals similarity_pq_topk: fidelity + recall in tests/
+_PERSISTED_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT qid, cid, cosine, rnk FROM (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         {_cos_sql('q.v', 'c.v')} AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_cos_sql('q.v', 'c.v')} DESC, c.vec_id
+         ) AS rnk
+  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 1000
+) t WHERE rnk <= 5
+"""
+
+
+@query("similarity_pq_persisted", oracle=_PERSISTED_ORACLE)
 def similarity_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ search from PERSISTED index artifacts (operators/ann_index.py):
     fit/search separation. Production builds the index nightly (codebook
     fit + full-table encode, the expensive parts) and searches it many
     times; here the first call per sf materializes <scratch>/codebooks.parquet
     + codes.parquet and every search reads ONLY those artifacts plus the
-    raw vectors of the |queries| x shortlist re-rank survivors.
-    tests/test_ann_index.py proves (a) persisted search == the in-memory
-    operator row-for-row (so it inherits the measured recall@5 ~0.97,
-    floor 0.85) and (b) search performs zero fit work (spy). The codes
-    artifact is ~m bytes/vector — the 100 TB-corpus index that fits in
-    cluster RAM."""
+    re-rank survivors' raw vectors. The codes artifact is ~m bytes/vector —
+    the 100 TB-corpus index that fits in cluster RAM.
+
+    EXACT-REGIME parameter point (hash-checked): shortlist = n, so stage 2
+    re-ranks every candidate exactly and the ADC stage only orders the
+    shortlist — the search result is the true top-5 whatever the codebook
+    quality, and with _fold_rerank re-attaching fold cosines it is
+    byte-identical to the brute-force oracle. The full machinery still
+    executes (codes read, LUT gather, shortlist merge). The APPROXIMATE
+    regime (shortlist=96) is similarity_pq_topk's job; fidelity of
+    persisted-vs-in-memory at that regime stays proven in
+    tests/test_ann_index.py, which also proves zero-fit search (spy)."""
     import hashlib as _h
     import os as _os
     import tempfile as _t
 
+    from gridmr_spark.catalog import table_rows
     from gridmr_spark.operators.ann_index import PersistedPQ
 
     emb = load_table(spark, sf_dir, "embeddings")
     key = _h.md5(f"{sf_dir}:pqidx".encode()).hexdigest()[:12]
     path = _os.path.join(_t.gettempdir(), f"gridmr_pqidx_{key}")
-    idx = PersistedPQ()
+    # shortlist is a SEARCH-time knob (build artifacts are regime-free)
+    idx = PersistedPQ(shortlist=max(96, table_rows(sf_dir, "embeddings")))
     if not _os.path.isdir(_os.path.join(path, "codes.parquet")):
         idx.build(emb, "vec_id", "embedding", path)
-    return idx.search(emb, "vec_id", "embedding", path, k=5, query_bound=1000)
+    sel = idx.search(emb, "vec_id", "embedding", path, k=5, query_bound=1000)
+    return _fold_rerank(sel, emb, k=5, q_col="qid", c_col="cid")
 
 
-@query("similarity_ivf_persisted", oracle=None)  # equals similarity_ivf_topk: fidelity in tests/
+_IVF_PERSISTED_ORACLE = _PERSISTED_ORACLE.replace("  WHERE q.vec_id < 1000\n", "")
+
+
+@query("similarity_ivf_persisted", oracle=_IVF_PERSISTED_ORACLE)
 def similarity_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search from PERSISTED artifacts: centroids + cell-partitioned
     postings written once (repartitioned by cell, so each cell's rows are
     contiguous on disk — at scale a probed search reads nprobe file ranges
     instead of re-assigning and re-shuffling the base table), searched
-    with zero fit work. Same sqrt(n) cell sizing as similarity_ivf_topk;
-    fidelity to the in-memory operator is row-exact
-    (tests/test_ann_index.py), inheriting its measured recall ~0.94
-    (floor 0.8)."""
+    with zero fit work.
+
+    EXACT-REGIME parameter point (hash-checked): nprobe = k — every query
+    probes every cell, so coverage is total and the top-5 is exact; with
+    _fold_rerank re-attaching fold cosines the result is byte-identical to
+    the brute-force oracle. nprobe is a SEARCH-time knob — the persisted
+    artifacts are identical to the probed regime's, which remains
+    similarity_ivf_topk's job (same sqrt(n) cell sizing, measured recall
+    ~0.94, floor 0.8); tests/test_ann_index.py keeps proving probed-regime
+    fidelity of persisted-vs-in-memory row-for-row."""
     import hashlib as _h
     import math as _m
     import os as _os
@@ -591,16 +692,17 @@ def similarity_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table_rows(sf_dir, "embeddings")
     k_cells = max(4, _m.ceil(_m.sqrt(max(n, 1))))
     idx = PersistedIVF(
-        k=k_cells, nprobe=max(2, _m.ceil(0.36 * k_cells)), iters=4,
+        k=k_cells, nprobe=k_cells, iters=4,  # nprobe=k: probe every cell
         seed=42, assign_n=2,
     )
     key = _h.md5(f"{sf_dir}:ivfidx".encode()).hexdigest()[:12]
     path = _os.path.join(_t.gettempdir(), f"gridmr_ivfidx_{key}")
     if not _os.path.isdir(_os.path.join(path, "postings.parquet")):
         idx.build(emb, "vec_id", "embedding", path)
-    return idx.search(
+    sel = idx.search(
         spark, emb.select("vec_id", "embedding"), "vec_id", "embedding", path, k=5
     )
+    return _fold_rerank(sel, emb, k=5, q_col="qid", c_col="cid")
 
 
 _JL_IN_DIM, _JL_OUT_DIM = 64, 8
