@@ -60,12 +60,16 @@ def main() -> None:
     if errors:
         record["errors"] = errors
     line = json.dumps(record)
-    # Persist next to the repo root in addition to stdout: the driver's
-    # stdout-tail capture truncates long JSON lines (BENCH_r06.json recorded
-    # ``parsed: null`` because the record outgrew its 2 KB buffer), so the
-    # file is the durable copy of record.
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH_local.json")
+    # Persist in addition to stdout: the driver's stdout-tail capture
+    # truncates long JSON lines (BENCH_r06.json recorded ``parsed: null``
+    # because the record outgrew its 2 KB buffer), so the file is the
+    # durable copy of record. Default is the TRACKED repo-root
+    # BENCH_local.json (committed alongside BASELINE.md §C re-stamps, per
+    # its protocol); set SPARK_GRAFT_BENCH_OUT to write elsewhere for
+    # scratch runs that shouldn't touch the committed record.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
+    )
     with open(out_path, "w") as fh:
         fh.write(line + "\n")
     print(line)

@@ -146,6 +146,14 @@ def submit_job(remote_url: str, **form) -> dict:
     from gridmr_spark.operators.text import word_count
 
     ignored = dict(req.ignored)
+    # desired_maps is a PER-JOB hint but spark.conf is SESSION state (the
+    # Connect session is getOrCreate'd and shared): capture the prior split
+    # size and restore it in a finally so a later submit without
+    # desired_maps — or any other workload on the same session — doesn't
+    # silently inherit this job's split size.
+    _MPB = "spark.sql.files.maxPartitionBytes"
+    prior_mpb: str | None = None
+    mpb_set = False
     if req.desired_maps is not None:
         # The reference's desired_maps picks the map-task count; Spark's
         # lever is the split size. Derive it from the total input bytes
@@ -155,16 +163,30 @@ def submit_job(remote_url: str, **form) -> dict:
         total = _local_input_bytes(req.input_uris)
         if total is not None and total > 0:
             per_split = max(4 * 1024 * 1024, -(-total // req.desired_maps))
-            spark.conf.set("spark.sql.files.maxPartitionBytes", str(per_split))
+            try:
+                prior_mpb = spark.conf.get(_MPB)
+            except Exception:
+                prior_mpb = None
+            spark.conf.set(_MPB, str(per_split))
+            mpb_set = True
         else:
             ignored["desired_maps"] = req.desired_maps
 
-    text = sources.read_text(spark, ",".join(req.input_uris))
-    counts = word_count(text.withColumnRenamed("value", "text"))
-    out = counts.select(
-        F.concat_ws("\t", F.col("word"), F.col("cnt").cast("string")).alias("value")
-    ).repartition(req.n_reducers)
-    out.write.mode("overwrite").text(req.output_uri)
+    try:
+        text = sources.read_text(spark, ",".join(req.input_uris))
+        counts = word_count(text.withColumnRenamed("value", "text"))
+        out = counts.select(
+            F.concat_ws("\t", F.col("word"), F.col("cnt").cast("string")).alias(
+                "value"
+            )
+        ).repartition(req.n_reducers)
+        out.write.mode("overwrite").text(req.output_uri)
+    finally:
+        if mpb_set:
+            if prior_mpb is None:
+                spark.conf.unset(_MPB)
+            else:
+                spark.conf.set(_MPB, prior_mpb)
     return {
         "job_id": spark.conf.get("spark.app.id", "connect-session"),
         "status": "completed",

@@ -116,6 +116,13 @@ def zonemap_pruned_read(
 
     stats = spark.read.parquet(path + "/zonestats")
     n_total = stats.count()
+    if n_total == 0:
+        # A zone map over ZERO files has no footer to probe for the data
+        # schema — that's a broken/empty layout, not a selective predicate.
+        raise ValueError(
+            f"zone map at {path}/zonestats lists no files; "
+            "build it with zonemap_write() before reading"
+        )
     hit = [
         r["file"]
         for r in stats.where((F.col("zmin") <= hi) & (F.col("zmax") >= lo)).collect()

@@ -50,28 +50,44 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # here explicitly and served first; long-green queries re-verify with
 # whatever budget remains. Update per round as rows come back green.
 _DRIVER_PRIORITY: list[str] = [
-    # --- round-7 priority (driver budget ~50; first rows first) ---
-    # (a) the ONLY two registered queries with no driver row in any round
-    # (they postdate the round-6 correctness run; local oracle parity green):
-    "multimodal_image_ahash_dedup", "udtf_partitioned_topk",
-    # (b) round-7 additions register below as they land; freshly-oracled
-    # exact-regime variants of former no_oracle queries next so the driver
-    # records their first hash rows.
-    # (c) freshness rotation: the 14 queries whose latest green driver row
-    # is ROUND 2 (VERDICT r6 §Next-2) — oldest evidence first.
-    "udaf_apply_in_pandas", "udtf_tokenize", "window_topk_per_group",
-    "window_ranks", "window_frames", "topk_global", "source_csv_roundtrip",
-    "source_json_roundtrip", "window_ntile_nav", "sql_api_revenue",
-    "source_partition_pruning", "source_orc_roundtrip", "text_pii_redact",
-    "text_top_token_share",
-    # (d) next-oldest (round 3) with remaining budget, heaviest-reworked
-    # families first.
-    "join_asof", "join_asof_tolerance", "join_range_band",
-    "join_semi", "join_anti", "filter_project",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "agg_grouping_sets", "agg_cube", "agg_rollup",
-    "set_ops", "set_ops_all",
-    # r4/r5/r6-green queries follow in registration order with whatever
+    # --- round-8 priority (driver budget ~50; first rows first) ---
+    # (a) the four queries that gained exact-regime oracles in round 7 but
+    # whose driver rows are still stale no_oracle (r3-r6) — VERDICT r7
+    # item 1: their first hash rows are this round's top evidence goal.
+    "similarity_topk_gemm", "similarity_topk_gemm_blocked",
+    "similarity_pq_persisted", "similarity_ivf_persisted",
+    # (b) round-8 additions (first driver rows ever):
+    "text_html_extract", "pipeline_warc_to_docs", "text_html_links",
+    # (c) freshness rotation: the 39 queries whose latest green driver row
+    # is ROUND 3 (CORRECTNESS_r03 aggregation) — oldest evidence first.
+    "dedup_contamination_check", "dedup_incremental_minhash", "dedup_simhash",
+    "join_asof_forward", "join_full_outer", "join_null_safe",
+    "join_salted_skew", "layout_compact_files", "map_funcs",
+    "merge_scd2_history", "multimodal_decode", "multimodal_resize",
+    "pipeline_domain_caps", "pipeline_token_batching", "q11_important_values",
+    "q13_order_distribution", "q15_top_supplier", "q16_supplier_counts",
+    "q17_small_quantity", "q19_disjunctive_brackets",
+    "q20_part_family_shippers", "q21_waiting_suppliers",
+    "q2_min_cost_supplier", "q6_forecast_revenue", "q7_nation_volume",
+    "q8_market_share", "q9_product_profit", "source_schema_evolution",
+    "stream_dedup_exact", "stream_interval_join", "stream_static_enrich",
+    "text_chunk_windows", "text_corpus_freq_score", "text_repetition_filters",
+    "text_tfidf_topterms", "try_funcs", "vector_quantize_int8",
+    "window_lag_lead", "window_time_range",
+    # (d) next-oldest (round 4) with whatever budget remains.
+    "agg_distinct", "agg_equidepth_histogram", "agg_moments",
+    "conditional_funcs", "dedup_containment_pairs", "dedup_exact_digest",
+    "dedup_paragraphs", "ds_channel_compare", "ds_customer_ltv_window",
+    "ds_date_star", "ds_returns_anti", "ds_store_sales_rollup",
+    "ds_time_band_counts", "graph_pagerank", "join_range_bucketed",
+    "join_star_revenue", "json_funcs", "merge_cdc_with_deletes",
+    "merge_scd2_asof_lookup", "multimodal_arrow_byte_stats",
+    "multimodal_audio_energy", "sample_importance_weighted",
+    "source_dynamic_partition_pruning", "source_python_datasource",
+    "stream_session_10m", "stream_sliding_1h_30m", "stream_stateful_totals",
+    "stream_tumbling_1h", "text_token_entropy", "udtf_analyze_firstk",
+    "window_value_range",
+    # r5/r6/r7-green queries follow in registration order with whatever
     # budget remains.
 ]
 

@@ -175,7 +175,16 @@ def _fold_rerank(
     candidate), the output is byte-identical to the brute-force SQL oracle
     — which is what turns those paths from rows-only into hash-checked.
     Cost: |sel| = |queries|*k rows join back twice — broadcast-hinted, a
-    rounding error against the selection scan at any scale."""
+    rounding error against the selection scan at any scale.
+
+    Tie stability: callers pass SLACK — the fast path selects k+slack
+    candidates (top-8 for k=5) and this fold re-rank keeps the true top-k
+    of them, so a ulp-level near-tie at the k boundary (where BLAS order
+    and fold order can disagree about which of two ~equal cosines is
+    larger) is resolved by the FOLD scores the oracle also uses, not by
+    whichever candidate the BLAS build happened to rank k-th. A
+    disagreement would have to span more than `slack` rank positions to
+    change the output — impossible for last-ulp summation differences."""
     from gridmr_spark.operators.similarity import _dot, with_norm
 
     eq = with_norm(
@@ -268,7 +277,8 @@ def similarity_topk_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     )
     c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    return _fold_rerank(cosine_topk_gemm(q.toPandas(), c, k=5), emb, k=5)
+    # k+3 slack: boundary ties resolved by fold scores (see _fold_rerank)
+    return _fold_rerank(cosine_topk_gemm(q.toPandas(), c, k=8), emb, k=5)
 
 
 @query("similarity_ivf_topk", oracle=None)  # approximate: recall-tested in tests/
@@ -320,7 +330,8 @@ def similarity_topk_gemm_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
     sel = cosine_topk_gemm_blocked(
-        q, c, k=5, block_rows=1024, n_rows=table_rows(sf_dir, "embeddings")
+        # k+3 slack: boundary ties resolved by fold scores (see _fold_rerank)
+        q, c, k=8, block_rows=1024, n_rows=table_rows(sf_dir, "embeddings")
     )
     return _fold_rerank(sel, emb, k=5)
 
@@ -657,7 +668,8 @@ def similarity_pq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = PersistedPQ(shortlist=max(96, table_rows(sf_dir, "embeddings")))
     if not _os.path.isdir(_os.path.join(path, "codes.parquet")):
         idx.build(emb, "vec_id", "embedding", path)
-    sel = idx.search(emb, "vec_id", "embedding", path, k=5, query_bound=1000)
+    # k+3 slack: boundary ties resolved by fold scores (see _fold_rerank)
+    sel = idx.search(emb, "vec_id", "embedding", path, k=8, query_bound=1000)
     return _fold_rerank(sel, emb, k=5, q_col="qid", c_col="cid")
 
 
@@ -700,7 +712,8 @@ def similarity_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not _os.path.isdir(_os.path.join(path, "postings.parquet")):
         idx.build(emb, "vec_id", "embedding", path)
     sel = idx.search(
-        spark, emb.select("vec_id", "embedding"), "vec_id", "embedding", path, k=5
+        # k+3 slack: boundary ties resolved by fold scores (see _fold_rerank)
+        spark, emb.select("vec_id", "embedding"), "vec_id", "embedding", path, k=8
     )
     return _fold_rerank(sel, emb, k=5, q_col="qid", c_col="cid")
 

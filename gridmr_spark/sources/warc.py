@@ -50,6 +50,7 @@ import glob as _glob
 import gzip
 import hashlib
 import os
+import time
 import uuid
 
 from pyspark.sql.datasource import (
@@ -303,7 +304,16 @@ class WarcWriter(DataSourceWriter):
         # (speculation / retry where both attempts rename their
         # uniquely-named part files) can't leave an orphan .warc that
         # readers would see as duplicate records.
-        self.job_prefix = f"job-{uuid.uuid4().hex[:12]}"
+        # Monotonic prefix (zero-padded epoch-millis + random tail): the
+        # stream reader's offset is the lexicographic max file name, so a
+        # later append job's files MUST sort after every existing file —
+        # a purely random prefix would land below the checkpointed
+        # high-water ~50% of the time and the stream would silently skip
+        # the whole job. 15 digits of millis keeps the ordering until year
+        # ~33658; the uuid tail disambiguates two jobs in the same ms.
+        self.job_prefix = (
+            f"job-{int(time.time() * 1000):015d}-{uuid.uuid4().hex[:8]}"
+        )
 
     def write(self, iterator):
         from pyspark import TaskContext

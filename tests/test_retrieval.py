@@ -200,3 +200,20 @@ def test_zonemap_prunes_files(spark, sf_smoke):
     assert (n_hit0, n_total0) == (0, 16)
     assert df0.count() == 0
     assert df0.schema == df.schema
+
+
+def test_zonemap_empty_stats_raises(spark, tmp_path):
+    """A zone map listing ZERO files is a broken layout: the pruned read
+    must fail with a clear error, not a TypeError from probing a file
+    that isn't there (round-7 advice)."""
+    import pytest as _pytest
+
+    from gridmr_spark.operators.layout import zonemap_pruned_read
+
+    path = str(tmp_path / "emptyzm")
+    stats_schema = "file string, zmin double, zmax double"
+    spark.createDataFrame([], stats_schema).write.mode("overwrite").parquet(
+        path + "/zonestats"
+    )
+    with _pytest.raises(ValueError, match="no files"):
+        zonemap_pruned_read(spark, path, "x", 0.0, 1.0)

@@ -293,3 +293,34 @@ def test_append_commit_reconciles_duplicate_attempt_orphans(spark, tmp_path):
     assert left == files  # orphan gone, both committed files intact
     got = spark.read.format("warc").load(out)
     assert got.count() == 2  # no duplicated records visible to readers
+
+
+def test_append_jobs_keep_stream_high_water_monotonic(spark, tmp_path):
+    """The stream reader's offset is the lexicographic MAX file name, so a
+    later append job's part files must sort AFTER every file already in
+    the directory — the writer's epoch-millis job prefix guarantees it
+    (round-7 advice: a purely random prefix broke the advertised
+    writer->stream pairing ~50% of the time)."""
+    from pyspark.sql import Row
+
+    W.register(spark)
+    out = str(tmp_path / "mono")
+    df = spark.createDataFrame(
+        [Row(target_uri="http://m/1", payload=bytearray(b"x"))]
+    )
+    seen: list[str] = []
+    for _ in range(4):
+        df.coalesce(1).write.format("warc").mode("append").save(out)
+        files = sorted(f for f in os.listdir(out) if f.endswith(".warc"))
+        new = [f for f in files if f not in seen]
+        assert len(new) == 1
+        # every file of the new job sorts above the prior high-water mark
+        if seen:
+            assert min(new) > max(seen), (new, seen)
+        seen = files
+    # and the stream contract itself: reading from the high-water offset of
+    # job N-1 yields exactly job N's file
+    reader = W.WarcStreamReader({"path": out, "chunk_mb": "64"})
+    parts = reader.partitions({"upto": sorted(seen)[-2]}, {"upto": sorted(seen)[-1]})
+    got_files = {os.path.basename(p.path) for p in parts if p.path}
+    assert got_files == {sorted(seen)[-1]}
