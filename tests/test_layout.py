@@ -62,3 +62,51 @@ def test_zorder_write_clusters_both_dims(spark, sf_oracle, tmp_path):
     assert by_span_z < 0.7 * by_span_x
     # ...while x stays clustered well below the unsorted full span
     assert bx_span_z < 0.7 * full
+
+
+def test_zonemap_pruned_files_never_opened_sf1(spark, tmp_path):
+    """Round-6/7 carried item: PROOF that pruning skips file OPENS, not
+    just rows, at the sf1 scale tier. Method: build the zone map over sf1
+    orders (~1.5M rows), then replace every NON-hit data file on disk
+    with garbage bytes — if the pruned read planned, footer-probed, or
+    scanned any pruned file it would crash; instead it must return the
+    exact answer computed from the original table."""
+    import os
+
+    import pytest as _pytest
+
+    from gridmr_spark.operators.layout import (
+        zonemap_pruned_read,
+        zonemap_write,
+    )
+
+    sf1 = "/root/repo/.scale/sf1"
+    if not os.path.exists(os.path.join(sf1, "orders.parquet")):
+        _pytest.skip("sf1 tiled dataset not generated (tools/gen_scale.py)")
+    orders = spark.read.parquet(os.path.join(sf1, "orders.parquet")).select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    path = str(tmp_path / "zm_sf1")
+    zonemap_write(orders, path, "o_totalprice", n_files=32)
+
+    lo, hi = 400000.0, 420000.0
+    stats = spark.read.parquet(path + "/zonestats").collect()
+    hit = {
+        r["file"] for r in stats if r["zmin"] <= hi and r["zmax"] >= lo
+    }
+    assert 1 <= len(hit) <= 6 < len(stats)  # pruning is real at this SF
+    for r in stats:
+        if r["file"] not in hit:
+            local = r["file"].replace("file://", "").replace("file:", "")
+            with open(local, "wb") as fh:
+                fh.write(b"NOT A PARQUET FILE")  # poison pruned files
+
+    df, n_hit, n_total = zonemap_pruned_read(spark, path, "o_totalprice", lo, hi)
+    assert (n_hit, n_total) == (len(hit), len(stats))
+    want = orders.where(
+        (F.col("o_totalprice") >= lo) & (F.col("o_totalprice") <= hi)
+    )
+    assert df.count() == want.count()
+    got = {r["o_orderkey"] for r in df.collect()}
+    exp = {r["o_orderkey"] for r in want.collect()}
+    assert got == exp  # exact answer despite every pruned file being garbage

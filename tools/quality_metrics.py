@@ -65,15 +65,19 @@ def main() -> None:
         "value": round(recall(pairs(reg["similarity_pq_topk"].fn(spark, sf_dir), "qid", "cid"), exact_lt1000), 4),
     }
 
-    # Persisted-index twins (round 6): search from on-disk artifacts is
-    # row-exact to the in-memory operators (tests/test_ann_index.py), so
-    # these recalls must match similarity_pq_topk / similarity_ivf_topk.
+    # Persisted-index twins: since round 7 the REGISTERED queries run the
+    # EXACT-REGIME parameter point (pq shortlist=n, ivf nprobe=k) and are
+    # hash-checked against the brute-force oracle — so these recalls must
+    # measure exactly 1.0, same canary contract as the GEMM rows. The
+    # approximate-regime quality lives in the similarity_pq_topk /
+    # similarity_ivf_topk rows (and tests/test_ann_index.py proves
+    # persisted==in-memory row-for-row at that regime).
     out["similarity_pq_persisted"] = {
-        "metric": "recall@5 vs exact",
+        "metric": "recall@5, exact regime (must be 1.0)",
         "value": round(recall(pairs(reg["similarity_pq_persisted"].fn(spark, sf_dir), "qid", "cid"), exact_lt1000), 4),
     }
     out["similarity_ivf_persisted"] = {
-        "metric": "recall@5 vs exact",
+        "metric": "recall@5, exact regime (must be 1.0)",
         "value": round(recall(pairs(reg["similarity_ivf_persisted"].fn(spark, sf_dir), "qid", "cid"), exact_all), 4),
     }
 
@@ -114,6 +118,94 @@ def main() -> None:
         for r in reg["agg_hll_mergeable"].fn(spark, sf_dir).collect()
     ]
     out["agg_hll_mergeable"] = {"metric": "max relative error vs exact (incl. merged ALL)", "value": round(max(errs), 4)}
+
+    # ---- Sketch-family accuracy rows (round 8): these queries are
+    # hash-oracled (the oracle replays the sketch deterministically), so
+    # the hash gate proves REPRODUCIBILITY; the rows below measure the
+    # other axis — how close the sketch's ESTIMATE is to ground truth.
+
+    # KMV: the registered query runs the exact regime at test SFs (k=64 >
+    # |vocab|=31, and every language shares the SAME 31-token vocabulary,
+    # so document-derived Jaccards are all trivially 1.0 — no estimator
+    # error is exercisable from this data at any k). The estimator itself
+    # is therefore measured on synthetic sets with CONTROLLED overlap:
+    # 400-element universes at true Jaccard 0.1..0.9, the query's own
+    # 60-bit md5 hash, k=64 — max |estimate - truth| across overlaps.
+    import hashlib as _hl
+    import itertools as _it
+
+    def _h60(tok: str) -> int:
+        return int(_hl.md5(tok.encode()).hexdigest()[:15], 16)
+
+    KQ, N = 64, 400
+    errs = []
+    for tenth in range(1, 10):
+        # |A|=|B|=N, |A&B| chosen so J = inter/(2N-inter) = tenth/10
+        inter = int(round(2 * N * tenth / (10 + tenth)))
+        sa = {f"s{i}" for i in range(N)}
+        sb = {f"s{i}" for i in range(inter)} | {f"u{tenth}_{i}" for i in range(N - inter)}
+        exact_j = len(sa & sb) / len(sa | sb)
+        ka = sorted(_h60(t) for t in sa)[:KQ]
+        kb = sorted(_h60(t) for t in sb)[:KQ]
+        un = sorted(set(ka) | set(kb))[:KQ]
+        isect = set(ka) & set(kb)
+        est_j = len([h for h in un if h in isect]) / len(un)
+        errs.append(abs(est_j - exact_j))
+    out["sketch_kmv_overlap"] = {
+        "metric": f"max |Jaccard est - truth|, synthetic sets n={N} J=0.1..0.9 at k={KQ} "
+        "(registered query is exact-regime on test data: shared 31-token vocab)",
+        "value": round(max(errs), 4),
+    }
+
+    # JL projection: distance-distortion of the registered 64->8
+    # Rademacher projection over a bounded pair sample. For entries ±1,
+    # E||Pv||^2 = out_dim * ||v||^2, so the scaled squared-distance ratio
+    # concentrates at 1; report median and p90 |ratio - 1|.
+    proj = {
+        r.vec_id: [r[f"p{j}"] for j in range(8)]
+        for r in reg["vector_jl_projection"].fn(spark, sf_dir).where(F.col("vec_id") < 100).collect()
+    }
+    orig = {
+        r.vec_id: list(r.v)
+        for r in emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .where(F.col("vec_id") < 100).collect()
+    }
+    ratios = []
+    ids = sorted(orig)
+    for a, b in _it.combinations(ids, 2):
+        d_o = sum((x - y) ** 2 for x, y in zip(orig[a], orig[b]))
+        d_p = sum((x - y) ** 2 for x, y in zip(proj[a], proj[b]))
+        if d_o > 0:
+            ratios.append(abs(d_p / (8.0 * d_o) - 1.0))
+    ratios.sort()
+    out["vector_jl_projection"] = {
+        "metric": "pairwise sq-distance distortion |ratio-1| (median / p90), 4950 pairs",
+        "value": [round(ratios[len(ratios) // 2], 4), round(ratios[int(len(ratios) * 0.9)], 4)],
+    }
+
+    # aHash dedup: cluster precision/recall vs ground-truth EXACT image
+    # duplicates (identical source bytes => identical PNG => identical
+    # pixels). Recall must be 1.0 (equal pixels hash equal); precision
+    # measures perceptual-collision rate of the 64-bit hash at 16x16.
+    from gridmr_spark.operators.multimodal import encode_png_media, image_ahash
+
+    hashed = image_ahash(encode_png_media(docs.select("doc_id", "text"), "doc_id", "text", width=16))
+    hrows = hashed.join(docs.select("doc_id", F.md5("text").alias("tmd5")), "doc_id").collect()
+    from collections import Counter
+
+    by_hash = Counter((r.ahash_hi, r.ahash_lo) for r in hrows)
+    by_true = Counter(r.tmd5 for r in hrows)
+    by_joint = Counter(((r.ahash_hi, r.ahash_lo), r.tmd5) for r in hrows)
+    p_hash = sum(n * (n - 1) // 2 for n in by_hash.values())
+    p_true = sum(n * (n - 1) // 2 for n in by_true.values())
+    p_joint = sum(n * (n - 1) // 2 for n in by_joint.values())
+    out["multimodal_image_ahash_dedup"] = {
+        "metric": "pairwise precision / recall vs exact-duplicate images",
+        "value": [
+            round(p_joint / p_hash, 4) if p_hash else 1.0,
+            round(p_joint / p_true, 4) if p_true else 1.0,
+        ],
+    }
 
     print(json.dumps(out, indent=2))
 
