@@ -96,6 +96,7 @@ def load_all() -> dict[str, Query]:
     """Import every query module (idempotent) and return the registry,
     reordered so _DRIVER_PRIORITY names come first (see above)."""
     from gridmr_spark.queries import (  # noqa: F401
+        crawl,
         html_pipeline,
         more_funcs,
         quality,
