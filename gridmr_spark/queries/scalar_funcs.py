@@ -13,7 +13,7 @@ the 100 TB posture, where reproducibility = debuggability):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gridmr_spark.catalog import load_table
@@ -615,4 +615,91 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """,
         args={"status": "F", "cutoff": "1994-01-01"},
+    )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT type (Spark 4's semi-structured flagship) over a synthesized payload
+# ---------------------------------------------------------------------------
+
+# One deterministic nested-JSON template rendered by both engines from
+# integer/string event fields only (no doubles: float-to-string formatting
+# is engine-specific and has no place in a hash-compared fixture). Fields:
+# event_type (string), id_str / n_str (stringified ints).
+_VARIANT_TEMPLATE: list[tuple[str, str]] = [
+    ("lit", '{"meta":{"type":"'),
+    ("field", "event_type"),
+    ("lit", '","id":'),
+    ("field", "id_str"),
+    ("lit", '},"n":'),
+    ("field", "n_str"),
+    ("lit", ',"tags":["a","'),
+    ("field", "event_type"),
+    ("lit", '"]}'),
+]
+
+
+def _variant_json_spark() -> Column:
+    fields = {
+        "event_type": F.col("event_type"),
+        "id_str": F.col("event_id").cast("string"),
+        "n_str": (F.col("event_id") % 7).cast("string"),
+    }
+    return F.concat(
+        *[F.lit(v) if k == "lit" else fields[v] for k, v in _VARIANT_TEMPLATE]
+    )
+
+
+def _variant_json_sql() -> str:
+    fields = {
+        "event_type": "event_type",
+        "id_str": "CAST(event_id AS VARCHAR)",
+        "n_str": "CAST(event_id % 7 AS VARCHAR)",
+    }
+    return " || ".join(
+        "'" + v.replace("'", "''") + "'" if k == "lit" else fields[v]
+        for k, v in _VARIANT_TEMPLATE
+    )
+
+
+_VARIANT_ORACLE = f"""
+WITH j AS (SELECT event_id, {_variant_json_sql()} AS doc FROM events
+           WHERE event_id < 2000)
+SELECT event_id,
+       json_extract_string(doc, '$.meta.type') AS meta_type,
+       CAST(json_extract(doc, '$.meta.id') AS BIGINT) AS meta_id,
+       CAST(json_extract(doc, '$.n') AS BIGINT) AS n_val,
+       json_extract_string(doc, '$.tags[1]') AS tag2,
+       CAST(json_extract(doc, '$.absent') AS BIGINT) AS absent,
+       CAST(json_extract(doc, '$.n') AS BIGINT) AS rt_n
+FROM j
+"""
+
+
+@query("variant_funcs", oracle=_VARIANT_ORACLE)
+def variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT — Spark 4's open-ended semi-structured type: parse_json into
+    a binary variant, path-extract with variant_get (typed), tolerant
+    extraction with try_variant_get (missing path -> NULL, no error), and
+    a to_json round trip re-extracted with get_json_object to prove the
+    variant encoding preserves values. Unlike get_json_object (re-parses
+    the string per extraction), a VARIANT column parses ONCE at ingest and
+    every downstream extraction reads the binary encoding — the schema-on-
+    read shape a 100 TB semi-structured lake wants. The oracle replays the
+    same paths with DuckDB's JSON extractors over the same synthesized
+    payload (shared template, integer/string fields only)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    v = ev.select(
+        "event_id", F.parse_json(_variant_json_spark()).alias("v")
+    )
+    return v.select(
+        "event_id",
+        F.variant_get("v", "$.meta.type", "string").alias("meta_type"),
+        F.variant_get("v", "$.meta.id", "bigint").alias("meta_id"),
+        F.variant_get("v", "$.n", "bigint").alias("n_val"),
+        F.variant_get("v", "$.tags[1]", "string").alias("tag2"),
+        F.try_variant_get("v", "$.absent", "bigint").alias("absent"),
+        F.get_json_object(F.to_json(F.col("v")), "$.n")
+        .cast("bigint")
+        .alias("rt_n"),
     )

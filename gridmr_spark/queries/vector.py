@@ -835,3 +835,90 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = dist.union(new).localCheckpoint()
         frontier = new
     return dist
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via cluster-bounded cosine pruning
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.35  # fixture threshold; production near-dup regime ~0.95
+
+_SEMDEDUP_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, cell, v FROM (
+    SELECT e.vec_id, c.cell, e.v,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.cell
+           ) AS rnk
+    FROM e CROSS JOIN c) t WHERE rnk = 1
+),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_cos_sql('a.v', 'b.v')} >= {_SEMDEDUP_TAU}
+)
+SELECT a.vec_id, a.cell,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+FROM assign a LEFT JOIN dup d ON a.vec_id = d.vec_id
+"""
+
+
+@query("dedup_semdedup", oracle=_SEMDEDUP_ORACLE)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    clustering embeddings, then pruning within-cluster pairs above a
+    cosine threshold — near-duplicate MEANING, which MinHash/SimHash
+    (surface text) cannot see. Assignment reuses the kmeans-assign shape
+    (centroids broadcast, max-cosine via a k-row window); candidate pairs
+    are a self-equi-join ON THE CELL, so no cross-cluster pair is ever
+    generated — that bounding is the paper's entire point. Keeps the
+    min-id member of each close pair (deterministic stand-in for the
+    paper's keep-farthest-from-centroid rule, which needs no tie policy).
+    Scale: with k clusters of bounded size c, pair volume is n*c (linear
+    in n for fixed c) — production scales k ~ n/c and the per-cell work
+    becomes the IVF cogroup-GEMM (operators/ann_index.py); the fixture
+    pins k=8 seed centroids so the oracle can name the same cells. The
+    fixture tau (0.35) exercises the prune path on the synthetic table's
+    cosine range (max within-cell cosine 0.49, no true near-dups);
+    production uses ~0.95. All cosines are the sequential double fold —
+    bit-identical between engines, so the >= tau boundary is exact."""
+    from gridmr_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cell",
+        "embedding",
+        cosine_similarity(F.col("embedding"), F.col("cv")).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
+    assign = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("vec_id", "cell", "embedding")
+    )
+    a = assign.select(
+        F.col("vec_id").alias("aid"), "cell", F.col("embedding").alias("av")
+    )
+    b = assign.select(
+        F.col("vec_id").alias("bid"), "cell", F.col("embedding").alias("bv")
+    )
+    dup = (
+        a.join(b, "cell")
+        .where(F.col("aid") < F.col("bid"))
+        .where(cosine_similarity(F.col("av"), F.col("bv")) >= _SEMDEDUP_TAU)
+        .select(F.col("bid").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return assign.join(dup, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        F.when(F.col("is_dup").isNull(), 1).otherwise(0).cast("int").alias("kept"),
+    )
