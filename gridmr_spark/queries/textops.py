@@ -2187,3 +2187,63 @@ def multimodal_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_images"),
         F.min("doc_id").alias("rep_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture sampling (pretraining data mixing)
+# ---------------------------------------------------------------------------
+
+_TEMP_K = 4  # cap multiplier: per-shard quota = floor(K * sqrt(n_shard))
+
+_TEMP_MIX_ORACLE = f"""
+WITH sized AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(FLOOR({_TEMP_K} * sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT)
+           AS quota
+  FROM documents GROUP BY lang
+),
+ranked AS (
+  SELECT d.doc_id, d.lang, s.n_docs, s.quota,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.lang
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+         ) AS rn
+  FROM documents d JOIN sized s USING (lang)
+)
+SELECT doc_id, lang, n_docs, quota
+FROM ranked WHERE rn <= quota
+"""
+
+
+@query("sample_temperature_mixture", oracle=_TEMP_MIX_ORACLE)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture sampling — the pretraining data-mixing
+    step that downweights head domains so tail domains survive: each lang
+    shard keeps at most floor(K * n^alpha) docs (alpha=0.5 here), so the
+    218-doc head keeps ~27% while the 64-doc tail keeps ~50% — the
+    sqrt-temperature curve of multilingual-pretraining practice. Selection
+    within a shard is md5-ordered (the repo's engine-portable
+    pseudo-randomness: deterministic, reproducible, oracle-checkable; a
+    re-run samples the SAME rows so downstream caches stay valid). The
+    quota is a per-shard monomial — no cross-shard normalization — so
+    every number is engine-exact (sqrt is IEEE correctly-rounded, floor is
+    integer); the proportional-renormalization variant is one broadcast
+    multiply away and changes nothing structural. Plan: one count agg,
+    one broadcast join of shard sizes, one per-shard window — shuffles on
+    lang only."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+    ).withColumn(
+        "quota",
+        F.floor(_TEMP_K * F.sqrt(F.col("n_docs").cast("double"))).cast("bigint"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.join(F.broadcast(sized), "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "lang", "n_docs", "quota")
+    )

@@ -922,3 +922,64 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell",
         F.when(F.col("is_dup").isNull(), 1).otherwise(0).cast("int").alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data prep)
+# ---------------------------------------------------------------------------
+
+_HARDNEG_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+           FROM embeddings)
+SELECT anchor_id, negative_id, neg_label, cosine, rnk FROM (
+  SELECT a.vec_id AS anchor_id, n.vec_id AS negative_id,
+         n.label AS neg_label,
+         {_cos_sql('a.v', 'n.v')} AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY {_cos_sql('a.v', 'n.v')} DESC, n.vec_id
+         ) AS rnk
+  FROM e a JOIN e n ON a.label <> n.label
+  WHERE a.vec_id < 10
+) t WHERE rnk <= 5
+"""
+
+
+@query("similarity_hard_negatives", oracle=_HARDNEG_ORACLE)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: for each anchor, the top-5 most-similar
+    vectors with a DIFFERENT label — the negatives that sit closest to
+    the decision boundary, which contrastive/embedding training pairs
+    with each anchor (easy random negatives teach nothing). Same scan
+    shape as similarity_topk (anchors broadcast, corpus scanned once,
+    per-anchor k-row window) plus the label-mismatch predicate; at 100 TB
+    the scan is the ANN shortlist instead (similarity_ivf_topk) with the
+    label filter applied to the shortlist — mining is a top-k variant,
+    not a new plan family. Cosines are the sequential double fold, so the
+    oracle hash-compares them bit-for-bit."""
+    from gridmr_spark.functions.vectors import cosine_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("av"),
+        F.col("label").alias("a_label"),
+    )
+    scored = (
+        emb.join(F.broadcast(anchors), F.col("label") != F.col("a_label"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("neg_label"),
+            cosine_similarity(F.col("av"), F.col("embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("anchor_id", "negative_id", "neg_label", "cosine",
+                F.col("rnk").cast("bigint").alias("rnk"))
+    )
