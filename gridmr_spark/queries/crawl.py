@@ -110,3 +110,24 @@ def crawl_host_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fetch_batch"),
     )
+
+
+_FRONTIER_ORACLE = f"""
+WITH raw AS (SELECT {U.synth_url_sql('event_id')} AS raw_url FROM events)
+SELECT DISTINCT {U.canonical_url_sql('raw_url')} AS canonical_url FROM raw
+"""
+
+
+@query("stream_url_frontier", oracle=_FRONTIER_ORACLE)
+def stream_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl frontier as a stream operator (batch mode of
+    streaming/windows.url_frontier_dedup): canonicalize each discovered
+    URL and emit it once, with dedup state bounded by the watermark
+    horizon in streaming mode — the only exact URL gate that survives an
+    unbounded link stream. Stream==batch equality is asserted in
+    tests/test_streaming.py; here the builder runs over the events table
+    (event_id -> fixture URL, ts as discovery time) so DuckDB can replay
+    the canonical-distinct set."""
+    from gridmr_spark.streaming.windows import url_frontier_dedup
+
+    return url_frontier_dedup(load_table(spark, sf_dir, "events"))

@@ -181,6 +181,34 @@ def dedup_within_watermark(
     return events.select(*cols).dropDuplicates()
 
 
+def url_frontier_dedup(events: DataFrame, delay: str = "2 hours") -> DataFrame:
+    """Streaming crawl frontier: canonicalize discovered URLs
+    (operators/urls.py — a stateless per-row expression fold, so it runs
+    unchanged in a micro-batch) and emit each canonical URL once, with
+    dedup state bounded by the watermark horizon. This is the stream form
+    of crawl_url_canonical_dedup's gate: a crawler's link stream is
+    unbounded, so only horizon-bounded state survives — a URL re-discovered
+    after the horizon re-emits (a re-fetch, the crawl-recency trade every
+    frontier makes).
+
+    The URL column is the deterministic fixture derived from event_id; in
+    batch mode the builder degrades to DISTINCT over the bounded input —
+    stream==batch asserted in tests/test_streaming.py."""
+    from gridmr_spark.operators import urls as U
+
+    urls = events.select(
+        "ts",
+        U.canonical_url(U.synth_url(F.col("event_id"))).alias("canonical_url"),
+    )
+    if events.isStreaming:
+        return (
+            urls.withWatermark("ts", delay)
+            .dropDuplicatesWithinWatermark(["canonical_url"])
+            .select("canonical_url")
+        )
+    return urls.select("canonical_url").dropDuplicates()
+
+
 def running_user_totals_stateful(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState: a
     per-user running (count, sum) emitted after every micro-batch — the

@@ -305,3 +305,20 @@ def test_stream_stream_left_join_matches_batch(spark, sf_oracle):
     assert all(p is None and c not in finalized for c, p in pending), pending
     # the outer tail is non-trivial: some clicks really had no purchase
     assert any(p is None for _, p in got)
+
+
+def test_stream_url_frontier_equals_batch(spark, sf_oracle):
+    """The streaming crawl frontier (canonicalize + dropDuplicatesWithin-
+    Watermark) must emit exactly the batch DISTINCT canonical set when the
+    whole input replays within the horizon."""
+    from gridmr_spark.streaming.windows import url_frontier_dedup
+
+    batch = url_frontier_dedup(load_table(spark, sf_oracle, "events"))
+    stream = url_frontier_dedup(
+        read_events_stream(spark, sf_oracle), delay="365 days"
+    )
+    out = run_stream_to_memory(spark, stream, "t_frontier", output_mode="append")
+    assert _as_sorted_rows(out, ["canonical_url"]) == _as_sorted_rows(
+        batch, ["canonical_url"]
+    )
+    assert batch.count() > 0
