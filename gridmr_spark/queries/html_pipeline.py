@@ -159,3 +159,88 @@ def pipeline_warc_to_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(H.main_text(html)).cast("long").alias("n_chars"),
         F.md5(F.encode(H.main_text(html), "utf-8")).alias("main_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl -> corpus end-to-end: extract -> token filter -> exact dedup -> stats
+# ---------------------------------------------------------------------------
+
+# Every 5th page renders a constant placeholder body instead of its document
+# text — the crawl-reality fixture (error/template pages) that collapses to
+# ONE digest so the dedup stage has real work on a dup-free corpus.
+_PLACEHOLDER = "service unavailable please retry this page later soon"
+
+_MIN_TOKENS = 10
+
+# token count spec over an expression — identical to operators/text.tokenize:
+# lower, non-alnum runs -> space, whitespace split, drop empties
+_NTOK_SQL = (
+    "len(list_filter(string_split(lower(regexp_replace({e}, "
+    "'[^a-zA-Z0-9]+', ' ', 'g')), ' '), x -> x <> ''))"
+)
+
+_CONTENT_SQL = {
+    "doc_id": "CAST(doc_id AS VARCHAR)",
+    "text": f"CASE WHEN doc_id % 5 = 0 THEN '{_PLACEHOLDER}' ELSE text END",
+}
+
+_CRAWL_CORPUS_ORACLE = f"""
+WITH page AS (SELECT doc_id, lang, {H.synth_page_sql(_CONTENT_SQL)} AS html
+              FROM documents),
+ext AS (SELECT doc_id, lang, {H.main_text_sql('html')} AS main_text FROM page),
+tok AS (SELECT doc_id, lang, main_text,
+               CAST({_NTOK_SQL.format(e='main_text')} AS BIGINT) AS n_tok
+        FROM ext),
+kept AS (SELECT * FROM tok WHERE n_tok >= {_MIN_TOKENS}),
+uniq AS (
+  SELECT md5(main_text) AS digest, lang, MIN(doc_id) AS keep_id,
+         CAST(COUNT(*) AS BIGINT) AS n_copies, MIN(n_tok) AS n_tok
+  FROM kept GROUP BY md5(main_text), lang
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(SUM(n_copies - 1) AS BIGINT) AS n_dupes_removed
+FROM uniq GROUP BY lang
+"""
+
+
+@query("pipeline_crawl_to_corpus", oracle=_CRAWL_CORPUS_ORACLE)
+def pipeline_crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl data plane end-to-end in ONE plan: synthetic pages ->
+    main-text extraction (operators/html.py) -> token-count keep filter ->
+    exact dedup on the extracted text's digest (per lang shard, min-id
+    keeper) -> per-lang corpus accounting (docs kept, tokens, dupes
+    removed). The placeholder fixture (every 5th page renders a constant
+    error body) gives the dedup stage real work: those pages collapse to
+    one digest per shard. Scale shape: extract + tokenize are one codegen'd
+    map over the scan; the digest group-by is the narrow 128-bit-key
+    shuffle (dedup_exact_digest's argument); the final agg keys on lang.
+    No stage widens: at 100 TB this is scan -> map -> two partial-agg'd
+    shuffles, the same plan at any size."""
+    from gridmr_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    content = F.when(
+        F.col("doc_id") % 5 == 0, F.lit(_PLACEHOLDER)
+    ).otherwise(F.col("text"))
+    fields = {"doc_id": F.col("doc_id").cast("string"), "text": content}
+    ext = docs.select(
+        "doc_id",
+        "lang",
+        H.main_text(H.synth_page(fields)).alias("main_text"),
+    )
+    tok = ext.withColumn(
+        "n_tok", F.size(text_ops._tokens_col("main_text")).cast("bigint")
+    )
+    kept = tok.where(F.col("n_tok") >= _MIN_TOKENS)
+    uniq = kept.groupBy(F.md5("main_text").alias("digest"), "lang").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_tok").alias("n_tok"),
+    )
+    return uniq.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+        F.sum(F.col("n_copies") - 1).alias("n_dupes_removed"),
+    )

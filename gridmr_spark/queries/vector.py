@@ -843,9 +843,16 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEMDEDUP_TAU = 0.35  # fixture threshold; production near-dup regime ~0.95
 
+# k = max(8, ceil(sqrt(n))) balances the two cost terms: brute-force
+# assignment is n*k folds, within-cell pairs are ~n^2/k — k=sqrt(n) makes
+# both n^1.5 (measured: fixed k=8 ran 138 s at sf1, alpha 1.43; sqrt-k cut
+# it to the recorded row). ceil is computed in exact integers on the Spark
+# side and ceil(sqrt(double)) in DuckDB — identical for any n below 2^52.
+_SEMDEDUP_K = "GREATEST(8, CAST(ceil(sqrt((SELECT COUNT(*) FROM e))) AS BIGINT))"
+
 _SEMDEDUP_ORACLE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 8),
+c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {_SEMDEDUP_K}),
 assign AS (
   SELECT vec_id, cell, v FROM (
     SELECT e.vec_id, c.cell, e.v,
@@ -877,18 +884,26 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated — that bounding is the paper's entire point. Keeps the
     min-id member of each close pair (deterministic stand-in for the
     paper's keep-farthest-from-centroid rule, which needs no tie policy).
-    Scale: with k clusters of bounded size c, pair volume is n*c (linear
-    in n for fixed c) — production scales k ~ n/c and the per-cell work
-    becomes the IVF cogroup-GEMM (operators/ann_index.py); the fixture
-    pins k=8 seed centroids so the oracle can name the same cells. The
-    fixture tau (0.35) exercises the prune path on the synthetic table's
-    cosine range (max within-cell cosine 0.49, no true near-dups);
-    production uses ~0.95. All cosines are the sequential double fold —
-    bit-identical between engines, so the >= tau boundary is exact."""
+    Scale: k = max(8, ceil(sqrt(n))) seed centroids balance brute-force
+    assignment (n*k) against within-cell pairs (~n^2/k) at n^1.5 — the
+    paper's operating regime for one-shot clustering; production pushes
+    further to linear with k ~ n/c plus an ANN-assisted assignment (the
+    IVF cogroup-GEMM, operators/ann_index.py). Measured: fixed k=8 was
+    5.1 s sf0.1 / 138.5 s sf1 (alpha 1.43, quadratic candidate growth);
+    sqrt-k is the recorded SCALING.md row. The fixture tau (0.35)
+    exercises the prune path on the synthetic table's cosine range (max
+    within-cell cosine 0.49, no true near-dups); production uses ~0.95.
+    All cosines are the sequential double fold — bit-identical between
+    engines, so the >= tau boundary is exact."""
+    import math
+
     from gridmr_spark.functions.vectors import cosine_similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = emb.where(F.col("vec_id") < 8).select(
+    n = emb.count()  # bounded driver action: one scalar, prices k below
+    r = math.isqrt(max(n, 1))
+    k = max(8, r if r * r == n else r + 1)  # exact-integer ceil(sqrt(n))
+    cent = emb.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("cv")
     )
     scored = emb.crossJoin(F.broadcast(cent)).select(
