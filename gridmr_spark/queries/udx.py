@@ -333,3 +333,70 @@ def udtf_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL UDFs (Spark 4 CREATE FUNCTION ... RETURN <expr>) — catalog-level,
+# engine-optimizable scalar functions, unlike Python UDFs
+# ---------------------------------------------------------------------------
+
+_DP = (
+    "(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "(CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))"
+)
+
+_SQL_UDF_ORACLE = f"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM({_DP}) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CASE WHEN {_DP} > 75000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high,
+       CAST(SUM(CASE WHEN {_DP} > 25000 AND {_DP} <= 75000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_mid
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("sql_udf_revenue", oracle=_SQL_UDF_ORACLE)
+def sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UDFs (Spark 4 `CREATE FUNCTION ... RETURNS ... RETURN expr`):
+    the discounted-price formula and a CASE band classifier defined ONCE
+    in the catalog and composed in a query. Unlike a Python UDF, the body
+    is inlined into the plan at resolution — Catalyst folds, pushes, and
+    codegens straight through it (zero serialization boundary, zero
+    black box), so a shared business definition costs nothing at 100 TB.
+    The UDF is typed DECIMAL (exact money — the repo's aggregation
+    convention applied at the function boundary), so the oracle's
+    textually-expanded replay hash-matches bit-for-bit."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "sql_udf_lineitem"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION gridmr_disc_price("
+        "p DOUBLE, d DOUBLE) RETURNS DECIMAL(14,4) RETURN "
+        "CAST(p AS DECIMAL(12,2)) * "
+        "(CAST(1 AS DECIMAL(12,2)) - CAST(d AS DECIMAL(12,2)))"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION gridmr_rev_band("
+        "r DECIMAL(14,4)) RETURNS STRING "
+        "RETURN CASE WHEN r > 75000 THEN 'high' "
+        "WHEN r > 25000 THEN 'mid' ELSE 'low' END"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               CAST(SUM(gridmr_disc_price(l_extendedprice, l_discount))
+                    AS DOUBLE) AS sum_disc_price,
+               SUM(CASE WHEN gridmr_rev_band(
+                     gridmr_disc_price(l_extendedprice, l_discount)) = 'high'
+                   THEN 1 ELSE 0 END) AS n_high,
+               SUM(CASE WHEN gridmr_rev_band(
+                     gridmr_disc_price(l_extendedprice, l_discount)) = 'mid'
+                   THEN 1 ELSE 0 END) AS n_mid
+        FROM sql_udf_lineitem
+        GROUP BY l_returnflag
+        """
+    )

@@ -94,3 +94,33 @@ def test_observed_metrics_match_direct_aggregation(spark, sf_oracle):
         direct.n_total, direct.n_short, direct.n_kept, direct.tok_kept,
     )
     assert got.n_total == got.n_short + got.n_kept
+
+
+def test_sql_table_function(spark):
+    """SQL table functions (CREATE FUNCTION ... RETURNS TABLE ... RETURN
+    SELECT): a catalog-defined TVF usable in FROM, inlined into the plan
+    like any subquery — no Python UDTF boundary."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION gridmr_int_seq(n INT) "
+        "RETURNS TABLE(x INT) RETURN SELECT explode(sequence(1, n))"
+    )
+    got = spark.sql(
+        "SELECT SUM(x) AS s, COUNT(*) AS c FROM gridmr_int_seq(10)"
+    ).first()
+    assert (got["s"], got["c"]) == (55, 10)
+
+
+def test_sql_udf_is_inlined_into_plan(spark, sf_oracle):
+    """The scalar SQL UDF must dissolve at resolution: the optimized plan
+    contains the expanded arithmetic, not a black-box UDF call — the
+    property that keeps catalog-shared business logic optimizable."""
+    from gridmr_spark.plans import physical_plan
+    from gridmr_spark.queries import load_all
+
+    df = load_all()["sql_udf_revenue"].fn(spark, sf_oracle)
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    # the function body, textually expanded into the Project/aggregate:
+    assert "cast(l_extendedprice" in plan and "decimal(12,2)" in plan
+    # and no opaque call survives resolution
+    assert "gridmr_disc_price" not in plan
