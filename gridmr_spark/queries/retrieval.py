@@ -498,3 +498,139 @@ def pareto_front(df: DataFrame, maximize: str, minimize: str) -> DataFrame:
         F.col("run_min").isNotNull() & (F.col("run_min") <= F.col(minimize))
     ) | (F.col("gmin") < F.col(minimize))
     return joined.where(~dominated).select(*df.columns)
+
+
+# ---------------------------------------------------------------------------
+# Ranking-quality evaluation (NDCG@k, MRR) of the BM25 ranking vs gold qrels
+# ---------------------------------------------------------------------------
+
+_EVAL_K = 5
+# Integer DCG discount weights floor(1e9 / log2(r+1)) and reciprocal-rank
+# weights floor(1e9 / r), r = 1..5, precomputed in Python and inlined as
+# LITERALS in both engines — zero libm calls in either plan, so the sums
+# are pure integer arithmetic and hash-exact by construction.
+_DCG_W = [1000000000, 630929753, 500000000, 430676558, 386852807]
+_RR_W = [1000000000, 500000000, 333333333, 250000000, 200000000]
+
+_WT_VALUES = ", ".join(
+    f"({r + 1}, CAST({_DCG_W[r]} AS BIGINT), CAST({_RR_W[r]} AS BIGINT))"
+    for r in range(_EVAL_K)
+)
+
+_EVAL_ORACLE = rf"""{_BM25_CTES}
+, rel AS (
+  SELECT qid, doc_id, score_q, LEAST(n_terms, 2) AS rel FROM agg
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_q DESC, doc_id ASC) AS rnk
+  FROM rel
+), wt AS (
+  SELECT * FROM (VALUES {_WT_VALUES}) AS v(r, w, rr)
+), sys AS (
+  SELECT qid,
+         CAST(SUM((CASE WHEN rel = 2 THEN 3 ELSE 1 END) * w) AS BIGINT) AS dcg_q,
+         CAST(MAX(CASE WHEN rel = 2 THEN rr ELSE 0 END) AS BIGINT) AS rr_q
+  FROM ranked JOIN wt ON wt.r = ranked.rnk
+  WHERE ranked.rnk <= {_EVAL_K}
+  GROUP BY qid
+), counts AS (
+  SELECT qid,
+         CAST(SUM(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel2,
+         CAST(SUM(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel1
+  FROM rel GROUP BY qid
+), ideal AS (
+  SELECT qid,
+         CAST(SUM((CASE WHEN r <= n_rel2 THEN 3
+                        WHEN r <= n_rel2 + n_rel1 THEN 1
+                        ELSE 0 END) * w) AS BIGINT) AS idcg_q
+  FROM counts CROSS JOIN wt GROUP BY qid
+)
+SELECT CAST(sys.qid AS BIGINT) AS query_id, n_rel2, n_rel1, dcg_q, idcg_q,
+       CAST(FLOOR(CAST(dcg_q AS DOUBLE) / CAST(idcg_q AS DOUBLE) * 1000000.0) AS BIGINT)
+         AS ndcg_microq,
+       rr_q
+FROM sys JOIN counts ON sys.qid = counts.qid JOIN ideal ON sys.qid = ideal.qid
+"""
+
+
+@query("search_eval_ndcg", oracle=_EVAL_ORACLE)
+def search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline ranking-quality evaluation of the BM25 retrieval stack:
+    NDCG@5 and MRR per probe query against deterministic gold relevance
+    judgments (rel = min(#matched distinct query terms, 2) — graded qrels
+    derivable from the corpus itself, so both engines agree bit-for-bit).
+
+    The eval harness every retrieval deployment runs next to the engine:
+    DCG@5 = sum(gain(rel_r) * 1/log2(r+1)), IDCG from the full qrel counts
+    (ideal ranking = all rel-2 docs, then rel-1 — computed from COUNTS, not
+    a second ranking pass), NDCG = DCG/IDCG in micro units, MRR = 1/rank of
+    the first rel-2 document in the top 5 (0 if absent). The log2 discounts
+    and reciprocal ranks are five integer LITERALS precomputed at authoring
+    time — the plan contains no transcendental calls, so the oracle is
+    hash-exact with no quantization caveats.
+
+    Scale shape: everything downstream of the BM25 aggregate is per-query
+    (4 rows here; bounded by the eval-suite size in production — thousands,
+    never corpus-scale): one WindowGroupLimit for the system top-k, one
+    count aggregate for the qrels, a 5-row broadcast for positions. The
+    corpus-scale work is exactly the one inverted-index pass BM25 already
+    pays; evaluation adds zero extra corpus scans."""
+    agg, _d = _bm25_agg(spark, sf_dir)
+    rel = agg.withColumn("rel", F.least(F.col("n_terms"), F.lit(2)))
+    w = Window.partitionBy("qid").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    ranked = rel.withColumn("rnk", F.row_number().over(w))
+    dcg_w = F.array(*[F.lit(x).cast("long") for x in _DCG_W])
+    rr_w = F.array(*[F.lit(x).cast("long") for x in _RR_W])
+    top = ranked.where(F.col("rnk") <= _EVAL_K)
+    sys_m = top.groupBy("qid").agg(
+        F.sum(
+            F.when(F.col("rel") == 2, F.lit(3)).otherwise(F.lit(1))
+            * F.element_at(dcg_w, F.col("rnk"))
+        )
+        .cast("long")
+        .alias("dcg_q"),
+        F.max(
+            F.when(F.col("rel") == 2, F.element_at(rr_w, F.col("rnk"))).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("rr_q"),
+    )
+    counts = rel.groupBy("qid").agg(
+        F.sum(F.when(F.col("rel") == 2, 1).otherwise(0)).cast("long").alias("n_rel2"),
+        F.sum(F.when(F.col("rel") == 1, 1).otherwise(0)).cast("long").alias("n_rel1"),
+    )
+    pos = spark.range(1, _EVAL_K + 1).select(
+        F.col("id").cast("int").alias("r"),
+        F.element_at(dcg_w, F.col("id").cast("int")).alias("w"),
+    )
+    ideal = (
+        counts.crossJoin(F.broadcast(pos))
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                F.when(F.col("r") <= F.col("n_rel2"), F.lit(3))
+                .when(F.col("r") <= F.col("n_rel2") + F.col("n_rel1"), F.lit(1))
+                .otherwise(F.lit(0))
+                * F.col("w")
+            )
+            .cast("long")
+            .alias("idcg_q")
+        )
+    )
+    return (
+        sys_m.join(counts, "qid")
+        .join(ideal, "qid")
+        .select(
+            F.col("qid").cast("long").alias("query_id"),
+            "n_rel2",
+            "n_rel1",
+            "dcg_q",
+            "idcg_q",
+            F.floor(
+                F.col("dcg_q").cast("double") / F.col("idcg_q").cast("double")
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("ndcg_microq"),
+            "rr_q",
+        )
+    )

@@ -217,3 +217,59 @@ def test_zonemap_empty_stats_raises(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="no files"):
         zonemap_pruned_read(spark, path, "x", 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# search_eval_ndcg invariants
+# ---------------------------------------------------------------------------
+
+
+def test_eval_ndcg_invariants(spark, sf_oracle):
+    """The metric laws NDCG/MRR must satisfy regardless of data: the ideal
+    DCG dominates the system DCG, NDCG lands in (0, 1e6], MRR is one of the
+    five literal reciprocal-rank weights (or 0), and qrel counts are
+    consistent with a non-empty match set per probe query."""
+    from gridmr_spark.queries.retrieval import _RR_W, search_eval_ndcg
+
+    rows = search_eval_ndcg(spark, sf_oracle).collect()
+    assert len(rows) == 4  # one row per probe query
+    for r in rows:
+        assert r.dcg_q <= r.idcg_q
+        assert 0 < r.ndcg_microq <= 1_000_000
+        assert r.rr_q in {0, *_RR_W}
+        assert r.n_rel2 + r.n_rel1 > 0
+
+
+def test_eval_ndcg_perfect_ranking_scores_one(spark, sf_oracle):
+    """If every rel-2 doc out-scores every rel-1 doc in BM25's top five for
+    some query, that query's NDCG must be exactly 1e6 — checks the
+    ideal-from-counts construction against the realized ranking."""
+    from gridmr_spark.queries.retrieval import _EVAL_K, _bm25_agg, search_eval_ndcg
+    from pyspark.sql import Window
+
+    agg, _d = _bm25_agg(spark, sf_oracle)
+    w = Window.partitionBy("qid").orderBy(F.desc("score_q"), F.asc("doc_id"))
+    top = (
+        agg.withColumn("rel", F.least(F.col("n_terms"), F.lit(2)))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _EVAL_K)
+        .collect()
+    )
+    counts = {}
+    for r in agg.withColumn("rel", F.least(F.col("n_terms"), F.lit(2))).collect():
+        c = counts.setdefault(r.qid, [0, 0])
+        c[0] += r.rel == 2
+        c[1] += r.rel == 1
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r.qid, []).append(r)
+    metrics = {r.query_id: r for r in search_eval_ndcg(spark, sf_oracle).collect()}
+    for qid, rows in by_q.items():
+        rels = [r.rel for r in sorted(rows, key=lambda x: x.rnk)]
+        n2 = counts[qid][0]
+        ideal = [2] * min(n2, _EVAL_K) + [1] * max(0, _EVAL_K - n2)
+        ideal = ideal[: len(rels)]
+        if rels == ideal:
+            assert metrics[qid].ndcg_microq == 1_000_000
+        else:
+            assert metrics[qid].ndcg_microq < 1_000_000
