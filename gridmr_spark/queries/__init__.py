@@ -61,7 +61,7 @@ _DRIVER_PRIORITY: list[str] = [
     "crawl_url_canonical_dedup", "crawl_host_politeness", "dedup_semdedup",
     "variant_funcs", "similarity_hard_negatives", "sample_temperature_mixture",
     "stream_url_frontier", "pipeline_crawl_to_corpus", "sql_udf_revenue",
-    "dedup_setsim_prefix", "search_eval_ndcg",
+    "dedup_setsim_prefix", "search_eval_ndcg", "sample_dsir_importance",
     # (c) freshness rotation: the 39 queries whose latest green driver row
     # is ROUND 3 (CORRECTNESS_r03 aggregation) — oldest evidence first.
     "dedup_contamination_check", "dedup_incremental_minhash", "dedup_simhash",
@@ -107,6 +107,7 @@ def load_all() -> dict[str, Query]:
         relational,
         retrieval,
         scalar_funcs,
+        selection,
         setsim,
         sources_io,
         streaming_batch,

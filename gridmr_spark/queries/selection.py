@@ -1,0 +1,153 @@
+"""Data-selection queries: DSIR-style importance resampling.
+
+DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS 2023,
+public literature) — selects pretraining documents whose hashed-n-gram
+feature distribution looks like a TARGET corpus rather than the raw crawl:
+each document scores sum over token occurrences of
+log(p_target(bucket)/p_raw(bucket)), and the top-scoring documents are kept.
+It is the standard cheap alternative to classifier-based quality filtering
+(`text_quality_classifier`) when what you have is an exemplar corpus rather
+than labels.
+
+Engine shape: the ENTIRE model is a 64-row bucket table (two Laplace-
+smoothed occurrence counts per bucket) — the canonical broadcast-dimension
+pattern. One exploded token-count aggregation builds the model, a map-side
+broadcast join scores every document in the same pass shape, and selection
+is a bounded top-k. No Python boundary anywhere.
+
+The reference (SebasUr/GridMR) has no selection/quality surface at all —
+this is §2.D "beyond the reference" LLM-pipeline territory, sitting next to
+`sample_importance_weighted` (user-given weights) and
+`sample_temperature_mixture` (per-shard quotas): DSIR is the variant where
+the weights are LEARNED from a target corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gridmr_spark.catalog import load_table
+from gridmr_spark.queries import query
+
+_DSIR_BUCKETS = 64
+_DSIR_TOPK = 100
+
+# Engine-portable feature hash: 60-bit md5 prefix mod n_buckets (same idiom
+# as the KMV / simhash / sampling oracles).
+_BUCKET_SQL = (
+    "CAST(CAST(('0x' || substr(md5(tok), 1, 15)) AS UBIGINT) "
+    f"% {_DSIR_BUCKETS} AS BIGINT)"
+)
+
+_DSIR_ORACLE = rf"""
+WITH occ AS (
+  SELECT doc_id, length(source) = 4 AS is_target, {_BUCKET_SQL} AS b
+  FROM (
+    SELECT doc_id, source,
+           unnest(list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+                  w -> w <> '')) AS tok
+    FROM documents
+  )
+), model AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(COUNT(*) AS BIGINT) AS cr
+  FROM occ GROUP BY b
+), tot AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr FROM model
+), wt AS (
+  SELECT b,
+         CAST(FLOOR(ln((CAST(ct + 1 AS DOUBLE) * CAST(tr + {_DSIR_BUCKETS} AS DOUBLE))
+                       / (CAST(cr + 1 AS DOUBLE) * CAST(tt + {_DSIR_BUCKETS} AS DOUBLE)))
+                    * 1000000000.0) AS BIGINT) AS lw
+  FROM model CROSS JOIN tot
+), scored AS (
+  SELECT occ.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         CAST(SUM(lw) AS BIGINT) AS score_q
+  FROM occ JOIN wt USING (b)
+  GROUP BY occ.doc_id
+)
+SELECT doc_id, n_tok, score_q, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id ASC) AS rk FROM scored
+) WHERE rk <= {_DSIR_TOPK}
+"""
+
+
+@query("sample_dsir_importance", oracle=_DSIR_ORACLE)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling: score every document by how much its
+    hashed-unigram distribution favors the target corpus (here the
+    srcX sources, length(source)==4 — the slot a curated exemplar corpus
+    plugs into) over the raw corpus, keep the top 100.
+
+    Per-bucket log weight ln(p_t/p_r) with +1 Laplace smoothing is ONE
+    mirrored double expression over exact integer counts, nanolog-quantized
+    before the per-document SUM (the `text_bigram_lm_score` idiom), so
+    aggregation order cannot move the hash. A document's score is then a
+    pure integer sum of its tokens' bucket weights.
+
+    Scale shape at 100 TB: the model is {_DSIR_BUCKETS} rows (production
+    uses 10k buckets of 2-gram features — still driver-trivial) built by
+    one map-side-combined aggregation; scoring is a broadcast join folded
+    into the same token-explode pass; selection is a global top-k
+    (TakeOrdered-shaped; a threshold-on-score variant avoids even that).
+    Resampling rather than top-k selection is one md5-Gumbel column away —
+    the deterministic-sampling idiom `sample_importance_weighted` already
+    implements."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = dsir_scores(docs.withColumn("is_target", F.length("source") == 4))
+    w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _DSIR_TOPK)
+        .select("doc_id", "n_tok", "score_q", "rk")
+    )
+
+
+def dsir_scores(docs: DataFrame, n_buckets: int = _DSIR_BUCKETS) -> DataFrame:
+    """(doc_id, n_tok, score_q) DSIR scores for a (doc_id, text, is_target)
+    frame — the model-fit + scoring core of sample_dsir_importance, exposed
+    so tests can run it on synthetic corpora with known distributions."""
+    occ = docs.select(
+        "doc_id",
+        "is_target",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]+", " ")), " "),
+                lambda w: w != "",
+            )
+        ).alias("tok"),
+    ).select(
+        "doc_id",
+        "is_target",
+        (F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long") % n_buckets).alias("b"),
+    )
+    model = occ.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).cast("long").alias("ct"),
+        F.count(F.lit(1)).cast("long").alias("cr"),
+    )
+    tot = model.agg(
+        F.sum("ct").cast("long").alias("tt"), F.sum("cr").cast("long").alias("tr")
+    )
+    nb = F.lit(n_buckets)
+    wt = model.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            F.log(
+                ((F.col("ct") + 1).cast("double") * (F.col("tr") + nb).cast("double"))
+                / ((F.col("cr") + 1).cast("double") * (F.col("tt") + nb).cast("double"))
+            )
+            * F.lit(1000000000.0)
+        )
+        .cast("long")
+        .alias("lw"),
+    )
+    return (
+        occ.join(F.broadcast(wt), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.sum("lw").cast("long").alias("score_q"),
+        )
+    )

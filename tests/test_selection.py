@@ -1,0 +1,56 @@
+"""DSIR importance-resampling semantics on corpora with known structure."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gridmr_spark.queries.selection import dsir_scores
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, is_target boolean")
+
+
+def test_disjoint_vocab_separates_perfectly(spark):
+    """Target docs use one vocabulary, raw docs another: every target-like
+    document must out-score every raw-like document, and a held-out doc
+    written in the target vocabulary must score above one written in the
+    raw vocabulary (the actual selection use case)."""
+    rows = [
+        (0, "quantum proof theorem lemma axiom corollary", True),
+        (1, "theorem axiom quantum lemma proof proof", True),
+        (2, "buy cheap pills click here free offer", False),
+        (3, "click free offer buy here cheap cheap", False),
+        # held-out docs (not used for the model fit flags, just scored):
+        (10, "lemma theorem corollary axiom", False),
+        (11, "free pills click offer", True),
+    ]
+    scores = {r.doc_id: r.score_q for r in dsir_scores(_frame(spark, rows)).collect()}
+    # in-model separation
+    assert min(scores[0], scores[1]) > max(scores[2], scores[3])
+    # held-out docs score by their CONTENT, not their flag
+    assert scores[10] > scores[11]
+
+
+def test_scores_scale_with_length(spark):
+    """Score is a per-occurrence sum: doubling a document's text doubles
+    its score (the length bias DSIR normalizes away downstream — the test
+    pins the additive contract the normalization relies on)."""
+    base = "alpha beta gamma delta"
+    rows = [(0, base, True), (1, base + " " + base, True), (2, "x y z w", False)]
+    got = {r.doc_id: r for r in dsir_scores(_frame(spark, rows)).collect()}
+    assert got[1].n_tok == 2 * got[0].n_tok
+    assert abs(got[1].score_q - 2 * got[0].score_q) <= 1  # floor-quantize slack
+
+
+def test_uniform_corpus_yields_no_ranking(spark):
+    """If target and raw share the same distribution there is no signal:
+    every document must receive the IDENTICAL score (selection degenerates
+    to the deterministic doc_id tiebreak instead of inventing a ranking).
+    The absolute level is a smoothing artifact (Laplace +1 against small
+    counts) — what matters is that it cannot separate documents."""
+    text = "same words every time"
+    rows = [(i, text, i % 2 == 0) for i in range(8)]
+    scored = dsir_scores(_frame(spark, rows))
+    distinct = scored.select("score_q").distinct().count()
+    assert distinct == 1
