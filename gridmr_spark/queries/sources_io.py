@@ -432,3 +432,101 @@ def layout_zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
     zonemap_write(orders, path, "o_totalprice", n_files=16)
     df, _n_hit, _n_total = zonemap_pruned_read(spark, path, "o_totalprice", 400000.0, 450000.0)
     return df
+
+
+# ---------------------------------------------------------------------------
+# Manifest table format: time travel + incremental reads
+# ---------------------------------------------------------------------------
+
+_SUM_CENTS_SQL = "CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)"
+
+_TT_ORACLE = f"""
+SELECT CAST(1 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_SUM_CENTS_SQL} AS sum_cents
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT), {_SUM_CENTS_SQL}
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT), {_SUM_CENTS_SQL}
+FROM orders
+"""
+
+
+def _manifest_orders_table(spark: SparkSession, sf_dir: str):
+    """Build (idempotently from scratch) a 3-version manifest table over
+    orders: v1 = keys % 3 == 0, v2 appends % 3 == 1, v3 appends % 3 == 2."""
+    import shutil
+
+    from gridmr_spark.sources.table_format import ManifestTable
+
+    root = _scratch(sf_dir, "mtable")
+    shutil.rmtree(root, ignore_errors=True)
+    t = ManifestTable(root)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    for m in (0, 1, 2):
+        t.commit(orders.where(F.col("o_orderkey") % 3 == m))
+    return t
+
+
+def _cents_agg() -> list:
+    return [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+    ]
+
+
+@query("table_time_travel", oracle=_TT_ORACLE)
+def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel on the manifest table format
+    (`sources/table_format.py`): build three commits over orders, then read
+    each HISTORICAL version and aggregate it — proving every snapshot stays
+    exactly readable after later commits (the manifest file list IS the
+    table state; data files are immutable). The oracle re-derives each
+    snapshot from the base table with the cumulative modulo filters.
+
+    Scale shape: time travel costs one manifest fetch regardless of table
+    size — the reads here scan only the files each version's manifest
+    lists, which the driver can verify because v1's aggregate is unchanged
+    by v2/v3's arrival. Commit is data-first + atomic manifest rename, so
+    torn writes leave only orphan files no reader resolves
+    (tests/test_table_format.py)."""
+    t = _manifest_orders_table(spark, sf_dir)
+    parts = [
+        t.read(spark, v).agg(*_cents_agg()).select(
+            F.lit(v).cast("long").alias("version"), "n_rows", "sum_cents"
+        )
+        for v in t.versions()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+_INC_ORACLE = f"""
+SELECT CAST(o_orderkey % 3 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_SUM_CENTS_SQL} AS sum_cents
+FROM orders WHERE o_orderkey % 3 IN (1, 2)
+GROUP BY 1
+"""
+
+
+@query("table_incremental_read", oracle=_INC_ORACLE)
+def table_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (changes-only) read between two snapshots of the
+    manifest table: diff(v1, v3) resolves exactly the files ADDED by v2 and
+    v3 — O(delta) input with zero rescan of v1's data, the storage-side
+    contract that `agg_incremental_merge`'s delta-only refresh consumes.
+    The oracle recomputes the delta rows from the base table; bucketing by
+    o_orderkey % 3 shows the diff contains precisely the two appended
+    commits and none of the v1 rows."""
+    t = _manifest_orders_table(spark, sf_dir)
+    delta = t.diff(spark, 1, 3)
+    return (
+        delta.groupBy((F.col("o_orderkey") % 3).cast("long").alias("bucket"))
+        .agg(*_cents_agg())
+    )

@@ -1,0 +1,129 @@
+"""Minimal manifest-committed table format: snapshots, time travel,
+incremental reads.
+
+The Iceberg/Delta core contract, reduced to the piece a query engine needs
+and nothing else: a table is a directory whose STATE is defined solely by
+the latest manifest file — an atomically-renamed JSON listing every data
+file in the snapshot. That single indirection buys the three guarantees a
+100 TB pipeline actually relies on:
+
+- **Snapshot isolation / time travel**: readers resolve a manifest once and
+  read exactly its file list; a concurrent commit cannot change or tear the
+  set mid-scan, and any historical version stays readable forever (until
+  expired) because manifests are immutable.
+- **Atomic commits**: data files are written first (invisible — no manifest
+  references them), then the manifest appears via ``os.replace`` (atomic on
+  POSIX). A crash between the two leaves ORPHAN data files that no reader
+  ever sees — the same torn-write story as ``sources/pyds.py``'s
+  manifest-committed sink and the WARC writer's reconciliation.
+- **Incremental reads**: version N's manifest records which files it ADDED,
+  so "what changed between v_from and v_to" is a file-list difference — the
+  O(delta) input that feeds `agg_incremental_merge` / `incremental_join_view`
+  style maintenance instead of a full-table rescan.
+
+Deliberately out of scope (documented, not half-built): row-level deletes
+(the CDC/SCD2 queries implement MERGE semantics over snapshots), schema
+evolution (`source_schema_evolution` covers mergeSchema), and manifest
+COMPACTION into manifest-lists — at real scale the file list itself becomes
+a dataset; Iceberg's two-level manifests are the known answer and this
+format's JSON stays deliberately single-level for auditability at test SFs.
+
+Reference parity: SebasUr/GridMR's data plane is bare files on a shared FS
+(cpp/worker/src/common/fs.cc) with no versioning; this module is part of
+the §2.D storage surface built beyond it.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ManifestTable:
+    """A directory-backed versioned parquet table.
+
+    Layout::
+
+        <root>/data/v00001/part-*.parquet   (immutable once committed)
+        <root>/_manifests/v00001.json       ({version, files, added})
+
+    Versions are 1-based and dense; ``files`` is the FULL snapshot file
+    list (cumulative), ``added`` the commit's delta.
+    """
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self._mdir = os.path.join(root, "_manifests")
+
+    # -- catalog ------------------------------------------------------------
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self._mdir):
+            return []
+        out = []
+        for name in os.listdir(self._mdir):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def current_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _manifest(self, version: int) -> dict:
+        path = os.path.join(self._mdir, f"v{version:05d}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"no such snapshot: version {version} in {self.root}")
+        with open(path, encoding="utf-8") as f:
+            return json.load(f)
+
+    # -- writes -------------------------------------------------------------
+
+    def commit(self, df: DataFrame) -> int:
+        """Append ``df`` as a new snapshot; returns the new version.
+
+        Data first, manifest last, manifest rename atomic: a reader
+        resolving the table at ANY instant sees either the old complete
+        snapshot or the new complete snapshot, never a torn one.
+        """
+        prev = self.current_version()
+        v = (prev or 0) + 1
+        data_dir = os.path.join(self.root, "data", f"v{v:05d}")
+        df.write.mode("error").parquet(data_dir)
+        added = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
+        files = (self._manifest(prev)["files"] if prev else []) + added
+        os.makedirs(self._mdir, exist_ok=True)
+        manifest = {"version": v, "files": files, "added": added}
+        tmp = os.path.join(self._mdir, f".v{v:05d}.json.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, os.path.join(self._mdir, f"v{v:05d}.json"))
+        return v
+
+    # -- reads --------------------------------------------------------------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """The snapshot as of ``version`` (default: latest)."""
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise ValueError(f"table {self.root} has no committed snapshot")
+        files = self._manifest(version)["files"]
+        if not files:
+            raise ValueError(f"snapshot v{version} of {self.root} is empty")
+        return spark.read.parquet(*files)
+
+    def diff(self, spark: SparkSession, v_from: int, v_to: int) -> DataFrame:
+        """Rows ADDED strictly after ``v_from`` up to and including
+        ``v_to`` — the O(delta) incremental-read input."""
+        if not 0 <= v_from < v_to:
+            raise ValueError(f"need 0 <= v_from < v_to, got {v_from}..{v_to}")
+        added: list[str] = []
+        for v in range(v_from + 1, v_to + 1):
+            added.extend(self._manifest(v)["added"])
+        if not added:
+            raise ValueError(f"no files added in {self.root} v{v_from}..v{v_to}")
+        return spark.read.parquet(*added)

@@ -1,0 +1,86 @@
+"""Manifest table format: commit atomicity, snapshot immutability,
+incremental reads, orphan invisibility."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gridmr_spark.sources.table_format import ManifestTable
+
+
+def _mk(spark, tmp_path, batches):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    for rows in batches:
+        t.commit(spark.createDataFrame(rows, "k long, v string"))
+    return t
+
+
+def test_snapshots_are_immutable_and_cumulative(spark, tmp_path):
+    t = _mk(spark, tmp_path, [[(1, "a")], [(2, "b"), (3, "c")], [(4, "d")]])
+    assert t.versions() == [1, 2, 3]
+    assert sorted(r.k for r in t.read(spark, 1).collect()) == [1]
+    assert sorted(r.k for r in t.read(spark, 2).collect()) == [1, 2, 3]
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2, 3, 4]
+    # reading v1 again AFTER later commits returns the identical rows
+    assert sorted(r.k for r in t.read(spark, 1).collect()) == [1]
+
+
+def test_diff_returns_exactly_the_delta(spark, tmp_path):
+    t = _mk(spark, tmp_path, [[(1, "a")], [(2, "b")], [(3, "c")], [(4, "d")]])
+    assert sorted(r.k for r in t.diff(spark, 1, 3).collect()) == [2, 3]
+    assert sorted(r.k for r in t.diff(spark, 3, 4).collect()) == [4]
+    with pytest.raises(ValueError):
+        t.diff(spark, 2, 2)
+
+
+def test_orphan_data_files_are_invisible(spark, tmp_path):
+    """A crash between data write and manifest rename leaves data files no
+    manifest references — readers at every version must not see them."""
+    t = _mk(spark, tmp_path, [[(1, "a")]])
+    orphan_dir = os.path.join(t.root, "data", "v00002")
+    spark.createDataFrame([(99, "orphan")], "k long, v string").write.parquet(orphan_dir)
+    assert glob.glob(os.path.join(orphan_dir, "*.parquet"))  # it IS on disk
+    assert t.versions() == [1]
+    assert sorted(r.k for r in t.read(spark).collect()) == [1]
+    # and a leftover .tmp manifest is equally invisible
+    with open(os.path.join(t._mdir, ".v00002.json.tmp"), "w") as f:
+        f.write("{}")
+    assert t.versions() == [1]
+
+
+def test_empty_and_missing_versions_error_clearly(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    with pytest.raises(ValueError, match="no committed snapshot"):
+        t.read(spark)
+    t.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+    with pytest.raises(ValueError, match="no such snapshot"):
+        t.read(spark, 7)
+
+
+def test_commit_returns_dense_versions_and_exact_deltas(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    v1 = t.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+    v2 = t.commit(spark.createDataFrame([(2, "b")], "k long, v string"))
+    assert (v1, v2) == (1, 2)
+    m1, m2 = t._manifest(1), t._manifest(2)
+    assert m1["files"] == m1["added"]
+    assert m2["files"] == m1["files"] + m2["added"]
+    assert set(m1["added"]).isdisjoint(m2["added"])
+
+
+def test_aggregates_match_across_snapshot_and_diff(spark, tmp_path, sf_smoke):
+    """End-to-end against real data: snapshot(v2) == snapshot(v1) + diff."""
+    from gridmr_spark.catalog import load_table
+
+    orders = load_table(spark, sf_smoke, "orders").select("o_orderkey")
+    t = ManifestTable(str(tmp_path / "ord"))
+    t.commit(orders.where(F.col("o_orderkey") % 2 == 0))
+    t.commit(orders.where(F.col("o_orderkey") % 2 == 1))
+    n1 = t.read(spark, 1).count()
+    n2 = t.read(spark, 2).count()
+    nd = t.diff(spark, 1, 2).count()
+    assert n1 + nd == n2 == orders.count()
