@@ -62,7 +62,8 @@ _DRIVER_PRIORITY: list[str] = [
     "variant_funcs", "similarity_hard_negatives", "sample_temperature_mixture",
     "stream_url_frontier", "pipeline_crawl_to_corpus", "sql_udf_revenue",
     "dedup_setsim_prefix", "search_eval_ndcg", "sample_dsir_importance",
-    "table_time_travel", "table_incremental_read",
+    "table_time_travel", "table_incremental_read", "table_compact_expire",
+    "stream_table_sink",
     # (c) freshness rotation: the 39 queries whose latest green driver row
     # is ROUND 3 (CORRECTNESS_r03 aggregation) — oldest evidence first.
     "dedup_contamination_check", "dedup_incremental_minhash", "dedup_simhash",

@@ -530,3 +530,92 @@ def table_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta.groupBy((F.col("o_orderkey") % 3).cast("long").alias("bucket"))
         .agg(*_cents_agg())
     )
+
+
+_COMPACT_ORACLE = f"""
+SELECT CAST(o_orderkey % 3 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_SUM_CENTS_SQL} AS sum_cents
+FROM orders
+GROUP BY 1
+"""
+
+
+@query("table_compact_expire", oracle=_COMPACT_ORACLE)
+def table_compact_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional maintenance on the manifest table: compact the
+    3-commit orders table into few files (a new 'compact' snapshot whose
+    manifest points at the rewritten files; originals become unreferenced),
+    then EXPIRE everything but the latest snapshot — deleting the old
+    manifests and the now-orphaned data files — and read the survivor.
+    The oracle is the full base table: a green row proves rewrite + expiry
+    is byte-lossless for the current snapshot while old files physically
+    disappear (file-count/deletion assertions live in
+    tests/test_table_format.py).
+
+    At 100 TB this pair is the storage-maintenance loop every streaming
+    ingest needs: micro-batch commits make small files, compaction folds
+    them into scan-efficient ones WITHOUT blocking readers (snapshot
+    isolation), expiry bounds metadata and reclaims space."""
+    t = _manifest_orders_table(spark, sf_dir)
+    t.compact(spark, target_partitions=2)
+    t.expire(keep_last=1)
+    snap = t.read(spark)
+    return (
+        snap.groupBy((F.col("o_orderkey") % 3).cast("long").alias("bucket"))
+        .agg(*_cents_agg())
+    )
+
+
+_STREAM_SINK_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("stream_table_sink", oracle=_STREAM_SINK_ORACLE)
+def stream_table_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE Structured Streaming ingestion into the manifest table:
+    readStream over the events parquet, foreachBatch commits each
+    micro-batch with idempotency_key='batch-<id>' (a replayed batch maps to
+    its existing version — exactly-once at the sink), availableNow until
+    drained, then the final snapshot is read back and aggregated. The
+    oracle aggregates the source directly, so a green row proves the
+    stream→commit→snapshot path is row-lossless and duplicate-free.
+    Restart-with-growth exactly-once is separately proven in
+    tests/test_table_format.py."""
+    import shutil
+    import uuid
+
+    from gridmr_spark.sources.table_format import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base = _scratch(sf_dir, "streamtbl")
+    shutil.rmtree(base, ignore_errors=True)
+    src, ck, tbl = f"{base}/src", f"{base}/ck-{uuid.uuid4().hex[:8]}", f"{base}/tbl"
+    ev.write.mode("overwrite").parquet(src)
+    t = ManifestTable(tbl)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t.commit(batch_df, idempotency_key=f"batch-{batch_id}")
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .parquet(src)
+        .writeStream.outputMode("append")
+        .foreachBatch(commit_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = t.read(spark)
+    return snap.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.floor(F.col("value") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+    )

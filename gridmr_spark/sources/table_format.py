@@ -82,26 +82,88 @@ class ManifestTable:
 
     # -- writes -------------------------------------------------------------
 
-    def commit(self, df: DataFrame) -> int:
+    def commit(self, df: DataFrame, idempotency_key: str | None = None) -> int:
         """Append ``df`` as a new snapshot; returns the new version.
 
         Data first, manifest last, manifest rename atomic: a reader
         resolving the table at ANY instant sees either the old complete
         snapshot or the new complete snapshot, never a torn one.
+
+        ``idempotency_key`` makes retried commits exactly-once: if a
+        manifest already carries the key (e.g. ``batch-<id>`` from a
+        foreachBatch sink replaying after a failure), the existing version
+        is returned and nothing is written — the contract that turns this
+        table into a safe Structured Streaming sink.
         """
+        if idempotency_key is not None:
+            for v in self.versions():
+                if self._manifest(v).get("key") == idempotency_key:
+                    return v
         prev = self.current_version()
         v = (prev or 0) + 1
+        added = self._write_data(df, v)
+        files = (self._manifest(prev)["files"] if prev else []) + added
+        self._write_manifest(
+            {"version": v, "operation": "append", "key": idempotency_key,
+             "files": files, "added": added}
+        )
+        return v
+
+    def compact(self, spark: SparkSession, target_partitions: int = 1) -> int:
+        """Rewrite the CURRENT snapshot into ``target_partitions`` files —
+        the small-file maintenance op (same motivation as
+        ``layout_compact_files``, but transactional: readers of any version
+        keep their file list; only the NEW manifest points at the rewritten
+        files, and the originals become unreferenced garbage for
+        ``expire``). The manifest records operation='compact' so
+        incremental readers know the added files are REWRITES, not new
+        rows — ``diff`` refuses to cross it.
+        """
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"nothing to compact in {self.root}")
+        snap = self.read(spark, cur).repartition(target_partitions)
+        v = cur + 1
+        added = self._write_data(snap, v)
+        self._write_manifest(
+            {"version": v, "operation": "compact", "key": None,
+             "files": added, "added": added}
+        )
+        return v
+
+    def expire(self, keep_last: int = 1) -> list[str]:
+        """Drop all but the last ``keep_last`` snapshots and DELETE data
+        files no surviving manifest references. Returns the deleted file
+        paths. Time travel to expired versions stops working (by design);
+        surviving snapshots are byte-identical to before."""
+        vs = self.versions()
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        keep, drop = vs[-keep_last:], vs[:-keep_last]
+        referenced: set[str] = set()
+        for v in keep:
+            referenced.update(self._manifest(v)["files"])
+        removed: list[str] = []
+        for v in drop:
+            for f in self._manifest(v)["files"]:
+                if f not in referenced and os.path.exists(f):
+                    os.remove(f)
+                    removed.append(f)
+            os.remove(os.path.join(self._mdir, f"v{v:05d}.json"))
+        return removed
+
+    def _write_data(self, df: DataFrame, v: int) -> list[str]:
         data_dir = os.path.join(self.root, "data", f"v{v:05d}")
         df.write.mode("error").parquet(data_dir)
-        added = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
-        files = (self._manifest(prev)["files"] if prev else []) + added
+        return sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
+
+    def _write_manifest(self, manifest: dict) -> None:
         os.makedirs(self._mdir, exist_ok=True)
-        manifest = {"version": v, "files": files, "added": added}
+        v = manifest["version"]
         tmp = os.path.join(self._mdir, f".v{v:05d}.json.tmp")
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, os.path.join(self._mdir, f"v{v:05d}.json"))
-        return v
 
     # -- reads --------------------------------------------------------------
 
@@ -123,7 +185,14 @@ class ManifestTable:
             raise ValueError(f"need 0 <= v_from < v_to, got {v_from}..{v_to}")
         added: list[str] = []
         for v in range(v_from + 1, v_to + 1):
-            added.extend(self._manifest(v)["added"])
+            m = self._manifest(v)
+            if m.get("operation", "append") != "append":
+                raise ValueError(
+                    f"incremental read v{v_from}..v{v_to} crosses a "
+                    f"{m['operation']!r} snapshot at v{v}: its files are "
+                    "rewrites, not new rows — read from the snapshot instead"
+                )
+            added.extend(m["added"])
         if not added:
             raise ValueError(f"no files added in {self.root} v{v_from}..v{v_to}")
         return spark.read.parquet(*added)

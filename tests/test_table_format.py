@@ -84,3 +84,87 @@ def test_aggregates_match_across_snapshot_and_diff(spark, tmp_path, sf_smoke):
     n2 = t.read(spark, 2).count()
     nd = t.diff(spark, 1, 2).count()
     assert n1 + nd == n2 == orders.count()
+
+
+def test_compact_preserves_rows_and_diff_refuses_to_cross(spark, tmp_path):
+    t = _mk(spark, tmp_path, [[(1, "a")], [(2, "b")], [(3, "c")]])
+    before = sorted(r.k for r in t.read(spark).collect())
+    v = t.compact(spark, target_partitions=1)
+    assert v == 4
+    assert sorted(r.k for r in t.read(spark).collect()) == before
+    # pre-compaction snapshots still time-travel
+    assert sorted(r.k for r in t.read(spark, 2).collect()) == [1, 2]
+    # the compacted snapshot really is fewer files
+    assert len(t._manifest(4)["files"]) < len(t._manifest(3)["files"])
+    # incremental reads may not cross the rewrite
+    with pytest.raises(ValueError, match="compact"):
+        t.diff(spark, 1, 4)
+    # ... but ranges on either side still work
+    assert sorted(r.k for r in t.diff(spark, 1, 3).collect()) == [2, 3]
+
+
+def test_expire_deletes_unreferenced_files_only(spark, tmp_path):
+    t = _mk(spark, tmp_path, [[(1, "a")], [(2, "b")]])
+    t.compact(spark, target_partitions=1)
+    old_files = set(t._manifest(2)["files"])
+    keep_files = set(t._manifest(3)["files"])
+    removed = t.expire(keep_last=1)
+    assert set(removed) == old_files - keep_files
+    for f in removed:
+        assert not os.path.exists(f)
+    for f in keep_files:
+        assert os.path.exists(f)
+    assert t.versions() == [3]
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2]
+    with pytest.raises(ValueError, match="no such snapshot"):
+        t.read(spark, 1)
+
+
+def test_idempotent_commit_is_exactly_once(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    v1 = t.commit(df, idempotency_key="batch-0")
+    v_retry = t.commit(df, idempotency_key="batch-0")  # replay after "failure"
+    assert v1 == v_retry == 1
+    assert t.read(spark).count() == 1
+    v2 = t.commit(df, idempotency_key="batch-1")
+    assert v2 == 2
+    assert t.read(spark).count() == 2
+
+
+def test_stream_sink_restart_exactly_once(spark, tmp_path, sf_smoke):
+    """Growing-source two-run test (the repo's checkpoint-restart pattern):
+    run the foreachBatch ManifestTable sink availableNow, append more
+    source rows, run AGAIN with the same checkpoint — the table must hold
+    every source row exactly once."""
+    from gridmr_spark.catalog import load_table
+    from gridmr_spark.sources.table_format import ManifestTable
+
+    ev = load_table(spark, sf_smoke, "events").select("event_id", "event_type")
+    first = ev.where(F.col("event_id") % 2 == 0)
+    second = ev.where(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    t = ManifestTable(str(tmp_path / "tbl"))
+
+    def run():
+        q = (
+            spark.readStream.schema(ev.schema)
+            .parquet(src)
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: t.commit(df, idempotency_key=f"batch-{bid}"))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    first.write.mode("overwrite").parquet(src)
+    run()
+    n1 = t.read(spark).count()
+    assert n1 == first.count()
+    second.write.mode("append").parquet(src)
+    run()
+    got = t.read(spark)
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
