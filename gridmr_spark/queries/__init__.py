@@ -63,7 +63,8 @@ _DRIVER_PRIORITY: list[str] = [
     "stream_url_frontier", "pipeline_crawl_to_corpus", "sql_udf_revenue",
     "dedup_setsim_prefix", "search_eval_ndcg", "sample_dsir_importance",
     "table_time_travel", "table_incremental_read", "table_compact_expire",
-    "stream_table_sink",
+    "stream_table_sink", "table_delete_rows", "vector_mrl_recall",
+    "dq_skew_detector",
     # (c) freshness rotation: the 39 queries whose latest green driver row
     # is ROUND 3 (CORRECTNESS_r03 aggregation) — oldest evidence first.
     "dedup_contamination_check", "dedup_incremental_minhash", "dedup_simhash",

@@ -7,7 +7,7 @@ profiling pass costs the same as any full-table agg, not a per-rule scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gridmr_spark.catalog import load_table
@@ -199,4 +199,69 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("group_size"))
         .where(F.col("group_size") < 5)
+    )
+
+
+_SKEW_ORACLE = """
+WITH per_key AS (
+  SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt
+  FROM per_key
+)
+SELECT key, cnt,
+       CAST(FLOOR(CAST(cnt AS DOUBLE) / CAST(n_rows AS DOUBLE) * 1000000.0) AS BIGINT)
+         AS share_microq,
+       CAST(FLOOR(CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+                  / CAST(n_rows AS DOUBLE) * 1000.0) AS BIGINT) AS x_avg_milliq,
+       rk, n_rows, n_keys
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC) AS rk FROM per_key
+) CROSS JOIN tot
+WHERE rk <= 10
+"""
+
+
+@query("dq_skew_detector", oracle=_SKEW_ORACLE)
+def dq_skew_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler for orders.o_custkey: the 10 hottest keys
+    with their absolute counts, corpus share, and hotness relative to the
+    average key (cnt * n_keys / n_rows — the number AQE's skew-join
+    threshold reasons about). This is the diagnosis step BEFORE reaching
+    for `join_salted_skew` / `agg_salted_skew`: run it on the join key,
+    read x_avg off the top rows, and pick the salt fan-out (a key at
+    x_avg ~ P deserves ~P salts). One map-side-combined aggregation whose
+    output is key-cardinality bounded, a single-row stats broadcast, and a
+    top-k — the profile costs one scan regardless of table size."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = per_key.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    return (
+        per_key.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            F.floor(F.col("cnt").cast("double") / F.col("n_rows").cast("double") * F.lit(1000000.0))
+            .cast("long")
+            .alias("share_microq"),
+            F.floor(
+                F.col("cnt").cast("double") * F.col("n_keys").cast("double")
+                / F.col("n_rows").cast("double") * F.lit(1000.0)
+            )
+            .cast("long")
+            .alias("x_avg_milliq"),
+            "rk",
+            "n_rows",
+            "n_keys",
+        )
     )

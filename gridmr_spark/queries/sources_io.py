@@ -619,3 +619,36 @@ def stream_table_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_cents"),
     )
+
+
+_DELETE_ORACLE = f"""
+SELECT CAST(1 AS BIGINT) AS stage, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_SUM_CENTS_SQL} AS sum_cents
+FROM orders
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT), {_SUM_CENTS_SQL}
+FROM orders WHERE o_orderkey % 5 <> 0
+"""
+
+
+@query("table_delete_rows", oracle=_DELETE_ORACLE)
+def table_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE on the manifest table (copy-on-write): build the
+    3-commit orders table, delete every fifth order key, and aggregate the
+    snapshot BEFORE (stage 1 — read via time travel AFTER the delete
+    committed, proving history survives) and AFTER (stage 2). The oracle
+    recomputes both populations from the base table. Deleted rows stay
+    physically present in the old files until `expire` reclaims them —
+    logical deletion now, physical deletion when retention allows, both
+    auditable in the manifest log."""
+    t = _manifest_orders_table(spark, sf_dir)
+    v_before = t.current_version()
+    t.delete_where(spark, F.col("o_orderkey") % 5 == 0)
+    parts = []
+    for stage, v in ((1, v_before), (2, t.current_version())):
+        parts.append(
+            t.read(spark, v).agg(*_cents_agg()).select(
+                F.lit(stage).cast("long").alias("stage"), "n_rows", "sum_cents"
+            )
+        )
+    return parts[0].unionByName(parts[1])

@@ -998,3 +998,90 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", "negative_id", "neg_label", "cosine",
                 F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation fidelity (dimension-reduction eval)
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = 16
+_MRL_K = 5
+_MRL_NQ = 8
+
+_MRL_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+et AS (SELECT vec_id, list_slice(v, 1, {_MRL_DIMS}) AS v FROM e),
+full_rk AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_cos_sql('q.v', 'c.v')} DESC, c.vec_id
+         ) AS rnk
+  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_MRL_NQ}
+), trunc_rk AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY {_cos_sql('q.v', 'c.v')} DESC, c.vec_id
+         ) AS rnk
+  FROM et q JOIN et c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_MRL_NQ}
+)
+SELECT f.query_id, CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_overlap,
+       CAST(FLOOR(CAST(COUNT(t.neighbor_id) AS DOUBLE) / {_MRL_K}.0 * 1000000.0) AS BIGINT)
+         AS recall_microq
+FROM (SELECT * FROM full_rk WHERE rnk <= {_MRL_K}) f
+LEFT JOIN (SELECT * FROM trunc_rk WHERE rnk <= {_MRL_K}) t
+  ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+GROUP BY f.query_id
+"""
+
+
+@query("vector_mrl_recall", oracle=_MRL_ORACLE)
+def vector_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation fidelity: recall@5 of the cosine ranking over
+    the FIRST {_MRL_DIMS} dimensions against the full 64-dim ranking, per
+    query vector. This is the storage-side eval an embedding store runs
+    before committing to MRL-style truncation (Kusupati et al. 2022 —
+    4x fewer bytes and FLOPs per comparison IF fidelity holds); it is to
+    dimension reduction what the PQ/IVF recall floors (BASELINE §D) are to
+    quantization, and the JL-projection query's ranking-level complement.
+
+    Both rankings are exact sequential folds (the repo's bit-identical
+    cosine contract), both top-5 cuts are WindowGroupLimit with id
+    tiebreaks, and recall is a count — the whole evaluation is
+    hash-exact, no floors needed. Scale shape: two broadcast-query scans
+    of the candidate table (the similarity_topk plan twice), overlap is a
+    k-bounded join on (query, neighbor)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _MRL_NQ)
+
+    def ranked(qdf: DataFrame, cdf: DataFrame) -> DataFrame:
+        return cosine_topk(
+            qdf.select(F.col("vec_id").alias("query_id"), F.col("v").alias("q_vec")),
+            cdf.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("c_vec")),
+            k=_MRL_K, q_id="query_id", q_vec="q_vec", c_id="neighbor_id", c_vec="c_vec",
+        ).select("query_id", "neighbor_id")
+
+    full = ranked(
+        queries.select("vec_id", F.col("embedding").alias("v")),
+        emb.select("vec_id", F.col("embedding").alias("v")),
+    )
+    trunc = ranked(
+        queries.select("vec_id", F.slice("embedding", 1, _MRL_DIMS).alias("v")),
+        emb.select("vec_id", F.slice("embedding", 1, _MRL_DIMS).alias("v")),
+    )
+    hit = trunc.withColumn("hit", F.lit(1))
+    return (
+        full.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").cast("long").alias("n_overlap"))
+        .select(
+            "query_id",
+            "n_overlap",
+            F.floor(F.col("n_overlap").cast("double") / F.lit(float(_MRL_K)) * F.lit(1000000.0))
+            .cast("long")
+            .alias("recall_microq"),
+        )
+    )

@@ -131,6 +131,36 @@ class ManifestTable:
         )
         return v
 
+    def delete_where(self, spark: SparkSession, condition) -> int:
+        """Row-level delete (copy-on-write): rewrite the current snapshot
+        WITHOUT the rows matching ``condition`` (a Column or SQL string) as
+        an 'overwrite' snapshot. The right-to-be-forgotten operation a
+        training-data store needs: deleted rows vanish from the new version
+        while historical snapshots keep them until ``expire`` reclaims the
+        old files — deletion becomes PHYSICAL exactly when retention says
+        so, and the two-step is auditable in the manifest log.
+
+        Copy-on-write (vs merge-on-read delete vectors) is the honest
+        choice at this format's complexity budget: reads stay plain parquet
+        scans with zero merge cost; the write amplification is bounded by
+        partitioning the table so deletes touch few files (Iceberg's COW
+        mode makes the same trade).
+        """
+        from pyspark.sql import functions as _F
+
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"nothing to delete from in {self.root}")
+        cond = _F.expr(condition) if isinstance(condition, str) else condition
+        kept = self.read(spark, cur).where(~cond)
+        v = cur + 1
+        added = self._write_data(kept, v)
+        self._write_manifest(
+            {"version": v, "operation": "overwrite", "key": None,
+             "files": added, "added": added}
+        )
+        return v
+
     def expire(self, keep_last: int = 1) -> list[str]:
         """Drop all but the last ``keep_last`` snapshots and DELETE data
         files no surviving manifest references. Returns the deleted file

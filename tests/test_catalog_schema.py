@@ -88,3 +88,19 @@ def test_python_datasource_option_validation():
     assert SynthLogReader({"rows": "0"}).partitions() == []
     with pytest.raises(ValueError, match="rows must be >= 0"):
         SynthLogReader({"rows": "-5"})
+
+
+def test_dq_skew_detector_semantics(spark, sf_smoke):
+    from gridmr_spark.catalog import load_table
+    from gridmr_spark.queries.quality import dq_skew_detector
+
+    rows = sorted(dq_skew_detector(spark, sf_smoke).collect(), key=lambda r: r.rk)
+    orders = load_table(spark, sf_smoke, "orders")
+    assert rows[0].n_rows == orders.count()
+    assert rows[0].n_keys == orders.select("o_custkey").distinct().count()
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    # share and hotness are consistent restatements of cnt
+    for r in rows:
+        assert r.share_microq == int(r.cnt / r.n_rows * 1_000_000)
+        assert r.x_avg_milliq >= 1000 or r.cnt * r.n_keys < r.n_rows

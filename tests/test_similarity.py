@@ -148,3 +148,48 @@ def test_pq_rerank_scores_are_exact(spark, sf_oracle):
             assert abs(r.cosine - exact_cos[(r.qid, r.cid)]) < 1e-9
             checked += 1
     assert checked > 0
+
+
+def test_mrl_recall_bounds_and_determinism(spark, sf_oracle):
+    """vector_mrl_recall outputs one row per query with recall@5 in
+    [0, 1e6], and reruns are bit-identical (rankings tie-break on id)."""
+    from gridmr_spark.queries.vector import _MRL_K, _MRL_NQ, vector_mrl_recall
+
+    a = {r.query_id: (r.n_overlap, r.recall_microq)
+         for r in vector_mrl_recall(spark, sf_oracle).collect()}
+    assert len(a) == _MRL_NQ
+    for n, micro in a.values():
+        assert 0 <= n <= _MRL_K
+        assert micro == n * 1_000_000 // _MRL_K
+    b = {r.query_id: (r.n_overlap, r.recall_microq)
+         for r in vector_mrl_recall(spark, sf_oracle).collect()}
+    assert a == b
+
+
+def test_mrl_full_dims_recall_is_perfect(spark, sf_oracle):
+    """Sanity anchor: truncating to the FULL dimensionality must reproduce
+    the full ranking exactly (recall 1.0 for every query) — guards the
+    slice/ranking plumbing independent of data."""
+    from gridmr_spark.catalog import load_table
+    from gridmr_spark.operators.similarity import cosine_topk
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_oracle, "embeddings")
+    dims = len(emb.select("embedding").first()[0])
+    q = emb.where(F.col("vec_id") < 4)
+
+    def top(frame_q, frame_c):
+        return {
+            (r.query_id, r.neighbor_id, r.rnk)
+            for r in cosine_topk(
+                frame_q.select(F.col("vec_id").alias("query_id"), F.col("v").alias("q_vec")),
+                frame_c.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("c_vec")),
+                k=5, q_id="query_id", q_vec="q_vec", c_id="neighbor_id", c_vec="c_vec",
+            ).collect()
+        }
+
+    full = top(q.select("vec_id", F.col("embedding").alias("v")),
+               emb.select("vec_id", F.col("embedding").alias("v")))
+    sliced = top(q.select("vec_id", F.slice("embedding", 1, dims).alias("v")),
+                 emb.select("vec_id", F.slice("embedding", 1, dims).alias("v")))
+    assert full == sliced

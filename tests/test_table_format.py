@@ -168,3 +168,26 @@ def test_stream_sink_restart_exactly_once(spark, tmp_path, sf_smoke):
     got = t.read(spark)
     assert got.count() == ev.count()
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_delete_where_is_cow_and_history_survives(spark, tmp_path):
+    t = _mk(spark, tmp_path, [[(1, "a"), (2, "b"), (3, "c")]])
+    v2 = t.delete_where(spark, F.col("k") == 2)
+    assert v2 == 2
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 3]
+    # time travel still shows the deleted row (until expire)
+    assert sorted(r.k for r in t.read(spark, 1).collect()) == [1, 2, 3]
+    # the old file with row k=2 is still on disk ...
+    old = set(t._manifest(1)["files"])
+    assert all(os.path.exists(f) for f in old)
+    # ... and expire makes the deletion physical
+    t.expire(keep_last=1)
+    assert all(not os.path.exists(f) for f in old - set(t._manifest(2)["files"]))
+    with pytest.raises(ValueError, match="compact|overwrite"):
+        t.diff(spark, 1, 2)  # deletes are not incremental appends
+
+
+def test_delete_where_accepts_sql_string(spark, tmp_path):
+    t = _mk(spark, tmp_path, [[(1, "a"), (2, "b")]])
+    t.delete_where(spark, "k = 1")
+    assert [r.k for r in t.read(spark).collect()] == [2]
