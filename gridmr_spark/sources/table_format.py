@@ -182,6 +182,29 @@ class ManifestTable:
             os.remove(os.path.join(self._mdir, f"v{v:05d}.json"))
         return removed
 
+    def vacuum_orphans(self) -> list[str]:
+        """Delete data files under ``<root>/data`` that NO manifest
+        references — the leftovers of commits that crashed between the
+        data write and the manifest rename (plus stale ``.tmp`` manifests).
+        Safe by construction: a file a reader could ever resolve is in some
+        manifest's file list and is never touched. Returns deleted paths.
+        """
+        referenced: set[str] = set()
+        for v in self.versions():
+            referenced.update(self._manifest(v)["files"])
+        removed: list[str] = []
+        data_root = os.path.join(self.root, "data")
+        if os.path.isdir(data_root):
+            for f in sorted(glob.glob(os.path.join(data_root, "*", "*.parquet"))):
+                if f not in referenced:
+                    os.remove(f)
+                    removed.append(f)
+        if os.path.isdir(self._mdir):
+            for f in sorted(glob.glob(os.path.join(self._mdir, ".*.tmp"))):
+                os.remove(f)
+                removed.append(f)
+        return removed
+
     def _write_data(self, df: DataFrame, v: int) -> list[str]:
         data_dir = os.path.join(self.root, "data", f"v{v:05d}")
         df.write.mode("error").parquet(data_dir)

@@ -191,3 +191,18 @@ def test_delete_where_accepts_sql_string(spark, tmp_path):
     t = _mk(spark, tmp_path, [[(1, "a"), (2, "b")]])
     t.delete_where(spark, "k = 1")
     assert [r.k for r in t.read(spark).collect()] == [2]
+
+
+def test_vacuum_removes_only_orphans(spark, tmp_path):
+    t = _mk(spark, tmp_path, [[(1, "a")], [(2, "b")]])
+    orphan_dir = os.path.join(t.root, "data", "v00099")
+    spark.createDataFrame([(9, "x")], "k long, v string").write.parquet(orphan_dir)
+    with open(os.path.join(t._mdir, ".v00099.json.tmp"), "w") as f:
+        f.write("{}")
+    live = set(t._manifest(2)["files"])
+    removed = t.vacuum_orphans()
+    assert removed  # the orphan parquet + tmp manifest
+    assert all(os.path.exists(f) for f in live)
+    assert not glob.glob(os.path.join(orphan_dir, "*.parquet"))
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2]
+    assert t.vacuum_orphans() == []  # idempotent
