@@ -64,7 +64,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_setsim_prefix", "search_eval_ndcg", "sample_dsir_importance",
     "table_time_travel", "table_incremental_read", "table_compact_expire",
     "stream_table_sink", "table_delete_rows", "vector_mrl_recall",
-    "dq_skew_detector",
+    "dq_skew_detector", "stream_table_changelog",
     # (c) freshness rotation: the 39 queries whose latest green driver row
     # is ROUND 3 (CORRECTNESS_r03 aggregation) — oldest evidence first.
     "dedup_contamination_check", "dedup_incremental_minhash", "dedup_simhash",

@@ -652,3 +652,46 @@ def table_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return parts[0].unionByName(parts[1])
+
+
+@query("stream_table_changelog", oracle=_COMPACT_ORACLE)
+def stream_table_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest table as a LIVE STREAMING SOURCE (the read-side twin of
+    stream_table_sink): a Python DataSource whose checkpointed offset is
+    the table VERSION and whose micro-batches are exactly the files each
+    append added — the Delta-style table-changelog contract on this
+    format. The 3-commit orders table streams availableNow into a parquet
+    sink; the sink aggregate must equal the base table (oracle), proving
+    the version-offset batching is row-lossless with no duplication.
+    Rewrite snapshots (compact/overwrite) refuse to stream by default —
+    their files are not appends (tests cover both the refusal and
+    on_rewrite=skip). Restart-with-growth exactly-once is in
+    tests/test_table_format.py."""
+    import shutil
+    import uuid
+
+    from gridmr_spark.sources.table_format import register_changelog_source
+
+    t = _manifest_orders_table(spark, sf_dir)
+    register_changelog_source(spark)
+    run = _scratch(sf_dir, "chglog") + f"/run-{uuid.uuid4().hex[:8]}"
+    ck, sink = f"{run}/ck", f"{run}/out"
+    q = (
+        spark.readStream.format("mtable_changelog")
+        .option("path", t.root)
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: df.write.mode("append").parquet(sink))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = (
+        spark.read.parquet(sink)
+        .groupBy((F.col("o_orderkey") % 3).cast("long").alias("bucket"))
+        .agg(*_cents_agg())
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(run, ignore_errors=True)
+    return out

@@ -249,3 +249,124 @@ class ManifestTable:
         if not added:
             raise ValueError(f"no files added in {self.root} v{v_from}..v{v_to}")
         return spark.read.parquet(*added)
+
+
+# ---------------------------------------------------------------------------
+# Changelog streaming SOURCE: the version log as a micro-batch stream
+# ---------------------------------------------------------------------------
+
+# Arrow physical type -> Spark DDL, for the subset the manifest tables in
+# this repo produce. Extend as needed; unknown types raise loudly rather
+# than guessing.
+_ARROW_TO_DDL = {
+    "int8": "tinyint", "int16": "smallint", "int32": "int", "int64": "bigint",
+    "float": "float", "double": "double", "bool": "boolean",
+    "string": "string", "large_string": "string", "binary": "binary",
+    "timestamp[us]": "timestamp", "timestamp[ns]": "timestamp",
+    "date32[day]": "date",
+}
+
+
+def _changelog_classes():
+    """The DataSource API classes, imported lazily so this module stays
+    importable without pyspark.sql.datasource (e.g. doc tooling)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _FileSplit(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class MTableStreamReader(DataSourceStreamReader):
+        """Micro-batch stream over a ManifestTable's APPEND log: the offset
+        is the table VERSION (checkpointed by the engine), each batch is
+        the files added by versions (start, end], each file is one input
+        partition. Exactly the contract Delta's table-as-a-stream exposes,
+        reduced to this format: appends stream, rewrites don't — a
+        'compact'/'overwrite' snapshot either fails the stream (default:
+        its files are rewrites, not new rows) or is skipped wholesale
+        (on_rewrite=skip, for consumers that only want net-new appends and
+        accept missing rows deleted later)."""
+
+        def __init__(self, options):
+            self.root = options.get("path")
+            if not self.root:
+                raise ValueError("mtable_changelog: option 'path' is required")
+            self.on_rewrite = options.get("on_rewrite", "error")
+            if self.on_rewrite not in ("error", "skip"):
+                raise ValueError(
+                    f"mtable_changelog: on_rewrite must be error|skip, got {self.on_rewrite!r}"
+                )
+
+        def initialOffset(self):
+            return {"version": 0}
+
+        def latestOffset(self):
+            return {"version": ManifestTable(self.root).current_version() or 0}
+
+        def partitions(self, start, end):
+            lo, hi = int(start["version"]), int(end["version"])
+            t = ManifestTable(self.root)
+            files: list[str] = []
+            for v in range(lo + 1, hi + 1):
+                m = t._manifest(v)
+                op = m.get("operation", "append")
+                if op != "append":
+                    if self.on_rewrite == "skip":
+                        continue
+                    raise ValueError(
+                        f"mtable_changelog: v{v} is a {op!r} snapshot — its files "
+                        "are rewrites, not appends; read a snapshot instead or "
+                        "set on_rewrite=skip"
+                    )
+                files.extend(m["added"])
+            return [_FileSplit(f) for f in files] or [_FileSplit("")]
+
+        def read(self, partition):
+            if not partition.path:
+                return iter(())
+            import pyarrow.parquet as pq
+
+            cols = [c.to_pylist() for c in pq.read_table(partition.path).columns]
+            return iter(zip(*cols)) if cols else iter(())
+
+        def commit(self, end):
+            pass  # manifests are immutable; nothing to clean up
+
+    class MTableChangelogSource(DataSource):
+        """format('mtable_changelog').option('path', <table root>)"""
+
+        @classmethod
+        def name(cls):
+            return "mtable_changelog"
+
+        def schema(self):
+            import pyarrow.parquet as pq
+
+            t = ManifestTable(self.options["path"])
+            cur = t.current_version()
+            if cur is None:
+                raise ValueError(f"mtable_changelog: {t.root} has no snapshot yet")
+            sch = pq.read_schema(t._manifest(cur)["files"][0])
+            cols = []
+            for f in sch:
+                ddl = _ARROW_TO_DDL.get(str(f.type))
+                if ddl is None:
+                    raise ValueError(
+                        f"mtable_changelog: unmapped arrow type {f.type} for column {f.name!r}"
+                    )
+                cols.append(f"{f.name} {ddl}")
+            return ", ".join(cols)
+
+        def streamReader(self, schema):
+            return MTableStreamReader(self.options)
+
+    return MTableChangelogSource
+
+
+def register_changelog_source(spark: SparkSession) -> None:
+    """Idempotently register format('mtable_changelog') on this session."""
+    spark.dataSource.register(_changelog_classes())

@@ -206,3 +206,69 @@ def test_vacuum_removes_only_orphans(spark, tmp_path):
     assert not glob.glob(os.path.join(orphan_dir, "*.parquet"))
     assert sorted(r.k for r in t.read(spark).collect()) == [1, 2]
     assert t.vacuum_orphans() == []  # idempotent
+
+
+def _run_changelog(spark, t, run_dir):
+    from gridmr_spark.sources.table_format import register_changelog_source
+
+    register_changelog_source(spark)
+    sink = os.path.join(run_dir, "out")
+    q = (
+        spark.readStream.format("mtable_changelog")
+        .option("path", t.root)
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: df.write.mode("append").parquet(sink))
+        .option("checkpointLocation", os.path.join(run_dir, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink)
+
+
+def test_changelog_stream_restart_exactly_once(spark, tmp_path):
+    """Version-offset checkpointing: a restarted stream emits only the
+    versions committed since its checkpoint."""
+    t = _mk(spark, tmp_path, [[(1, "a")], [(2, "b")]])
+    run = str(tmp_path / "run")
+    assert sorted(r.k for r in _run_changelog(spark, t, run).collect()) == [1, 2]
+    t.commit(spark.createDataFrame([(3, "c")], "k long, v string"))
+    got = _run_changelog(spark, t, run)  # SAME checkpoint
+    assert sorted(r.k for r in got.collect()) == [1, 2, 3]
+    assert got.count() == 3  # no re-emission of v1/v2
+
+
+def test_changelog_stream_refuses_rewrites_by_default(spark, tmp_path):
+    t = _mk(spark, tmp_path, [[(1, "a")], [(2, "b")]])
+    t.compact(spark, target_partitions=1)
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises((StreamingQueryException, Py4JJavaError)):
+        _run_changelog(spark, t, str(tmp_path / "run"))
+
+
+def test_changelog_stream_skips_rewrites_when_asked(spark, tmp_path):
+    from gridmr_spark.sources.table_format import register_changelog_source
+
+    t = _mk(spark, tmp_path, [[(1, "a")], [(2, "b")]])
+    t.compact(spark, target_partitions=1)
+    t.commit(spark.createDataFrame([(3, "c")], "k long, v string"))
+    register_changelog_source(spark)
+    run = str(tmp_path / "run")
+    sink = os.path.join(run, "out")
+    q = (
+        spark.readStream.format("mtable_changelog")
+        .option("path", t.root)
+        .option("on_rewrite", "skip")
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: df.write.mode("append").parquet(sink))
+        .option("checkpointLocation", os.path.join(run, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # appends stream; the compaction's rewritten files do not double-emit
+    assert sorted(r.k for r in spark.read.parquet(sink).collect()) == [1, 2, 3]
