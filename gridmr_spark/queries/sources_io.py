@@ -695,3 +695,59 @@ def stream_table_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(run, ignore_errors=True)
     return out
+
+
+_DPO_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+GROUP BY o_orderpriority
+"""
+
+
+@query("source_dynamic_partition_overwrite", oracle=_DPO_ORACLE)
+def source_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the standard BACKFILL write mode:
+    mode('overwrite') with partitionOverwriteMode=dynamic replaces ONLY the
+    hive partitions present in the incoming frame and leaves every other
+    partition untouched (static mode would truncate the whole table).
+    Staged here: write three priority partitions with a poisoned marker
+    (odd keys only) for two of them, then backfill exactly those two with
+    the correct full data — the oracle over the base table can only match
+    if the backfill replaced the poisoned partitions completely AND left
+    the third partition alone.
+
+    At 100 TB this is how daily re-runs land: recompute one day/priority,
+    overwrite that partition atomically-per-partition, never rewrite the
+    table. The conf is set per-write via the DataFrameWriter option (no
+    session-state leak — the round-7 remote.py lesson)."""
+    import shutil
+
+    path = _scratch(sf_dir, "dpo")
+    shutil.rmtree(path, ignore_errors=True)
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).where(F.col("o_orderpriority").isin(pris))
+    # seed: MEDIUM complete; URGENT/HIGH poisoned (odd keys only)
+    seed = orders.where(
+        (F.col("o_orderpriority") == pris[2]) | (F.col("o_orderkey") % 2 == 1)
+    )
+    seed.write.partitionBy("o_orderpriority").mode("overwrite").parquet(path)
+    # backfill: the two poisoned partitions, full data, DYNAMIC overwrite
+    backfill = orders.where(F.col("o_orderpriority").isin(pris[:2]))
+    (
+        backfill.write.partitionBy("o_orderpriority")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path)
+    )
+    got = spark.read.parquet(path)
+    return got.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_even"),
+    )

@@ -272,3 +272,25 @@ def test_changelog_stream_skips_rewrites_when_asked(spark, tmp_path):
     q.awaitTermination()
     # appends stream; the compaction's rewritten files do not double-emit
     assert sorted(r.k for r in spark.read.parquet(sink).collect()) == [1, 2, 3]
+
+
+def test_dynamic_vs_static_partition_overwrite(spark, tmp_path):
+    """The control experiment for source_dynamic_partition_overwrite:
+    static overwrite TRUNCATES untouched partitions, dynamic preserves
+    them — same write, one option apart."""
+    path_s, path_d = str(tmp_path / "static"), str(tmp_path / "dynamic")
+    full = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b")], "k long, p string"
+    )
+    patch = spark.createDataFrame([(9, "a")], "k long, p string")
+    for path in (path_s, path_d):
+        full.write.partitionBy("p").mode("overwrite").parquet(path)
+    patch.write.partitionBy("p").mode("overwrite").parquet(path_s)
+    (
+        patch.write.partitionBy("p")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(path_d)
+    )
+    assert sorted(r.k for r in spark.read.parquet(path_s).collect()) == [9]
+    assert sorted(r.k for r in spark.read.parquet(path_d).collect()) == [3, 4, 9]
