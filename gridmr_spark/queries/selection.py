@@ -151,3 +151,76 @@ def dsir_scores(docs: DataFrame, n_buckets: int = _DSIR_BUCKETS) -> DataFrame:
             F.sum("lw").cast("long").alias("score_q"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: the one-pass corpus summary artifact
+# ---------------------------------------------------------------------------
+
+_CARD_ORACLE = """
+WITH d AS (
+  SELECT lang, source, md5(text) AS digest,
+         CAST(len(list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+                  w -> w <> '')) AS BIGINT) AS n_tok,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+), dup AS (
+  SELECT digest, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY digest
+)
+SELECT COALESCE(d.lang, 'ALL') AS lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(CASE WHEN dup.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+FROM d JOIN dup USING (digest)
+GROUP BY GROUPING SETS ((d.lang), ())
+"""
+
+
+@query("pipeline_dataset_card", oracle=_CARD_ORACLE)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card in one pass: per-language and corpus-total document /
+    token / character counts, source coverage, and exact-duplicate volume —
+    the summary artifact every released training corpus ships (dataset
+    cards / datasheets for datasets, Gebru et al. 2021). GROUPING SETS
+    gives the per-lang rows and the 'ALL' rollup from ONE aggregation; the
+    duplicate flag is the dedup_exact digest shape joined back as a
+    per-digest count.
+
+    Scale shape: one corpus scan; the digest group-by is the standard
+    128-bit-key dedup shuffle (the narrow one); the grouping-sets
+    aggregate is lang-cardinality bounded. Extending the card (quality
+    histograms, length percentiles) composes more aggregates onto the same
+    scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        "source",
+        F.md5("text").alias("digest"),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]+", " ")), " "),
+                lambda w: w != "",
+            )
+        )
+        .cast("long")
+        .alias("n_tok"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    dup = d.groupBy("digest").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    joined = d.join(dup, "digest")
+    return (
+        joined.groupingSets([["lang"], []], "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).cast("long").alias("n_dup_docs"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            "n_docs", "n_tokens", "n_chars", "n_sources", "n_dup_docs",
+        )
+    )

@@ -751,3 +751,81 @@ def source_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> Data
         .cast("long")
         .alias("n_even"),
     )
+
+
+_UPSERT_VIEW_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("stream_table_upsert_view", oracle=_UPSERT_VIEW_ORACLE)
+def stream_table_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MATERIALIZED VIEW maintained in the manifest table: each
+    micro-batch folds its per-key partial aggregate into the table's
+    current totals and REPLACES the table content in one idempotent
+    overwrite snapshot (merge = full-outer on key + coalesced integer
+    sums — the `agg_incremental_merge` algebra with the table format as
+    the state store). A replayed batch maps to its existing version via
+    the idempotency key, so the view is exactly-once under retries. The
+    final table must equal the direct batch aggregate of the source
+    (oracle) — proving the incremental fold, not just the plumbing.
+
+    At 100 TB this is the standing-dashboard pattern: the view's size is
+    key-cardinality bounded regardless of stream volume, each refresh
+    costs O(batch + |view|), and every historical refresh is a readable
+    snapshot (auditable lineage of a live aggregate)."""
+    import shutil
+    import uuid
+
+    from gridmr_spark.sources.table_format import ManifestTable
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    base = _scratch(sf_dir, "upsertview")
+    shutil.rmtree(base, ignore_errors=True)
+    src, ck, tbl = f"{base}/src", f"{base}/ck-{uuid.uuid4().hex[:8]}", f"{base}/tbl"
+    # several source files => availableNow may deliver multiple batches
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    t = ManifestTable(tbl)
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.floor(F.col("value") * F.lit(100.0)).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        if t.current_version() is not None:
+            cur = t.read(batch_df.sparkSession)
+            merged = (
+                cur.join(delta.withColumnsRenamed(
+                    {"n_events": "d_n", "sum_cents": "d_s"}), "event_type", "full_outer")
+                .select(
+                    "event_type",
+                    (F.coalesce("n_events", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+                    .cast("long")
+                    .alias("n_events"),
+                    (F.coalesce("sum_cents", F.lit(0)) + F.coalesce("d_s", F.lit(0)))
+                    .cast("long")
+                    .alias("sum_cents"),
+                )
+            )
+        else:
+            merged = delta
+        t.replace(merged.localCheckpoint(eager=True), idempotency_key=f"batch-{batch_id}")
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.outputMode("append")
+        .foreachBatch(refresh)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return t.read(spark)

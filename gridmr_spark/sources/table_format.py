@@ -131,6 +131,24 @@ class ManifestTable:
         )
         return v
 
+    def replace(self, df: DataFrame, idempotency_key: str | None = None) -> int:
+        """Replace the table's ENTIRE logical content with ``df`` in one
+        'overwrite' snapshot — the write mode a streaming materialized view
+        refreshes with (foreachBatch: merge batch into current state,
+        replace). Same atomicity and idempotency contracts as commit();
+        history stays readable until expired."""
+        if idempotency_key is not None:
+            for v in self.versions():
+                if self._manifest(v).get("key") == idempotency_key:
+                    return v
+        v = (self.current_version() or 0) + 1
+        added = self._write_data(df, v)
+        self._write_manifest(
+            {"version": v, "operation": "overwrite", "key": idempotency_key,
+             "files": added, "added": added}
+        )
+        return v
+
     def delete_where(self, spark: SparkSession, condition) -> int:
         """Row-level delete (copy-on-write): rewrite the current snapshot
         WITHOUT the rows matching ``condition`` (a Column or SQL string) as

@@ -54,3 +54,31 @@ def test_uniform_corpus_yields_no_ranking(spark):
     scored = dsir_scores(_frame(spark, rows))
     distinct = scored.select("score_q").distinct().count()
     assert distinct == 1
+
+
+def test_dataset_card_additivity(spark, sf_oracle):
+    """The ALL rollup row must equal the sum of the per-lang rows on every
+    additive column, and the duplicate count must match the dedup_exact
+    digest definition computed independently."""
+    from pyspark.sql import functions as F
+
+    from gridmr_spark.catalog import load_table
+    from gridmr_spark.queries.selection import pipeline_dataset_card
+
+    rows = {r.lang: r for r in pipeline_dataset_card(spark, sf_oracle).collect()}
+    langs = [k for k in rows if k != "ALL"]
+    total = rows["ALL"]
+    for col in ("n_docs", "n_tokens", "n_chars", "n_dup_docs"):
+        assert getattr(total, col) == sum(getattr(rows[lg], col) for lg in langs)
+    docs = load_table(spark, sf_oracle, "documents")
+    n_dup_direct = (
+        docs.groupBy(F.md5("text").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.sum("c"))
+        .collect()[0][0]
+    ) or 0
+    assert total.n_dup_docs == n_dup_direct
+    # n_sources is NOT additive across langs (sources span langs) — it is
+    # a distinct count; the rollup must be >= the per-lang max.
+    assert total.n_sources >= max(rows[lg].n_sources for lg in langs)

@@ -294,3 +294,58 @@ def test_dynamic_vs_static_partition_overwrite(spark, tmp_path):
     )
     assert sorted(r.k for r in spark.read.parquet(path_s).collect()) == [9]
     assert sorted(r.k for r in spark.read.parquet(path_d).collect()) == [3, 4, 9]
+
+
+def test_replace_is_idempotent_overwrite(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    v2 = t.replace(spark.createDataFrame([(9, "z")], "k long, v string"),
+                   idempotency_key="refresh-0")
+    v_retry = t.replace(
+        spark.createDataFrame([(999, "BOOM")], "k long, v string"),
+        idempotency_key="refresh-0",
+    )
+    assert v2 == v_retry == 2
+    assert [r.k for r in t.read(spark).collect()] == [9]  # retry was a no-op
+    assert [r.k for r in t.read(spark, 1).collect()] != [9]  # history intact
+    with pytest.raises(ValueError, match="overwrite"):
+        t.diff(spark, 1, 2)
+
+
+def test_upsert_view_replay_converges(spark, tmp_path, sf_smoke):
+    """The materialized-view fold survives a REPLAYED batch: merging the
+    same delta twice under the same idempotency key must leave the view
+    equal to a single application (the failure mode the key prevents is
+    double-counting)."""
+    from pyspark.sql import functions as F
+
+    from gridmr_spark.catalog import load_table
+    from gridmr_spark.sources.table_format import ManifestTable
+
+    ev = load_table(spark, sf_smoke, "events").select("event_type", "value")
+    halves = [ev.where(F.col("value") < 50), ev.where(F.col("value") >= 50)]
+    t = ManifestTable(str(tmp_path / "view"))
+
+    def refresh(batch_df, batch_id):
+        delta = batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        if t.current_version() is not None:
+            cur = t.read(spark)
+            merged = cur.join(
+                delta.withColumnRenamed("n", "d"), "event_type", "full_outer"
+            ).select(
+                "event_type",
+                (F.coalesce("n", F.lit(0)) + F.coalesce("d", F.lit(0))).cast("long").alias("n"),
+            )
+        else:
+            merged = delta
+        t.replace(merged.localCheckpoint(eager=True), idempotency_key=f"b-{batch_id}")
+
+    refresh(halves[0], 0)
+    refresh(halves[1], 1)
+    refresh(halves[1], 1)  # replay
+    got = {r.event_type: r.n for r in t.read(spark).collect()}
+    want = {r.event_type: r.n for r in ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")).collect()}
+    assert got == want
