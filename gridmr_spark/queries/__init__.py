@@ -65,7 +65,8 @@ _DRIVER_PRIORITY: list[str] = [
     "table_time_travel", "table_incremental_read", "table_compact_expire",
     "stream_table_sink", "table_delete_rows", "vector_mrl_recall",
     "dq_skew_detector", "stream_table_changelog",
-    "source_dynamic_partition_overwrite",
+    "source_dynamic_partition_overwrite", "stream_table_upsert_view",
+    "pipeline_dataset_card",
     # (c) freshness rotation: the 39 queries whose latest green driver row
     # is ROUND 3 (CORRECTNESS_r03 aggregation) — oldest evidence first.
     "dedup_contamination_check", "dedup_incremental_minhash", "dedup_simhash",
