@@ -265,3 +265,36 @@ def dq_skew_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_keys",
         )
     )
+
+
+_LDIV_ORACLE = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS group_size,
+       CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT)) AS BIGINT) AS n_sensitive
+FROM customer
+GROUP BY 1, 2
+HAVING COUNT(DISTINCT CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT)) < 3
+"""
+
+
+@query("dq_l_diversity", oracle=_LDIV_ORACLE)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l=3), k-anonymity's stronger sibling: a
+    quasi-identifier group where everyone shares (nearly) the SAME
+    sensitive value leaks that value even when the group is large enough
+    to pass k-anonymity. Flag every (nation, segment) group whose
+    account-balance band takes fewer than l distinct values. Same
+    one-scan shape as dq_k_anonymity — a distinct-count aggregate bounded
+    by quasi-identifier cardinality; the generalization loop (coarsen
+    until every group passes BOTH k and l) composes the two audits over
+    the same scan."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(2000.0)).cast("long")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            F.countDistinct(band).cast("long").alias("n_sensitive"),
+        )
+        .where(F.col("n_sensitive") < 3)
+    )

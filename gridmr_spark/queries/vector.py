@@ -1085,3 +1085,64 @@ def vector_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_microq"),
         )
     )
+
+
+_SSSP_ROUNDS = 4
+
+# Deterministic symmetric integer edge weight derivable in both engines.
+_SSSP_W_SQL = "(1 + (s + d) % 5)"
+
+_SSSP_ORACLE = f"""
+WITH RECURSIVE p AS ({_PAIRS_500_SQL}),
+e AS (
+  SELECT id1 AS s, id2 AS d FROM p UNION ALL SELECT id2 AS s, id1 AS d FROM p
+), ew AS (
+  SELECT s, d, CAST({_SSSP_W_SQL} AS BIGINT) AS w FROM e
+), walk(id, dist, hops) AS (
+  SELECT vec_id AS id, CAST(0 AS BIGINT) AS dist, 0 AS hops
+  FROM embeddings WHERE vec_id < 5
+  UNION
+  SELECT ew.d AS id, w2.dist + ew.w AS dist, w2.hops + 1 AS hops
+  FROM walk w2 JOIN ew ON ew.s = w2.id
+  WHERE w2.hops < {_SSSP_ROUNDS}
+)
+SELECT id, CAST(MIN(dist) AS BIGINT) AS dist_w FROM walk GROUP BY id
+"""
+
+
+@query("graph_sssp_weighted", oracle=_SSSP_ORACLE)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-source shortest path (Bellman-Ford, {_SSSP_ROUNDS}
+    relaxation rounds) over the near-dup graph with deterministic integer
+    edge weights 1 + (s+d) % 5 — BFS's weighted sibling: hop count becomes
+    accumulated cost, the primitive behind influence radius with
+    per-edge strength. Each round relaxes the FULL tentative-distance
+    table against the edge list (one keyed shuffle join + min aggregate),
+    so the round cost is O(|E|) and the job graph is static (fixed cap,
+    lineage flattened by localCheckpoint). {_SSSP_ROUNDS} rounds bound the
+    answer to paths of <= {_SSSP_ROUNDS} edges — the same contract as the
+    recursive-CTE oracle, exact integer outputs."""
+    p = _bounded_pairs(spark, sf_dir)
+    e = (
+        p.select(F.col("id1").alias("s"), F.col("id2").alias("d"))
+        .union(p.select(F.col("id2").alias("s"), F.col("id1").alias("d")))
+        .select("s", "d", (1 + (F.col("s") + F.col("d")) % 5).cast("long").alias("w"))
+        .localCheckpoint()
+    )
+    dist = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("id"), F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint()
+    )
+    for _ in range(_SSSP_ROUNDS):
+        cand = dist.join(e, dist["id"] == e["s"]).select(
+            F.col("d").alias("id"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.union(cand)
+            .groupBy("id")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist.select("id", F.col("dist").alias("dist_w"))

@@ -142,3 +142,27 @@ def test_two_phase_cc_path_graph(spark):
         for r in connected_components_two_phase(vertices, e).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_sssp_weighted_dominated_by_bfs_times_maxw(spark, sf_oracle):
+    """Structural laws tying the weighted walk to the unweighted one on
+    the same graph: every vertex BFS reaches is reached by SSSP (same
+    edges, same rounds), seeds cost 0, and hop*1 <= dist_w <= hop*5
+    (weights are 1..5)."""
+    from gridmr_spark.queries.vector import graph_bfs_distance, graph_sssp_weighted
+
+    bfs = {r.id: r.dist for r in graph_bfs_distance(spark, sf_oracle).collect()}
+    sssp = {r.id: r.dist_w for r in graph_sssp_weighted(spark, sf_oracle).collect()}
+    assert set(bfs) == set(sssp)
+    for vid, hops in bfs.items():
+        assert hops <= sssp[vid] <= hops * 5 if hops else sssp[vid] == 0
+
+
+def test_sssp_weighted_triangle_inequality_on_seeds(spark, sf_oracle):
+    """Seeds are distance 0 by definition and every non-seed distance is
+    positive — the relaxation can never 'pay' to stay in place."""
+    from gridmr_spark.queries.vector import graph_sssp_weighted
+
+    rows = {r.id: r.dist_w for r in graph_sssp_weighted(spark, sf_oracle).collect()}
+    for vid, d in rows.items():
+        assert (d == 0) == (vid < 5)
