@@ -193,3 +193,31 @@ def test_mrl_full_dims_recall_is_perfect(spark, sf_oracle):
     sliced = top(q.select("vec_id", F.slice("embedding", 1, dims).alias("v")),
                  emb.select("vec_id", F.slice("embedding", 1, dims).alias("v")))
     assert full == sliced
+
+
+def test_silhouette_separates_planted_from_scrambled(spark):
+    """Tight well-separated planted clusters score n_well == n_vecs with
+    positive margins; the SAME points with scrambled labels score worse on
+    both counts — the eval detects clustering quality, not just schema."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gridmr_spark.queries.vector import silhouette_eval
+
+    rng = random.Random(7)
+    rows = []
+    for label in range(3):
+        center = [10.0 * (label + 1) * ((-1) ** d) for d in range(8)]
+        for i in range(20):
+            rows.append(
+                (label * 100 + i, label,
+                 [c + rng.uniform(-0.5, 0.5) for c in center])
+            )
+    df = spark.createDataFrame(rows, "vec_id long, label long, embedding array<double>")
+    good = silhouette_eval(df).collect()
+    assert all(r.n_well == r.n_vecs for r in good)
+    assert all(r.margin_sum_q > 0 for r in good)
+    scrambled = df.withColumn("label", (F.col("vec_id") * 37) % 3)
+    bad = silhouette_eval(scrambled).collect()
+    assert sum(r.n_well for r in bad) < sum(r.n_vecs for r in bad)
