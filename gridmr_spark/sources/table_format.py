@@ -21,12 +21,18 @@ file in the snapshot. That single indirection buys the three guarantees a
   O(delta) input that feeds `agg_incremental_merge` / `incremental_join_view`
   style maintenance instead of a full-table rescan.
 
-Deliberately out of scope (documented, not half-built): row-level deletes
-(the CDC/SCD2 queries implement MERGE semantics over snapshots), schema
-evolution (`source_schema_evolution` covers mergeSchema), and manifest
-COMPACTION into manifest-lists — at real scale the file list itself becomes
-a dataset; Iceberg's two-level manifests are the known answer and this
-format's JSON stays deliberately single-level for auditability at test SFs.
+Also in scope (grown over round 8): idempotent commits (exactly-once
+streaming sink), ``replace`` (streaming materialized views), copy-on-write
+``delete_where``, ``compact`` + ``expire`` + ``vacuum_orphans``
+maintenance, a changelog STREAMING SOURCE over the version log, and
+schema-evolution reads (``read(merge_schema=True)``).
+
+Deliberately out of scope (documented, not half-built): merge-on-read
+delete vectors (COW is the honest choice at this complexity budget) and
+manifest COMPACTION into manifest-lists — at real scale the file list
+itself becomes a dataset; Iceberg's two-level manifests are the known
+answer and this format's JSON stays deliberately single-level for
+auditability at test SFs.
 
 Reference parity: SebasUr/GridMR's data plane is bare files on a shared FS
 (cpp/worker/src/common/fs.cc) with no versioning; this module is part of
@@ -238,8 +244,20 @@ class ManifestTable:
 
     # -- reads --------------------------------------------------------------
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """The snapshot as of ``version`` (default: latest)."""
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
+        """The snapshot as of ``version`` (default: latest).
+
+        ``merge_schema=True`` unions the schemas of all snapshot files
+        (columns added by later commits surface with NULL backfill for
+        older files — the `source_schema_evolution` semantics applied to
+        the versioned table). Off by default: schema merging reads every
+        footer up front, which a 100 TB table pays in listing latency.
+        """
         if version is None:
             version = self.current_version()
             if version is None:
@@ -247,7 +265,8 @@ class ManifestTable:
         files = self._manifest(version)["files"]
         if not files:
             raise ValueError(f"snapshot v{version} of {self.root} is empty")
-        return spark.read.parquet(*files)
+        reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
+        return reader.parquet(*files)
 
     def diff(self, spark: SparkSession, v_from: int, v_to: int) -> DataFrame:
         """Rows ADDED strictly after ``v_from`` up to and including

@@ -349,3 +349,15 @@ def test_upsert_view_replay_converges(spark, tmp_path, sf_smoke):
     want = {r.event_type: r.n for r in ev.groupBy("event_type")
             .agg(F.count(F.lit(1)).cast("long").alias("n")).collect()}
     assert got == want
+
+
+def test_read_merge_schema_surfaces_added_columns(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.commit(spark.createDataFrame([(2, "b", 7.5)], "k long, v string, extra double"))
+    merged = t.read(spark, merge_schema=True)
+    assert "extra" in merged.columns
+    rows = {r.k: r for r in merged.collect()}
+    assert rows[1].extra is None and rows[2].extra == 7.5
+    # and the historical snapshot is untouched by evolution
+    assert "extra" not in t.read(spark, 1, merge_schema=True).columns
