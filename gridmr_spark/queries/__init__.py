@@ -67,7 +67,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dq_skew_detector", "stream_table_changelog",
     "source_dynamic_partition_overwrite", "stream_table_upsert_view",
     "pipeline_dataset_card", "graph_sssp_weighted", "dq_l_diversity",
-    "cluster_silhouette_eval",
+    "cluster_silhouette_eval", "sample_weighted_reservoir",
     # (c) freshness rotation: the 39 queries whose latest green driver row
     # is ROUND 3 (CORRECTNESS_r03 aggregation) — oldest evidence first.
     "dedup_contamination_check", "dedup_incremental_minhash", "dedup_simhash",

@@ -224,3 +224,64 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs", "n_tokens", "n_chars", "n_sources", "n_dup_docs",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling without replacement (Efraimidis-Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+_RESERVOIR_K = 20
+
+# u in (0, 1]: 8 md5 hex chars -> (h + 1) / 2^32, engine-portable.
+_U_SQL = ("(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) "
+          "AS DOUBLE) + 1.0) / 4294967296.0")
+
+_RESERVOIR_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, CAST(n_chars AS DOUBLE) AS w, {_U_SQL} AS u
+  FROM documents WHERE n_chars > 0
+), keyed AS (
+  SELECT doc_id,
+         CAST(FLOOR(ln(u) / w * 1000000000.0) AS BIGINT) AS key_q
+  FROM d
+)
+SELECT doc_id, key_q, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY key_q DESC, doc_id ASC) AS rk FROM keyed
+) WHERE rk <= {_RESERVOIR_K}
+"""
+
+
+@query("sample_weighted_reservoir", oracle=_RESERVOIR_ORACLE)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis-Spirakis
+    A-ES key (Inf. Proc. Letters 2006, public): each item draws
+    u ~ U(0,1] and ranks by u^(1/w) — equivalently ln(u)/w, monotone and
+    overflow-free — and the top-k keys are EXACTLY a weighted sample
+    without replacement. The one-pass, mergeable formulation every
+    distributed engine uses (per-partition top-k then merge, which is
+    precisely what TakeOrdered/WindowGroupLimit compile to).
+
+    Deterministic u comes from md5(doc_id) (the repo's sampling idiom), so
+    re-runs and both engines agree; the key is nanolog-quantized before
+    ranking (one ln + one division, mirrored). Weights here are document
+    lengths — sample long documents preferentially, the curriculum/dedup
+    use case. vs sample_importance_weighted (Bernoulli, random SIZE):
+    A-ES returns exactly k rows, the contract a fixed training-budget
+    draw needs."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    u = (
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+         .cast("double") + F.lit(1.0)) / F.lit(4294967296.0)
+    )
+    keyed = docs.select(
+        "doc_id",
+        F.floor(F.log(u) / F.col("n_chars").cast("double") * F.lit(1000000000.0))
+        .cast("long")
+        .alias("key_q"),
+    )
+    w = Window.orderBy(F.desc("key_q"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _RESERVOIR_K)
+        .select("doc_id", "key_q", "rk")
+    )
