@@ -310,3 +310,51 @@ def ds_time_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             c(F.col("l_returnflag") == "R", "band_returned"),
         )
     )
+
+
+_REPEAT_ORACLE = """
+WITH urgent AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+), relaxed AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+), both_ch AS (
+  SELECT o_custkey FROM urgent INTERSECT SELECT o_custkey FROM relaxed
+)
+SELECT o.o_custkey AS custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_urgent,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders o JOIN both_ch b ON o.o_custkey = b.o_custkey
+GROUP BY 1
+HAVING COUNT(*) >= 4
+"""
+
+
+@query("ds_repeat_buyers_intersect", oracle=_REPEAT_ORACLE)
+def ds_repeat_buyers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q14-flavor cross-channel INTERSECT: customers active in BOTH
+    the urgent and the relaxed order channel (set intersection of distinct
+    buyer keys), joined back to the fact table for per-customer channel
+    mix and exact-cents revenue, kept at >= 4 lifetime orders. Exercises
+    INTERSECT-as-semi-join + aggregate-after-setop — a distinct Catalyst
+    path from the existing FULL OUTER channel compare. Scale shape: the
+    channel key sets are distinct-aggregated (map-side combined, key-
+    bounded) before the intersect; the join back is key-on-key."""
+    orders = load_table(spark, sf_dir, "orders")
+    hot = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    urgent = orders.where(hot).select("o_custkey").distinct()
+    relaxed = orders.where(~hot).select("o_custkey").distinct()
+    both_ch = urgent.intersect(relaxed)
+    return (
+        orders.join(both_ch, "o_custkey")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.when(hot, 1).otherwise(0)).cast("long").alias("n_urgent"),
+            F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        .where(F.col("n_orders") >= 4)
+    )
