@@ -68,7 +68,7 @@ _DRIVER_PRIORITY: list[str] = [
     "source_dynamic_partition_overwrite", "stream_table_upsert_view",
     "pipeline_dataset_card", "graph_sssp_weighted", "dq_l_diversity",
     "cluster_silhouette_eval", "sample_weighted_reservoir",
-    "ds_repeat_buyers_intersect",
+    "ds_repeat_buyers_intersect", "table_merge_upsert",
     # (c) freshness rotation: the 39 queries whose latest green driver row
     # is ROUND 3 (CORRECTNESS_r03 aggregation) — oldest evidence first.
     "dedup_contamination_check", "dedup_incremental_minhash", "dedup_simhash",

@@ -829,3 +829,47 @@ def stream_table_upsert_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return t.read(spark)
+
+
+_MERGE_TBL_ORACLE = """
+WITH merged AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END
+           AS o_totalprice
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey + 10000000, 1.0 FROM orders WHERE o_orderkey % 1000 = 0
+)
+SELECT CAST(o_orderkey % 7 = 0 AS BOOLEAN) AS is_updated_key,
+       CAST(o_orderkey >= 10000000 AS BOOLEAN) AS is_inserted,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM merged GROUP BY 1, 2
+"""
+
+
+@query("table_merge_upsert", oracle=_MERGE_TBL_ORACLE)
+def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional MERGE INTO the manifest table: updates (+1000.00 on
+    every seventh order key) and inserts (synthetic high keys) land as ONE
+    atomic overwrite snapshot via merge_by_key — update-wins, insert-
+    unmatched, untouched rows carried over, history time-travelable. The
+    oracle recomputes the merged population from the base table; grouping
+    by (updated-key?, inserted?) proves each merge class independently
+    (wrong carry-over, missed update, and dropped insert each break a
+    different row)."""
+    t = _manifest_orders_table(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    updates = orders.where(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice")
+    )
+    inserts = orders.where(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + F.lit(10000000)).alias("o_orderkey"),
+        F.lit(1.0).alias("o_totalprice"),
+    )
+    t.merge_by_key(spark, updates.unionByName(inserts), "o_orderkey")
+    snap = t.read(spark)
+    return snap.groupBy(
+        (F.col("o_orderkey") % 7 == 0).alias("is_updated_key"),
+        (F.col("o_orderkey") >= 10000000).alias("is_inserted"),
+    ).agg(*_cents_agg())

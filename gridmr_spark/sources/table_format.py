@@ -155,6 +155,41 @@ class ManifestTable:
         )
         return v
 
+    def merge_by_key(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key: str,
+        idempotency_key: str | None = None,
+    ) -> int:
+        """MERGE INTO by key (update-wins + insert-unmatched), as one
+        atomic 'overwrite' snapshot: rows of ``updates`` replace
+        same-keyed current rows; unmatched keys insert; untouched rows
+        carry over. The `merge_upsert_cdc` anti-join + union algebra with
+        the table format's transactional guarantees on top — together with
+        commit/replace/delete_where this completes the CRUD verbs.
+
+        Copy-on-write like delete_where; at scale the rewrite is bounded
+        by partitioning so a merge touches few files. Schemas must match
+        (column-by-name union)."""
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"nothing to merge into in {self.root}")
+        if idempotency_key is not None:
+            for v in self.versions():
+                if self._manifest(v).get("key") == idempotency_key:
+                    return v
+        current = self.read(spark, cur)
+        kept = current.join(updates.select(key), key, "left_anti")
+        merged = kept.unionByName(updates.select(*current.columns))
+        v = cur + 1
+        added = self._write_data(merged, v)
+        self._write_manifest(
+            {"version": v, "operation": "overwrite", "key": idempotency_key,
+             "files": added, "added": added}
+        )
+        return v
+
     def delete_where(self, spark: SparkSession, condition) -> int:
         """Row-level delete (copy-on-write): rewrite the current snapshot
         WITHOUT the rows matching ``condition`` (a Column or SQL string) as

@@ -361,3 +361,19 @@ def test_read_merge_schema_surfaces_added_columns(spark, tmp_path):
     assert rows[1].extra is None and rows[2].extra == 7.5
     # and the historical snapshot is untouched by evolution
     assert "extra" not in t.read(spark, 1, merge_schema=True).columns
+
+
+def test_merge_by_key_update_insert_carryover(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string"))
+    ups = spark.createDataFrame([(2, "B!"), (9, "new")], "k long, v string")
+    v = t.merge_by_key(spark, ups, "k", idempotency_key="m-0")
+    assert v == 2
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got == {1: "a", 2: "B!", 3: "c", 9: "new"}
+    # replay under the same key is a no-op
+    boom = spark.createDataFrame([(1, "BOOM")], "k long, v string")
+    assert t.merge_by_key(spark, boom, "k", idempotency_key="m-0") == 2
+    assert {r.k: r.v for r in t.read(spark).collect()} == got
+    # pre-merge snapshot is intact
+    assert {r.k: r.v for r in t.read(spark, 1).collect()} == {1: "a", 2: "b", 3: "c"}
