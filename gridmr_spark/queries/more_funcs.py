@@ -916,3 +916,60 @@ def er_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("s_name", "s_suppkey").alias("canonical_name"),
         )
     )
+
+
+_FUNNEL_TIME_ORACLE = """
+WITH c AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events WHERE event_type = 'click' GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t1
+  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts >= c.t0
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1
+), d AS (
+  SELECT c.user_id,
+         CAST(FLOOR(epoch(p.t1)) AS BIGINT) - CAST(FLOOR(epoch(c.t0)) AS BIGINT) AS ds
+  FROM c JOIN p USING (user_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(SUM(ds) AS BIGINT) AS sum_s,
+       CAST(CAST(quantile_cont(ds, 0.5) AS DECIMAL(18,6)) AS DOUBLE) AS p50_s,
+       CAST(CAST(quantile_cont(ds, 0.9) AS DECIMAL(18,6)) AS DOUBLE) AS p90_s
+FROM d
+"""
+
+
+@query("events_funnel_conversion_time", oracle=_FUNNEL_TIME_ORACLE)
+def events_funnel_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency distribution: per user, seconds from first click to
+    the first purchase at-or-after it; report conversion count, exact
+    total, and interpolated p50/p90 — the time-to-convert metric the plain
+    funnel (events_funnel, step counts) does not answer. Deltas are exact
+    integer seconds (floor-epoch on both engines), percentiles are
+    interpolated-exact and quantized through DECIMAL(18,6) (the
+    agg_robust_mad contract). Shape: two keyed min-aggregates and one
+    user-keyed join — no window over the raw event stream, so the funnel
+    cost is two map-side-combined passes at any scale."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"), F.min("t0").alias("t0"))
+    )
+    d = p.select(
+        (F.unix_timestamp("t1") - F.unix_timestamp("t0")).cast("long").alias("ds")
+    )
+    dec = "decimal(18,6)"
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.sum("ds").cast("long").alias("sum_s"),
+        F.expr("percentile(ds, 0.5)").cast(dec).cast("double").alias("p50_s"),
+        F.expr("percentile(ds, 0.9)").cast(dec).cast("double").alias("p90_s"),
+    )
