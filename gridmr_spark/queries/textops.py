@@ -2247,3 +2247,104 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= F.col("quota"))
         .select("doc_id", "lang", "n_docs", "quota")
     )
+
+
+_TRIGRAM_LM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+                     w -> w <> '') AS t
+  FROM documents
+), tg AS (
+  SELECT doc_id, t[CAST(g.i AS INT)] AS w1, t[CAST(g.i + 1 AS INT)] AS w2,
+         t[CAST(g.i + 2 AS INT)] AS w3
+  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)
+  WHERE len(t) >= 3
+), c3 AS (SELECT w1, w2, w3, COUNT(*) AS n3 FROM tg GROUP BY 1, 2, 3),
+p2c AS (SELECT w1, w2, COUNT(*) AS np FROM tg GROUP BY 1, 2),
+s2 AS (SELECT w2, w3, COUNT(*) AS ns FROM tg GROUP BY 1, 2),
+u2 AS (SELECT w2, COUNT(*) AS nu FROM tg GROUP BY 1),
+u3 AS (SELECT w3, COUNT(*) AS n1 FROM tg GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM tg)
+SELECT tg.doc_id,
+       COUNT(*) AS n_trigrams,
+       CAST(SUM(CAST(FLOOR(ln(
+           0.7 * (CAST(n3 AS DOUBLE) / CAST(np AS DOUBLE))
+           + 0.25 * (CAST(ns AS DOUBLE) / CAST(nu AS DOUBLE))
+           + 0.05 * (CAST(n1 AS DOUBLE) / nt)
+         ) * 1000000000) AS BIGINT)) AS BIGINT) AS sum_qlog
+FROM tg
+JOIN c3 USING (w1, w2, w3) JOIN p2c USING (w1, w2)
+JOIN s2 USING (w2, w3) JOIN u2 USING (w2) JOIN u3 USING (w3)
+CROSS JOIN tot
+GROUP BY tg.doc_id
+"""
+
+
+@query("text_trigram_lm_interpolated", oracle=_TRIGRAM_LM_ORACLE)
+def text_trigram_lm_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated trigram language-model scoring — the bigram signal's
+    production upgrade (Jelinek-Mercer interpolation, the classic n-gram
+    smoothing): each position scores
+    ln(0.7*p3 + 0.25*p2 + 0.05*p1) with MLE components
+    p3 = c(w1w2w3)/c(w1w2·), p2 = c(·w2w3)/c(·w2·), p1 = c(··w3)/N, all
+    counted over the SAME exploded trigram frame, so unseen trigrams in a
+    held-out doc would back off to bigram/unigram mass instead of -inf —
+    the property that makes interpolation usable as a quality gate.
+
+    Engine contract: every probability is one division of exact integer
+    counts, the mixture is a literal-weighted sum evaluated in the same
+    order in both engines, and the only transcendental is one mirrored
+    ln, nanolog-quantized before the per-doc integer sum (the
+    text_bigram_lm_score idiom). Scale shape: five vocabulary-bounded
+    count dimensions joined back onto the streaming trigram frame
+    (broadcast when small, AQE-skew-handled equi-joins otherwise) plus a
+    one-row total broadcast; no Python anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    tdf = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]+", " ")), " "),
+            lambda w: w != "",
+        ).alias("t"),
+    ).where(F.size("t") >= 3)
+    tg = tdf.select(
+        "doc_id",
+        F.expr(
+            "explode(zip_with("
+            " zip_with(slice(t, 1, size(t) - 2), slice(t, 2, size(t) - 2),"
+            "          (a, b) -> struct(a AS w1, b AS w2)),"
+            " slice(t, 3, size(t) - 2),"
+            " (p, c) -> struct(p.w1 AS w1, p.w2 AS w2, c AS w3)))"
+        ).alias("g"),
+    ).select("doc_id", "g.w1", "g.w2", "g.w3")
+    # tg feeds SEVEN consumers (five count dims, the total, and the final
+    # probe) — materialize once so tokenize+explode doesn't replay per
+    # consumer (the jaccard_pairs localCheckpoint rationale). Dim joins are
+    # left to AQE: vocabulary-bounded here, but at real n-gram-vocab scale
+    # they stop being broadcastable and AQE picks the right strategy.
+    tg = tg.localCheckpoint(eager=True)
+    c3 = tg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("n3"))
+    p2c = tg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("np"))
+    s2 = tg.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("ns"))
+    u2 = tg.groupBy("w2").agg(F.count(F.lit(1)).alias("nu"))
+    u3 = tg.groupBy("w3").agg(F.count(F.lit(1)).alias("n1"))
+    tot = tg.agg(F.count(F.lit(1)).cast("double").alias("nt"))
+    mix = (
+        F.lit(0.7) * (F.col("n3").cast("double") / F.col("np").cast("double"))
+        + F.lit(0.25) * (F.col("ns").cast("double") / F.col("nu").cast("double"))
+        + F.lit(0.05) * (F.col("n1").cast("double") / F.col("nt"))
+    )
+    scored = (
+        tg.join(c3, ["w1", "w2", "w3"])
+        .join(p2c, ["w1", "w2"])
+        .join(s2, ["w2", "w3"])
+        .join(u2, ["w2"])
+        .join(u3, ["w3"])
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.floor(F.log(mix) * F.lit(1000000000.0)).cast("long").alias("qlog"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum("qlog").alias("sum_qlog"),
+    )

@@ -83,3 +83,25 @@ def test_symdelete_spark_matches_bruteforce_adversarial(spark):
         if i < j and _lev(a, b) <= 2
     }
     assert got == want
+
+
+def test_trigram_lm_interpolation_bounds(spark, sf_oracle):
+    """The mixture is a convex combination of probabilities in (0, 1], so
+    every per-doc average log-prob lies in (ln(0.05/N), 0]; and the score
+    is deterministic across runs."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from gridmr_spark.queries.textops import text_trigram_lm_interpolated
+
+    df = text_trigram_lm_interpolated(spark, sf_oracle)
+    rows = df.collect()
+    assert rows
+    n_total = df.agg(F.sum("n_trigrams")).collect()[0][0]
+    lower = math.log(0.05 / n_total) * 1e9
+    for r in rows:
+        avg_q = r.sum_qlog / r.n_trigrams
+        assert lower < avg_q <= 0
+    again = {r.doc_id: r.sum_qlog for r in text_trigram_lm_interpolated(spark, sf_oracle).collect()}
+    assert again == {r.doc_id: r.sum_qlog for r in rows}
