@@ -70,6 +70,7 @@ _DRIVER_PRIORITY: list[str] = [
     "cluster_silhouette_eval", "sample_weighted_reservoir",
     "ds_repeat_buyers_intersect", "table_merge_upsert",
     "events_funnel_conversion_time", "text_trigram_lm_interpolated",
+    "events_ltv_decay",
     # (c) freshness rotation: the 39 queries whose latest green driver row
     # is ROUND 3 (CORRECTNESS_r03 aggregation) — oldest evidence first.
     "dedup_contamination_check", "dedup_incremental_minhash", "dedup_simhash",

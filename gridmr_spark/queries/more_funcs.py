@@ -973,3 +973,60 @@ def events_funnel_conversion_time(spark: SparkSession, sf_dir: str) -> DataFrame
         F.expr("percentile(ds, 0.5)").cast(dec).cast("double").alias("p50_s"),
         F.expr("percentile(ds, 0.9)").cast(dec).cast("double").alias("p90_s"),
     )
+
+
+_DECAY_TAU_S = 604800  # one-week half-life scale (seconds)
+
+_LTV_DECAY_ORACLE = f"""
+WITH mx AS (
+  SELECT CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS tmax FROM events
+), d AS (
+  SELECT user_id,
+         CAST(FLOOR(value * exp(-(CAST(tmax - CAST(FLOOR(epoch(ts)) AS BIGINT) AS DOUBLE)
+                                  / {_DECAY_TAU_S}.0)) * 1000000000.0) AS BIGINT) AS dq
+  FROM events CROSS JOIN mx
+  WHERE event_type = 'purchase'
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(dq) AS BIGINT) AS decayed_q
+FROM d GROUP BY user_id
+"""
+
+
+@query("events_ltv_decay", oracle=_LTV_DECAY_ORACLE)
+def events_ltv_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement value per user (the decayed-
+    counter feature: recent purchases count fully, week-old ones at 1/e of
+    a week's decay) — the standard recency-weighted LTV/feature-store
+    primitive, computed as one scan + one single-row max-timestamp
+    broadcast. Each row's contribution value*exp(-(tmax-t)/tau) is one
+    mirrored double expression over floor-epoch integer seconds, quantized
+    BEFORE the per-user sum (the nanolog discipline applied to exp), so
+    the aggregate is an order-insensitive integer sum and the oracle
+    hash-exact. Incremental refresh note: decayed counters shift uniformly
+    under tmax' = tmax + dt (multiply by exp(-dt/tau)), so production
+    maintains the raw sum keyed by a FIXED epoch and rescales at read —
+    same plan, different constant."""
+    all_ev = load_table(spark, sf_dir, "events")
+    ev = all_ev.where(F.col("event_type") == "purchase")
+    # "now" anchors to the whole stream's frontier, not just purchases
+    mx = all_ev.agg(F.unix_timestamp(F.max("ts")).cast("long").alias("tmax"))
+    dq = F.floor(
+        F.col("value")
+        * F.exp(
+            -(
+                (F.col("tmax") - F.unix_timestamp("ts").cast("long")).cast("double")
+                / F.lit(float(_DECAY_TAU_S))
+            )
+        )
+        * F.lit(1000000000.0)
+    ).cast("long")
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .select("user_id", dq.alias("dq"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("dq").cast("long").alias("decayed_q"),
+        )
+    )

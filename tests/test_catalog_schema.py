@@ -104,3 +104,25 @@ def test_dq_skew_detector_semantics(spark, sf_smoke):
     for r in rows:
         assert r.share_microq == int(r.cnt / r.n_rows * 1_000_000)
         assert r.x_avg_milliq >= 1000 or r.cnt * r.n_keys < r.n_rows
+
+
+def test_ltv_decay_bounded_by_raw_value(spark, sf_smoke):
+    """Decay weights live in (0, 1], so each user's decayed total is
+    positive and never exceeds their raw purchase value total."""
+    from gridmr_spark.catalog import load_table
+    from gridmr_spark.queries.more_funcs import events_ltv_decay
+    from pyspark.sql import functions as F
+
+    got = {r.user_id: r for r in events_ltv_decay(spark, sf_smoke).collect()}
+    raw = {
+        r.user_id: (r.n, r.s)
+        for r in load_table(spark, sf_smoke, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(raw)
+    for uid, r in got.items():
+        assert r.n_events == raw[uid][0]
+        assert 0 < r.decayed_q <= raw[uid][1] * 1e9 + r.n_events  # +floor slack
