@@ -838,10 +838,10 @@ WITH merged AS (
            AS o_totalprice
   FROM orders
   UNION ALL
-  SELECT o_orderkey + 10000000, 1.0 FROM orders WHERE o_orderkey % 1000 = 0
+  SELECT -o_orderkey, 1.0 FROM orders WHERE o_orderkey % 1000 = 0
 )
 SELECT CAST(o_orderkey % 7 = 0 AS BOOLEAN) AS is_updated_key,
-       CAST(o_orderkey >= 10000000 AS BOOLEAN) AS is_inserted,
+       CAST(o_orderkey < 0 AS BOOLEAN) AS is_inserted,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM merged GROUP BY 1, 2
@@ -851,8 +851,10 @@ FROM merged GROUP BY 1, 2
 @query("table_merge_upsert", oracle=_MERGE_TBL_ORACLE)
 def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transactional MERGE INTO the manifest table: updates (+1000.00 on
-    every seventh order key) and inserts (synthetic high keys) land as ONE
-    atomic overwrite snapshot via merge_by_key — update-wins, insert-
+    every seventh order key) and inserts (NEGATED keys — disjoint from the
+    base table's positive key space at ANY scale factor, unlike a fixed
+    "+10M" offset that collides once max(o_orderkey) reaches it) land as
+    ONE atomic overwrite snapshot via merge_by_key — update-wins, insert-
     unmatched, untouched rows carried over, history time-travelable. The
     oracle recomputes the merged population from the base table; grouping
     by (updated-key?, inserted?) proves each merge class independently
@@ -864,12 +866,12 @@ def table_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice")
     )
     inserts = orders.where(F.col("o_orderkey") % 1000 == 0).select(
-        (F.col("o_orderkey") + F.lit(10000000)).alias("o_orderkey"),
+        (-F.col("o_orderkey")).alias("o_orderkey"),
         F.lit(1.0).alias("o_totalprice"),
     )
     t.merge_by_key(spark, updates.unionByName(inserts), "o_orderkey")
     snap = t.read(spark)
     return snap.groupBy(
         (F.col("o_orderkey") % 7 == 0).alias("is_updated_key"),
-        (F.col("o_orderkey") >= 10000000).alias("is_inserted"),
+        (F.col("o_orderkey") < 0).alias("is_inserted"),
     ).agg(*_cents_agg())

@@ -3,7 +3,7 @@ incremental reads.
 
 The Iceberg/Delta core contract, reduced to the piece a query engine needs
 and nothing else: a table is a directory whose STATE is defined solely by
-the latest manifest file — an atomically-renamed JSON listing every data
+the latest manifest file — an atomically-published JSON listing every data
 file in the snapshot. That single indirection buys the three guarantees a
 100 TB pipeline actually relies on:
 
@@ -11,11 +11,18 @@ file in the snapshot. That single indirection buys the three guarantees a
   read exactly its file list; a concurrent commit cannot change or tear the
   set mid-scan, and any historical version stays readable forever (until
   expired) because manifests are immutable.
-- **Atomic commits**: data files are written first (invisible — no manifest
-  references them), then the manifest appears via ``os.replace`` (atomic on
-  POSIX). A crash between the two leaves ORPHAN data files that no reader
-  ever sees — the same torn-write story as ``sources/pyds.py``'s
-  manifest-committed sink and the WARC writer's reconciliation.
+- **Atomic commits with optimistic concurrency**: data files are written
+  first into a uniquely-suffixed directory (invisible — no manifest
+  references them), then the manifest is published via EXCLUSIVE-create
+  (``os.link`` of a fully-written temp file — atomic on POSIX and it FAILS
+  if the version already exists). Two writers racing to commit the same
+  version therefore produce exactly one winner; the loser raises
+  :class:`ConcurrentCommitError` (the Delta/Iceberg optimistic-concurrency
+  contract) and its data directory becomes an orphan no reader ever sees,
+  reclaimed by ``vacuum_orphans``. A crash between data write and manifest
+  publish leaves the same kind of orphan — and because every write attempt
+  gets a fresh directory, the RETRIED commit succeeds rather than
+  colliding with the torn leftovers.
 - **Incremental reads**: version N's manifest records which files it ADDED,
   so "what changed between v_from and v_to" is a file-list difference — the
   O(delta) input that feeds `agg_incremental_merge` / `incremental_join_view`
@@ -44,8 +51,17 @@ from __future__ import annotations
 import glob
 import json
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the same version first. The losing commit
+    wrote NO visible state (its data directory is an unreferenced orphan);
+    re-read the table and retry the operation against the new snapshot —
+    the same contract as Delta's ConcurrentModificationException."""
 
 
 class ManifestTable:
@@ -53,16 +69,24 @@ class ManifestTable:
 
     Layout::
 
-        <root>/data/v00001/part-*.parquet   (immutable once committed)
-        <root>/_manifests/v00001.json       ({version, files, added})
+        <root>/data/v00001-<token>/part-*.parquet  (immutable once committed)
+        <root>/_manifests/v00001.json              ({version, files, added})
 
     Versions are 1-based and dense; ``files`` is the FULL snapshot file
-    list (cumulative), ``added`` the commit's delta.
+    list (cumulative), ``added`` the commit's delta. The per-attempt
+    ``<token>`` suffix keeps concurrent or retried writers from ever
+    colliding on a data directory — only the manifest publish (exclusive
+    create) decides the winner.
     """
 
     def __init__(self, root: str) -> None:
         self.root = root
         self._mdir = os.path.join(root, "_manifests")
+        # Manifests are immutable once published, so a parsed manifest can
+        # be cached for the instance's lifetime — a long-running streaming
+        # sink's idempotency scan then reads each manifest file once ever,
+        # not once per micro-batch (O(new versions), not O(all versions)).
+        self._mcache: dict[int, dict] = {}
 
     # -- catalog ------------------------------------------------------------
 
@@ -80,18 +104,31 @@ class ManifestTable:
         return vs[-1] if vs else None
 
     def _manifest(self, version: int) -> dict:
+        cached = self._mcache.get(version)
+        if cached is not None:
+            return cached
         path = os.path.join(self._mdir, f"v{version:05d}.json")
         if not os.path.exists(path):
             raise ValueError(f"no such snapshot: version {version} in {self.root}")
         with open(path, encoding="utf-8") as f:
-            return json.load(f)
+            m = json.load(f)
+        self._mcache[version] = m
+        return m
+
+    def _find_idempotent(self, idempotency_key: str | None) -> int | None:
+        if idempotency_key is None:
+            return None
+        for v in self.versions():
+            if self._manifest(v).get("key") == idempotency_key:
+                return v
+        return None
 
     # -- writes -------------------------------------------------------------
 
     def commit(self, df: DataFrame, idempotency_key: str | None = None) -> int:
         """Append ``df`` as a new snapshot; returns the new version.
 
-        Data first, manifest last, manifest rename atomic: a reader
+        Data first, manifest last, manifest publish atomic+exclusive: a reader
         resolving the table at ANY instant sees either the old complete
         snapshot or the new complete snapshot, never a torn one.
 
@@ -100,11 +137,13 @@ class ManifestTable:
         foreachBatch sink replaying after a failure), the existing version
         is returned and nothing is written — the contract that turns this
         table into a safe Structured Streaming sink.
+
+        Raises :class:`ConcurrentCommitError` if another writer publishes
+        the same version first; the caller re-reads and retries.
         """
-        if idempotency_key is not None:
-            for v in self.versions():
-                if self._manifest(v).get("key") == idempotency_key:
-                    return v
+        found = self._find_idempotent(idempotency_key)
+        if found is not None:
+            return found
         prev = self.current_version()
         v = (prev or 0) + 1
         added = self._write_data(df, v)
@@ -143,10 +182,9 @@ class ManifestTable:
         refreshes with (foreachBatch: merge batch into current state,
         replace). Same atomicity and idempotency contracts as commit();
         history stays readable until expired."""
-        if idempotency_key is not None:
-            for v in self.versions():
-                if self._manifest(v).get("key") == idempotency_key:
-                    return v
+        found = self._find_idempotent(idempotency_key)
+        if found is not None:
+            return found
         v = (self.current_version() or 0) + 1
         added = self._write_data(df, v)
         self._write_manifest(
@@ -175,10 +213,9 @@ class ManifestTable:
         cur = self.current_version()
         if cur is None:
             raise ValueError(f"nothing to merge into in {self.root}")
-        if idempotency_key is not None:
-            for v in self.versions():
-                if self._manifest(v).get("key") == idempotency_key:
-                    return v
+        found = self._find_idempotent(idempotency_key)
+        if found is not None:
+            return found
         current = self.read(spark, cur)
         kept = current.join(updates.select(key), key, "left_anti")
         merged = kept.unionByName(updates.select(*current.columns))
@@ -239,25 +276,30 @@ class ManifestTable:
                     os.remove(f)
                     removed.append(f)
             os.remove(os.path.join(self._mdir, f"v{v:05d}.json"))
+            self._mcache.pop(v, None)
         return removed
 
     def vacuum_orphans(self) -> list[str]:
-        """Delete data files under ``<root>/data`` that NO manifest
-        references — the leftovers of commits that crashed between the
-        data write and the manifest rename (plus stale ``.tmp`` manifests).
-        Safe by construction: a file a reader could ever resolve is in some
-        manifest's file list and is never touched. Returns deleted paths.
-        """
+        """Delete whole data directories under ``<root>/data`` that NO
+        manifest references — the leftovers of commits that crashed between
+        the data write and the manifest publish, and of commits that LOST a
+        concurrent-writer race (plus stale ``.tmp`` manifests). Removing
+        the directory (not just ``*.parquet``) matters: it also clears
+        ``_SUCCESS`` markers so the version directory namespace is fully
+        reclaimed. Safe by construction: a directory a reader could ever
+        resolve holds a file in some manifest's list and is never touched.
+        Returns deleted data-file paths (and removed tmp manifests)."""
         referenced: set[str] = set()
         for v in self.versions():
             referenced.update(self._manifest(v)["files"])
+        live_dirs = {os.path.dirname(f) for f in referenced}
         removed: list[str] = []
         data_root = os.path.join(self.root, "data")
         if os.path.isdir(data_root):
-            for f in sorted(glob.glob(os.path.join(data_root, "*", "*.parquet"))):
-                if f not in referenced:
-                    os.remove(f)
-                    removed.append(f)
+            for d in sorted(glob.glob(os.path.join(data_root, "*"))):
+                if os.path.isdir(d) and d not in live_dirs:
+                    removed.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+                    shutil.rmtree(d)
         if os.path.isdir(self._mdir):
             for f in sorted(glob.glob(os.path.join(self._mdir, ".*.tmp"))):
                 os.remove(f)
@@ -265,17 +307,38 @@ class ManifestTable:
         return removed
 
     def _write_data(self, df: DataFrame, v: int) -> list[str]:
-        data_dir = os.path.join(self.root, "data", f"v{v:05d}")
+        # Unique suffix per write ATTEMPT: a concurrent writer racing to
+        # the same version, or a retry after a torn (crashed) commit, never
+        # collides with leftover data directories — losers/leftovers are
+        # unreferenced orphans that vacuum_orphans() reclaims.
+        token = uuid.uuid4().hex[:8]
+        data_dir = os.path.join(self.root, "data", f"v{v:05d}-{token}")
         df.write.mode("error").parquet(data_dir)
         return sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
 
     def _write_manifest(self, manifest: dict) -> None:
+        """Publish a manifest by EXCLUSIVE create: write the full content
+        to a temp file, then ``os.link`` it to the versioned name — atomic
+        on POSIX, and it fails with EEXIST (→ ConcurrentCommitError) if
+        another writer already published this version. Readers therefore
+        see either nothing or the complete manifest, and two racing
+        writers get exactly one winner."""
         os.makedirs(self._mdir, exist_ok=True)
         v = manifest["version"]
-        tmp = os.path.join(self._mdir, f".v{v:05d}.json.tmp")
+        tmp = os.path.join(self._mdir, f".v{v:05d}.{uuid.uuid4().hex[:8]}.tmp")
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(manifest, f, indent=1)
-        os.replace(tmp, os.path.join(self._mdir, f"v{v:05d}.json"))
+        final = os.path.join(self._mdir, f"v{v:05d}.json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {v} of {self.root} was committed by another writer; "
+                "re-read the table and retry (this attempt's data files are "
+                "orphans — vacuum_orphans() reclaims them)"
+            ) from None
+        finally:
+            os.unlink(tmp)
 
     # -- reads --------------------------------------------------------------
 
@@ -363,7 +426,7 @@ def _changelog_classes():
         (on_rewrite=skip, for consumers that only want net-new appends and
         accept missing rows deleted later)."""
 
-        def __init__(self, options):
+        def __init__(self, options, field_names):
             self.root = options.get("path")
             if not self.root:
                 raise ValueError("mtable_changelog: option 'path' is required")
@@ -372,6 +435,11 @@ def _changelog_classes():
                 raise ValueError(
                     f"mtable_changelog: on_rewrite must be error|skip, got {self.on_rewrite!r}"
                 )
+            # The declared stream schema's column ORDER, so read() can
+            # select by NAME: on a schema-evolved table older files may
+            # store the same columns in a different physical order, and a
+            # positional zip would silently misassign same-typed columns.
+            self._names = list(field_names)
 
         def initialOffset(self):
             return {"version": 0}
@@ -402,7 +470,15 @@ def _changelog_classes():
                 return iter(())
             import pyarrow.parquet as pq
 
-            cols = [c.to_pylist() for c in pq.read_table(partition.path).columns]
+            tbl = pq.read_table(partition.path)
+            missing = [n for n in self._names if n not in tbl.column_names]
+            if missing:
+                raise ValueError(
+                    f"mtable_changelog: file {partition.path} lacks declared "
+                    f"column(s) {missing}; the changelog stream requires every "
+                    "appended file to carry the stream schema"
+                )
+            cols = [tbl.column(n).to_pylist() for n in self._names]
             return iter(zip(*cols)) if cols else iter(())
 
         def commit(self, end):
@@ -434,7 +510,7 @@ def _changelog_classes():
             return ", ".join(cols)
 
         def streamReader(self, schema):
-            return MTableStreamReader(self.options)
+            return MTableStreamReader(self.options, schema.fieldNames())
 
     return MTableChangelogSource
 

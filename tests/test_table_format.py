@@ -377,3 +377,144 @@ def test_merge_by_key_update_insert_carryover(spark, tmp_path):
     assert {r.k: r.v for r in t.read(spark).collect()} == got
     # pre-merge snapshot is intact
     assert {r.k: r.v for r in t.read(spark, 1).collect()} == {1: "a", 2: "b", 3: "c"}
+
+
+# ---------------------------------------------------------------------------
+# Round 9: optimistic concurrency, torn-commit recovery, interleaving soak
+# ---------------------------------------------------------------------------
+
+
+def test_two_writer_race_exactly_one_wins(spark, tmp_path):
+    """Two writers that both resolve current_version()==1 and race to
+    commit v2: exactly one manifest publish succeeds; the loser raises
+    ConcurrentCommitError, its data files stay invisible, and vacuum
+    reclaims them."""
+    import threading
+
+    from gridmr_spark.sources.table_format import ConcurrentCommitError
+
+    root = str(tmp_path / "tbl")
+    ManifestTable(root).commit(
+        spark.createDataFrame([(1, "a")], "k long, v string")
+    )
+    barrier = threading.Barrier(2)
+
+    class RacingTable(ManifestTable):
+        # Hold both writers after the data write so both have computed the
+        # SAME target version before either publishes a manifest.
+        def _write_data(self, df, v):
+            files = super()._write_data(df, v)
+            barrier.wait(timeout=120)
+            return files
+
+    results = {}
+
+    def writer(name, rows):
+        t = RacingTable(root)
+        try:
+            results[name] = ("won", t.commit(
+                spark.createDataFrame(rows, "k long, v string")))
+        except ConcurrentCommitError:
+            results[name] = ("lost", None)
+
+    threads = [
+        threading.Thread(target=writer, args=("A", [(2, "b")])),
+        threading.Thread(target=writer, args=("B", [(3, "c")])),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    outcomes = sorted(v[0] for v in results.values())
+    assert outcomes == ["lost", "won"]
+    winner = next(n for n, v in results.items() if v[0] == "won")
+    assert results[winner][1] == 2
+    t = ManifestTable(root)
+    assert t.versions() == [1, 2]
+    keys = sorted(r.k for r in t.read(spark).collect())
+    assert keys in ([1, 2], [1, 3])  # winner's rows only, loser invisible
+    # the loser's data directory is an orphan vacuum can reclaim
+    removed = t.vacuum_orphans()
+    assert removed
+    assert sorted(r.k for r in t.read(spark).collect()) == keys
+    assert t.vacuum_orphans() == []
+
+
+def test_commit_succeeds_after_torn_write(spark, tmp_path):
+    """A crash between data write and manifest publish must not brick the
+    table: the retried commit lands in a fresh data dir, and vacuum
+    removes the torn directory WHOLESALE (incl. _SUCCESS)."""
+    t = _mk(spark, tmp_path, [[(1, "a")]])
+    # simulate the crash: data for v2 written, no manifest published
+    t._write_data(spark.createDataFrame([(99, "torn")], "k long, v string"), 2)
+    v = t.commit(spark.createDataFrame([(2, "b")], "k long, v string"))
+    assert v == 2
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2]
+    assert t.vacuum_orphans()
+    live_dirs = set()
+    for ver in t.versions():
+        live_dirs.update(os.path.dirname(f) for f in t._manifest(ver)["files"])
+    on_disk = {d for d in glob.glob(os.path.join(t.root, "data", "*"))
+               if os.path.isdir(d)}
+    assert on_disk == live_dirs  # torn dir fully gone, no _SUCCESS residue
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2]
+
+
+def test_reader_writer_interleaving_soak(spark, tmp_path):
+    """Run the full maintenance verb set interleaved with readers at every
+    surviving version: no reader ever sees a torn, drifted, or
+    vacuumed-away snapshot."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    expected: dict[int, list[int]] = {}
+
+    def check_all():
+        for ver in t.versions():
+            got = sorted(r.k for r in t.read(spark, ver).collect())
+            assert got == expected[ver], f"v{ver}: {got} != {expected[ver]}"
+
+    nxt = 0
+    for _ in range(3):  # appends
+        rows = [(nxt + i, "x") for i in range(3)]
+        nxt += 3
+        v = t.commit(spark.createDataFrame(rows, "k long, v string"))
+        expected[v] = sorted(expected.get(v - 1, []) + [r[0] for r in rows])
+        check_all()
+    v = t.delete_where(spark, "k % 3 = 0")
+    expected[v] = [k for k in expected[v - 1] if k % 3 != 0]
+    check_all()
+    v = t.compact(spark, target_partitions=1)
+    expected[v] = expected[v - 1]
+    check_all()
+    v = t.commit(spark.createDataFrame([(100, "y")], "k long, v string"))
+    expected[v] = sorted(expected[v - 1] + [100])
+    check_all()
+    t.expire(keep_last=2)
+    assert t.versions() == sorted(expected)[-2:]
+    check_all()
+    with pytest.raises(ValueError, match="no such snapshot"):
+        t.read(spark, 1)
+    assert t.vacuum_orphans() is not None  # maintenance never disturbs live data
+    check_all()
+
+
+def test_changelog_reads_columns_by_name_across_order_drift(spark, tmp_path):
+    """Same-typed columns written in a different physical order by a later
+    commit must land in the right stream columns (by-name, not
+    positional)."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([("a1", "b1")], "a string, b string"))
+    t.commit(spark.createDataFrame([("b2", "a2")], "b string, a string"))
+    got = _run_changelog(spark, t, str(tmp_path / "run"))
+    rows = {(r.a, r.b) for r in got.collect()}
+    assert rows == {("a1", "b1"), ("a2", "b2")}
+
+
+def test_changelog_errors_loudly_on_missing_column(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([("a1", "b1")], "a string, b string"))
+    t.commit(spark.createDataFrame([("a2",)], "a string"))
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises((StreamingQueryException, Py4JJavaError)):
+        _run_changelog(spark, t, str(tmp_path / "run"))
