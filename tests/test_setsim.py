@@ -99,3 +99,33 @@ def test_exact_duplicates_score_full_jaccard(spark):
     assert (r.id1, r.id2) == (0, 1)
     assert r.sz1 == r.sz2 == r.n_common
     assert r.jaccard_q == 1_000_000_000
+
+
+@pytest.mark.parametrize("order", ["hash", "df"])
+def test_prefix_filter_correct_under_both_orders(spark, order):
+    """The prefix theorem holds for ANY fixed total order: both token
+    orders must produce the identical verified pair set."""
+    docs = spark.createDataFrame(_DOCS, "doc_id long, text string")
+    got = {
+        (r.id1, r.id2, r.n_common)
+        for r in setsim.prefix_filter_pairs(
+            docs, "doc_id", "text", n=3, tau_num=1, tau_den=2, order=order
+        ).collect()
+    }
+    assert got == _brute_force(spark, docs, 3, 1, 2)
+
+
+def test_df_ascending_order_prunes_candidates(spark, sf_smoke):
+    """The AllPairs rarest-token-first heuristic must MEASURABLY shrink
+    the unverified candidate set on the real documents corpus (hot tokens
+    pushed out of prefixes => fewer posting-list collisions), while both
+    orders verify to the same result."""
+    from gridmr_spark.catalog import load_table
+
+    docs = load_table(spark, sf_smoke, "documents")
+    n_hash = setsim.candidate_pairs(docs, "doc_id", "text", 3, 1, 2, order="hash").count()
+    n_df = setsim.candidate_pairs(docs, "doc_id", "text", 3, 1, 2, order="df").count()
+    assert n_df < n_hash  # strictly fewer candidates
+    assert n_df <= n_hash * 0.7  # and by a material margin (measured: ~0.17)
+    verified = setsim.prefix_filter_pairs(docs, "doc_id", "text", 3, 1, 2).count()
+    assert verified <= n_df  # candidates are a superset of the answer
