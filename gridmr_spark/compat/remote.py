@@ -36,14 +36,31 @@ Parameter mapping (reference -> here):
 - start_delay_ms      -> no-op: scheduling is the cluster's job; recorded
 
 ``parse_submit_request`` is pure (no Spark, no network) so the contract is
-unit-testable anywhere; ``submit_job`` needs the grpc client
-(pip install "pyspark[connect]") and raises a clear ImportError without
-it. A deployment that insists on HTTP-POST semantics puts this function
+unit-testable anywhere. ``submit_job`` picks a TRANSPORT:
+
+- ``grpc`` (in-process): the pyspark Connect client
+  (pip install "pyspark[connect]") — full DataFrame plan over the wire.
+- ``delegated``: when this interpreter lacks grpcio, the job is rendered
+  to its declarative SQL twin (``render_job_sql``) and shipped over real
+  gRPC by ``tools/connect_probe_client.py`` running under an interpreter
+  that HAS a grpc runtime (on this container: the public Google Cloud
+  SDK's bundled CPython, found by ``tools/probe_grpc.py``). Same wire
+  protocol, same server, same output contract — results land at
+  output_uri exactly like the reference's A10/A11.
+- ``auto`` (default): grpc if importable, else delegated if available,
+  else a clear ImportError.
+
+A deployment that insists on HTTP-POST semantics puts this function
 behind any ~10-line WSGI route — the body parse is already here.
 """
 
 from __future__ import annotations
 
+import os
+import subprocess
+import sys
+import tempfile
+import uuid
 from dataclasses import dataclass, field
 
 
@@ -108,6 +125,154 @@ def parse_submit_request(form: dict) -> SubmitRequest:
     )
 
 
+def render_job_sql(req: SubmitRequest, max_partition_bytes: int | None = None) -> str:
+    """The declarative SQL twin of the builtin wordcount job — what goes
+    over the wire in delegated mode. Semantics identical to the DataFrame
+    path (operators/text.word_count ∘ sources.read_text): lowercase,
+    non-alnum -> space (map.cc:12-16), whitespace split + drop empties
+    (map.cc:17-21), group-count (reduce.cc:10-22); output is tab-separated
+    ``word\\tcount`` lines at output_uri (A10), REPARTITION(n_reducers)
+    standing in for the reference's R reduce partitions (A5).
+
+    Statements are joined with the ``\\n;;\\n`` separator
+    ``tools/connect_probe_client.py`` executes within ONE Connect session,
+    so an optional maxPartitionBytes prologue (the desired_maps mapping)
+    scopes to this job: Connect confs are session-local and the session is
+    used for exactly this submit."""
+    srcs = "\n  UNION ALL\n  ".join(
+        f"SELECT value FROM text.`{uri}`" for uri in req.input_uris
+    )
+    job = f"""
+INSERT OVERWRITE DIRECTORY '{req.output_uri}' USING csv OPTIONS (delimiter '\\t')
+SELECT /*+ REPARTITION({req.n_reducers}) */ word, count(*) AS cnt FROM (
+  SELECT explode(filter(split(lower(regexp_replace(value, '[^a-zA-Z0-9]+', ' ')), ' '), x -> x != '')) AS word
+  FROM (
+  {srcs}
+  )
+) GROUP BY word
+""".strip()
+    if max_partition_bytes is not None:
+        return (
+            f"SET spark.sql.files.maxPartitionBytes={max_partition_bytes}"
+            + "\n;;\n"
+            + job
+        )
+    return job
+
+
+# The public Google Cloud SDK locations tools/probe_grpc.py discovered: a
+# bundled CPython with compiled grpcio, plus two vendored protobuf trees
+# that assemble into a runtime for pyspark's generated Connect protos.
+_BUNDLED_PY = "/usr/lib/google-cloud-sdk/platform/bundledpythonunix/bin/python3"
+_APPENGINE = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+_CLOUDSDK_PB = "/usr/lib/google-cloud-sdk/lib/third_party/cloudsdk/google/protobuf"
+
+
+def delegated_available() -> bool:
+    """True when the delegated transport's pieces exist on this machine
+    (bundled grpc-capable interpreter + vendored protobuf runtimes +
+    the probe client script)."""
+    return (
+        os.path.exists(_BUNDLED_PY)
+        and os.path.isdir(os.path.join(_APPENGINE, "google", "protobuf"))
+        and os.path.exists(os.path.join(_CLOUDSDK_PB, "any_pb2.py"))
+        and os.path.exists(_probe_client_path())
+    )
+
+
+def _probe_client_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "tools",
+        "connect_probe_client.py",
+    )
+
+
+def _parse_sc_url(remote_url: str) -> tuple[str, int]:
+    body = remote_url.removeprefix("sc://")
+    host, _, port = body.partition(":")
+    if not host or not port.isdigit():
+        raise ValueError(f"remote_url: expected sc://host:port, got {remote_url!r}")
+    return host, int(port)
+
+
+def _delegated_submit(remote_url: str, req: SubmitRequest, ignored: dict) -> dict:
+    """Ship the job's SQL over real gRPC from the bundled interpreter —
+    submit_job's transport when THIS interpreter has no grpcio. The job id
+    is the Connect session id (client-generated UUID, passed down so the
+    wire session really carries it — the reference's master-generated UUID
+    job handle, HttpJobServer.java:48-82, with the generation moved
+    client-side)."""
+    host, port = _parse_sc_url(remote_url)
+    mpb = None
+    if req.desired_maps is not None:
+        total = _local_input_bytes(req.input_uris)
+        if total is not None and total > 0:
+            mpb = max(4 * 1024 * 1024, -(-total // req.desired_maps))
+        else:
+            ignored["desired_maps"] = req.desired_maps
+    job_id = str(uuid.uuid4())
+    import pyspark
+
+    spark_py = os.path.dirname(os.path.abspath(pyspark.__file__))
+    with tempfile.TemporaryDirectory(prefix="gridmr-submit-") as tmp:
+        # synthetic proto tree: empty pyspark/sql/connect parents + symlink
+        # to the generated protos, importable without pyspark's
+        # pandas/pyarrow __init__ chain (see connect_probe_client.py)
+        pkg = os.path.join(tmp, "prototree", "pyspark", "sql", "connect")
+        os.makedirs(pkg)
+        for d in (
+            os.path.join(tmp, "prototree", "pyspark"),
+            os.path.join(tmp, "prototree", "pyspark", "sql"),
+            pkg,
+        ):
+            open(os.path.join(d, "__init__.py"), "w").close()
+        os.symlink(
+            os.path.join(spark_py, "sql", "connect", "proto"),
+            os.path.join(pkg, "proto"),
+        )
+        sql_file = os.path.join(tmp, "job.sql")
+        with open(sql_file, "w", encoding="utf-8") as fh:
+            fh.write(render_job_sql(req, max_partition_bytes=mpb))
+        res = subprocess.run(
+            [
+                _BUNDLED_PY,
+                _probe_client_path(),
+                "--host", host,
+                "--port", str(port),
+                "--session-id", job_id,
+                "--sql-file", sql_file,
+                "--proto-tree", os.path.join(tmp, "prototree"),
+                "--appengine", _APPENGINE,
+                "--cloudsdk-protobuf", _CLOUDSDK_PB,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+    if res.returncode != 0:
+        raise RuntimeError(
+            f"delegated submit failed (rc={res.returncode}): "
+            f"{res.stdout}\n{res.stderr}"
+        )
+    return {
+        "job_id": job_id,
+        "status": "completed",
+        "output_uri": req.output_uri,
+        "ignored": ignored,
+        "transport": "delegated",
+    }
+
+
+def _grpc_importable() -> bool:
+    try:
+        import grpc  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def _connect_session(remote_url: str):
     try:
         from pyspark.sql import SparkSession
@@ -120,11 +285,18 @@ def _connect_session(remote_url: str):
         ) from e
 
 
-def submit_job(remote_url: str, **form) -> dict:
+def submit_job(remote_url: str, transport: str = "auto", **form) -> dict:
     """Submit a compat MapReduce job to a Spark Connect endpoint. Returns
     the reference's response shape: {"job_id", "status"} plus the output
     location. Blocking (Connect actions are synchronous — the reference's
-    poll/scp result fetch, A11, collapses into the action itself)."""
+    poll/scp result fetch, A11, collapses into the action itself).
+
+    ``transport``: 'grpc' (in-process pyspark Connect client),
+    'delegated' (render to SQL, ship via the bundled-interpreter gRPC
+    client — see module docstring), or 'auto' (grpc if importable, else
+    delegated if available)."""
+    if transport not in ("auto", "grpc", "delegated"):
+        raise ValueError(f"transport: must be auto|grpc|delegated, got {transport!r}")
     req = parse_submit_request(form)
     if not (req.map_bin_uri == "wordcount" and req.reduce_bin_uri == "wordcount"):
         # Spark Connect ships only the DataFrame/SQL surface — RDD.pipe
@@ -139,6 +311,14 @@ def submit_job(remote_url: str, **form) -> dict:
             "(gridmr-submit CLI via spark-submit); builtin 'wordcount' is "
             "the Connect-expressible demo job"
         )
+    if transport == "delegated" or (transport == "auto" and not _grpc_importable()):
+        if not delegated_available():
+            raise ImportError(
+                "Spark Connect client needs grpc (pip install "
+                "'pyspark[connect]'), and the delegated transport's bundled "
+                "interpreter is not present on this machine"
+            )
+        return _delegated_submit(remote_url, req, dict(req.ignored))
     spark = _connect_session(remote_url)
     from pyspark.sql import functions as F
 
@@ -192,6 +372,7 @@ def submit_job(remote_url: str, **form) -> dict:
         "status": "completed",
         "output_uri": req.output_uri,
         "ignored": ignored,
+        "transport": "grpc",
     }
 
 

@@ -22,15 +22,23 @@ vendored trees (nothing is copied into the repo):
   real proto dir) makes them importable without dragging in pyspark's
   pandas/pyarrow-requiring ``__init__`` chain.
 
-The client submits ONE SQL command via ExecutePlan and drains the
-response stream — result data is written server-side by the SQL itself
+The client submits SQL commands via ExecutePlan and drains each response
+stream — result data is written server-side by the SQL itself
 (INSERT OVERWRITE DIRECTORY), so no Arrow decoding (pyarrow) is needed
 client-side. That is exactly the shape of the reference's submit
 contract: POST a job, results land at output_uri
 (src/main/java/com/gridmr/master/HttpJobServer.java:27-82).
 
-Usage (see tests/test_remote_live.py for the wiring):
+The sql file may hold SEVERAL statements separated by a line containing
+only ``;;`` — all execute in the SAME Connect session (one session_id),
+so a ``SET spark.sql.files.maxPartitionBytes=...`` prologue applies to
+the job statement that follows (how compat/remote.py maps the
+reference's per-job ``desired_maps`` hint in delegated mode; Connect
+confs are session-scoped, so nothing leaks past this session).
+
+Usage (see tests/test_remote_live.py and compat/remote.py):
     <bundled-python3.12> connect_probe_client.py --port N --sql-file F \
+        [--host H] [--session-id UUID] \
         [--appengine DIR] [--cloudsdk-protobuf DIR] [--proto-tree DIR]
 """
 
@@ -64,6 +72,8 @@ def bootstrap_protobuf(appengine_dir: str, cloudsdk_pb_dir: str) -> None:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--port", type=int, required=True)
+    ap.add_argument("--host", default="localhost")
+    ap.add_argument("--session-id", default=None)
     ap.add_argument("--sql-file", required=True)
     ap.add_argument(
         "--appengine",
@@ -86,19 +96,30 @@ def main() -> int:
     from pyspark.sql.connect.proto import base_pb2, base_pb2_grpc
 
     with open(args.sql_file) as fh:
-        sql = fh.read()
-    chan = grpc.insecure_channel(f"localhost:{args.port}")
+        raw = fh.read()
+    statements = [s.strip() for s in raw.split("\n;;\n") if s.strip()]
+    if not statements:
+        print("RESPONSES:", file=sys.stderr)
+        return 2
+    session_id = args.session_id or str(uuid.uuid4())
+    chan = grpc.insecure_channel(f"{args.host}:{args.port}")
     stub = base_pb2_grpc.SparkConnectServiceStub(chan)
-    req = base_pb2.ExecutePlanRequest()
-    req.session_id = str(uuid.uuid4())
-    req.user_context.user_id = "gridmr-probe"
-    req.plan.command.sql_command.sql = sql
-    kinds = [
-        resp.WhichOneof("response_type")
-        for resp in stub.ExecutePlan(req, timeout=180)
-    ]
-    print("RESPONSES:" + ",".join(str(k) for k in kinds))
-    return 0 if "sql_command_result" in kinds else 2
+    ok = True
+    all_kinds = []
+    for sql in statements:
+        req = base_pb2.ExecutePlanRequest()
+        req.session_id = session_id
+        req.user_context.user_id = "gridmr-probe"
+        req.plan.command.sql_command.sql = sql
+        kinds = [
+            resp.WhichOneof("response_type")
+            for resp in stub.ExecutePlan(req, timeout=180)
+        ]
+        all_kinds.extend(kinds)
+        ok = ok and "sql_command_result" in kinds
+    print("SESSION:" + session_id)
+    print("RESPONSES:" + ",".join(str(k) for k in all_kinds))
+    return 0 if ok else 2
 
 
 if __name__ == "__main__":
