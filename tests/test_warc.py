@@ -324,3 +324,30 @@ def test_append_jobs_keep_stream_high_water_monotonic(spark, tmp_path):
     parts = reader.partitions({"upto": sorted(seen)[-2]}, {"upto": sorted(seen)[-1]})
     got_files = {os.path.basename(p.path) for p in parts if p.path}
     assert got_files == {sorted(seen)[-1]}
+
+
+@pytest.mark.parametrize("chunk_mb", [0.004, 0.008, 64])
+def test_arrow_scan_equals_datasource(spark, tmp_path, chunk_mb):
+    """read_warc_arrow and format('warc') must return byte-identical
+    record sets under every split geometry (incl. boundary-straddling
+    records and the decoy delimiter), and the gzip path must match too."""
+    f = str(tmp_path / "t.warc")
+    _mk_warc(f, _payloads())
+    gz = str(tmp_path / "t2.warc.gz")
+    with gzip.open(gz, "wb") as fh:
+        fh.write(b"".join(W.format_record(f"http://g.example/{i}", p)
+                          for i, p in enumerate(_payloads())))
+    cols = ["record_id", "target_uri", "content_length", "file", "offset"]
+    for path in (f, gz, str(tmp_path)):
+        ds = _read(spark, path, chunk_mb).select(*cols, F.md5("payload").alias("h"))
+        ar = W.read_warc_arrow(spark, path, chunk_mb).select(
+            *cols, F.md5("payload").alias("h")
+        )
+        a = {tuple(r) for r in ds.collect()}
+        b = {tuple(r) for r in ar.collect()}
+        assert a == b and a  # identical, and non-empty
+
+
+def test_arrow_scan_missing_path_raises():
+    with pytest.raises(FileNotFoundError):
+        W._plan_splits("/nonexistent/nowhere.warc", 4096)
