@@ -57,6 +57,41 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _file_column_stats(path: str) -> dict:
+    """Per-column [min, max] from a parquet file's FOOTER (no data read):
+    aggregated across row groups, kept only for JSON-representable scalar
+    types (int/float/str/bool) with complete statistics — absent stats
+    mean "unknown", which readers treat as unprunable, never as empty.
+    NaN floats poison min/max ordering and are skipped wholesale."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict[str, list] = {}
+    for j in range(md.num_columns):
+        name = md.schema.column(j).name
+        if "." in name:  # nested field paths: out of scope, unprunable
+            continue
+        mins: list = []
+        maxs: list = []
+        ok = True
+        for i in range(md.num_row_groups):
+            st = md.row_group(i).column(j).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+        if not (ok and mins):
+            continue
+        lo, hi = min(mins), max(maxs)
+        if not all(isinstance(x, (int, float, str)) for x in (lo, hi)):
+            continue
+        if any(isinstance(x, float) and x != x for x in (lo, hi)):
+            continue
+        out[name] = [lo, hi]
+    return out
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed the same version first. The losing commit
     wrote NO visible state (its data directory is an unreferenced orphan);
@@ -150,7 +185,7 @@ class ManifestTable:
         files = (self._manifest(prev)["files"] if prev else []) + added
         self._write_manifest(
             {"version": v, "operation": "append", "key": idempotency_key,
-             "files": files, "added": added}
+             "files": files, "added": added, "stats": self._stats_for(added)}
         )
         return v
 
@@ -172,7 +207,7 @@ class ManifestTable:
         added = self._write_data(snap, v)
         self._write_manifest(
             {"version": v, "operation": "compact", "key": None,
-             "files": added, "added": added}
+             "files": added, "added": added, "stats": self._stats_for(added)}
         )
         return v
 
@@ -189,7 +224,7 @@ class ManifestTable:
         added = self._write_data(df, v)
         self._write_manifest(
             {"version": v, "operation": "overwrite", "key": idempotency_key,
-             "files": added, "added": added}
+             "files": added, "added": added, "stats": self._stats_for(added)}
         )
         return v
 
@@ -223,7 +258,7 @@ class ManifestTable:
         added = self._write_data(merged, v)
         self._write_manifest(
             {"version": v, "operation": "overwrite", "key": idempotency_key,
-             "files": added, "added": added}
+             "files": added, "added": added, "stats": self._stats_for(added)}
         )
         return v
 
@@ -253,7 +288,7 @@ class ManifestTable:
         added = self._write_data(kept, v)
         self._write_manifest(
             {"version": v, "operation": "overwrite", "key": None,
-             "files": added, "added": added}
+             "files": added, "added": added, "stats": self._stats_for(added)}
         )
         return v
 
@@ -314,7 +349,16 @@ class ManifestTable:
         token = uuid.uuid4().hex[:8]
         data_dir = os.path.join(self.root, "data", f"v{v:05d}-{token}")
         df.write.mode("error").parquet(data_dir)
-        return sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
+        files = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
+        self._pending_stats = {f: _file_column_stats(f) for f in files}
+        return files
+
+    def _stats_for(self, added: list[str]) -> dict:
+        """Column min/max stats for the files just written by _write_data
+        (computed from their parquet footers at write time — the manifest
+        is the stats store, so readers never open a footer to prune)."""
+        pending = getattr(self, "_pending_stats", {})
+        return {f: pending.get(f, {}) for f in added}
 
     def _write_manifest(self, manifest: dict) -> None:
         """Publish a manifest by EXCLUSIVE create: write the full content
@@ -365,6 +409,73 @@ class ManifestTable:
             raise ValueError(f"snapshot v{version} of {self.root} is empty")
         reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
         return reader.parquet(*files)
+
+    def snapshot_stats(self, version: int | None = None) -> dict:
+        """file -> {col: [min, max]} for every file in the snapshot,
+        collected from the manifests that ADDED each file (the manifest is
+        the stats store — pruning never opens a parquet footer). Files
+        whose adding manifest predates stats (older tables) map to {}."""
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise ValueError(f"table {self.root} has no committed snapshot")
+        stats: dict[str, dict] = {}
+        for v in range(1, version + 1):
+            try:
+                m = self._manifest(v)
+            except ValueError:
+                continue  # expired version; its files are not in the snapshot
+            stats.update(m.get("stats", {}))
+        files = self._manifest(version)["files"]
+        return {f: stats.get(f, {}) for f in files}
+
+    def pruned_files(
+        self, col: str, lo=None, hi=None, version: int | None = None
+    ) -> list[str]:
+        """The snapshot's files whose [min, max] for ``col`` INTERSECTS
+        [lo, hi] (None = unbounded on that side) — files with no stats for
+        the column are conservatively kept. This is manifest-level zone-map
+        skipping, the scan-side half of what makes a 100 TB table cheap to
+        query: a range predicate touches only the files whose footer range
+        overlaps it, and the decision is made from the manifest alone
+        (one JSON read, zero footer I/O, no file listing)."""
+        keep: list[str] = []
+        for f, st in self.snapshot_stats(version).items():
+            mm = st.get(col)
+            if mm is None:
+                keep.append(f)
+                continue
+            fmin, fmax = mm
+            if (lo is None or fmax >= lo) and (hi is None or fmin <= hi):
+                keep.append(f)
+        return keep
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Exactly ``read(version).where(lo <= col <= hi)``, but scanning
+        only the stats-overlapping files: the residual predicate is still
+        applied (file ranges overlap the query range without every row
+        matching), so results are identical to the unpruned read — proven
+        by the driver oracle of ``table_stats_pruned_read`` — while the
+        scan skips non-overlapping files entirely."""
+        from pyspark.sql import functions as _F
+
+        files = self.pruned_files(col, lo, hi, version)
+        if not files:
+            # no file can match: an empty frame with the snapshot's schema
+            return self.read(spark, version).where(_F.lit(False))
+        df = spark.read.parquet(*files)
+        if lo is not None:
+            df = df.where(_F.col(col) >= _F.lit(lo))
+        if hi is not None:
+            df = df.where(_F.col(col) <= _F.lit(hi))
+        return df
 
     def diff(self, spark: SparkSession, v_from: int, v_to: int) -> DataFrame:
         """Rows ADDED strictly after ``v_from`` up to and including

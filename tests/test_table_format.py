@@ -518,3 +518,78 @@ def test_changelog_errors_loudly_on_missing_column(spark, tmp_path):
 
     with pytest.raises((StreamingQueryException, Py4JJavaError)):
         _run_changelog(spark, t, str(tmp_path / "run"))
+
+
+# ---------------------------------------------------------------------------
+# Round 9: manifest-level column stats + file skipping
+# ---------------------------------------------------------------------------
+
+
+def _range_table(spark, tmp_path):
+    """4 commits of 25 keys each, range-partitioned into 2 files per
+    commit => 8 files with tight disjoint key spans."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    for i in range(4):
+        rows = [(k, f"v{k}") for k in range(i * 25, (i + 1) * 25)]
+        t.commit(
+            spark.createDataFrame(rows, "k long, v string")
+            .repartitionByRange(2, "k")
+        )
+    return t
+
+
+def test_stats_recorded_per_file(spark, tmp_path):
+    t = _range_table(spark, tmp_path)
+    stats = t.snapshot_stats()
+    assert len(stats) == 8
+    for f, st in stats.items():
+        assert "k" in st and "v" in st
+        lo, hi = st["k"]
+        assert 0 <= lo <= hi <= 99
+
+
+def test_pruned_read_equals_filtered_read(spark, tmp_path):
+    t = _range_table(spark, tmp_path)
+    for lo, hi in [(10, 30), (0, 99), (None, 12), (95, None), (200, 300)]:
+        import pyspark.sql.functions as F
+
+        base = t.read(spark)
+        if lo is not None:
+            base = base.where(F.col("k") >= lo)
+        if hi is not None:
+            base = base.where(F.col("k") <= hi)
+        want = sorted(r.k for r in base.collect())
+        got = sorted(r.k for r in t.read_pruned(spark, "k", lo, hi).collect())
+        assert got == want, (lo, hi)
+
+
+def test_pruning_actually_skips_files(spark, tmp_path):
+    t = _range_table(spark, tmp_path)
+    all_files = t._manifest(t.current_version())["files"]
+    assert len(all_files) == 8
+    # a probe inside one commit's range touches at most 2 of 8 files
+    assert len(t.pruned_files("k", 30, 40)) <= 2
+    # disjoint probe touches zero
+    assert t.pruned_files("k", 1000, 2000) == []
+    # an unknown column is conservatively unprunable
+    assert len(t.pruned_files("nope", 0, 1)) == 8
+    # unbounded on both sides keeps everything
+    assert len(t.pruned_files("k")) == 8
+
+
+def test_pruned_read_empty_range_keeps_schema(spark, tmp_path):
+    t = _range_table(spark, tmp_path)
+    out = t.read_pruned(spark, "k", 1000, 2000)
+    assert out.columns == ["k", "v"]
+    assert out.count() == 0
+
+
+def test_stats_survive_compact_and_merge(spark, tmp_path):
+    t = _range_table(spark, tmp_path)
+    t.compact(spark, target_partitions=2)
+    stats = t.snapshot_stats()
+    assert len(stats) == 2
+    assert all("k" in st for st in stats.values())
+    # pruning still correct after the rewrite
+    got = sorted(r.k for r in t.read_pruned(spark, "k", 10, 20).collect())
+    assert got == list(range(10, 21))
