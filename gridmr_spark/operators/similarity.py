@@ -771,3 +771,71 @@ class ProductQuantizer:
         return (
             exact.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
         )
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign) quantization + Hamming search — the 32x-compression regime
+# ---------------------------------------------------------------------------
+
+
+def binary_signature(vec_col: str, dim: int, word_bits: int = 32) -> list[Column]:
+    """Sign-quantize a float embedding into packed integer words: bit i of
+    word w is 1 iff ``vec[w*word_bits + i] >= 0``. 32 bits per BIGINT word
+    (not 63/64) keeps every packed value positive and small enough that
+    the identical packing is expressible in any engine without signed-
+    overflow edge cases — the DuckDB oracle replays it verbatim.
+
+    Why this exists (Charikar's SimHash applied to model embeddings —
+    public literature; also the "binary quantization" mode of every
+    production vector store): a 64-dim float32 vector becomes 8 bytes, a
+    32x compression, and Hamming distance (XOR + popcount, whole-stage
+    codegen, no floats) approximates angle: E[hamming] = dim * theta/pi.
+    The scale shape is two-stage: Hamming over signatures to a shortlist,
+    exact cosine re-rank of the shortlist only — signatures for 1e9
+    vectors fit in 8 GB where the floats need 256 GB.
+    """
+    n_words = -(-dim // word_bits)
+    out = []
+    for w in range(n_words):
+        lo = w * word_bits
+        bits = min(word_bits, dim - lo)
+        out.append(
+            F.expr(
+                f"aggregate(sequence(0, {bits - 1}), 0L, "
+                f"(acc, i) -> acc + IF({vec_col}[i + {lo}] >= 0.0, "
+                f"shiftleft(1L, i), 0L))"
+            ).alias(f"sig{w}")
+        )
+    return out
+
+
+def hamming_topk(
+    queries: DataFrame,
+    cands: DataFrame,
+    k: int,
+    n_words: int,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+) -> DataFrame:
+    """Exact top-k by Hamming distance over packed signatures (columns
+    ``sig0..sig{n_words-1}`` on both sides), ties by candidate id —
+    integer-only, so fully deterministic across engines. The join is the
+    bounded-query-side broadcast shape (|Q| << |C|, like cosine_topk);
+    at corpus-x-corpus scale the production step is bucketing signatures
+    by a word prefix (multi-index Hamming search) so only same-bucket
+    pairs are compared — same banding algebra as the LSH path."""
+    q = queries.select(q_id, *[F.col(f"sig{w}").alias(f"q_sig{w}") for w in range(n_words)])
+    c = cands.select(c_id, *[F.col(f"sig{w}").alias(f"c_sig{w}") for w in range(n_words)])
+    ham = None
+    for w in range(n_words):
+        term = F.bit_count(F.col(f"q_sig{w}").bitwiseXOR(F.col(f"c_sig{w}")))
+        ham = term if ham is None else ham + term
+    joined = q.join(c, F.col(q_id) != F.col(c_id)).withColumn(
+        "hamming", ham.cast("long")
+    )
+    win = Window.partitionBy(q_id).orderBy(F.asc("hamming"), F.asc(c_id))
+    return (
+        joined.withColumn("rnk", F.row_number().over(win))
+        .where(F.col("rnk") <= k)
+        .select(q_id, c_id, "hamming", F.col("rnk").cast("long").alias("rnk"))
+    )

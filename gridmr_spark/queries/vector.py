@@ -1265,3 +1265,56 @@ def silhouette_eval(emb: DataFrame) -> DataFrame:
         .cast("long")
         .alias("margin_sum_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign) quantization + Hamming top-k — the 32x-compression ANN regime
+# ---------------------------------------------------------------------------
+
+_SIG_SQL = (
+    "list_sum(list_transform(range(0, 32), i -> "
+    "CASE WHEN embedding[i + {lo} + 1] >= 0 THEN 1::BIGINT << i ELSE 0::BIGINT END))"
+)
+
+_HAMMING_ORACLE = f"""
+WITH s AS (
+  SELECT vec_id,
+         {_SIG_SQL.format(lo=0)} AS sig0,
+         {_SIG_SQL.format(lo=32)} AS sig1
+  FROM embeddings
+)
+SELECT qid, cid, hamming, rnk FROM (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         CAST(bit_count(xor(q.sig0, c.sig0)) + bit_count(xor(q.sig1, c.sig1)) AS BIGINT) AS hamming,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY bit_count(xor(q.sig0, c.sig0)) + bit_count(xor(q.sig1, c.sig1)), c.vec_id
+         ) AS rnk
+  FROM s q JOIN s c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 200
+) t WHERE rnk <= 5
+"""
+
+
+@query("vector_binary_hamming", oracle=_HAMMING_ORACLE)
+def vector_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary quantization ANN: sign-quantize 64-dim embeddings into two
+    packed 32-bit words (32x compression vs float32) and rank neighbors
+    by HAMMING distance — XOR + popcount, pure integer whole-stage
+    codegen, no float compare anywhere, so the oracle replays the packing
+    and ranking verbatim and the hash gate is exact by construction (ties
+    broken by candidate id). Query side bounded to vec_id < 200: the
+    all-pairs compare is the correctness baseline, same contract as
+    similarity_near_pairs; the production path buckets signatures by word
+    prefix (multi-index Hamming) and re-ranks the shortlist with exact
+    cosine — tests/test_similarity.py measures that two-stage recall.
+    Scale story: 1e9 vectors = 8 GB of signatures (memory-resident per
+    executor) vs 256 GB of floats; the Hamming scan is bandwidth-bound
+    integer SIMD, the expensive cosine touches only the shortlist."""
+    from gridmr_spark.operators.similarity import binary_signature, hamming_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = emb.select("vec_id", *binary_signature("embedding", dim=64))
+    q = sigs.where(F.col("vec_id") < 200).withColumnRenamed("vec_id", "qid")
+    c = sigs.withColumnRenamed("vec_id", "cid")
+    return hamming_topk(q, c, k=5, n_words=2, q_id="qid", c_id="cid")
