@@ -1,0 +1,109 @@
+"""Engine-portable Bloom filter as a RELATION — corpus-membership dedup
+for incremental ingest.
+
+The production problem this solves at 100 TB: every day's new documents
+must be checked against the full historical corpus for exact duplicates.
+Joining the ingest batch against 100 TB of history shuffles the history's
+keys every day; a Bloom filter of the history's digests is a few GB,
+broadcastable, rebuilt incrementally (bitmaps OR together), and answers
+"definitely new" with zero false negatives — only the small maybe-set
+ever joins the real history for confirmation.
+
+Representation: the filter is a DataFrame of ``(word, bits)`` rows — an
+m-bit bitmap packed into 32-bit words carried in BIGINTs (same choice as
+``operators/similarity.binary_signature``: no signed-overflow edge cases,
+and any engine can replay the packing). Hash family is the repo's
+portable 60-bit md5 idiom (``conv(substr(md5(key || ':' || i),1,15),16,10)
+% m``) so the DuckDB oracle reconstructs the filter bit-for-bit.
+
+Everything is relational and shuffle-bounded: the build is one explode +
+groupBy(word) with ``bit_or`` (map-side combined, at most m/32 output
+rows); the probe broadcasts the bitmap and needs no shuffle of the probe
+side at all. Merging two filters of equal geometry is a union + the same
+bit_or — the mergeability that makes per-partition / per-day builds
+parallel.
+
+Reference parity: SebasUr/GridMR has no membership structure of any kind
+(its data plane is raw text lines, cpp/worker/src/common/fs.cc); this is
+part of the beyond-the-reference LLM-pipeline surface (SURVEY.md §2.D).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _positions(df: DataFrame, key_col: str, m_bits: int, k_hashes: int) -> DataFrame:
+    """One row per (input row, hash i): the bit position of hash_i(key).
+    Portable hash: 60-bit md5 prefix of ``key || ':' || i`` mod m."""
+    return df.withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1)))).withColumn(
+        "_pos",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(key_col), F.lit(":"), F.col("_i").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        ),
+    )
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m_bits: int = 2048, k_hashes: int = 3
+) -> DataFrame:
+    """Build the filter over ``df[key_col]`` (strings): returns
+    ``(word long, bits long)`` — bit ``pos`` of the filter is bit
+    ``pos % 32`` of the row with ``word == pos div 32``. Absent words are
+    all-zero (the probe treats a missing word as no bits set)."""
+    pos = _positions(df.select(key_col), key_col, m_bits, k_hashes)
+    return (
+        pos.select(
+            F.expr("_pos div 32").cast("long").alias("word"),
+            F.expr("shiftleft(1L, cast(_pos % 32 as int))").alias("b"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR two filters of the SAME (m, k) geometry — the incremental-build
+    primitive (yesterday's filter + today's batch filter)."""
+    return a.unionByName(b).groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_contains(
+    df: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    m_bits: int = 2048,
+    k_hashes: int = 3,
+    out_col: str = "maybe_in_bloom",
+) -> DataFrame:
+    """``df`` plus a boolean ``out_col``: True iff ALL k hash bits of the
+    key are set (maybe-present — false positives possible at the filter's
+    designed rate, false negatives impossible). The bitmap (≤ m/32 rows)
+    is broadcast; the probe side never shuffles."""
+    pos = _positions(df, key_col, m_bits, k_hashes)
+    checked = (
+        pos.withColumn("word", F.expr("_pos div 32").cast("long"))
+        .join(F.broadcast(bloom), "word", "left")
+        .withColumn(
+            "_hit",
+            F.coalesce(
+                F.expr("bits & shiftleft(1L, cast(_pos % 32 as int))") != 0,
+                F.lit(False),
+            ),
+        )
+    )
+    keys = [c for c in df.columns]
+    return (
+        checked.groupBy(*keys)
+        .agg(F.bool_and("_hit").alias(out_col))
+    )

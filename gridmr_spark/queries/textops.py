@@ -2348,3 +2348,84 @@ def text_trigram_lm_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_trigrams"),
         F.sum("qlog").alias("sum_qlog"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter corpus membership — incremental-ingest dedup at 100 TB
+# ---------------------------------------------------------------------------
+
+_BLOOM_M, _BLOOM_K = 2048, 3
+
+_BLOOM_POS_SQL = (
+    "CAST(CAST(('0x' || substr(md5(dg || ':' || CAST(i AS VARCHAR)), 1, 15)) AS UBIGINT) "
+    f"% {_BLOOM_M} AS BIGINT)"
+)
+
+_BLOOM_ORACLE = f"""
+WITH corpus AS (
+  SELECT DISTINCT md5(text) AS dg FROM documents WHERE doc_id % 2 = 0
+),
+cpos AS (
+  SELECT {_BLOOM_POS_SQL} AS p FROM corpus, range(0, {_BLOOM_K}) t(i)
+),
+bloom AS (
+  SELECT p // 32 AS word, bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+  FROM cpos GROUP BY 1
+),
+probe AS (SELECT doc_id, md5(text) AS dg FROM documents),
+ppos AS (
+  SELECT doc_id, dg, {_BLOOM_POS_SQL} AS p FROM probe, range(0, {_BLOOM_K}) t(i)
+),
+hits AS (
+  SELECT doc_id, dg,
+         bool_and(COALESCE((bits & (1::BIGINT << CAST(p % 32 AS INT))) <> 0, FALSE)) AS maybe
+  FROM ppos LEFT JOIN bloom ON ppos.p // 32 = bloom.word
+  GROUP BY doc_id, dg
+)
+SELECT h.doc_id, h.maybe AS maybe_in_bloom,
+       (c.dg IS NOT NULL) AS truly_in_corpus
+FROM hits h LEFT JOIN corpus c ON h.dg = c.dg
+"""
+
+
+@query("dedup_bloom_membership", oracle=_BLOOM_ORACLE)
+def dedup_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership against a historical corpus (operators/
+    bloom.py): even-keyed documents form the "history", a 2048-bit / 3-hash
+    filter of their text digests is built RELATIONALLY (explode + bit_or,
+    map-side combined) and broadcast, and every document probes it. Output
+    carries both the filter's verdict and exact ground truth (digest
+    semi-join), so the driver hash proves three things at once: the
+    bit-for-bit filter construction (the oracle rebuilds it in SQL from
+    the same md5 hash family), ZERO false negatives (every truly-in row
+    must be maybe-in — a single miss flips a row), and the exact
+    false-positive set at this geometry (deliberately small m so FPs
+    exist and are pinned by the hash, not assumed away).
+
+    The 100 TB story: the history never joins the ingest batch — its
+    few-GB bitmap does, broadcast; only the maybe-set (true dups + the
+    designed ~1% FP margin) goes to the exact confirmation join. Filters
+    for new partitions build independently and OR together
+    (bloom_merge), so the daily rebuild is O(batch), not O(history)."""
+    from gridmr_spark.operators.bloom import bloom_build, bloom_contains
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("dg"))
+        .distinct()
+    )
+    bloom = bloom_build(corpus, "dg", m_bits=_BLOOM_M, k_hashes=_BLOOM_K)
+    probe = docs.select("doc_id", F.md5("text").alias("dg"))
+    flagged = bloom_contains(
+        probe, "dg", bloom, m_bits=_BLOOM_M, k_hashes=_BLOOM_K
+    )
+    truth = corpus.withColumn("truly", F.lit(True))
+    return (
+        flagged.join(truth, "dg", "left")
+        .select(
+            "doc_id",
+            "maybe_in_bloom",
+            F.coalesce("truly", F.lit(False)).alias("truly_in_corpus"),
+        )
+    )

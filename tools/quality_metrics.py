@@ -45,9 +45,29 @@ def main() -> None:
     out: dict[str, dict] = {}
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_emb = emb.count()
     q = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
     c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
-    exact_all = pairs(cosine_topk(q, c, k=5), "q_id", "c_id")
+    if n_emb <= 5000:
+        exact_all = pairs(cosine_topk(q, c, k=5), "q_id", "c_id")
+    else:
+        # Big-SF path (the sf1 telemetry run): the column-expression fold
+        # is O(n^2 * dim) scalar work with parallelism capped by the
+        # candidate file's partitioning — at 20k vectors that's hours. The
+        # blocked GEMM computes the same exact neighbor sets (proven
+        # row-equal to the fold by the similarity_topk_gemm_blocked driver
+        # hash row and test_blocked_gemm_equals_single_block) in numpy
+        # BLAS, minutes not hours. Reference quality is unchanged: both
+        # are exact; only similarity_topk_gemm* rows would be tautological
+        # at this SF, and those stay canaries at the sf0.1 protocol point.
+        from gridmr_spark.operators.similarity import cosine_topk_gemm_blocked
+
+        exact_all = pairs(
+            cosine_topk_gemm_blocked(
+                q.repartition(32), c.repartition(32), k=5
+            ),
+            "q_id", "c_id",
+        )
 
     out["similarity_lsh_topk"] = {
         "metric": "recall@5 vs exact",
@@ -189,6 +209,7 @@ def main() -> None:
     # measures perceptual-collision rate of the 64-bit hash at 16x16.
     from gridmr_spark.operators.multimodal import encode_png_media, image_ahash
 
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     hashed = image_ahash(encode_png_media(docs.select("doc_id", "text"), "doc_id", "text", width=16))
     hrows = hashed.join(docs.select("doc_id", F.md5("text").alias("tmd5")), "doc_id").collect()
     from collections import Counter
