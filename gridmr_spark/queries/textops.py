@@ -2429,3 +2429,72 @@ def dedup_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("truly", F.lit(False)).alias("truly_in_corpus"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shard export — the trainer-handoff step of the pipeline
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+
+_SHARD_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+              AS BIGINT) AS h,
+         len(list_filter(string_split(lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ','g')),' '),
+                         x -> x <> '')) AS n_tok
+  FROM documents
+)
+SELECT CAST(h % {_N_SHARDS} AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(SUM(h % 1000000007) AS BIGINT) AS sum_h_mod
+FROM t GROUP BY 1
+"""
+
+
+@query("pipeline_shard_export", oracle=_SHARD_ORACLE)
+def pipeline_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard export — the LAST step of the data
+    pipeline, where the corpus leaves Spark for the trainer: every
+    document gets a seeded engine-portable shuffle key (60-bit md5 of
+    'shard:doc_id'), shards are the key mod N (statistically even, NO
+    global window — an ntile over a global order would funnel 100 TB
+    through one partition), the shards are PHYSICALLY written
+    (partitionBy(shard_id) parquet, one directory per shard, the layout
+    trainers stream), and the result is the read-back per-shard manifest:
+    doc/token counts plus two checksums (sum of ids, sum of hash
+    residues) that pin the exact assignment. The oracle recomputes shard
+    assignment and manifest straight from the source table, so a green
+    hash proves the export wrote every document to its correct shard
+    exactly once. Re-running reproduces byte-identical shard membership —
+    the property that keeps downstream tokenizer caches and resume-from-
+    shard training valid."""
+    import shutil
+
+    from gridmr_spark.queries.sources_io import _scratch
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 15),
+        16, 10,
+    ).cast("long")
+    n_tok = F.size(text_ops._tokens_col("text")).cast("long")
+    sharded = docs.select(
+        "doc_id",
+        (h % _N_SHARDS).alias("shard_id"),
+        (h % 1000000007).alias("h_mod"),
+        n_tok.alias("n_tok"),
+    )
+    out = _scratch(sf_dir, "shards")
+    shutil.rmtree(out, ignore_errors=True)
+    sharded.write.partitionBy("shard_id").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy(F.col("shard_id").cast("long").alias("shard_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        F.sum("h_mod").cast("long").alias("sum_h_mod"),
+    )

@@ -115,3 +115,23 @@ def test_weighted_reservoir_is_statistically_weighted(spark):
     heavy = sum(1 for r in top if r.doc_id % 2 == 0)
     # with a 100:1 weight ratio the heavy class should dominate the sample
     assert heavy >= 45
+
+
+def test_shard_export_layout_and_reproducibility(spark, sf_smoke):
+    """Physical export contract: one directory per shard, every document
+    in exactly one shard, and a re-run reproduces identical membership."""
+    import glob as g
+
+    from gridmr_spark.queries.sources_io import _scratch
+    from gridmr_spark.queries.textops import pipeline_shard_export
+
+    m1 = {tuple(r) for r in pipeline_shard_export(spark, sf_smoke).collect()}
+    out = _scratch(sf_smoke, "shards")
+    dirs = sorted(g.glob(out + "/shard_id=*"))
+    assert 1 <= len(dirs) <= 16
+    back = spark.read.parquet(out)
+    total = back.count()
+    distinct = back.select("doc_id").distinct().count()
+    assert total == distinct  # each doc exported exactly once
+    m2 = {tuple(r) for r in pipeline_shard_export(spark, sf_smoke).collect()}
+    assert m1 == m2  # deterministic shard membership across runs
