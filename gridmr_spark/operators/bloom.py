@@ -107,3 +107,74 @@ def bloom_contains(
         checked.groupBy(*keys)
         .agg(F.bool_and("_hit").alias(out_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable frequency estimation, same portable hashing
+# ---------------------------------------------------------------------------
+
+
+def countmin_build(
+    df: DataFrame, key_col: str, weight_col: str | None = None,
+    width: int = 1024, depth: int = 4,
+) -> DataFrame:
+    """Build a count-min sketch over ``df[key_col]`` (strings): returns
+    ``(row, col, cnt)`` — counter (i, h_i(key) % width) accumulates the
+    key's weight (1 if ``weight_col`` is None) for each of the ``depth``
+    hash rows. One explode + groupBy, map-side combined, at most
+    width*depth output rows; two sketches of equal geometry merge by
+    summed union (same algebra as bloom_merge) — the property that makes
+    per-partition/per-day builds parallel and lets a 100 TB corpus's
+    token-frequency table live in a few MB.
+
+    Estimation guarantee (Cormode & Muthukrishnan 2005, public
+    literature): estimate >= true count always (no underestimates), and
+    overestimate <= 2N/width with probability 1 - (1/2)^depth. The repo's
+    portable md5 hash family makes the sketch bit-identical across
+    engines — the DuckDB oracle replays it."""
+    w = F.lit(1).cast("long") if weight_col is None else F.col(weight_col).cast("long")
+    pos = df.select(F.col(key_col).alias("_k"), w.alias("_w")).withColumn(
+        "row", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+    ).withColumn(
+        "col",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("_k"), F.lit("#"), F.col("row").cast("string"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            % width
+        ),
+    )
+    return pos.groupBy("row", "col").agg(F.sum("_w").alias("cnt"))
+
+
+def countmin_estimate(
+    keys: DataFrame, key_col: str, sketch: DataFrame,
+    width: int = 1024, depth: int = 4, out_col: str = "est",
+) -> DataFrame:
+    """``keys`` plus the sketch's frequency estimate: min over the depth
+    counters the key hashes into (absent counter = 0). The sketch
+    (<= width*depth rows) broadcasts; the key side never shuffles beyond
+    its own group-by."""
+    pos = keys.withColumn(
+        "row", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+    ).withColumn(
+        "col",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(key_col), F.lit("#"), F.col("row").cast("string"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            % width
+        ),
+    )
+    joined = pos.join(F.broadcast(sketch), ["row", "col"], "left").withColumn(
+        "_c", F.coalesce(F.col("cnt"), F.lit(0).cast("long"))
+    )
+    return joined.groupBy(*keys.columns).agg(F.min("_c").cast("long").alias(out_col))

@@ -2498,3 +2498,64 @@ def pipeline_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("long").alias("sum_doc_id"),
         F.sum("h_mod").cast("long").alias("sum_h_mod"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch token frequencies — mergeable frequency estimation
+# ---------------------------------------------------------------------------
+
+_CM_W, _CM_D = 8, 2
+
+_CM_COL_SQL = (
+    "CAST(CAST(('0x' || substr(md5({tok} || '#' || CAST(i AS VARCHAR)), 1, 15)) AS UBIGINT) "
+    f"% {_CM_W} AS BIGINT)"
+)
+
+_COUNTMIN_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ','g')),' '),
+                x -> x <> '')) AS tok
+  FROM documents
+),
+exact AS (SELECT tok, COUNT(*) AS exact_cnt FROM toks GROUP BY tok),
+pos AS (
+  SELECT {_CM_COL_SQL.format(tok='tok')} AS col, i AS row FROM toks, range(0, {_CM_D}) t(i)
+),
+sketch AS (SELECT row, col, COUNT(*) AS cnt FROM pos GROUP BY row, col),
+est AS (
+  SELECT e.tok, MIN(s.cnt) AS est_cnt
+  FROM exact e, range(0, {_CM_D}) t(i)
+  JOIN sketch s
+    ON s.row = i AND s.col = {_CM_COL_SQL.format(tok='e.tok')}
+  GROUP BY e.tok
+)
+SELECT e.tok, CAST(e.exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(est.est_cnt AS BIGINT) AS est_cnt
+FROM exact e JOIN est ON e.tok = est.tok
+"""
+
+
+@query("agg_countmin_freq", oracle=_COUNTMIN_ORACLE)
+def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (operators/bloom.countmin_build) over the corpus
+    token stream at a DELIBERATELY tight geometry (w=8, d=2 — every token
+    collides, so every estimate genuinely overestimates), checked per token
+    against the exact count. The oracle replays the sketch bit-for-bit
+    from the same md5 hash family, so the hash gate pins both the
+    estimator's exact state AND the one-sided error property (est >=
+    exact always; a single underestimate flips a row). The scale story is
+    the sketch's whole point: a 100 TB corpus's token frequencies live in
+    w*d counters (here 16 to force collisions; production ~2M = a few MB), built in one
+    map-side-combined pass, mergeable across partitions/days by summed
+    union — the frequency sibling of the Bloom membership filter."""
+    from gridmr_spark.operators.bloom import countmin_build, countmin_estimate
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text_ops._tokens_col("text")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    sketch = countmin_build(toks, "tok", width=_CM_W, depth=_CM_D)
+    return countmin_estimate(
+        exact, "tok", sketch, width=_CM_W, depth=_CM_D, out_col="est_cnt"
+    ).select("tok", "exact_cnt", "est_cnt")

@@ -57,3 +57,50 @@ def test_membership_flag_is_deterministic(spark):
     r1 = {(r.k, r.maybe_in_bloom) for r in bloom_contains(probes, "k", bloom, M, K).collect()}
     r2 = {(r.k, r.maybe_in_bloom) for r in bloom_contains(probes, "k", bloom, M, K).collect()}
     assert r1 == r2
+
+
+# -- count-min sketch ---------------------------------------------------------
+
+
+def test_countmin_never_underestimates(spark):
+    from gridmr_spark.operators.bloom import countmin_build, countmin_estimate
+
+    # zipf-ish frequencies: key i appears (300 // (i+1)) times
+    rows = [(f"k{i}",) for i in range(50) for _ in range(300 // (i + 1))]
+    df = spark.createDataFrame(rows, "k string")
+    exact = df.groupBy("k").count()
+    for w, d in [(16, 2), (64, 4), (1024, 4)]:
+        sk = countmin_build(df, "k", width=w, depth=d)
+        est = countmin_estimate(exact, "k", sk, width=w, depth=d)
+        bad = est.where(F.col("est") < F.col("count")).count()
+        assert bad == 0, (w, d)
+
+
+def test_countmin_wide_sketch_is_exact_and_bounded(spark):
+    from gridmr_spark.operators.bloom import countmin_build, countmin_estimate
+
+    rows = [(f"k{i % 20}",) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k string")
+    exact = df.groupBy("k").count()
+    sk = countmin_build(df, "k", width=4096, depth=4)
+    est = countmin_estimate(exact, "k", sk, width=4096, depth=4)
+    # 20 keys in 4096 columns: collisions essentially impossible => exact
+    assert est.where(F.col("est") != F.col("count")).count() == 0
+    # sketch size is bounded by geometry regardless of input size
+    assert sk.count() <= 4096 * 4
+
+
+def test_countmin_merge_equals_whole_build(spark):
+    from gridmr_spark.operators.bloom import countmin_build
+
+    rows = [(f"k{i % 7}",) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string")
+    a = spark.createDataFrame(rows[:100], "k string")
+    b = spark.createDataFrame(rows[100:], "k string")
+    sa = countmin_build(a, "k", width=32, depth=3)
+    sb = countmin_build(b, "k", width=32, depth=3)
+    merged = (
+        sa.unionByName(sb).groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = countmin_build(df, "k", width=32, depth=3)
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in whole.collect()}
