@@ -50,30 +50,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # here explicitly and served first; long-green queries re-verify with
 # whatever budget remains. Update per round as rows come back green.
 _DRIVER_PRIORITY: list[str] = [
-    # --- round-8 priority (driver budget ~50; first rows first) ---
-    # (a) the four queries that gained exact-regime oracles in round 7 but
-    # whose driver rows are still stale no_oracle (r3-r6) — VERDICT r7
-    # item 1: their first hash rows are this round's top evidence goal.
-    "similarity_topk_gemm", "similarity_topk_gemm_blocked",
-    "similarity_pq_persisted", "similarity_ivf_persisted",
-    # (b) round-8 additions (first driver rows ever):
-    "text_html_extract", "pipeline_warc_to_docs", "text_html_links",
-    "crawl_url_canonical_dedup", "crawl_host_politeness", "dedup_semdedup",
-    "variant_funcs", "similarity_hard_negatives", "sample_temperature_mixture",
-    "stream_url_frontier", "pipeline_crawl_to_corpus", "sql_udf_revenue",
-    "dedup_setsim_prefix", "search_eval_ndcg", "sample_dsir_importance",
-    "table_time_travel", "table_incremental_read", "table_compact_expire",
-    "stream_table_sink", "table_delete_rows", "vector_mrl_recall",
-    "dq_skew_detector", "stream_table_changelog",
-    "source_dynamic_partition_overwrite", "stream_table_upsert_view",
-    "pipeline_dataset_card", "graph_sssp_weighted", "dq_l_diversity",
-    "cluster_silhouette_eval", "sample_weighted_reservoir",
-    "ds_repeat_buyers_intersect", "table_merge_upsert",
-    "events_funnel_conversion_time", "text_trigram_lm_interpolated",
-    "events_ltv_decay",
-    # (c) freshness rotation: the 39 queries whose latest green driver row
-    # is ROUND 3 (CORRECTNESS_r03 aggregation) — oldest evidence first.
-    "dedup_contamination_check", "dedup_incremental_minhash", "dedup_simhash",
+    # --- round-9 priority (driver budget ~50; first rows first) ---
+    # (a) round-9 additions (first driver rows ever) PLUS the two queries
+    # whose code changed this round (merge_upsert's insert-key scheme,
+    # setsim's default token order) — evidence must track the change.
+    "table_stats_pruned_read", "vector_binary_hamming",
+    "dedup_bloom_membership", "pipeline_shard_export", "agg_countmin_freq",
+    "table_merge_upsert", "dedup_setsim_prefix",
+    # (b) freshness rotation: queries whose latest green driver row is
+    # ROUND 3 — the oldest evidence on the board (29 rows).
+    "agg_approx_distinct", "dedup_contamination_check",
+    "dedup_incremental_minhash", "dedup_simhash",
     "join_asof_forward", "join_full_outer", "join_null_safe",
     "join_salted_skew", "layout_compact_files", "map_funcs",
     "merge_scd2_history", "multimodal_decode", "multimodal_resize",
@@ -87,7 +74,7 @@ _DRIVER_PRIORITY: list[str] = [
     "text_chunk_windows", "text_corpus_freq_score", "text_repetition_filters",
     "text_tfidf_topterms", "try_funcs", "vector_quantize_int8",
     "window_lag_lead", "window_time_range",
-    # (d) next-oldest (round 4) with whatever budget remains.
+    # (c) next-oldest (round 4) with whatever budget remains.
     "agg_distinct", "agg_equidepth_histogram", "agg_moments",
     "conditional_funcs", "dedup_containment_pairs", "dedup_exact_digest",
     "dedup_paragraphs", "ds_channel_compare", "ds_customer_ltv_window",
@@ -100,7 +87,7 @@ _DRIVER_PRIORITY: list[str] = [
     "stream_session_10m", "stream_sliding_1h_30m", "stream_stateful_totals",
     "stream_tumbling_1h", "text_token_entropy", "udtf_analyze_firstk",
     "window_value_range",
-    # r5/r6/r7-green queries follow in registration order with whatever
+    # r5-r8-green queries follow in registration order with whatever
     # budget remains.
 ]
 
