@@ -2559,3 +2559,68 @@ def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return countmin_estimate(
         exact, "tok", sketch, width=_CM_W, depth=_CM_D, out_col="est_cnt"
     ).select("tok", "exact_cnt", "est_cnt")
+
+
+@query("stream_countmin_merge", oracle=_COUNTMIN_ORACLE)
+def stream_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING maintenance of the count-min sketch: documents arrive in
+    micro-batches, each batch builds its own partial sketch (one
+    map-side-combined pass over the batch), and the partial MERGES into
+    the sketch stored in a manifest table by summed union under an
+    idempotent replace — so a replayed batch cannot double-count, and the
+    sketch after the stream equals the batch-built sketch over the whole
+    corpus. The oracle is agg_countmin_freq's: the final estimates joined
+    to exact counts, recomputed from the raw table — a green hash proves
+    the incremental merge algebra AND exactly-once delivery in one row.
+    This is the production shape for corpus statistics at 100 TB: the
+    state is width*depth counters regardless of stream volume, each batch
+    costs O(batch), and every refresh is a time-travelable snapshot."""
+    import shutil
+    import uuid as _uuid
+
+    from gridmr_spark.operators.bloom import countmin_build, countmin_estimate
+    from gridmr_spark.queries.sources_io import _scratch
+    from gridmr_spark.sources.table_format import ManifestTable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = _scratch(sf_dir, "cmstream")
+    shutil.rmtree(base, ignore_errors=True)
+    src, ck, tbl = f"{base}/src", f"{base}/ck-{_uuid.uuid4().hex[:8]}", f"{base}/tbl"
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+    t = ManifestTable(tbl)
+
+    def refresh(batch_df: DataFrame, batch_id: int) -> None:
+        toks = batch_df.select(F.explode(text_ops._tokens_col("text")).alias("tok")).where(
+            F.col("tok") != ""
+        )
+        delta = countmin_build(toks, "tok", width=_CM_W, depth=_CM_D)
+        if t.current_version() is not None:
+            merged = (
+                t.read(batch_df.sparkSession)
+                .unionByName(delta)
+                .groupBy("row", "col")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+            )
+        else:
+            merged = delta.select("row", "col", F.col("cnt").cast("long").alias("cnt"))
+        t.replace(merged.localCheckpoint(eager=True), idempotency_key=f"b-{batch_id}")
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.outputMode("append")
+        .foreachBatch(refresh)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sketch = t.read(spark)
+    toks = docs.select(F.explode(text_ops._tokens_col("text")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+    return countmin_estimate(
+        exact, "tok", sketch, width=_CM_W, depth=_CM_D, out_col="est_cnt"
+    ).select("tok", "exact_cnt", "est_cnt")
