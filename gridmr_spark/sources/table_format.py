@@ -367,7 +367,10 @@ class ManifestTable:
         another writer already published this version. Readers therefore
         see either nothing or the complete manifest, and two racing
         writers get exactly one winner."""
+        import time as _time
+
         os.makedirs(self._mdir, exist_ok=True)
+        manifest.setdefault("ts", _time.time())
         v = manifest["version"]
         tmp = os.path.join(self._mdir, f".v{v:05d}.{uuid.uuid4().hex[:8]}.tmp")
         with open(tmp, "w", encoding="utf-8") as f:
@@ -409,6 +412,50 @@ class ManifestTable:
             raise ValueError(f"snapshot v{version} of {self.root} is empty")
         reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
         return reader.parquet(*files)
+
+    def version_at(self, ts: float) -> int:
+        """The snapshot that was current at wall-clock time ``ts`` — the
+        largest version whose commit timestamp is <= ts (Delta's
+        TIMESTAMP AS OF resolution). Raises if the table did not exist
+        yet, or if the relevant manifests predate timestamps/are expired.
+        Commit timestamps are non-decreasing for a single writer; under
+        clock skew between concurrent writers the VERSION order is
+        authoritative (as in Delta), so resolution scans in version
+        order and keeps the last one at-or-before ts."""
+        best = None
+        for v in self.versions():
+            t = self._manifest(v).get("ts")
+            if t is not None and t <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"table {self.root} has no snapshot at or before ts={ts}"
+            )
+        return best
+
+    def history(self, spark: SparkSession) -> DataFrame:
+        """The commit log as a DataFrame — DESCRIBE HISTORY: one row per
+        surviving version with its operation, commit timestamp,
+        idempotency key, and file/delta counts. Reads only manifests
+        (cached), never data files."""
+        rows = []
+        for v in self.versions():
+            m = self._manifest(v)
+            rows.append(
+                (
+                    v,
+                    m.get("operation", "append"),
+                    float(m["ts"]) if m.get("ts") is not None else None,
+                    m.get("key"),
+                    len(m["files"]),
+                    len(m.get("added", [])),
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "version long, operation string, ts double, "
+            "idempotency_key string, n_files long, n_added long",
+        )
 
     def snapshot_stats(self, version: int | None = None) -> dict:
         """file -> {col: [min, max]} for every file in the snapshot,

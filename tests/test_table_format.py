@@ -593,3 +593,30 @@ def test_stats_survive_compact_and_merge(spark, tmp_path):
     # pruning still correct after the rewrite
     got = sorted(r.k for r in t.read_pruned(spark, "k", 10, 20).collect())
     assert got == list(range(10, 21))
+
+
+def test_timestamp_time_travel_and_history(spark, tmp_path):
+    import time
+
+    t = ManifestTable(str(tmp_path / "tbl"))
+    marks = []
+    for i in range(3):
+        t.commit(spark.createDataFrame([(i, "x")], "k long, v string"))
+        marks.append(time.time())
+        time.sleep(0.02)
+    # as-of each mark resolves to the version committed before it
+    for i, m in enumerate(marks):
+        v = t.version_at(m)
+        assert v == i + 1
+        assert sorted(r.k for r in t.read(spark, v).collect()) == list(range(i + 1))
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.version_at(marks[0] - 3600)
+    h = {r.version: r for r in t.history(spark).collect()}
+    assert sorted(h) == [1, 2, 3]
+    assert all(h[v].operation == "append" for v in h)
+    assert h[1].ts <= h[2].ts <= h[3].ts
+    assert h[3].n_files == h[1].n_added + h[2].n_added + h[3].n_added
+    assert all(h[v].n_added >= 1 for v in h)
+    t.compact(spark, target_partitions=1)
+    h2 = {r.version: r for r in t.history(spark).collect()}
+    assert h2[4].operation == "compact"
