@@ -69,3 +69,95 @@ def dedup_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploratory clustering — both are one `queries()` call apart here."""
     docs = load_table(spark, sf_dir, "documents")
     return setsim.prefix_filter_pairs(docs, "doc_id", "text", n=3, tau_num=1, tau_den=2)
+
+
+# Near-dup SURVIVORSHIP: the step after pair-finding — cluster the pair
+# graph transitively, keep ONE representative per cluster (longest text,
+# ties to the smallest id). The oracle recomputes pairs from the quadratic
+# definition, closes them with a recursive CTE, and picks representatives
+# with the same deterministic rule — so one hash row proves the lossless
+# pair search, the transitive closure, AND the keep-rule end to end.
+_KEEP_BEST_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ','g')),' '), t -> t <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(ws)-2),
+         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), p AS (
+  SELECT id1, id2 FROM common
+  JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+  WHERE 2 * c >= s1.sz + s2.sz - c
+), e AS (
+  SELECT id1 AS s, id2 AS d FROM p UNION SELECT id2, id1 FROM p
+), r(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.d FROM r JOIN e ON r.b = e.s
+), comp AS (
+  SELECT a AS doc_id, MIN(b) AS cluster_id FROM r GROUP BY a
+), ranked AS (
+  SELECT c.cluster_id, d.doc_id, length(d.text) AS n_chars,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY length(d.text) DESC, d.doc_id) AS rnk
+  FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(CASE WHEN rnk = 1 THEN doc_id END) AS BIGINT) AS kept_doc_id,
+       CAST(MIN(CASE WHEN rnk = 1 THEN n_chars END) AS BIGINT) AS kept_chars
+FROM ranked GROUP BY cluster_id
+"""
+
+
+@query("dedup_keep_best", oracle=_KEEP_BEST_ORACLE)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate SURVIVORSHIP — the decision step real dedup ships:
+    exact sub-quadratic pair search (prefix filter, lossless by theorem)
+    -> connected components over the pair graph (a~b, b~c puts a,c in one
+    cluster even below pairwise threshold) -> ONE representative per
+    cluster by a deterministic quality rule (longest text, ties to the
+    smallest doc_id). Composes three proven layers and the oracle replays
+    the COMPOSITION (quadratic pairs + recursive-CTE closure + the same
+    keep rule), so the green row certifies the end-to-end decision, not
+    the parts. Scale: pair search moves prefix postings only (df-ascending
+    order), CC is O(log n) pointer-jumping rounds over the sparse dup
+    graph, survivorship is one window over clusters — every stage keyed,
+    nothing quadratic, nothing driver-side."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gridmr_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = setsim.prefix_filter_pairs(docs, "doc_id", "text", n=3, tau_num=1, tau_den=2)
+    comp = connected_components(
+        docs.select(F.col("doc_id").alias("id")),
+        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst")),
+    )
+    ranked = (
+        comp.join(docs, comp["id"] == docs["doc_id"])
+        .select(F.col("component").alias("cluster_id"), "doc_id",
+                F.length("text").cast("long").alias("n_chars"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.desc("n_chars"), F.asc("doc_id")
+                )
+            ),
+        )
+    )
+    return ranked.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min(F.when(F.col("rnk") == 1, F.col("doc_id"))).cast("long").alias("kept_doc_id"),
+        F.min(F.when(F.col("rnk") == 1, F.col("n_chars"))).cast("long").alias("kept_chars"),
+    )
