@@ -97,3 +97,29 @@ def test_broadcast_star_join_shuffles_only_aggregates(spark, sf_oracle):
         spark, REG["join_star_revenue"].fn(spark, sf_oracle)
     )
     assert st.write_records < n_fact / 20
+
+
+def test_bloom_probe_shuffles_only_the_probe_groupby(spark, sf_oracle):
+    """dedup_bloom_membership's claim: the history NEVER joins the probe
+    batch — the filter bitmap broadcasts (<= m/32 = 64 rows), so measured
+    shuffle is bounded by the bitmap build + the per-doc flag group-by,
+    both tiny, never corpus x corpus."""
+    st = measure_shuffle(spark, REG["dedup_bloom_membership"].fn(spark, sf_oracle))
+    # 500 docs x 3 hashes = 1500 probe position rows is the natural ceiling
+    # for the flag group-by; the bitmap build adds <= 64 combined rows.
+    assert 0 < st.write_records < 8000
+
+
+def test_countmin_build_is_geometry_bounded(spark, sf_oracle):
+    """agg_countmin_freq: the sketch exchange carries at most width*depth
+    combined counter rows per map partition — corpus token volume must
+    not reach the wire."""
+    docs = load_table(spark, sf_oracle, "documents")
+    import pyspark.sql.functions as F
+
+    n_tokens = docs.select(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n")
+    ).first()["n"]
+    st = measure_shuffle(spark, REG["agg_countmin_freq"].fn(spark, sf_oracle))
+    assert st.write_records > 0
+    assert st.write_records < n_tokens / 10  # map-side combined
