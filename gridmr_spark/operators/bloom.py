@@ -89,7 +89,11 @@ def bloom_contains(
     """``df`` plus a boolean ``out_col``: True iff ALL k hash bits of the
     key are set (maybe-present — false positives possible at the filter's
     designed rate, false negatives impossible). The bitmap (≤ m/32 rows)
-    is broadcast; the probe side never shuffles."""
+    is broadcast; the probe side never shuffles.
+
+    Rows are reassembled by grouping on ALL of ``df``'s columns, so
+    exact duplicate rows collapse to one output row — probe with a
+    distinct key set (the natural shape) or carry a row id."""
     pos = _positions(df, key_col, m_bits, k_hashes)
     checked = (
         pos.withColumn("word", F.expr("_pos div 32").cast("long"))
@@ -158,7 +162,8 @@ def countmin_estimate(
     """``keys`` plus the sketch's frequency estimate: min over the depth
     counters the key hashes into (absent counter = 0). The sketch
     (<= width*depth rows) broadcasts; the key side never shuffles beyond
-    its own group-by."""
+    its own group-by. Same reassembly caveat as ``bloom_contains``:
+    duplicate key rows collapse — probe with distinct keys."""
     pos = keys.withColumn(
         "row", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
     ).withColumn(

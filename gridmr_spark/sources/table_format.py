@@ -62,7 +62,14 @@ def _file_column_stats(path: str) -> dict:
     aggregated across row groups, kept only for JSON-representable scalar
     types (int/float/str/bool) with complete statistics — absent stats
     mean "unknown", which readers treat as unprunable, never as empty.
-    NaN floats poison min/max ordering and are skipped wholesale."""
+    NaN floats poison min/max ordering and are skipped wholesale.
+
+    String stats are safe to prune on even when the writer truncates
+    them: parquet-mr's statistics truncator is bound-preserving by
+    contract (truncated min is a prefix of — hence <= — the true min;
+    truncated max has its last byte incremented so it stays an upper
+    bound), so an intersect test against [min, max] can only KEEP extra
+    files, never skip a matching one."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
