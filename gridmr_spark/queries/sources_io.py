@@ -925,3 +925,55 @@ def table_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").cast("long").alias("min_key"),
         F.max("o_orderkey").cast("long").alias("max_key"),
     )
+
+
+_ZORDER_PRUNED_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_SUM_CENTS_SQL} AS sum_cents,
+       CAST(MIN(o_custkey) AS BIGINT) AS min_cust,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 160 AND o_orderkey BETWEEN 1000 AND 20000
+"""
+
+
+@query("table_zorder_pruned", oracle=_ZORDER_PRUNED_ORACLE)
+def table_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER on the manifest table, then a TWO-dimensional
+    stats-pruned read: orders land in key order (per-file o_custkey spans
+    wide open), compact(zorder_by=(o_custkey, o_orderkey)) rewrites the
+    snapshot clustered on the Morton interleave in ONE transactional
+    snapshot, and read_pruned(preds={both columns}) skips every file
+    whose manifest stats miss EITHER range — the Delta OPTIMIZE ZORDER +
+    data-skipping composition on this format. The oracle recomputes the
+    2-D range aggregate from the raw table, proving the rewrite is
+    lossless and the pruning invisible; tests assert the actual file-skip
+    counts and that z-ordered pruning beats the key-ordered layout on the
+    second dimension. At 100 TB this is how "this customer, this key
+    range" probes touch a handful of files instead of a full partition
+    scan — and the maintenance op that builds it is itself a snapshot,
+    time-travelable and concurrency-safe like every other commit."""
+    import shutil
+
+    from gridmr_spark.sources.table_format import ManifestTable
+
+    root = _scratch(sf_dir, "mtable_zorder")
+    shutil.rmtree(root, ignore_errors=True)
+    t = ManifestTable(root)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # ingest clustered on the PRIMARY key only: o_custkey spans stay wide
+    t.commit(orders.repartitionByRange(8, "o_orderkey"))
+    t.compact(spark, target_partitions=8, zorder_by=("o_custkey", "o_orderkey"))
+    pruned = t.read_pruned(
+        spark, preds={"o_custkey": (100, 160), "o_orderkey": (1000, 20000)}
+    )
+    return pruned.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+        F.min("o_custkey").cast("long").alias("min_cust"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )

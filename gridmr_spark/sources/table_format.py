@@ -196,7 +196,13 @@ class ManifestTable:
         )
         return v
 
-    def compact(self, spark: SparkSession, target_partitions: int = 1) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_partitions: int = 1,
+        zorder_by: tuple[str, str] | None = None,
+        zorder_bits: int = 10,
+    ) -> int:
         """Rewrite the CURRENT snapshot into ``target_partitions`` files —
         the small-file maintenance op (same motivation as
         ``layout_compact_files``, but transactional: readers of any version
@@ -205,11 +211,41 @@ class ManifestTable:
         ``expire``). The manifest records operation='compact' so
         incremental readers know the added files are REWRITES, not new
         rows — ``diff`` refuses to cross it.
+
+        ``zorder_by=(x, y)`` makes the rewrite an OPTIMIZE ZORDER: rows
+        are range-partitioned and sorted on the Morton interleave of the
+        two columns (bucketed mod 2**zorder_bits — coarse wrap keeps the
+        key small; file STATS always come from actual values, so pruning
+        stays correct regardless), giving every rewritten file partially
+        tight min/max on BOTH dimensions. Composed with the manifest's
+        per-file column stats, ``read_pruned`` then skips files on either
+        (or both) filter columns — Delta's OPTIMIZE ZORDER semantics on
+        this format, in one transactional snapshot.
         """
+        from pyspark.sql import functions as _F
+
         cur = self.current_version()
         if cur is None:
             raise ValueError(f"nothing to compact in {self.root}")
-        snap = self.read(spark, cur).repartition(target_partitions)
+        snap = self.read(spark, cur)
+        if zorder_by is not None:
+            from gridmr_spark.operators.layout import morton_key
+
+            x, y = zorder_by
+            mask = (1 << zorder_bits) - 1
+            key = morton_key(
+                _F.col(x).bitwiseAND(_F.lit(mask)),
+                _F.col(y).bitwiseAND(_F.lit(mask)),
+                zorder_bits,
+            )
+            snap = (
+                snap.withColumn("_z", key)
+                .repartitionByRange(target_partitions, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        else:
+            snap = snap.repartition(target_partitions)
         v = cur + 1
         added = self._write_data(snap, v)
         self._write_manifest(
@@ -484,51 +520,71 @@ class ManifestTable:
         return {f: stats.get(f, {}) for f in files}
 
     def pruned_files(
-        self, col: str, lo=None, hi=None, version: int | None = None
+        self,
+        col: str | None = None,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+        preds: dict | None = None,
     ) -> list[str]:
-        """The snapshot's files whose [min, max] for ``col`` INTERSECTS
-        [lo, hi] (None = unbounded on that side) — files with no stats for
-        the column are conservatively kept. This is manifest-level zone-map
-        skipping, the scan-side half of what makes a 100 TB table cheap to
-        query: a range predicate touches only the files whose footer range
-        overlaps it, and the decision is made from the manifest alone
-        (one JSON read, zero footer I/O, no file listing)."""
+        """The snapshot's files whose [min, max] INTERSECTS every range
+        predicate — files with no stats for a column are conservatively
+        kept for that predicate. Single-column form: ``(col, lo, hi)``;
+        multi-column form: ``preds={col: (lo, hi), ...}`` (ANDed — the
+        shape a Z-ordered table prunes on BOTH dimensions with). None =
+        unbounded on that side. This is manifest-level zone-map skipping,
+        the scan-side half of what makes a 100 TB table cheap to query:
+        the decision is made from the manifest alone (one JSON read, zero
+        footer I/O, no file listing)."""
+        if preds is None:
+            preds = {col: (lo, hi)}
         keep: list[str] = []
         for f, st in self.snapshot_stats(version).items():
-            mm = st.get(col)
-            if mm is None:
-                keep.append(f)
-                continue
-            fmin, fmax = mm
-            if (lo is None or fmax >= lo) and (hi is None or fmin <= hi):
+            ok = True
+            for c, (p_lo, p_hi) in preds.items():
+                mm = st.get(c)
+                if mm is None:
+                    continue  # unknown stats: unprunable on this column
+                fmin, fmax = mm
+                if (p_lo is not None and fmax < p_lo) or (
+                    p_hi is not None and fmin > p_hi
+                ):
+                    ok = False
+                    break
+            if ok:
                 keep.append(f)
         return keep
 
     def read_pruned(
         self,
         spark: SparkSession,
-        col: str,
+        col: str | None = None,
         lo=None,
         hi=None,
         version: int | None = None,
+        preds: dict | None = None,
     ) -> DataFrame:
-        """Exactly ``read(version).where(lo <= col <= hi)``, but scanning
-        only the stats-overlapping files: the residual predicate is still
-        applied (file ranges overlap the query range without every row
-        matching), so results are identical to the unpruned read — proven
-        by the driver oracle of ``table_stats_pruned_read`` — while the
-        scan skips non-overlapping files entirely."""
+        """Exactly ``read(version).where(<all range predicates>)``, but
+        scanning only the stats-overlapping files: the residual predicates
+        are still applied (file ranges overlap the query range without
+        every row matching), so results are identical to the unpruned
+        read — proven by the driver oracles of ``table_stats_pruned_read``
+        and ``table_zorder_pruned`` — while the scan skips
+        non-overlapping files entirely."""
         from pyspark.sql import functions as _F
 
-        files = self.pruned_files(col, lo, hi, version)
+        if preds is None:
+            preds = {col: (lo, hi)}
+        files = self.pruned_files(version=version, preds=preds)
         if not files:
             # no file can match: an empty frame with the snapshot's schema
             return self.read(spark, version).where(_F.lit(False))
         df = spark.read.parquet(*files)
-        if lo is not None:
-            df = df.where(_F.col(col) >= _F.lit(lo))
-        if hi is not None:
-            df = df.where(_F.col(col) <= _F.lit(hi))
+        for c, (p_lo, p_hi) in preds.items():
+            if p_lo is not None:
+                df = df.where(_F.col(c) >= _F.lit(p_lo))
+            if p_hi is not None:
+                df = df.where(_F.col(c) <= _F.lit(p_hi))
         return df
 
     def diff(self, spark: SparkSession, v_from: int, v_to: int) -> DataFrame:

@@ -620,3 +620,37 @@ def test_timestamp_time_travel_and_history(spark, tmp_path):
     t.compact(spark, target_partitions=1)
     h2 = {r.version: r for r in t.history(spark).collect()}
     assert h2[4].operation == "compact"
+
+
+def test_zorder_compact_prunes_both_dimensions(spark, tmp_path):
+    """After OPTIMIZE ZORDER, a 2-D range probe must skip files on BOTH
+    columns, and multi-predicate pruned reads must equal the filtered
+    full read."""
+    import pyspark.sql.functions as F
+
+    t = ManifestTable(str(tmp_path / "tbl"))
+    rows = [(i, (i * 37) % 100, f"v{i}") for i in range(400)]
+    df = spark.createDataFrame(rows, "a long, b long, v string")
+    t.commit(df.repartitionByRange(8, "a"))  # clustered on a only
+    before_files = t.pruned_files(preds={"b": (10, 20)})
+    t.compact(spark, target_partitions=8, zorder_by=("a", "b"), zorder_bits=7)
+    after_files = t.pruned_files(preds={"b": (10, 20)})
+    # z-ordering tightens per-file b-ranges: strictly fewer files match
+    assert len(after_files) < len(before_files)
+    # 2-D predicate prunes at least as hard as either dimension alone
+    both = t.pruned_files(preds={"a": (0, 100), "b": (10, 20)})
+    assert len(both) <= len(after_files)
+    # correctness: pruned read == full read + filters, at every probe
+    for preds in [{"a": (0, 100), "b": (10, 20)}, {"a": (350, None)},
+                  {"b": (None, 5)}, {"a": (900, 999)}]:
+        base = t.read(spark)
+        for c, (lo, hi) in preds.items():
+            if lo is not None:
+                base = base.where(F.col(c) >= lo)
+            if hi is not None:
+                base = base.where(F.col(c) <= hi)
+        want = sorted(r.a for r in base.collect())
+        got = sorted(r.a for r in t.read_pruned(spark, preds=preds).collect())
+        assert got == want, preds
+    # the rewrite is lossless
+    assert t.read(spark).count() == 400
