@@ -56,7 +56,7 @@ _DRIVER_PRIORITY: list[str] = [
     # setsim's default token order) — evidence must track the change.
     "table_stats_pruned_read", "vector_binary_hamming",
     "dedup_bloom_membership", "pipeline_shard_export", "agg_countmin_freq",
-    "stream_countmin_merge", "dedup_keep_best",
+    "stream_countmin_merge", "dedup_keep_best", "table_zorder_pruned",
     "table_merge_upsert", "dedup_setsim_prefix",
     # (b) freshness rotation: queries whose latest green driver row is
     # ROUND 3 — the oldest evidence on the board (29 rows).
