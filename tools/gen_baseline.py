@@ -9,7 +9,12 @@ outliers routinely land at a third of the sweep number). Execution forces
 the full plan through the noop sink; nothing is collected.
 
 Usage:
-    python tools/gen_baseline.py            # prints the §C table to stdout
+    python tools/gen_baseline.py                 # full §C table to stdout
+    python tools/gen_baseline.py NAME [NAME...]  # isolated re-time of just
+                                                 # those queries (same
+                                                 # warm-up + 3-run-median
+                                                 # protocol) — the tool for
+                                                 # re-stamping single rows
 """
 
 from __future__ import annotations
@@ -37,8 +42,13 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    names = sys.argv[1:]
+    unknown = [n for n in names if n not in registry]
+    if unknown:
+        raise SystemExit(f"unknown queries: {unknown}")
+
     timings: dict[str, float] = {}
-    for name in sorted(registry):
+    for name in names or sorted(registry):
         fn = registry[name].fn
         run_once(fn)  # warm-up, discarded
         timings[name] = round(statistics.median(run_once(fn) for _ in range(3)), 3)
