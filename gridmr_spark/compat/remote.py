@@ -138,7 +138,19 @@ def render_job_sql(req: SubmitRequest, max_partition_bytes: int | None = None) -
     ``tools/connect_probe_client.py`` executes within ONE Connect session,
     so an optional maxPartitionBytes prologue (the desired_maps mapping)
     scopes to this job: Connect confs are session-local and the session is
-    used for exactly this submit."""
+    used for exactly this submit.
+
+    Paths are interpolated into SQL, so they are VALIDATED first: a quote
+    or backtick in a URI would rewrite the statement (an injection surface
+    once this sits behind the HTTP route the module docstring suggests) —
+    such paths are rejected with a clear error rather than escaped, since
+    no legitimate job input needs them."""
+    for p in [req.output_uri, *req.input_uris]:
+        if any(ch in p for ch in ("'", "`", '"', ";", "\n", "\r")):
+            raise ValueError(
+                f"path {p!r} contains SQL-significant characters "
+                "(quote/backtick/semicolon/newline) — rejected"
+            )
     srcs = "\n  UNION ALL\n  ".join(
         f"SELECT value FROM text.`{uri}`" for uri in req.input_uris
     )
@@ -189,10 +201,16 @@ def _probe_client_path() -> str:
 
 
 def _parse_sc_url(remote_url: str) -> tuple[str, int]:
+    """host and port from a Spark Connect URL. Connect URLs may carry
+    parameters after the authority (``sc://host:port/;token=...``) — the
+    grpc transport accepts those, so the delegated parser must too: the
+    params configure the pyspark client channel and have no equivalent on
+    the raw-stub path, so they are tolerated and ignored."""
     body = remote_url.removeprefix("sc://")
-    host, _, port = body.partition(":")
+    authority = body.split("/", 1)[0]
+    host, _, port = authority.partition(":")
     if not host or not port.isdigit():
-        raise ValueError(f"remote_url: expected sc://host:port, got {remote_url!r}")
+        raise ValueError(f"remote_url: expected sc://host:port[/;params], got {remote_url!r}")
     return host, int(port)
 
 

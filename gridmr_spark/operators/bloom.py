@@ -34,15 +34,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_INTERNAL = ("_bloom_i", "_bloom_pos", "_bloom_word", "_bloom_bits", "_bloom_hit")
+
+
+def _guard_columns(df: DataFrame, fn: str) -> None:
+    clash = [c for c in df.columns if c in _INTERNAL]
+    if clash:
+        raise ValueError(
+            f"{fn}: input columns {clash} collide with internal working "
+            "columns — rename them before probing"
+        )
+
+
 def _positions(df: DataFrame, key_col: str, m_bits: int, k_hashes: int) -> DataFrame:
-    """One row per (input row, hash i): the bit position of hash_i(key).
-    Portable hash: 60-bit md5 prefix of ``key || ':' || i`` mod m."""
-    return df.withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1)))).withColumn(
-        "_pos",
+    """One row per (input row, hash i): the bit position of hash_i(key)
+    in ``_bloom_pos``. Portable hash: 60-bit md5 prefix of
+    ``key || ':' || i`` mod m. Working columns carry a ``_bloom_``
+    prefix (guarded) so they can never silently REPLACE a caller column
+    of the same name — that failure mode multiplied probe rows per hash
+    instead of ANDing the k bits."""
+    _guard_columns(df, "_positions")
+    return df.withColumn(
+        "_bloom_i", F.explode(F.sequence(F.lit(0), F.lit(k_hashes - 1)))
+    ).withColumn(
+        "_bloom_pos",
         (
             F.conv(
                 F.substring(
-                    F.md5(F.concat(F.col(key_col), F.lit(":"), F.col("_i").cast("string"))),
+                    F.md5(
+                        F.concat(
+                            F.col(key_col), F.lit(":"), F.col("_bloom_i").cast("string")
+                        )
+                    ),
                     1,
                     15,
                 ),
@@ -64,8 +87,8 @@ def bloom_build(
     pos = _positions(df.select(key_col), key_col, m_bits, k_hashes)
     return (
         pos.select(
-            F.expr("_pos div 32").cast("long").alias("word"),
-            F.expr("shiftleft(1L, cast(_pos % 32 as int))").alias("b"),
+            F.expr("_bloom_pos div 32").cast("long").alias("word"),
+            F.expr("shiftleft(1L, cast(_bloom_pos % 32 as int))").alias("b"),
         )
         .groupBy("word")
         .agg(F.bit_or("b").alias("bits"))
@@ -93,15 +116,21 @@ def bloom_contains(
 
     Rows are reassembled by grouping on ALL of ``df``'s columns, so
     exact duplicate rows collapse to one output row — probe with a
-    distinct key set (the natural shape) or carry a row id."""
+    distinct key set (the natural shape) or carry a row id. Probe
+    columns named ``word``/``bits`` are fine (the bitmap joins under
+    internal names); only the ``_bloom_*`` working names are reserved."""
     pos = _positions(df, key_col, m_bits, k_hashes)
+    bm = bloom.select(
+        F.col("word").alias("_bloom_word"), F.col("bits").alias("_bloom_bits")
+    )
     checked = (
-        pos.withColumn("word", F.expr("_pos div 32").cast("long"))
-        .join(F.broadcast(bloom), "word", "left")
+        pos.withColumn("_bloom_word", F.expr("_bloom_pos div 32").cast("long"))
+        .join(F.broadcast(bm), "_bloom_word", "left")
         .withColumn(
-            "_hit",
+            "_bloom_hit",
             F.coalesce(
-                F.expr("bits & shiftleft(1L, cast(_pos % 32 as int))") != 0,
+                F.expr("_bloom_bits & shiftleft(1L, cast(_bloom_pos % 32 as int))")
+                != 0,
                 F.lit(False),
             ),
         )
@@ -109,7 +138,7 @@ def bloom_contains(
     keys = [c for c in df.columns]
     return (
         checked.groupBy(*keys)
-        .agg(F.bool_and("_hit").alias(out_col))
+        .agg(F.bool_and("_bloom_hit").alias(out_col))
     )
 
 
@@ -137,14 +166,14 @@ def countmin_build(
     portable md5 hash family makes the sketch bit-identical across
     engines — the DuckDB oracle replays it."""
     w = F.lit(1).cast("long") if weight_col is None else F.col(weight_col).cast("long")
-    pos = df.select(F.col(key_col).alias("_k"), w.alias("_w")).withColumn(
+    pos = df.select(F.col(key_col).alias("_cm_k"), w.alias("_cm_w")).withColumn(
         "row", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
     ).withColumn(
         "col",
         (
             F.conv(
                 F.substring(
-                    F.md5(F.concat(F.col("_k"), F.lit("#"), F.col("row").cast("string"))),
+                    F.md5(F.concat(F.col("_cm_k"), F.lit("#"), F.col("row").cast("string"))),
                     1, 15,
                 ),
                 16, 10,
@@ -152,7 +181,7 @@ def countmin_build(
             % width
         ),
     )
-    return pos.groupBy("row", "col").agg(F.sum("_w").alias("cnt"))
+    return pos.groupBy("row", "col").agg(F.sum("_cm_w").alias("cnt"))
 
 
 def countmin_estimate(
@@ -163,15 +192,23 @@ def countmin_estimate(
     counters the key hashes into (absent counter = 0). The sketch
     (<= width*depth rows) broadcasts; the key side never shuffles beyond
     its own group-by. Same reassembly caveat as ``bloom_contains``:
-    duplicate key rows collapse — probe with distinct keys."""
+    duplicate key rows collapse — probe with distinct keys. Key frames
+    carrying columns named ``row``/``col``/``cnt`` are fine (the probe
+    works entirely under ``_cm_*`` internal names, guarded)."""
+    clash = [c for c in keys.columns if c.startswith("_cm_")]
+    if clash:
+        raise ValueError(
+            f"countmin_estimate: input columns {clash} collide with internal "
+            "working columns — rename them before probing"
+        )
     pos = keys.withColumn(
-        "row", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+        "_cm_row", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
     ).withColumn(
-        "col",
+        "_cm_col",
         (
             F.conv(
                 F.substring(
-                    F.md5(F.concat(F.col(key_col), F.lit("#"), F.col("row").cast("string"))),
+                    F.md5(F.concat(F.col(key_col), F.lit("#"), F.col("_cm_row").cast("string"))),
                     1, 15,
                 ),
                 16, 10,
@@ -179,7 +216,11 @@ def countmin_estimate(
             % width
         ),
     )
-    joined = pos.join(F.broadcast(sketch), ["row", "col"], "left").withColumn(
-        "_c", F.coalesce(F.col("cnt"), F.lit(0).cast("long"))
+    sk = sketch.select(
+        F.col("row").alias("_cm_row"), F.col("col").alias("_cm_col"),
+        F.col("cnt").alias("_cm_cnt"),
     )
-    return joined.groupBy(*keys.columns).agg(F.min("_c").cast("long").alias(out_col))
+    joined = pos.join(F.broadcast(sk), ["_cm_row", "_cm_col"], "left").withColumn(
+        "_cm_c", F.coalesce(F.col("_cm_cnt"), F.lit(0).cast("long"))
+    )
+    return joined.groupBy(*keys.columns).agg(F.min("_cm_c").cast("long").alias(out_col))

@@ -830,7 +830,10 @@ def hamming_topk(
     for w in range(n_words):
         term = F.bit_count(F.col(f"q_sig{w}").bitwiseXOR(F.col(f"c_sig{w}")))
         ham = term if ham is None else ham + term
-    joined = q.join(c, F.col(q_id) != F.col(c_id)).withColumn(
+    # explicit broadcast of the (bounded) query side, same as cosine_topk:
+    # without it a bad size estimate degrades the non-equi join to a
+    # two-sided CartesianProduct shuffle — the cost this shape exists to avoid
+    joined = c.join(F.broadcast(q), F.col(q_id) != F.col(c_id)).withColumn(
         "hamming", ham.cast("long")
     )
     win = Window.partitionBy(q_id).orderBy(F.asc("hamming"), F.asc(c_id))

@@ -912,9 +912,9 @@ def table_stats_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = orders.agg(F.max("o_orderkey")).collect()[0][0]  # bounded scalar
     step = -(-mx // 4)
     for i in range(4):
-        batch = orders.where(
-            (F.col("o_orderkey") >= i * step) & (F.col("o_orderkey") < (i + 1) * step)
-        )
+        batch = orders.where(F.col("o_orderkey") >= i * step)
+        if i < 3:  # last batch is unbounded so keys == 4*step are kept
+            batch = batch.where(F.col("o_orderkey") < (i + 1) * step)
         t.commit(batch.repartitionByRange(2, "o_orderkey"))
     pruned = t.read_pruned(spark, "o_orderkey", lo=100, hi=5000)
     return pruned.agg(

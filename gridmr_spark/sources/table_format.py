@@ -357,31 +357,47 @@ class ManifestTable:
             self._mcache.pop(v, None)
         return removed
 
-    def vacuum_orphans(self) -> list[str]:
+    def vacuum_orphans(self, min_age_seconds: float = 3600.0) -> list[str]:
         """Delete whole data directories under ``<root>/data`` that NO
         manifest references — the leftovers of commits that crashed between
         the data write and the manifest publish, and of commits that LOST a
         concurrent-writer race (plus stale ``.tmp`` manifests). Removing
         the directory (not just ``*.parquet``) matters: it also clears
         ``_SUCCESS`` markers so the version directory namespace is fully
-        reclaimed. Safe by construction: a directory a reader could ever
-        resolve holds a file in some manifest's list and is never touched.
-        Returns deleted data-file paths (and removed tmp manifests)."""
+        reclaimed. Returns deleted data-file paths (and removed tmp
+        manifests).
+
+        ``min_age_seconds`` is the retention window that makes vacuum safe
+        under CONCURRENT writers: a commit in flight right now has written
+        its data directory but not yet published its manifest — without an
+        age guard, vacuum would reclaim that directory and the subsequent
+        manifest publish would point at deleted files (the exact hazard
+        Delta's VACUUM retention hours exist for). Only directories whose
+        mtime is older than the window are touched; pass 0 ONLY when no
+        writer can be active (tests, single-process maintenance)."""
+        import time as _time
+
         referenced: set[str] = set()
         for v in self.versions():
             referenced.update(self._manifest(v)["files"])
         live_dirs = {os.path.dirname(f) for f in referenced}
+        cutoff = _time.time() - min_age_seconds
         removed: list[str] = []
         data_root = os.path.join(self.root, "data")
         if os.path.isdir(data_root):
             for d in sorted(glob.glob(os.path.join(data_root, "*"))):
-                if os.path.isdir(d) and d not in live_dirs:
+                if (
+                    os.path.isdir(d)
+                    and d not in live_dirs
+                    and os.path.getmtime(d) <= cutoff
+                ):
                     removed.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
                     shutil.rmtree(d)
         if os.path.isdir(self._mdir):
             for f in sorted(glob.glob(os.path.join(self._mdir, ".*.tmp"))):
-                os.remove(f)
-                removed.append(f)
+                if os.path.getmtime(f) <= cutoff:
+                    os.remove(f)
+                    removed.append(f)
         return removed
 
     def _write_data(self, df: DataFrame, v: int) -> list[str]:
@@ -546,11 +562,19 @@ class ManifestTable:
                 if mm is None:
                     continue  # unknown stats: unprunable on this column
                 fmin, fmax = mm
-                if (p_lo is not None and fmax < p_lo) or (
-                    p_hi is not None and fmin > p_hi
-                ):
-                    ok = False
-                    break
+                try:
+                    if (p_lo is not None and fmax < p_lo) or (
+                        p_hi is not None and fmin > p_hi
+                    ):
+                        ok = False
+                        break
+                except TypeError:
+                    raise ValueError(
+                        f"pruned_files: bounds for column {c!r} "
+                        f"({type(p_lo).__name__}/{type(p_hi).__name__}) are not "
+                        f"comparable with its recorded stats "
+                        f"({type(fmin).__name__}) — wrong column or bound type"
+                    ) from None
             if ok:
                 keep.append(f)
         return keep
@@ -691,14 +715,18 @@ def _changelog_classes():
                 return iter(())
             import pyarrow.parquet as pq
 
-            tbl = pq.read_table(partition.path)
-            missing = [n for n in self._names if n not in tbl.column_names]
+            # project at the reader (only the declared columns are ever
+            # decoded — a wide table's extra columns cost zero I/O), with
+            # the schema check done on the FOOTER, not the data
+            file_cols = set(pq.read_schema(partition.path).names)
+            missing = [n for n in self._names if n not in file_cols]
             if missing:
                 raise ValueError(
                     f"mtable_changelog: file {partition.path} lacks declared "
                     f"column(s) {missing}; the changelog stream requires every "
                     "appended file to carry the stream schema"
                 )
+            tbl = pq.read_table(partition.path, columns=list(self._names))
             cols = [tbl.column(n).to_pylist() for n in self._names]
             return iter(zip(*cols)) if cols else iter(())
 

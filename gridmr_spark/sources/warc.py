@@ -218,6 +218,20 @@ def _sync_to_record(fh, start: int, fsize: int) -> int | None:
             window = window[-keep:]
 
 
+def _file_splits(f: str, chunk: int) -> list[_WarcSplit]:
+    """Byte-range splits for ONE file — the single definition of the
+    split contract, shared by the batch reader, the stream reader, and
+    the Arrow scan (a contract change lands in exactly one place).
+    Gzip streams are one split (not byte-addressable without an index)."""
+    if f.endswith(".gz"):
+        return [_WarcSplit(f, 0, None)]
+    size = os.path.getsize(f)
+    return [
+        _WarcSplit(f, lo, min(lo + chunk, size))
+        for lo in range(0, max(size, 1), chunk)
+    ]
+
+
 class WarcReader(DataSourceReader):
     def __init__(self, options):
         self.path = options.get("path")
@@ -231,12 +245,7 @@ class WarcReader(DataSourceReader):
     def partitions(self):
         splits: list[_WarcSplit] = []
         for f in _list_warc_files(self.path):
-            if f.endswith(".gz"):
-                splits.append(_WarcSplit(f, 0, None))
-                continue
-            size = os.path.getsize(f)
-            for lo in range(0, max(size, 1), self.chunk):
-                splits.append(_WarcSplit(f, lo, min(lo + self.chunk, size)))
+            splits.extend(_file_splits(f, self.chunk))
         return splits or [_WarcSplit("", 0, 0)]
 
     def read(self, split):
@@ -403,12 +412,7 @@ class WarcStreamReader(DataSourceStreamReader):
             name = os.path.basename(f)
             if not (lo < name <= hi):
                 continue
-            if f.endswith(".gz"):
-                splits.append(_WarcSplit(f, 0, None))
-                continue
-            size = os.path.getsize(f)
-            for off in range(0, max(size, 1), self.chunk):
-                splits.append(_WarcSplit(f, off, min(off + self.chunk, size)))
+            splits.extend(_file_splits(f, self.chunk))
         return splits or [_WarcSplit("", 0, 0)]
 
     def read(self, partition):
@@ -453,17 +457,13 @@ def register(spark) -> None:
 
 def _plan_splits(path: str, chunk: int) -> list[tuple[str, int, int]]:
     """The batch reader's split plan as plain rows (end=-1 marks a gzip
-    stream parsed to EOF) — shared by the DataSource reader's contract and
-    the Arrow scan below."""
-    splits: list[tuple[str, int, int]] = []
-    for f in _list_warc_files(path):
-        if f.endswith(".gz"):
-            splits.append((f, 0, -1))
-            continue
-        size = os.path.getsize(f)
-        for lo in range(0, max(size, 1), chunk):
-            splits.append((f, lo, min(lo + chunk, size)))
-    return splits
+    stream parsed to EOF) — the same ``_file_splits`` contract the
+    DataSource readers use, flattened for shipping in a DataFrame."""
+    return [
+        (s.path, s.start, -1 if s.end is None else s.end)
+        for f in _list_warc_files(path)
+        for s in _file_splits(f, chunk)
+    ]
 
 
 def read_warc_arrow(spark, path: str, chunk_mb: float = 64):

@@ -200,12 +200,12 @@ def test_vacuum_removes_only_orphans(spark, tmp_path):
     with open(os.path.join(t._mdir, ".v00099.json.tmp"), "w") as f:
         f.write("{}")
     live = set(t._manifest(2)["files"])
-    removed = t.vacuum_orphans()
+    removed = t.vacuum_orphans(min_age_seconds=0)
     assert removed  # the orphan parquet + tmp manifest
     assert all(os.path.exists(f) for f in live)
     assert not glob.glob(os.path.join(orphan_dir, "*.parquet"))
     assert sorted(r.k for r in t.read(spark).collect()) == [1, 2]
-    assert t.vacuum_orphans() == []  # idempotent
+    assert t.vacuum_orphans(min_age_seconds=0) == []  # idempotent
 
 
 def _run_changelog(spark, t, run_dir):
@@ -434,10 +434,10 @@ def test_two_writer_race_exactly_one_wins(spark, tmp_path):
     keys = sorted(r.k for r in t.read(spark).collect())
     assert keys in ([1, 2], [1, 3])  # winner's rows only, loser invisible
     # the loser's data directory is an orphan vacuum can reclaim
-    removed = t.vacuum_orphans()
+    removed = t.vacuum_orphans(min_age_seconds=0)
     assert removed
     assert sorted(r.k for r in t.read(spark).collect()) == keys
-    assert t.vacuum_orphans() == []
+    assert t.vacuum_orphans(min_age_seconds=0) == []
 
 
 def test_commit_succeeds_after_torn_write(spark, tmp_path):
@@ -450,7 +450,7 @@ def test_commit_succeeds_after_torn_write(spark, tmp_path):
     v = t.commit(spark.createDataFrame([(2, "b")], "k long, v string"))
     assert v == 2
     assert sorted(r.k for r in t.read(spark).collect()) == [1, 2]
-    assert t.vacuum_orphans()
+    assert t.vacuum_orphans(min_age_seconds=0)
     live_dirs = set()
     for ver in t.versions():
         live_dirs.update(os.path.dirname(f) for f in t._manifest(ver)["files"])
@@ -493,7 +493,7 @@ def test_reader_writer_interleaving_soak(spark, tmp_path):
     check_all()
     with pytest.raises(ValueError, match="no such snapshot"):
         t.read(spark, 1)
-    assert t.vacuum_orphans() is not None  # maintenance never disturbs live data
+    assert t.vacuum_orphans(min_age_seconds=0) is not None  # maintenance never disturbs live data
     check_all()
 
 
@@ -654,3 +654,15 @@ def test_zorder_compact_prunes_both_dimensions(spark, tmp_path):
         assert got == want, preds
     # the rewrite is lossless
     assert t.read(spark).count() == 400
+
+
+def test_vacuum_retention_protects_in_flight_commits(spark, tmp_path):
+    """The concurrent-writer hazard: a data dir written but not yet
+    manifest-published must survive a default-retention vacuum."""
+    t = _mk(spark, tmp_path, [[(1, "a")]])
+    t._write_data(spark.createDataFrame([(9, "inflight")], "k long, v string"), 2)
+    assert t.vacuum_orphans() == []  # default window: fresh dir untouched
+    dirs = [d for d in glob.glob(os.path.join(t.root, "data", "*")) if os.path.isdir(d)]
+    assert len(dirs) == 2  # committed v1 + the in-flight attempt
+    # explicit zero window (single-writer maintenance) reclaims it
+    assert t.vacuum_orphans(min_age_seconds=0)
