@@ -2624,3 +2624,67 @@ def stream_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return countmin_estimate(
         exact, "tok", sketch, width=_CM_W, depth=_CM_D, out_col="est_cnt"
     ).select("tok", "exact_cnt", "est_cnt")
+
+
+_BLOOM_INC_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, md5(text) AS dg, doc_id % 4 AS day FROM documents
+),
+pos AS (
+  SELECT day, {_BLOOM_POS_SQL} AS p FROM d, range(0, {_BLOOM_K}) t(i)
+),
+probe AS (
+  SELECT doc_id, day, {_BLOOM_POS_SQL} AS p FROM d, range(0, {_BLOOM_K}) t(i)
+),
+hit AS (
+  SELECT pr.doc_id, pr.day,
+         bool_and(EXISTS (
+           SELECT 1 FROM pos ps WHERE ps.p = pr.p AND ps.day < pr.day
+         )) AS maybe
+  FROM probe pr GROUP BY pr.doc_id, pr.day
+)
+SELECT doc_id, CAST(day AS BIGINT) AS day, (NOT maybe) AS is_new FROM hit
+"""
+
+
+@query("dedup_bloom_incremental", oracle=_BLOOM_INC_ORACLE)
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION daily-ingest dedup shape, end to end: documents
+    arrive in four ordered "days" (doc_id mod 4 — deterministic), each
+    day's batch probes the Bloom filter accumulated over ALL PRIOR days
+    (is_new = not maybe-in-filter; zero false negatives means nothing new
+    is ever wrongly dropped — FPs wrongly flag a few new docs as dups,
+    the designed trade), and then merges its own bitmap into the state
+    (bloom_merge — O(m) bitmap OR, O(batch) build). The history itself is
+    never rejoined: state is the m-bit bitmap, constant regardless of
+    corpus size. The oracle replays every day's filter state from the raw
+    table (positions contributed by strictly-earlier days), so the hash
+    row pins the whole fold — per-day state evolution included. The
+    4-iteration driver loop is bounded by the declared day count, the
+    same contract as the incremental-aggregate family."""
+    from gridmr_spark.operators.bloom import bloom_build, bloom_contains, bloom_merge
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("dg"), (F.col("doc_id") % 4).alias("day")
+    )
+    bloom = None
+    outs = []
+    for day in range(4):
+        batch = docs.where(F.col("day") == day).select("doc_id", "dg")
+        if bloom is None:
+            flagged = batch.select(
+                "doc_id", F.lit(False).alias("maybe_in_bloom")
+            )
+        else:
+            flagged = bloom_contains(
+                batch, "dg", bloom, m_bits=_BLOOM_M, k_hashes=_BLOOM_K
+            ).select("doc_id", "maybe_in_bloom")
+        outs.append(flagged.withColumn("day", F.lit(day).cast("long")))
+        day_bloom = bloom_build(
+            batch.select("dg").distinct(), "dg", m_bits=_BLOOM_M, k_hashes=_BLOOM_K
+        ).localCheckpoint(eager=True)
+        bloom = day_bloom if bloom is None else bloom_merge(bloom, day_bloom)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select("doc_id", "day", (~F.col("maybe_in_bloom")).alias("is_new"))
