@@ -113,6 +113,37 @@ def main() -> None:
         "value": round(recall(pairs(reg["similarity_topk_gemm_blocked"].fn(spark, sf_dir), "q_id", "c_id"), exact_all), 4),
     }
 
+    # Binary-quantization two-stage search: recall@5 of (Hamming top-20
+    # shortlist -> exact cosine re-rank) vs exact cosine top-5. The
+    # registered query (vector_binary_hamming) is hash-oracled — Hamming
+    # ranking is its DEFINED output — so this row measures the OTHER
+    # axis: how well 64-bit sign signatures approximate the cosine
+    # neighbors on this corpus (near-uniform vectors = worst case).
+    from pyspark.sql import Window as _W
+
+    from gridmr_spark.functions.vectors import cosine_similarity as _cos
+    from gridmr_spark.operators.similarity import binary_signature, hamming_topk
+
+    sigs = emb.select("vec_id", *binary_signature("embedding", 64))
+    bq_q = sigs.where(F.col("vec_id") < 200).withColumnRenamed("vec_id", "qid")
+    bq_c = sigs.withColumnRenamed("vec_id", "cid")
+    shortlist = hamming_topk(bq_q, bq_c, k=20, n_words=2, q_id="qid", c_id="cid")
+    qv = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("q_vec"))
+    cv = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_vec"))
+    rr = (
+        shortlist.join(cv, "cid").join(qv, "qid")
+        .withColumn("cos", _cos("q_vec", "c_vec"))
+        .withColumn("r", F.row_number().over(
+            _W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))))
+        .where(F.col("r") <= 5)
+    )
+    got_bq = {(r.qid, r.cid) for r in rr.select("qid", "cid").collect()}
+    exact_lt200 = {(a, b) for a, b in exact_all if a < 200}
+    out["vector_binary_hamming"] = {
+        "metric": "two-stage recall@5 (Hamming top-20 -> exact re-rank) vs exact; registered query itself is hash-exact",
+        "value": round(recall(got_bq, exact_lt200), 4),
+    }
+
     # HLL estimates: max relative error vs exact COUNT DISTINCT.
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     exact_li = {
