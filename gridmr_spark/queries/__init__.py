@@ -57,7 +57,7 @@ _DRIVER_PRIORITY: list[str] = [
     "table_stats_pruned_read", "vector_binary_hamming",
     "dedup_bloom_membership", "pipeline_shard_export", "agg_countmin_freq",
     "stream_countmin_merge", "dedup_keep_best", "table_zorder_pruned",
-    "dedup_bloom_incremental",
+    "dedup_bloom_incremental", "eval_1nn_confusion", "eval_1nn_f1",
     "table_merge_upsert", "dedup_setsim_prefix",
     # (b) freshness rotation: queries whose latest green driver row is
     # ROUND 3 — the oldest evidence on the board (29 rows).

@@ -1318,3 +1318,147 @@ def vector_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = sigs.where(F.col("vec_id") < 200).withColumnRenamed("vec_id", "qid")
     c = sigs.withColumnRenamed("vec_id", "cid")
     return hamming_topk(q, c, k=5, n_words=2, q_id="qid", c_id="cid")
+
+
+# ---------------------------------------------------------------------------
+# 1-NN classification eval: confusion matrix + per-class P/R/F1
+# ---------------------------------------------------------------------------
+
+_NN_EVAL_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ref AS (SELECT * FROM e WHERE vec_id < 500),
+qry AS (SELECT * FROM e WHERE vec_id >= 500),
+nn AS (
+  SELECT vec_id, true_label, pred_label FROM (
+    SELECT q.vec_id, q.label AS true_label, r.label AS pred_label,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_cos_sql('q.v', 'r.v')} DESC, r.vec_id
+           ) AS rnk
+    FROM qry q CROSS JOIN ref r
+  ) t WHERE rnk = 1
+)
+SELECT CAST(true_label AS BIGINT) AS true_label,
+       CAST(pred_label AS BIGINT) AS pred_label,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM nn GROUP BY 1, 2
+"""
+
+
+@query("eval_1nn_confusion", oracle=_NN_EVAL_ORACLE)
+def eval_1nn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation staple: 1-nearest-neighbor classification of the
+    held-out vectors (vec_id >= 500) against the labeled reference set
+    (vec_id < 500), reported as the CONFUSION MATRIX — the artifact every
+    accuracy / per-class precision-recall / F1 number derives from with
+    plain arithmetic. The neighbor search is the bounded-reference
+    broadcast shape (reference broadcasts, queries scan once — the
+    cosine_topk plan at k=1); cosines are the sequential double fold, so
+    the argmax and every tie (broken by reference id) are bit-identical
+    in both engines and the matrix is hash-exact. At 100 TB the
+    reference set is the small curated labeled corpus (always
+    broadcastable); the query side is the full corpus, embarrassingly
+    parallel, no shuffle beyond the final label-pair count."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ref = emb.where(F.col("vec_id") < 500).select(
+        F.col("vec_id").alias("rid"), F.col("label").alias("pred_label"),
+        F.col("embedding").alias("r_vec"),
+    )
+    qry = emb.where(F.col("vec_id") >= 500).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    nn = cosine_topk(
+        qry, ref, k=1,
+        q_id="qid", q_vec="q_vec", c_id="rid", c_vec="r_vec",
+        exclude_self=False,
+    )
+    # cosine_topk keeps only (q_id, c_id, cosine, rnk); re-attach labels
+    labeled = (
+        nn.join(qry.select("qid", "true_label"), "qid")
+        .join(ref.select("rid", "pred_label"), "rid")
+    )
+    return labeled.groupBy(
+        F.col("true_label").cast("long").alias("true_label"),
+        F.col("pred_label").cast("long").alias("pred_label"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+_NN_F1_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ref AS (SELECT * FROM e WHERE vec_id < 500),
+qry AS (SELECT * FROM e WHERE vec_id >= 500),
+nn AS (
+  SELECT vec_id, true_label, pred_label FROM (
+    SELECT q.vec_id, q.label AS true_label, r.label AS pred_label,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_cos_sql('q.v', 'r.v')} DESC, r.vec_id
+           ) AS rnk
+    FROM qry q CROSS JOIN ref r
+  ) t WHERE rnk = 1
+),
+cls AS (SELECT DISTINCT label FROM e),
+m AS (
+  SELECT c.label,
+         CAST(SUM(CASE WHEN nn.true_label = c.label AND nn.pred_label = c.label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN nn.true_label <> c.label AND nn.pred_label = c.label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN nn.true_label = c.label AND nn.pred_label <> c.label THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM cls c CROSS JOIN nn GROUP BY c.label
+)
+SELECT CAST(label AS BIGINT) AS label, tp, fp, fn,
+       CAST(CASE WHEN 2*tp + fp + fn = 0 THEN 0
+            ELSE FLOOR(CAST(2*tp AS DOUBLE) / CAST(2*tp + fp + fn AS DOUBLE) * 1000000000.0)
+       END AS BIGINT) AS f1_q
+FROM m
+"""
+
+
+@query("eval_1nn_f1", oracle=_NN_F1_ORACLE)
+def eval_1nn_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall folded to F1 over the same 1-NN
+    assignment as eval_1nn_confusion: tp/fp/fn are exact integers per
+    class, F1 = 2tp/(2tp+fp+fn) with ONE mirrored double division
+    nanoquantized — the repo's standard recipe for hash-exact ratios.
+    Classes with no predictions and no members score 0 by convention
+    (the 2tp+fp+fn=0 guard). Together with the confusion matrix this is
+    the complete classification-eval surface a labeled-data pipeline
+    reports per run."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ref = emb.where(F.col("vec_id") < 500).select(
+        F.col("vec_id").alias("rid"), F.col("label").alias("pred_label"),
+        F.col("embedding").alias("r_vec"),
+    )
+    qry = emb.where(F.col("vec_id") >= 500).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    nn = cosine_topk(
+        qry, ref, k=1,
+        q_id="qid", q_vec="q_vec", c_id="rid", c_vec="r_vec",
+        exclude_self=False,
+    ).join(qry.select("qid", "true_label"), "qid").join(
+        ref.select("rid", "pred_label"), "rid"
+    )
+    classes = emb.select(F.col("label")).distinct()
+    m = classes.crossJoin(nn.select("true_label", "pred_label")).groupBy("label").agg(
+        F.sum(
+            ((F.col("true_label") == F.col("label")) & (F.col("pred_label") == F.col("label"))).cast("long")
+        ).alias("tp"),
+        F.sum(
+            ((F.col("true_label") != F.col("label")) & (F.col("pred_label") == F.col("label"))).cast("long")
+        ).alias("fp"),
+        F.sum(
+            ((F.col("true_label") == F.col("label")) & (F.col("pred_label") != F.col("label"))).cast("long")
+        ).alias("fn"),
+    )
+    denom = 2 * F.col("tp") + F.col("fp") + F.col("fn")
+    return m.select(
+        F.col("label").cast("long").alias("label"),
+        "tp", "fp", "fn",
+        F.when(denom == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(
+                (2 * F.col("tp")).cast("double") / denom.cast("double") * F.lit(1000000000.0)
+            ).cast("long")
+        ).alias("f1_q"),
+    )
