@@ -106,6 +106,12 @@ class ConcurrentCommitError(RuntimeError):
     the same contract as Delta's ConcurrentModificationException."""
 
 
+class ConstraintViolation(ValueError):
+    """A commit's data failed the table's CHECK constraint or schema
+    contract; nothing was published (the attempt's data directory, if
+    written, is an orphan for vacuum)."""
+
+
 class ManifestTable:
     """A directory-backed versioned parquet table.
 
@@ -167,7 +173,13 @@ class ManifestTable:
 
     # -- writes -------------------------------------------------------------
 
-    def commit(self, df: DataFrame, idempotency_key: str | None = None) -> int:
+    def commit(
+        self,
+        df: DataFrame,
+        idempotency_key: str | None = None,
+        check: str | None = None,
+        enforce_schema: bool = False,
+    ) -> int:
         """Append ``df`` as a new snapshot; returns the new version.
 
         Data first, manifest last, manifest publish atomic+exclusive: a reader
@@ -180,6 +192,15 @@ class ManifestTable:
         is returned and nothing is written — the contract that turns this
         table into a safe Structured Streaming sink.
 
+        ``check`` is a SQL boolean expression every incoming row must
+        satisfy (Delta's CHECK constraint): violations raise
+        :class:`ConstraintViolation` BEFORE any data is written, with the
+        violating row count in the message. ``enforce_schema=True``
+        additionally rejects appends whose (name, type) column set differs
+        from the current snapshot's — the writer-side guard for pipelines
+        where drift is a bug; leave False (default) for tables that evolve
+        additively and read with ``merge_schema=True``.
+
         Raises :class:`ConcurrentCommitError` if another writer publishes
         the same version first; the caller re-reads and retries.
         """
@@ -187,6 +208,29 @@ class ManifestTable:
         if found is not None:
             return found
         prev = self.current_version()
+        if check is not None:
+            from pyspark.sql import functions as _F
+
+            bad = df.where(~_F.expr(check)).count()
+            if bad:
+                raise ConstraintViolation(
+                    f"commit to {self.root} rejected: {bad} row(s) violate "
+                    f"CHECK ({check}); nothing was written"
+                )
+        if enforce_schema and prev is not None:
+            cur_schema = {
+                (f.name, f.dataType.simpleString())
+                for f in self.read(df.sparkSession, prev).schema.fields
+            }
+            new_schema = {
+                (f.name, f.dataType.simpleString()) for f in df.schema.fields
+            }
+            if cur_schema != new_schema:
+                raise ConstraintViolation(
+                    f"commit to {self.root} rejected: schema drift under "
+                    f"enforce_schema — incoming {sorted(new_schema)} vs "
+                    f"current {sorted(cur_schema)}"
+                )
         v = (prev or 0) + 1
         added = self._write_data(df, v)
         files = (self._manifest(prev)["files"] if prev else []) + added

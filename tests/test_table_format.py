@@ -666,3 +666,34 @@ def test_vacuum_retention_protects_in_flight_commits(spark, tmp_path):
     assert len(dirs) == 2  # committed v1 + the in-flight attempt
     # explicit zero window (single-writer maintenance) reclaims it
     assert t.vacuum_orphans(min_age_seconds=0)
+
+
+def test_commit_check_constraint_rejects_before_writing(spark, tmp_path):
+    from gridmr_spark.sources.table_format import ConstraintViolation
+
+    t = _mk(spark, tmp_path, [[(1, "a")]])
+    bad = spark.createDataFrame([(2, "b"), (-5, "c")], "k long, v string")
+    with pytest.raises(ConstraintViolation, match="1 row"):
+        t.commit(bad, check="k >= 0")
+    # nothing was written: no new version, no orphan data dir
+    assert t.versions() == [1]
+    dirs = [d for d in glob.glob(os.path.join(t.root, "data", "*")) if os.path.isdir(d)]
+    assert len(dirs) == 1
+    # the passing subset commits fine under the same constraint
+    ok = spark.createDataFrame([(2, "b")], "k long, v string")
+    assert t.commit(ok, check="k >= 0") == 2
+
+
+def test_commit_enforce_schema_rejects_drift(spark, tmp_path):
+    from gridmr_spark.sources.table_format import ConstraintViolation
+
+    t = _mk(spark, tmp_path, [[(1, "a")]])
+    drifted = spark.createDataFrame([(2, "b", 1.5)], "k long, v string, extra double")
+    with pytest.raises(ConstraintViolation, match="schema drift"):
+        t.commit(drifted, enforce_schema=True)
+    retyped = spark.createDataFrame([(2, "b")], "k int, v string")
+    with pytest.raises(ConstraintViolation, match="schema drift"):
+        t.commit(retyped, enforce_schema=True)  # same names, narrower type
+    # default stays permissive (the additive-evolution path)
+    assert t.commit(drifted) == 2
+    assert "extra" in t.read(spark, merge_schema=True).columns
