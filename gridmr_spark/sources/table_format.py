@@ -379,6 +379,51 @@ class ManifestTable:
         )
         return v
 
+    def restore(self, version: int) -> int:
+        """Roll the table back to ``version`` as a NEW snapshot (Delta's
+        RESTORE): publishes a manifest whose file list is snapshot
+        ``version``'s — METADATA-ONLY, zero data movement, because data
+        files are immutable and shared across manifests. History is
+        preserved (the bad versions stay time-travelable until expired),
+        the restore itself is one more auditable commit, and incremental
+        readers refuse to cross it like any other rewrite."""
+        files = self._manifest(version)["files"]  # raises if unknown
+        v = (self.current_version() or 0) + 1
+        self._write_manifest(
+            {"version": v, "operation": "restore", "key": None,
+             "files": files, "added": [], "stats": {},
+             "restored_from": version}
+        )
+        return v
+
+    def clone_to(self, dest_root: str, version: int | None = None) -> "ManifestTable":
+        """SHALLOW CLONE: a new table at ``dest_root`` whose v1 manifest
+        references THIS table's snapshot files — metadata-only, zero
+        copy, instant at any size (Delta's CLONE). The clone is
+        independent for writes (its commits add its own files) but shares
+        the source's data files for the cloned snapshot, so expiring or
+        vacuuming the SOURCE below the cloned version breaks the clone —
+        the standard shallow-clone contract; callers who need isolation
+        compact the clone (which rewrites into its own files)."""
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise ValueError(f"nothing to clone in {self.root}")
+        src = self._manifest(version)
+        dest = ManifestTable(dest_root)
+        if dest.current_version() is not None:
+            raise ValueError(f"clone destination {dest_root} is not empty")
+        dest._write_manifest(
+            {"version": 1, "operation": "clone", "key": None,
+             "files": src["files"], "added": [],
+             # the FULL snapshot's per-file stats (each manifest only
+             # records its own added files' stats), so the clone prunes
+             # exactly as well as the source did
+             "stats": self.snapshot_stats(version),
+             "cloned_from": {"root": self.root, "version": version}}
+        )
+        return dest
+
     def expire(self, keep_last: int = 1) -> list[str]:
         """Drop all but the last ``keep_last`` snapshots and DELETE data
         files no surviving manifest references. Returns the deleted file

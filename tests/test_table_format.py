@@ -697,3 +697,52 @@ def test_commit_enforce_schema_rejects_drift(spark, tmp_path):
     # default stays permissive (the additive-evolution path)
     assert t.commit(drifted) == 2
     assert "extra" in t.read(spark, merge_schema=True).columns
+
+
+def test_restore_is_metadata_only_rollback(spark, tmp_path):
+    t = _mk(spark, tmp_path, [[(1, "a")], [(2, "b")]])
+    t.delete_where(spark, "k = 1")  # v3: the "bad" change
+    assert sorted(r.k for r in t.read(spark).collect()) == [2]
+    n_dirs_before = len([d for d in glob.glob(os.path.join(t.root, "data", "*"))
+                         if os.path.isdir(d)])
+    v = t.restore(2)
+    assert v == 4
+    # rollback visible, zero data movement (no new data dirs)
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2]
+    n_dirs_after = len([d for d in glob.glob(os.path.join(t.root, "data", "*"))
+                        if os.path.isdir(d)])
+    assert n_dirs_after == n_dirs_before
+    # the bad version stays time-travelable; the log records the restore
+    assert sorted(r.k for r in t.read(spark, 3).collect()) == [2]
+    h = {r.version: r.operation for r in t.history(spark).collect()}
+    assert h[4] == "restore"
+    with pytest.raises(ValueError, match="overwrite|restore"):
+        t.diff(spark, 2, 4)  # neither deletes nor restores are appends
+    with pytest.raises(ValueError, match="restore"):
+        t.diff(spark, 3, 4)  # the restore itself refuses incremental reads
+    # expire keeps the restored snapshot intact
+    t.expire(keep_last=1)
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2]
+
+
+def test_shallow_clone_shares_files_and_diverges(spark, tmp_path):
+    src = _mk(spark, tmp_path, [[(1, "a")], [(2, "b")]])
+    dest = src.clone_to(str(tmp_path / "clone"))
+    assert sorted(r.k for r in dest.read(spark).collect()) == [1, 2]
+    # metadata-only: the clone references the SOURCE's files
+    assert dest._manifest(1)["files"] == src._manifest(2)["files"]
+    assert not os.path.isdir(os.path.join(dest.root, "data"))
+    # stats came along: the clone prunes like the source (empty part
+    # files carry no footer stats and stay conservatively unprunable)
+    assert any("k" in st for st in dest.snapshot_stats().values())
+    assert dest.pruned_files("k", 1, 1) == src.pruned_files("k", 1, 1)
+    # writes diverge: the clone's commit doesn't touch the source
+    dest.commit(spark.createDataFrame([(9, "z")], "k long, v string"))
+    assert sorted(r.k for r in dest.read(spark).collect()) == [1, 2, 9]
+    assert sorted(r.k for r in src.read(spark).collect()) == [1, 2]
+    # non-empty destination refused
+    with pytest.raises(ValueError, match="not empty"):
+        src.clone_to(str(tmp_path / "clone"))
+    # historical-version clone
+    old = src.clone_to(str(tmp_path / "clone_v1"), version=1)
+    assert sorted(r.k for r in old.read(spark).collect()) == [1]
