@@ -1345,20 +1345,13 @@ FROM nn GROUP BY 1, 2
 """
 
 
-@query("eval_1nn_confusion", oracle=_NN_EVAL_ORACLE)
-def eval_1nn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model-evaluation staple: 1-nearest-neighbor classification of the
-    held-out vectors (vec_id >= 500) against the labeled reference set
-    (vec_id < 500), reported as the CONFUSION MATRIX — the artifact every
-    accuracy / per-class precision-recall / F1 number derives from with
-    plain arithmetic. The neighbor search is the bounded-reference
-    broadcast shape (reference broadcasts, queries scan once — the
-    cosine_topk plan at k=1); cosines are the sequential double fold, so
-    the argmax and every tie (broken by reference id) are bit-identical
-    in both engines and the matrix is hash-exact. At 100 TB the
-    reference set is the small curated labeled corpus (always
-    broadcastable); the query side is the full corpus, embarrassingly
-    parallel, no shuffle beyond the final label-pair count."""
+def _nn_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared 1-NN assignment + confusion matrix: reference = labeled
+    vectors vec_id < 500 (broadcast), queries = the held-out rest,
+    argmax cosine with reference-id tie-break — ONE definition for both
+    eval queries so the tie rule / split boundary can never diverge
+    between them. Output: (true_label, pred_label, n), at most
+    |classes|^2 rows."""
     emb = load_table(spark, sf_dir, "embeddings")
     ref = emb.where(F.col("vec_id") < 500).select(
         F.col("vec_id").alias("rid"), F.col("label").alias("pred_label"),
@@ -1382,6 +1375,23 @@ def eval_1nn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("true_label").cast("long").alias("true_label"),
         F.col("pred_label").cast("long").alias("pred_label"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+@query("eval_1nn_confusion", oracle=_NN_EVAL_ORACLE)
+def eval_1nn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation staple: 1-nearest-neighbor classification of the
+    held-out vectors (vec_id >= 500) against the labeled reference set
+    (vec_id < 500), reported as the CONFUSION MATRIX — the artifact every
+    accuracy / per-class precision-recall / F1 number derives from with
+    plain arithmetic. The neighbor search is the bounded-reference
+    broadcast shape (reference broadcasts, queries scan once — the
+    cosine_topk plan at k=1); cosines are the sequential double fold, so
+    the argmax and every tie (broken by reference id) are bit-identical
+    in both engines and the matrix is hash-exact. At 100 TB the
+    reference set is the small curated labeled corpus (always
+    broadcastable); the query side is the full corpus, embarrassingly
+    parallel, no shuffle beyond the final label-pair count."""
+    return _nn_confusion_matrix(spark, sf_dir)
 
 
 _NN_F1_ORACLE = f"""
@@ -1425,32 +1435,33 @@ def eval_1nn_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     the complete classification-eval surface a labeled-data pipeline
     reports per run."""
     emb = load_table(spark, sf_dir, "embeddings")
-    ref = emb.where(F.col("vec_id") < 500).select(
-        F.col("vec_id").alias("rid"), F.col("label").alias("pred_label"),
-        F.col("embedding").alias("r_vec"),
-    )
-    qry = emb.where(F.col("vec_id") >= 500).select(
-        F.col("vec_id").alias("qid"), F.col("label").alias("true_label"),
-        F.col("embedding").alias("q_vec"),
-    )
-    nn = cosine_topk(
-        qry, ref, k=1,
-        q_id="qid", q_vec="q_vec", c_id="rid", c_vec="r_vec",
-        exclude_self=False,
-    ).join(qry.select("qid", "true_label"), "qid").join(
-        ref.select("rid", "pred_label"), "rid"
-    )
-    classes = emb.select(F.col("label")).distinct()
-    m = classes.crossJoin(nn.select("true_label", "pred_label")).groupBy("label").agg(
+    # derive tp/fp/fn from the (<= |classes|^2-row) confusion MATRIX, not
+    # the per-query assignment: same numbers, and the class cross-join
+    # touches a few dozen rows instead of the whole query side
+    matrix = _nn_confusion_matrix(spark, sf_dir)
+    classes = emb.select(F.col("label").cast("long").alias("label")).distinct()
+    m = classes.crossJoin(matrix).groupBy("label").agg(
         F.sum(
-            ((F.col("true_label") == F.col("label")) & (F.col("pred_label") == F.col("label"))).cast("long")
-        ).alias("tp"),
+            F.when(
+                (F.col("true_label") == F.col("label"))
+                & (F.col("pred_label") == F.col("label")),
+                F.col("n"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("tp"),
         F.sum(
-            ((F.col("true_label") != F.col("label")) & (F.col("pred_label") == F.col("label"))).cast("long")
-        ).alias("fp"),
+            F.when(
+                (F.col("true_label") != F.col("label"))
+                & (F.col("pred_label") == F.col("label")),
+                F.col("n"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("fp"),
         F.sum(
-            ((F.col("true_label") == F.col("label")) & (F.col("pred_label") != F.col("label"))).cast("long")
-        ).alias("fn"),
+            F.when(
+                (F.col("true_label") == F.col("label"))
+                & (F.col("pred_label") != F.col("label")),
+                F.col("n"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("fn"),
     )
     denom = 2 * F.col("tp") + F.col("fp") + F.col("fn")
     return m.select(

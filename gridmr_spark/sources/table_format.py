@@ -192,14 +192,21 @@ class ManifestTable:
         is returned and nothing is written — the contract that turns this
         table into a safe Structured Streaming sink.
 
-        ``check`` is a SQL boolean expression every incoming row must
-        satisfy (Delta's CHECK constraint): violations raise
-        :class:`ConstraintViolation` BEFORE any data is written, with the
-        violating row count in the message. ``enforce_schema=True``
-        additionally rejects appends whose (name, type) column set differs
-        from the current snapshot's — the writer-side guard for pipelines
-        where drift is a bug; leave False (default) for tables that evolve
-        additively and read with ``merge_schema=True``.
+        ``check`` is a SQL boolean expression every committed row must
+        satisfy (Delta's CHECK constraint). Validation runs on the
+        WRITTEN files, after the data write and before the manifest
+        publish: a violation raises :class:`ConstraintViolation` and no
+        manifest ever references the attempt (its data directory is an
+        invisible orphan for vacuum). Validating the materialized rows —
+        not the incoming plan — is what makes the guarantee hold for
+        non-deterministic inputs (a plan re-evaluated for the write could
+        otherwise produce rows the pre-write count never saw), and it
+        costs one scan of the DELTA, not a second scan of the input.
+        ``enforce_schema=True`` additionally rejects appends whose
+        (name, type) column set differs from the current snapshot's
+        merged schema — the writer-side guard for pipelines where drift
+        is a bug; leave False (default) for tables that evolve additively
+        and read with ``merge_schema=True``.
 
         Raises :class:`ConcurrentCommitError` if another writer publishes
         the same version first; the caller re-reads and retries.
@@ -208,19 +215,13 @@ class ManifestTable:
         if found is not None:
             return found
         prev = self.current_version()
-        if check is not None:
-            from pyspark.sql import functions as _F
-
-            bad = df.where(~_F.expr(check)).count()
-            if bad:
-                raise ConstraintViolation(
-                    f"commit to {self.root} rejected: {bad} row(s) violate "
-                    f"CHECK ({check}); nothing was written"
-                )
         if enforce_schema and prev is not None:
+            # merged schema: on an additively-evolved table the current
+            # shape is the UNION of file schemas, not whichever single
+            # footer a plain read happens to sample
             cur_schema = {
                 (f.name, f.dataType.simpleString())
-                for f in self.read(df.sparkSession, prev).schema.fields
+                for f in self.read(df.sparkSession, prev, merge_schema=True).schema.fields
             }
             new_schema = {
                 (f.name, f.dataType.simpleString()) for f in df.schema.fields
@@ -233,6 +234,20 @@ class ManifestTable:
                 )
         v = (prev or 0) + 1
         added = self._write_data(df, v)
+        if check is not None:
+            from pyspark.sql import functions as _F
+
+            bad = (
+                df.sparkSession.read.parquet(*added)
+                .where(~_F.expr(check))
+                .count()
+            )
+            if bad:
+                raise ConstraintViolation(
+                    f"commit to {self.root} rejected: {bad} written row(s) "
+                    f"violate CHECK ({check}); no manifest was published — "
+                    "the attempt's files are orphans for vacuum_orphans()"
+                )
         files = (self._manifest(prev)["files"] if prev else []) + added
         self._write_manifest(
             {"version": v, "operation": "append", "key": idempotency_key,
@@ -391,7 +406,12 @@ class ManifestTable:
         v = (self.current_version() or 0) + 1
         self._write_manifest(
             {"version": v, "operation": "restore", "key": None,
-             "files": files, "added": [], "stats": {},
+             "files": files, "added": [],
+             # carry the FULL restored snapshot's per-file stats (same
+             # rationale as clone_to): once the pre-restore manifests
+             # expire, this manifest is the only place they survive —
+             # without them, pruning silently degrades to full scans
+             "stats": self.snapshot_stats(version),
              "restored_from": version}
         )
         return v
@@ -428,7 +448,14 @@ class ManifestTable:
         """Drop all but the last ``keep_last`` snapshots and DELETE data
         files no surviving manifest references. Returns the deleted file
         paths. Time travel to expired versions stops working (by design);
-        surviving snapshots are byte-identical to before."""
+        surviving snapshots are byte-identical to before.
+
+        OWNERSHIP GUARD: only files under THIS table's ``<root>/data``
+        are ever deleted. A shallow clone's manifests reference the
+        SOURCE table's files by absolute path; expiring the clone must
+        drop its manifests without reaching into the source — Delta's
+        shallow-clone contract (maintenance on the clone never deletes
+        source data)."""
         vs = self.versions()
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
@@ -436,10 +463,15 @@ class ManifestTable:
         referenced: set[str] = set()
         for v in keep:
             referenced.update(self._manifest(v)["files"])
+        own_prefix = os.path.join(self.root, "data") + os.sep
         removed: list[str] = []
         for v in drop:
             for f in self._manifest(v)["files"]:
-                if f not in referenced and os.path.exists(f):
+                if (
+                    f.startswith(own_prefix)
+                    and f not in referenced
+                    and os.path.exists(f)
+                ):
                     os.remove(f)
                     removed.append(f)
             os.remove(os.path.join(self._mdir, f"v{v:05d}.json"))

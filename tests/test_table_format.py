@@ -673,12 +673,13 @@ def test_commit_check_constraint_rejects_before_writing(spark, tmp_path):
 
     t = _mk(spark, tmp_path, [[(1, "a")]])
     bad = spark.createDataFrame([(2, "b"), (-5, "c")], "k long, v string")
-    with pytest.raises(ConstraintViolation, match="1 row"):
+    with pytest.raises(ConstraintViolation, match="1 written row"):
         t.commit(bad, check="k >= 0")
-    # nothing was written: no new version, no orphan data dir
+    # no manifest published: no new version, readers never see the rows,
+    # and the rejected attempt's files are a vacuumable orphan
     assert t.versions() == [1]
-    dirs = [d for d in glob.glob(os.path.join(t.root, "data", "*")) if os.path.isdir(d)]
-    assert len(dirs) == 1
+    assert sorted(r.k for r in t.read(spark).collect()) == [1]
+    assert t.vacuum_orphans(min_age_seconds=0)
     # the passing subset commits fine under the same constraint
     ok = spark.createDataFrame([(2, "b")], "k long, v string")
     assert t.commit(ok, check="k >= 0") == 2
