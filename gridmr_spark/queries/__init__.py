@@ -58,6 +58,7 @@ _DRIVER_PRIORITY: list[str] = [
     "dedup_bloom_membership", "pipeline_shard_export", "agg_countmin_freq",
     "stream_countmin_merge", "dedup_keep_best", "table_zorder_pruned",
     "dedup_bloom_incremental", "eval_1nn_confusion", "eval_1nn_f1",
+    "text_readability_flesch", "pipeline_corpus_diff",
     "table_merge_upsert", "dedup_setsim_prefix",
     # (b) freshness rotation: queries whose latest green driver row is
     # ROUND 3 — the oldest evidence on the board (29 rows).

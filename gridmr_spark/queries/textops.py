@@ -2688,3 +2688,151 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.select("doc_id", "day", (~F.col("maybe_in_bloom")).alias("is_new"))
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (Flesch-style, integer-exact) — the quality-filter axis
+# ---------------------------------------------------------------------------
+
+# Vowel-group syllable heuristic: syllables(word) ~ number of maximal
+# [aeiouy]+ runs (min 1 per non-empty word) — the standard dictionary-free
+# approximation, expressed as pure regex/length arithmetic so both engines
+# compute IDENTICAL counts: runs = len(w) - len(remove [aeiouy] chars)
+# counts vowel CHARS; collapsing runs first then counting chars counts
+# GROUPS. We collapse via regexp_replace([aeiouy]+ -> 'a') then count 'a'.
+
+_SENT_SPLIT = r"[.!?]+"
+
+_READ_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ','g')),' '), x -> x <> '') AS toks,
+         len(list_filter(string_split(text, ''), c -> c IN ('.', '!', '?'))) AS n_enders
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(GREATEST(n_enders, 1) AS BIGINT) AS n_sents,
+         CAST(list_sum(list_transform(toks,
+              w -> GREATEST(length(regexp_replace(regexp_replace(w, '[aeiouy]+', 'a', 'g'), '[^a]', '', 'g')), 1)
+         )) AS BIGINT) AS n_syll
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, n_words, n_sents, n_syll,
+       CAST(FLOOR((206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+             - 84.6 * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)))
+            * 1000000.0) AS BIGINT) AS flesch_q
+FROM m
+"""
+
+
+@query("text_readability_flesch", oracle=_READ_ORACLE)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (the classic readability quality
+    filter: production corpus curation drops both extremes). Dictionary-
+    free syllable heuristic — count maximal [aeiouy]+ runs per token by
+    collapsing each run to one char and counting (min 1 per word) — and a
+    sentence count from terminal punctuation (min 1), all exact integers;
+    the Flesch formula's constants are double literals applied ONCE per
+    row and microquantized, so the hash is engine-exact (the repo's
+    mirrored-arithmetic recipe). One scan, no shuffle until the implicit
+    exchange-free per-row projection — embarrassingly parallel at any
+    corpus size."""
+    toks = text_ops._tokens_col("text")
+    n_enders = F.length(F.regexp_replace("text", r"[^.!?]", ""))
+    syll = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.length(
+                F.regexp_replace(F.regexp_replace(w, "[aeiouy]+", "a"), "[^a]", "")
+            ),
+            F.lit(1),
+        ).cast("long"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.greatest(n_enders, F.lit(1)).cast("long").alias("n_sents"),
+        syll.alias("n_syll"),
+    ).where(F.col("n_words") > 0)
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sents").cast("double"))
+        - F.lit(84.6) * (F.col("n_syll").cast("double") / F.col("n_words").cast("double"))
+    )
+    return m.select(
+        "doc_id", "n_words", "n_sents", "n_syll",
+        F.floor(flesch * F.lit(1000000.0)).cast("long").alias("flesch_q"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus version diff — the ops tool for "what changed between crawls"
+# ---------------------------------------------------------------------------
+
+_CORPUS_DIFF_ORACLE = """
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS dg FROM documents WHERE doc_id % 10 <> 9
+),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]' ELSE text END) AS dg
+  FROM documents WHERE doc_id % 10 <> 0
+),
+j AS (
+  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+         CASE WHEN v1.doc_id IS NULL THEN 'added'
+              WHEN v2.doc_id IS NULL THEN 'removed'
+              WHEN v1.dg <> v2.dg THEN 'changed'
+              ELSE 'unchanged' END AS change
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT change, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM j GROUP BY change
+"""
+
+
+@query("pipeline_corpus_diff", oracle=_CORPUS_DIFF_ORACLE)
+def pipeline_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus VERSION diff — the release-engineering view every dataset
+    refresh ships with: two crawl versions (simulated deterministically:
+    v1 drops the 9-mod-10 ids, v2 drops the 0-mod-10 ids and edits every
+    7th document) compare by (doc_id, content digest) through ONE
+    full-outer join, classifying every document as added / removed /
+    changed / unchanged, rolled up with id checksums that pin the exact
+    membership of each class. The digest comparison means the diff never
+    moves document TEXT across the shuffle — only ids and 32-byte
+    digests, the same narrow-shuffle trick as dedup_exact_digest. At
+    100 TB this is an id-keyed sort-merge join of two digest manifests
+    (each buildable incrementally by the manifest table's diff), not a
+    content scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.where(F.col("doc_id") % 10 != 9).select(
+        "doc_id", F.md5("text").alias("dg1")
+    )
+    v2 = docs.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [edited]")))
+            .otherwise(F.col("text"))
+        ).alias("dg2"),
+    )
+    j = v1.join(v2, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("dg1").isNull(), F.lit("added"))
+        .when(F.col("dg2").isNull(), F.lit("removed"))
+        .when(F.col("dg1") != F.col("dg2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+    )
+    return j.groupBy("change").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+    )
