@@ -202,15 +202,27 @@ def _probe_client_path() -> str:
 
 def _parse_sc_url(remote_url: str) -> tuple[str, int]:
     """host and port from a Spark Connect URL. Connect URLs may carry
-    parameters after the authority (``sc://host:port/;token=...``) — the
-    grpc transport accepts those, so the delegated parser must too: the
-    params configure the pyspark client channel and have no equivalent on
-    the raw-stub path, so they are tolerated and ignored."""
+    parameters after the authority (``sc://host:port/;key=value``) —
+    cosmetic ones (``user_id``, ``session_id``) are tolerated, but
+    auth/TLS params (``token``, ``use_ssl``) are REJECTED: the delegated
+    transport always dials ``grpc.insecure_channel``, so silently
+    ignoring them would submit unauthenticated over plaintext when the
+    caller asked for credentials — fail loudly instead and let the
+    caller use the grpc transport (which honors them)."""
     body = remote_url.removeprefix("sc://")
-    authority = body.split("/", 1)[0]
+    authority, _, params = body.partition("/")
     host, _, port = authority.partition(":")
     if not host or not port.isdigit():
         raise ValueError(f"remote_url: expected sc://host:port[/;params], got {remote_url!r}")
+    keys = {p.partition("=")[0].strip().lower() for p in params.split(";") if p.strip()}
+    secure = keys & {"token", "use_ssl"}
+    if secure:
+        raise ValueError(
+            f"remote_url carries auth/TLS params {sorted(secure)} which the "
+            "delegated transport cannot honor (it dials an insecure "
+            "plaintext channel) — install grpcio so the grpc transport "
+            "handles them, or strip the params to opt into plaintext"
+        )
     return host, int(port)
 
 

@@ -291,6 +291,13 @@ class ManifestTable:
             from gridmr_spark.operators.layout import morton_key
 
             x, y = zorder_by
+            if "_z" in snap.columns:
+                raise ValueError(
+                    "compact(zorder_by=...): input column '_z' collides "
+                    "with the internal morton working column — rename it "
+                    "before compacting (an unguarded withColumn would "
+                    "silently REPLACE and then drop the user column)"
+                )
             mask = (1 << zorder_bits) - 1
             key = morton_key(
                 _F.col(x).bitwiseAND(_F.lit(mask)),

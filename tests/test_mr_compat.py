@@ -316,3 +316,23 @@ class TestRemoteSubmitDesiredMaps:
         assert _local_input_bytes(["file:" + str(f1)]) == 100
         assert _local_input_bytes(["s3://bucket/x"]) is None  # remote: hint ignored
         assert _local_input_bytes([str(tmp_path / "missing.txt")]) is None
+
+
+def test_parse_sc_url_rejects_auth_params_in_delegated_mode():
+    """ADVICE r9: a Connect URL carrying ``;token=...`` or
+    ``;use_ssl=true`` must NOT be silently downgraded to an
+    unauthenticated plaintext dial by the delegated transport — the
+    parser fails loudly, naming the grpc transport as the path that
+    honors those params. Cosmetic params stay tolerated."""
+    import pytest
+
+    from gridmr_spark.compat.remote import _parse_sc_url
+
+    assert _parse_sc_url("sc://h:15002") == ("h", 15002)
+    assert _parse_sc_url("sc://h:15002/;user_id=alice") == ("h", 15002)
+    with pytest.raises(ValueError, match="token"):
+        _parse_sc_url("sc://h:15002/;token=abc123")
+    with pytest.raises(ValueError, match="use_ssl"):
+        _parse_sc_url("sc://h:15002/;use_ssl=true")
+    with pytest.raises(ValueError, match="auth/TLS"):
+        _parse_sc_url("sc://h:15002/;use_ssl=true;token=abc;user_id=x")

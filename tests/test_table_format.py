@@ -493,7 +493,12 @@ def test_reader_writer_interleaving_soak(spark, tmp_path):
     check_all()
     with pytest.raises(ValueError, match="no such snapshot"):
         t.read(spark, 1)
-    assert t.vacuum_orphans(min_age_seconds=0) is not None  # maintenance never disturbs live data
+    live = {f for v in t.versions() for f in t._manifest(v)["files"]}
+    removed = t.vacuum_orphans(min_age_seconds=0)
+    # maintenance never disturbs live data: nothing reclaimed touches a
+    # referenced file, and every referenced file still exists on disk
+    assert not set(removed) & live
+    assert all(os.path.exists(f) for f in live)
     check_all()
 
 
@@ -747,3 +752,18 @@ def test_shallow_clone_shares_files_and_diverges(spark, tmp_path):
     # historical-version clone
     old = src.clone_to(str(tmp_path / "clone_v1"), version=1)
     assert sorted(r.k for r in old.read(spark).collect()) == [1]
+
+
+def test_zorder_compact_guards_internal_column_collision(spark, tmp_path):
+    """ADVICE r9: a user table with a column literally named ``_z`` must
+    not have it silently replaced by the morton working key (and then
+    dropped) during OPTIMIZE ZORDER — compact fails loudly instead, and
+    plain compact (no zorder) still works on the same table."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame([(1, 2, "keep")], "a long, b long, _z string")
+    t.commit(df)
+    with pytest.raises(ValueError, match="_z"):
+        t.compact(spark, target_partitions=1, zorder_by=("a", "b"))
+    v = t.compact(spark, target_partitions=1)  # non-zorder path unaffected
+    rows = t.read(spark, v).collect()
+    assert [(r.a, r.b, r._z) for r in rows] == [(1, 2, "keep")]
