@@ -34,12 +34,29 @@ streaming sink), ``replace`` (streaming materialized views), copy-on-write
 maintenance, a changelog STREAMING SOURCE over the version log, and
 schema-evolution reads (``read(merge_schema=True)``).
 
+Manifests are TWO-LEVEL (round 10, Iceberg's shape): the published
+per-version snapshot manifest is a small MANIFEST LIST — one entry per
+immutable FILE-GROUP manifest (``_manifests/groups/g-*.json``), each
+carrying a file count and a per-column [min, max] SUMMARY envelope — and
+the group manifests hold the actual file paths + per-file stats. This is
+what keeps metadata O(right thing) at 100 TB:
+
+- a commit writes ONE group manifest for its delta plus a snapshot
+  manifest of size O(#groups) — the full cumulative file list is never
+  rewritten (the single-level format paid O(#files) JSON per commit,
+  which is the classic metadata scale-killer);
+- ``pruned_files`` checks predicates against the GROUP summaries first
+  and opens only the group manifests whose envelope intersects — a
+  point/range probe on a clustered table touches O(matching groups)
+  metadata, not O(#files);
+- groups are immutable and shared across snapshots (restore/clone are
+  pure manifest-list writes; stats ride with the group, so nothing needs
+  wholesale stats-carrying anymore).
+
+Single-level (format-1) manifests remain readable for old tables.
+
 Deliberately out of scope (documented, not half-built): merge-on-read
-delete vectors (COW is the honest choice at this complexity budget) and
-manifest COMPACTION into manifest-lists — at real scale the file list
-itself becomes a dataset; Iceberg's two-level manifests are the known
-answer and this format's JSON stays deliberately single-level for
-auditability at test SFs.
+delete vectors (COW is the honest choice at this complexity budget).
 
 Reference parity: SebasUr/GridMR's data plane is bare files on a shared FS
 (cpp/worker/src/common/fs.cc) with no versioning; this module is part of
@@ -118,23 +135,35 @@ class ManifestTable:
     Layout::
 
         <root>/data/v00001-<token>/part-*.parquet  (immutable once committed)
-        <root>/_manifests/v00001.json              ({version, files, added})
+        <root>/_manifests/v00001.json              (snapshot = manifest LIST)
+        <root>/_manifests/groups/g-<token>.json    (file-group manifest)
 
-    Versions are 1-based and dense; ``files`` is the FULL snapshot file
-    list (cumulative), ``added`` the commit's delta. The per-attempt
-    ``<token>`` suffix keeps concurrent or retried writers from ever
-    colliding on a data directory — only the manifest publish (exclusive
-    create) decides the winner.
+    Versions are 1-based and dense. A snapshot manifest (format 2) lists
+    GROUP entries ``{path, n_files, summary}`` plus ``added_groups`` (the
+    commit's delta groups); each group manifest holds ``{files, stats}``.
+    ``_manifest(version)`` resolves that to the flat legacy shape
+    (``files`` cumulative, ``added`` delta) so readers and tests see one
+    contract regardless of on-disk format. The per-attempt ``<token>``
+    suffix keeps concurrent or retried writers from ever colliding on a
+    data directory or group file — only the snapshot-manifest publish
+    (exclusive create) decides the winner.
     """
 
     def __init__(self, root: str) -> None:
         self.root = root
         self._mdir = os.path.join(root, "_manifests")
+        self._gdir = os.path.join(self._mdir, "groups")
         # Manifests are immutable once published, so a parsed manifest can
         # be cached for the instance's lifetime — a long-running streaming
         # sink's idempotency scan then reads each manifest file once ever,
         # not once per micro-batch (O(new versions), not O(all versions)).
-        self._mcache: dict[int, dict] = {}
+        self._mcache: dict[int, dict] = {}   # version -> RESOLVED (flat)
+        self._rawcache: dict[int, dict] = {}  # version -> raw snapshot JSON
+        self._gcache: dict[str, dict] = {}    # group path -> parsed group
+        # Observability for the scale argument: disk reads of group
+        # manifests (cache misses). pruned_files' whole point is keeping
+        # this O(matching groups); tests and SCALING.md measure it.
+        self.group_opens = 0
 
     # -- catalog ------------------------------------------------------------
 
@@ -151,8 +180,12 @@ class ManifestTable:
         vs = self.versions()
         return vs[-1] if vs else None
 
-    def _manifest(self, version: int) -> dict:
-        cached = self._mcache.get(version)
+    def _raw(self, version: int) -> dict:
+        """The snapshot manifest AS STORED (format 2: a manifest list with
+        group refs; format 1: flat). Catalog operations (idempotency scan,
+        timestamp travel, history, pruning) work from this so they never
+        pay group resolution for versions they only need metadata of."""
+        cached = self._rawcache.get(version)
         if cached is not None:
             return cached
         path = os.path.join(self._mdir, f"v{version:05d}.json")
@@ -160,6 +193,42 @@ class ManifestTable:
             raise ValueError(f"no such snapshot: version {version} in {self.root}")
         with open(path, encoding="utf-8") as f:
             m = json.load(f)
+        self._rawcache[version] = m
+        return m
+
+    def _load_group(self, path: str) -> dict:
+        """A file-group manifest ``{files: [...], stats: {file: {col:
+        [min, max]}}}`` — immutable, cached per instance; the counter
+        records real disk reads only."""
+        cached = self._gcache.get(path)
+        if cached is not None:
+            return cached
+        with open(path, encoding="utf-8") as f:
+            g = json.load(f)
+        self.group_opens += 1
+        self._gcache[path] = g
+        return g
+
+    def _manifest(self, version: int) -> dict:
+        """The snapshot resolved to the FLAT contract every reader uses:
+        ``files`` (cumulative, group order = commit order), ``added``
+        (this version's delta). Format-1 manifests already have it."""
+        cached = self._mcache.get(version)
+        if cached is not None:
+            return cached
+        raw = self._raw(version)
+        if "groups" not in raw:
+            m = raw
+        else:
+            files: list[str] = []
+            for g in raw["groups"]:
+                files.extend(self._load_group(g["path"])["files"])
+            added: list[str] = []
+            for p in raw.get("added_groups", []):
+                added.extend(self._load_group(p)["files"])
+            m = {k: v for k, v in raw.items() if k not in ("groups", "added_groups")}
+            m["files"] = files
+            m["added"] = added
         self._mcache[version] = m
         return m
 
@@ -167,7 +236,7 @@ class ManifestTable:
         if idempotency_key is None:
             return None
         for v in self.versions():
-            if self._manifest(v).get("key") == idempotency_key:
+            if self._raw(v).get("key") == idempotency_key:
                 return v
         return None
 
@@ -248,11 +317,9 @@ class ManifestTable:
                     f"violate CHECK ({check}); no manifest was published — "
                     "the attempt's files are orphans for vacuum_orphans()"
                 )
-        files = (self._manifest(prev)["files"] if prev else []) + added
-        self._write_manifest(
-            {"version": v, "operation": "append", "key": idempotency_key,
-             "files": files, "added": added, "stats": self._stats_for(added)}
-        )
+        entry = self._write_group(added, self._stats_for(added))
+        groups = (self._groups_of(prev) if prev else []) + [entry]
+        self._publish(v, "append", idempotency_key, groups, [entry["path"]])
         return v
 
     def compact(
@@ -314,10 +381,8 @@ class ManifestTable:
             snap = snap.repartition(target_partitions)
         v = cur + 1
         added = self._write_data(snap, v)
-        self._write_manifest(
-            {"version": v, "operation": "compact", "key": None,
-             "files": added, "added": added, "stats": self._stats_for(added)}
-        )
+        entry = self._write_group(added, self._stats_for(added))
+        self._publish(v, "compact", None, [entry], [entry["path"]])
         return v
 
     def replace(self, df: DataFrame, idempotency_key: str | None = None) -> int:
@@ -331,10 +396,8 @@ class ManifestTable:
             return found
         v = (self.current_version() or 0) + 1
         added = self._write_data(df, v)
-        self._write_manifest(
-            {"version": v, "operation": "overwrite", "key": idempotency_key,
-             "files": added, "added": added, "stats": self._stats_for(added)}
-        )
+        entry = self._write_group(added, self._stats_for(added))
+        self._publish(v, "overwrite", idempotency_key, [entry], [entry["path"]])
         return v
 
     def merge_by_key(
@@ -365,10 +428,8 @@ class ManifestTable:
         merged = kept.unionByName(updates.select(*current.columns))
         v = cur + 1
         added = self._write_data(merged, v)
-        self._write_manifest(
-            {"version": v, "operation": "overwrite", "key": idempotency_key,
-             "files": added, "added": added, "stats": self._stats_for(added)}
-        )
+        entry = self._write_group(added, self._stats_for(added))
+        self._publish(v, "overwrite", idempotency_key, [entry], [entry["path"]])
         return v
 
     def delete_where(self, spark: SparkSession, condition) -> int:
@@ -395,10 +456,8 @@ class ManifestTable:
         kept = self.read(spark, cur).where(~cond)
         v = cur + 1
         added = self._write_data(kept, v)
-        self._write_manifest(
-            {"version": v, "operation": "overwrite", "key": None,
-             "files": added, "added": added, "stats": self._stats_for(added)}
-        )
+        entry = self._write_group(added, self._stats_for(added))
+        self._publish(v, "overwrite", None, [entry], [entry["path"]])
         return v
 
     def restore(self, version: int) -> int:
@@ -408,19 +467,15 @@ class ManifestTable:
         files are immutable and shared across manifests. History is
         preserved (the bad versions stay time-travelable until expired),
         the restore itself is one more auditable commit, and incremental
-        readers refuse to cross it like any other rewrite."""
-        files = self._manifest(version)["files"]  # raises if unknown
+        readers refuse to cross it like any other rewrite.
+
+        With two-level manifests this carries the restored snapshot's
+        GROUP LIST — per-file stats ride inside the (immutable, shared)
+        group manifests, so nothing needs wholesale stats-copying and the
+        restore manifest stays O(#groups) at any table size."""
+        groups = self._groups_of(version)  # raises if unknown
         v = (self.current_version() or 0) + 1
-        self._write_manifest(
-            {"version": v, "operation": "restore", "key": None,
-             "files": files, "added": [],
-             # carry the FULL restored snapshot's per-file stats (same
-             # rationale as clone_to): once the pre-restore manifests
-             # expire, this manifest is the only place they survive —
-             # without them, pruning silently degrades to full scans
-             "stats": self.snapshot_stats(version),
-             "restored_from": version}
-        )
+        self._publish(v, "restore", None, groups, [], {"restored_from": version})
         return v
 
     def clone_to(self, dest_root: str, version: int | None = None) -> "ManifestTable":
@@ -436,18 +491,16 @@ class ManifestTable:
             version = self.current_version()
             if version is None:
                 raise ValueError(f"nothing to clone in {self.root}")
-        src = self._manifest(version)
+        groups = self._groups_of(version)
         dest = ManifestTable(dest_root)
         if dest.current_version() is not None:
             raise ValueError(f"clone destination {dest_root} is not empty")
-        dest._write_manifest(
-            {"version": 1, "operation": "clone", "key": None,
-             "files": src["files"], "added": [],
-             # the FULL snapshot's per-file stats (each manifest only
-             # records its own added files' stats), so the clone prunes
-             # exactly as well as the source did
-             "stats": self.snapshot_stats(version),
-             "cloned_from": {"root": self.root, "version": version}}
+        # group entries reference the SOURCE's group files by absolute
+        # path (like data files) — stats ride with the groups, so the
+        # clone prunes exactly as well as the source did, at zero copy
+        dest._publish(
+            1, "clone", None, groups, [],
+            {"cloned_from": {"root": self.root, "version": version}},
         )
         return dest
 
@@ -468,10 +521,13 @@ class ManifestTable:
             raise ValueError("keep_last must be >= 1")
         keep, drop = vs[-keep_last:], vs[:-keep_last]
         referenced: set[str] = set()
+        kept_groups: set[str] = set()
         for v in keep:
             referenced.update(self._manifest(v)["files"])
+            kept_groups.update(g["path"] for g in self._raw(v).get("groups", []))
         own_prefix = os.path.join(self.root, "data") + os.sep
         removed: list[str] = []
+        dropped_groups: set[str] = set()
         for v in drop:
             for f in self._manifest(v)["files"]:
                 if (
@@ -481,8 +537,20 @@ class ManifestTable:
                 ):
                     os.remove(f)
                     removed.append(f)
+            dropped_groups.update(g["path"] for g in self._raw(v).get("groups", []))
             os.remove(os.path.join(self._mdir, f"v{v:05d}.json"))
             self._mcache.pop(v, None)
+            self._rawcache.pop(v, None)
+        # group manifests no surviving snapshot references are garbage too
+        # (returned list stays data-files-only: the caller-facing contract
+        # is "which DATA was physically deleted"); same ownership guard —
+        # a clone's manifests reference the SOURCE's group files, which
+        # expire-on-the-clone must never delete
+        own_groups = self._gdir + os.sep
+        for g in sorted(dropped_groups - kept_groups):
+            if g.startswith(own_groups) and os.path.exists(g):
+                os.remove(g)
+                self._gcache.pop(g, None)
         return removed
 
     def vacuum_orphans(self, min_age_seconds: float = 3600.0) -> list[str]:
@@ -506,8 +574,12 @@ class ManifestTable:
         import time as _time
 
         referenced: set[str] = set()
+        referenced_groups: set[str] = set()
         for v in self.versions():
             referenced.update(self._manifest(v)["files"])
+            referenced_groups.update(
+                g["path"] for g in self._raw(v).get("groups", [])
+            )
         live_dirs = {os.path.dirname(f) for f in referenced}
         cutoff = _time.time() - min_age_seconds
         removed: list[str] = []
@@ -526,6 +598,20 @@ class ManifestTable:
                 if os.path.getmtime(f) <= cutoff:
                     os.remove(f)
                     removed.append(f)
+        # orphan GROUP manifests: written by commits that crashed or lost
+        # the OCC race before their snapshot publish (plus stale group
+        # tmp files). Same retention window: an in-flight commit has
+        # written its group but not yet its snapshot manifest.
+        if os.path.isdir(self._gdir):
+            for f in sorted(glob.glob(os.path.join(self._gdir, ".*.tmp"))):
+                if os.path.getmtime(f) <= cutoff:
+                    os.remove(f)
+                    removed.append(f)
+            for g in sorted(glob.glob(os.path.join(self._gdir, "g-*.json"))):
+                if g not in referenced_groups and os.path.getmtime(g) <= cutoff:
+                    os.remove(g)
+                    self._gcache.pop(g, None)
+                    removed.append(g)
         return removed
 
     def _write_data(self, df: DataFrame, v: int) -> list[str]:
@@ -546,6 +632,80 @@ class ManifestTable:
         is the stats store, so readers never open a footer to prune)."""
         pending = getattr(self, "_pending_stats", {})
         return {f: pending.get(f, {}) for f in added}
+
+    @staticmethod
+    def _summarize(files: list[str], stats: dict) -> dict:
+        """The group's per-column [min, max] ENVELOPE, kept only for
+        columns EVERY member file has stats for — a file without stats is
+        unprunable, so its group must stay unprunable on that column
+        (absent summary = always open the group; conservative, never
+        wrong). Uncomparable stat types (mixed) drop the column."""
+        common: set | None = None
+        for f in files:
+            ks = set(stats.get(f) or {})
+            common = ks if common is None else common & ks
+        out: dict[str, list] = {}
+        for c in sorted(common or ()):
+            try:
+                lo = min(stats[f][c][0] for f in files)
+                hi = max(stats[f][c][1] for f in files)
+            except TypeError:
+                continue
+            out[c] = [lo, hi]
+        return out
+
+    def _write_group(self, files: list[str], stats: dict) -> dict:
+        """Write an immutable file-group manifest and return its snapshot
+        entry ``{path, n_files, summary}``. Unique name per write attempt
+        (same reasoning as data dirs): a group whose snapshot publish
+        loses the OCC race or crashes is an orphan ``vacuum_orphans``
+        reclaims — group files need no OCC of their own."""
+        os.makedirs(self._gdir, exist_ok=True)
+        path = os.path.join(self._gdir, f"g-{uuid.uuid4().hex[:12]}.json")
+        tmp = os.path.join(self._gdir, f".{os.path.basename(path)}.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"files": files, "stats": {f2: stats.get(f2, {}) for f2 in files}}, f, indent=1)
+        os.replace(tmp, path)
+        return {
+            "path": path,
+            "n_files": len(files),
+            "summary": self._summarize(files, stats),
+        }
+
+    def _groups_of(self, version: int) -> list[dict]:
+        """The snapshot's group entries. A format-1 (flat) snapshot is
+        upgraded on the fly by materializing ONE group from its inline
+        file list + stats — called only from write paths, so the side
+        effect (one new group file) rides an operation that writes
+        manifests anyway."""
+        raw = self._raw(version)
+        if "groups" in raw:
+            return list(raw["groups"])
+        files = raw["files"]
+        return [self._write_group(files, self.snapshot_stats(version))]
+
+    def _publish(
+        self,
+        version: int,
+        operation: str,
+        key: str | None,
+        groups: list[dict],
+        added_groups: list[str],
+        extra: dict | None = None,
+    ) -> None:
+        """Compose and exclusively publish a format-2 snapshot manifest:
+        O(#groups) metadata regardless of how many files the table holds."""
+        manifest: dict = {
+            "version": version,
+            "operation": operation,
+            "key": key,
+            "format": 2,
+            "groups": groups,
+            "added_groups": added_groups,
+        }
+        if extra:
+            manifest.update(extra)
+        self._write_manifest(manifest)
 
     def _write_manifest(self, manifest: dict) -> None:
         """Publish a manifest by EXCLUSIVE create: write the full content
@@ -611,7 +771,7 @@ class ManifestTable:
         order and keeps the last one at-or-before ts."""
         best = None
         for v in self.versions():
-            t = self._manifest(v).get("ts")
+            t = self._raw(v).get("ts")
             if t is not None and t <= ts:
                 best = v
         if best is None:
@@ -623,19 +783,28 @@ class ManifestTable:
     def history(self, spark: SparkSession) -> DataFrame:
         """The commit log as a DataFrame — DESCRIBE HISTORY: one row per
         surviving version with its operation, commit timestamp,
-        idempotency key, and file/delta counts. Reads only manifests
-        (cached), never data files."""
+        idempotency key, and file/delta counts. Reads only SNAPSHOT
+        manifests (cached) — file counts come from the group entries'
+        ``n_files``, so history never opens a group manifest, let alone a
+        data file."""
         rows = []
         for v in self.versions():
-            m = self._manifest(v)
+            m = self._raw(v)
+            if "groups" in m:
+                by_path = {g["path"]: g["n_files"] for g in m["groups"]}
+                n_files = sum(by_path.values())
+                n_added = sum(by_path.get(p, 0) for p in m.get("added_groups", []))
+            else:
+                n_files = len(m["files"])
+                n_added = len(m.get("added", []))
             rows.append(
                 (
                     v,
                     m.get("operation", "append"),
                     float(m["ts"]) if m.get("ts") is not None else None,
                     m.get("key"),
-                    len(m["files"]),
-                    len(m.get("added", [])),
+                    n_files,
+                    n_added,
                 )
             )
         return spark.createDataFrame(
@@ -653,6 +822,18 @@ class ManifestTable:
             version = self.current_version()
             if version is None:
                 raise ValueError(f"table {self.root} has no committed snapshot")
+        raw = self._raw(version)
+        if "groups" in raw:
+            # stats ride WITH the groups the snapshot references — no
+            # version-log scan, and expiry can never strand them
+            out: dict[str, dict] = {}
+            for g in raw["groups"]:
+                grp = self._load_group(g["path"])
+                for f in grp["files"]:
+                    out[f] = grp["stats"].get(f, {})
+            return out
+        # format-1 fallback: each manifest only carried its own added
+        # files' stats, so walk the version log
         stats: dict[str, dict] = {}
         for v in range(1, version + 1):
             try:
@@ -677,35 +858,64 @@ class ManifestTable:
         multi-column form: ``preds={col: (lo, hi), ...}`` (ANDed — the
         shape a Z-ordered table prunes on BOTH dimensions with). None =
         unbounded on that side. This is manifest-level zone-map skipping,
-        the scan-side half of what makes a 100 TB table cheap to query:
-        the decision is made from the manifest alone (one JSON read, zero
-        footer I/O, no file listing)."""
+        the scan-side half of what makes a 100 TB table cheap to query.
+
+        Two-level resolution order: predicates are tested against each
+        GROUP's summary envelope first, and only intersecting groups'
+        manifests are opened for per-file checks — a selective probe on a
+        clustered table reads O(matching groups) metadata no matter how
+        many files the table holds (``group_opens`` counts it)."""
         if preds is None:
             preds = {col: (lo, hi)}
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise ValueError(f"table {self.root} has no committed snapshot")
+        raw = self._raw(version)
         keep: list[str] = []
-        for f, st in self.snapshot_stats(version).items():
-            ok = True
-            for c, (p_lo, p_hi) in preds.items():
-                mm = st.get(c)
-                if mm is None:
-                    continue  # unknown stats: unprunable on this column
-                fmin, fmax = mm
-                try:
-                    if (p_lo is not None and fmax < p_lo) or (
-                        p_hi is not None and fmin > p_hi
+        if "groups" in raw:
+            for g in raw["groups"]:
+                summary = g.get("summary", {})
+                if any(
+                    self._disjoint(summary.get(c), p_lo, p_hi, c)
+                    for c, (p_lo, p_hi) in preds.items()
+                ):
+                    continue  # whole group out of range: manifest never opened
+                grp = self._load_group(g["path"])
+                for f in grp["files"]:
+                    st = grp["stats"].get(f, {})
+                    if not any(
+                        self._disjoint(st.get(c), p_lo, p_hi, c)
+                        for c, (p_lo, p_hi) in preds.items()
                     ):
-                        ok = False
-                        break
-                except TypeError:
-                    raise ValueError(
-                        f"pruned_files: bounds for column {c!r} "
-                        f"({type(p_lo).__name__}/{type(p_hi).__name__}) are not "
-                        f"comparable with its recorded stats "
-                        f"({type(fmin).__name__}) — wrong column or bound type"
-                    ) from None
-            if ok:
+                        keep.append(f)
+            return keep
+        for f, st in self.snapshot_stats(version).items():
+            if not any(
+                self._disjoint(st.get(c), p_lo, p_hi, c)
+                for c, (p_lo, p_hi) in preds.items()
+            ):
                 keep.append(f)
         return keep
+
+    @staticmethod
+    def _disjoint(mm, p_lo, p_hi, c: str) -> bool:
+        """True iff recorded [min, max] ``mm`` provably misses the range —
+        missing stats (None) are unprunable, i.e. never disjoint."""
+        if mm is None:
+            return False
+        fmin, fmax = mm
+        try:
+            return (p_lo is not None and fmax < p_lo) or (
+                p_hi is not None and fmin > p_hi
+            )
+        except TypeError:
+            raise ValueError(
+                f"pruned_files: bounds for column {c!r} "
+                f"({type(p_lo).__name__}/{type(p_hi).__name__}) are not "
+                f"comparable with its recorded stats "
+                f"({type(fmin).__name__}) — wrong column or bound type"
+            ) from None
 
     def read_pruned(
         self,

@@ -767,3 +767,114 @@ def test_zorder_compact_guards_internal_column_collision(spark, tmp_path):
     v = t.compact(spark, target_partitions=1)  # non-zorder path unaffected
     rows = t.read(spark, v).collect()
     assert [(r.a, r.b, r._z) for r in rows] == [(1, 2, "keep")]
+
+
+# ---------------------------------------------------------------------------
+# Two-level manifests (round 10): metadata cost + group-granular pruning
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_manifest_is_a_manifest_list_not_a_file_list(spark, tmp_path):
+    """The published snapshot JSON must stay O(#groups): no data-file
+    paths inline, one group entry per commit, counts carried on the
+    entries. This is the property that keeps commit metadata flat as the
+    table grows — the single-level format rewrote the FULL cumulative
+    file list every commit."""
+    import json
+
+    t = ManifestTable(str(tmp_path / "tbl"))
+    for i in range(4):
+        t.commit(
+            spark.createDataFrame([(i, f"v{i}")], "k long, v string")
+            .coalesce(1)
+        )
+    raw = json.load(open(os.path.join(t._mdir, "v00004.json")))
+    assert raw["format"] == 2
+    assert "files" not in raw and "added" not in raw
+    assert len(raw["groups"]) == 4
+    assert all(g["n_files"] >= 1 for g in raw["groups"])
+    assert raw["added_groups"] == [raw["groups"][-1]["path"]]
+    assert ".parquet" not in json.dumps(raw)  # no data paths at this level
+    # group summaries carry the per-column envelope for pruning
+    assert all("k" in g["summary"] for g in raw["groups"])
+    # and the resolved view still honors the flat contract
+    m = t._manifest(4)
+    n = sum(g["n_files"] for g in raw["groups"])
+    assert len(m["files"]) == n and len(m["added"]) == raw["groups"][-1]["n_files"]
+
+
+def test_pruned_read_opens_only_intersecting_group_manifests(spark, tmp_path):
+    """Group-summary skipping: a probe into one commit's key range must
+    open exactly that group's manifest — O(matching groups) metadata,
+    the two-level format's reason to exist."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    for base in (0, 1000, 2000, 3000):
+        rows = [(base + i, f"v{base + i}") for i in range(50)]
+        t.commit(
+            spark.createDataFrame(rows, "k long, v string")
+            .repartitionByRange(4, "k")
+        )
+    # fresh instance: no warm caches
+    t2 = ManifestTable(t.root)
+    files = t2.pruned_files("k", lo=2010, hi=2040)
+    assert t2.group_opens == 1  # three groups skipped on summary alone
+    assert files and all(os.path.exists(f) for f in files)
+    got = sorted(r.k for r in t2.read_pruned(spark, "k", lo=2010, hi=2015).collect())
+    assert got == list(range(2010, 2016))
+    # a probe missing every group opens nothing
+    t3 = ManifestTable(t.root)
+    assert t3.pruned_files("k", lo=90000, hi=99999) == []
+    assert t3.group_opens == 0
+
+
+def test_expire_reclaims_unreferenced_group_manifests(spark, tmp_path):
+    """Dropping versions must also garbage-collect group manifests no
+    surviving snapshot references — and ONLY those (shared groups
+    survive, a clone's source-owned groups survive)."""
+    t = _mk(spark, tmp_path, [[(1, "a")], [(2, "b")]])
+    t.compact(spark, target_partitions=1)  # v3 references only its own group
+    g1 = {g["path"] for g in t._raw(1).get("groups", [])}
+    g3 = {g["path"] for g in t._raw(3).get("groups", [])}
+    t.expire(keep_last=1)
+    assert all(not os.path.exists(p) for p in g1)  # v1/v2 groups reclaimed
+    assert all(os.path.exists(p) for p in g3)
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2]
+    # clone: expiring the CLONE never deletes source-owned group files
+    src = _mk(spark, tmp_path / "srcdir", [[(7, "x")]])
+    dest = src.clone_to(str(tmp_path / "clonedir"))
+    dest.commit(spark.createDataFrame([(8, "y")], "k long, v string"))
+    src_groups = {g["path"] for g in src._raw(1)["groups"]}
+    dest.expire(keep_last=1)  # drops the cloned v1
+    assert all(os.path.exists(p) for p in src_groups)
+    assert sorted(r.k for r in src.read(spark).collect()) == [7]
+
+
+def test_format1_manifests_stay_readable_and_upgrade_on_write(spark, tmp_path):
+    """A table whose history predates two-level manifests (inline
+    files/stats) must read, prune, and time-travel unchanged — and the
+    first commit on top of it upgrades transparently (legacy snapshot
+    wrapped into one group)."""
+    import json
+
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.createDataFrame([(1, "a"), (5, "b")], "k long, v string").coalesce(1)
+    )
+    # rewrite v1 as a FORMAT-1 manifest (what an old table has on disk)
+    m = dict(t._manifest(1))
+    m["stats"] = t.snapshot_stats(1)
+    for g in t._raw(1)["groups"]:
+        os.remove(g["path"])
+    os.remove(os.path.join(t._mdir, "v00001.json"))
+    with open(os.path.join(t._mdir, "v00001.json"), "w") as f:
+        json.dump(m, f)
+    t = ManifestTable(t.root)  # cold caches
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 5]
+    assert any("k" in st for st in t.snapshot_stats().values())
+    assert t.pruned_files("k", lo=100, hi=200) == []
+    v2 = t.commit(spark.createDataFrame([(9, "c")], "k long, v string"))
+    raw2 = t._raw(v2)
+    assert raw2["format"] == 2 and len(raw2["groups"]) == 2
+    assert sorted(r.k for r in t.read(spark, v2).collect()) == [1, 5, 9]
+    # the upgraded group carries the legacy stats forward
+    assert any("k" in st for st in t.snapshot_stats(v2).values())
