@@ -842,3 +842,138 @@ def hamming_topk(
         .where(F.col("rnk") <= k)
         .select(q_id, c_id, "hamming", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+def _band_exprs(
+    n_words: int, total_bits: int, bands: int, word_bits: int = 32
+) -> list[Column]:
+    """One BIGINT expression per band: band j is the contiguous bit range
+    [j*total_bits/b, (j+1)*total_bits/b) of the packed signature
+    (columns ``sig0..sig{n_words-1}``, ``word_bits`` low bits each),
+    re-packed into a single value. All shifts/masks are Python-computed
+    literals, so the whole extraction is integer whole-stage codegen."""
+    bounds = [round(j * total_bits / bands) for j in range(bands + 1)]
+    out = []
+    for j in range(bands):
+        lo, hi = bounds[j], bounds[j + 1]
+        if hi - lo > 60:
+            raise ValueError(
+                f"hamming band {j} spans {hi - lo} bits > 60: raise `bands` "
+                "so each band packs into a positive BIGINT"
+            )
+        acc = None
+        off = 0
+        w0, w1 = lo // word_bits, (hi - 1) // word_bits
+        for w in range(w0, w1 + 1):
+            seg_lo = max(lo, w * word_bits)
+            seg_hi = min(hi, (w + 1) * word_bits)
+            width = seg_hi - seg_lo
+            part = F.shiftright(F.col(f"sig{w}"), seg_lo - w * word_bits)
+            part = part.bitwiseAND(F.lit((1 << width) - 1))
+            shifted = part * F.lit(1 << off)
+            acc = shifted if acc is None else acc + shifted
+            off += width
+        out.append(acc.alias(f"_hband{j}"))
+    return out
+
+
+def hamming_candidates(
+    df: DataFrame,
+    id_col: str,
+    n_words: int,
+    total_bits: int,
+    bands: int,
+    word_bits: int = 32,
+) -> DataFrame:
+    """Corpus x corpus candidate pairs by MULTI-INDEX banding over packed
+    Hamming signatures: the signature's bits are partitioned into
+    ``bands`` contiguous ranges; two signatures within Hamming radius
+    r < bands must agree EXACTLY on at least one band (pigeonhole: <= r
+    differing bits cannot touch all ``bands`` ranges), so only same-band
+    same-value pairs are ever generated. One explode (b rows per
+    signature) + one equi-join on (band_id, band_value) — a plain
+    hash-shuffle join on a narrow key, no broadcast side needed, which is
+    what makes the SELF-join feasible at 1e9 signatures where the
+    broadcast-query shape of ``hamming_topk`` cannot go.
+
+    Returns distinct ``(id_1, id_2, hamming)`` with id_1 < id_2 —
+    UNVERIFIED candidates (hamming may exceed the caller's radius);
+    ``hamming_pairs`` applies the radius filter. Exposed separately so
+    tests can measure candidate reduction vs the n^2 floor.
+    """
+    sigs = df.select(
+        F.col(id_col).alias("_hid"),
+        *[F.col(f"sig{w}") for w in range(n_words)],
+    )
+    banded = sigs.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("bid"), e.alias("bval")
+                    )
+                    for j, e in enumerate(
+                        _band_exprs(n_words, total_bits, bands, word_bits)
+                    )
+                ]
+            )
+        ).alias("_b"),
+    ).select("_hid", *[f"sig{w}" for w in range(n_words)],
+             F.col("_b.bid").alias("_bid"), F.col("_b.bval").alias("_bval"))
+    left = banded.select(
+        F.col("_hid").alias("id_1"),
+        *[F.col(f"sig{w}").alias(f"l_sig{w}") for w in range(n_words)],
+        "_bid", "_bval",
+    )
+    right = banded.select(
+        F.col("_hid").alias("id_2"),
+        *[F.col(f"sig{w}").alias(f"r_sig{w}") for w in range(n_words)],
+        "_bid", "_bval",
+    )
+    ham = None
+    for w in range(n_words):
+        term = F.bit_count(F.col(f"l_sig{w}").bitwiseXOR(F.col(f"r_sig{w}")))
+        ham = term if ham is None else ham + term
+    return (
+        left.join(right, ["_bid", "_bval"])
+        .where(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2", ham.cast("long").alias("hamming"))
+        .distinct()
+    )
+
+
+def hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    n_words: int,
+    radius: int,
+    total_bits: int,
+    bands: int | None = None,
+    word_bits: int = 32,
+) -> DataFrame:
+    """All unordered pairs within Hamming ``radius`` over packed
+    signatures — the corpus x corpus companion of ``hamming_topk``
+    (which requires a bounded broadcastable query side). LOSSLESS by the
+    pigeonhole guarantee as long as ``bands > radius`` (enforced); the
+    driver oracle of ``dedup_binary_hamming_pairs`` proves it by hash
+    equality against brute-force all-pairs.
+
+    Scale shape: candidates are generated by one narrow-key equi-join
+    (see ``hamming_candidates``); verification is XOR+popcount on the
+    carried words. On clustered data (the near-dup regime this exists
+    for) candidates track true-pair volume; as radius approaches the
+    random-pair Hamming mode the bands necessarily thin out — the same
+    s-curve economics as MinHash-LSH banding, measured in
+    tests/test_similarity.py on planted clusters.
+    """
+    b = bands if bands is not None else radius + 1
+    if b <= radius:
+        raise ValueError(
+            f"hamming_pairs: bands={b} <= radius={radius} would LOSE pairs "
+            "(pigeonhole needs radius < bands); raise bands or lower radius"
+        )
+    if b > total_bits:
+        raise ValueError(f"hamming_pairs: bands={b} > total_bits={total_bits}")
+    cand = hamming_candidates(df, id_col, n_words, total_bits, b, word_bits)
+    return cand.where(F.col("hamming") <= radius)

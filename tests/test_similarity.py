@@ -290,3 +290,77 @@ def test_hamming_tracks_angle(spark, sf_oracle):
         F.avg(F.when(F.col("cos") >= 0.3, F.col("hamming"))).alias("mean_close"),
     ).collect()[0]
     assert stats.mean_close < stats.mean_all - 3  # close pairs are bit-closer
+
+
+def test_hamming_pairs_lossless_vs_brute_force(spark):
+    """Banded self-join == brute-force all-pairs at the same radius, on
+    signatures whose pair distances straddle the radius (pigeonhole
+    guarantee exercised, not vacuous)."""
+    import random
+
+    from gridmr_spark.operators.similarity import hamming_pairs
+
+    rng = random.Random(7)
+    base = rng.getrandbits(60)
+    rows = []
+    for i in range(60):
+        sig = base
+        for _ in range(rng.randrange(0, 9)):  # 0..8 bit flips from base
+            sig ^= 1 << rng.randrange(60)
+        rows.append((i, sig & 0xFFFFFFFF, sig >> 32))
+    df = spark.createDataFrame(rows, "id long, sig0 long, sig1 long")
+    got = {
+        (r.id_1, r.id_2, r.hamming)
+        for r in hamming_pairs(
+            df, "id", n_words=2, radius=4, total_bits=60, bands=5
+        ).collect()
+    }
+    want = set()
+    for i, a0, a1 in rows:
+        for j, b0, b1 in rows:
+            if i < j:
+                h = bin((a0 ^ b0) | ((a1 ^ b1) << 32)).count("1")
+                if h <= 4:
+                    want.add((i, j, h))
+    assert got == want and want  # equality, and the radius is non-trivial
+
+
+def test_hamming_pairs_candidate_reduction_on_clusters(spark):
+    """On planted clusters (the near-dup regime the operator exists for)
+    the banded join must generate FAR fewer candidates than n^2/2, while
+    still finding every within-radius pair."""
+    import random
+
+    from gridmr_spark.operators.similarity import (
+        hamming_candidates,
+        hamming_pairs,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    i = 0
+    for _c in range(40):  # 40 clusters x 5 near-copies
+        center = rng.getrandbits(60)
+        for _ in range(5):
+            sig = center
+            for _ in range(rng.randrange(0, 3)):
+                sig ^= 1 << rng.randrange(60)
+            rows.append((i, sig & 0xFFFFFFFF, sig >> 32))
+            i += 1
+    df = spark.createDataFrame(rows, "id long, sig0 long, sig1 long")
+    n = len(rows)
+    n_cand = hamming_candidates(df, "id", 2, 60, 5).count()
+    n_pairs = hamming_pairs(df, "id", 2, radius=4, total_bits=60, bands=5).count()
+    assert n_pairs >= 40 * 4  # every cluster's pairs found (>= spanning set)
+    assert n_cand < 0.15 * n * (n - 1) / 2  # vs the 19900-pair n^2 floor
+    assert n_pairs <= n_cand
+
+
+def test_hamming_pairs_rejects_lossy_band_count(spark):
+    import pytest
+
+    from gridmr_spark.operators.similarity import hamming_pairs
+
+    df = spark.createDataFrame([(1, 0, 0)], "id long, sig0 long, sig1 long")
+    with pytest.raises(ValueError, match="LOSE"):
+        hamming_pairs(df, "id", n_words=2, radius=5, total_bits=60, bands=5)
