@@ -128,21 +128,73 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     smallest doc_id). Composes three proven layers and the oracle replays
     the COMPOSITION (quadratic pairs + recursive-CTE closure + the same
     keep rule), so the green row certifies the end-to-end decision, not
-    the parts. Scale: pair search moves prefix postings only (df-ascending
-    order), CC is O(log n) pointer-jumping rounds over the sparse dup
-    graph, survivorship is one window over clusters — every stage keyed,
+    the parts.
+
+    DIGEST PRE-COLLAPSE (round 10, SCALING.md's own mitigation, now the
+    default): exact duplicates (identical text, hence identical shingle
+    sets) are collapsed to one representative per md5(text) BEFORE pair
+    search, and each copy is re-attached by a star edge to its
+    representative. Components are provably unchanged — a copy's Jaccard
+    to ANY document equals its representative's, so every lost edge
+    (x, y) is re-derived via x—rep(x)—y — but a k-copy clique now
+    contributes k-1 star edges instead of C(k,2) near-dup edges AND its
+    shingles enter the posting lists once, which is exactly what turned
+    the sf1 tiled corpus (10-copy cliques) superlinear before
+    (tests/test_setsim.py pins the equivalence; SCALING.md records the
+    measured alpha drop). Scale: the collapse is one narrow
+    groupBy(digest); pair search moves prefix postings of UNIQUE texts
+    only; CC is O(log n) pointer-jumping rounds over the sparse dup
+    graph; survivorship is one window over clusters — every stage keyed,
     nothing quadratic, nothing driver-side."""
-    from pyspark.sql import Window
+    docs = load_table(spark, sf_dir, "documents")
+    return keep_best_survivorship(docs)
+
+
+def keep_best_survivorship(docs: DataFrame, collapse_exact: bool = True) -> DataFrame:
+    """The dedup_keep_best plan on any (doc_id, text) frame — exposed so
+    tests can prove the digest pre-collapse changes nothing but cost
+    (``collapse_exact=False`` runs the pre-round-10 all-docs pair
+    search)."""
     from pyspark.sql import functions as F
 
     from gridmr_spark.operators.graph import connected_components
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = setsim.prefix_filter_pairs(docs, "doc_id", "text", n=3, tau_num=1, tau_den=2)
+    if not collapse_exact:
+        pairs = setsim.prefix_filter_pairs(
+            docs, "doc_id", "text", n=3, tau_num=1, tau_den=2
+        )
+        comp = connected_components(
+            docs.select(F.col("doc_id").alias("id")),
+            pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst")),
+        )
+        return _rank_survivors(docs, comp)
+    digests = docs.select("doc_id", F.md5("text").alias("_digest"))
+    reps = digests.groupBy("_digest").agg(F.min("doc_id").alias("rep_id"))
+    rep_docs = docs.join(
+        reps, docs["doc_id"] == reps["rep_id"], "left_semi"
+    ).select("doc_id", "text")
+    pairs = setsim.prefix_filter_pairs(
+        rep_docs, "doc_id", "text", n=3, tau_num=1, tau_den=2
+    )
+    star = (
+        digests.join(reps, "_digest")
+        .where(F.col("doc_id") != F.col("rep_id"))
+        .select(F.col("rep_id").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    edges = pairs.select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    ).unionByName(star)
     comp = connected_components(
         docs.select(F.col("doc_id").alias("id")),
-        pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst")),
+        edges,
     )
+    return _rank_survivors(docs, comp)
+
+
+def _rank_survivors(docs: DataFrame, comp: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     ranked = (
         comp.join(docs, comp["id"] == docs["doc_id"])
         .select(F.col("component").alias("cluster_id"), "doc_id",

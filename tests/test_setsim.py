@@ -140,3 +140,39 @@ def test_df_ascending_order_prunes_candidates(spark, sf_smoke):
         )
     verified = setsim.prefix_filter_pairs(docs, "doc_id", "text", 3, 1, 2).count()
     assert verified <= n_df  # candidates are a superset of the answer
+
+
+def test_keep_best_digest_collapse_is_equivalent(spark):
+    """Round-10 pre-collapse: on a corpus with planted EXACT-copy cliques
+    plus genuine near-dups, survivorship with digest pre-collapse must
+    equal the all-docs pair search bit-for-bit — the collapse changes
+    cost, never the answer (copies share their representative's shingle
+    set, so star edges re-derive every dropped edge transitively)."""
+    from gridmr_spark.queries.setsim import keep_best_survivorship
+
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",  # near-dup of [0]
+        "one two three four five six seven eight nine",
+        "totally different words appear in this document here",
+    ]
+    rows = []
+    i = 0
+    for text in base:
+        for copy in range(4):  # 4 exact copies each => 4-cliques
+            # copies are byte-identical; near-dups differ by a token
+            rows.append((i, text))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fast = {
+        tuple(r)
+        for r in keep_best_survivorship(docs, collapse_exact=True).collect()
+    }
+    naive = {
+        tuple(r)
+        for r in keep_best_survivorship(docs, collapse_exact=False).collect()
+    }
+    assert fast == naive and fast
+    # sanity: copies of [0] and [1] merged into ONE cluster of 8
+    sizes = sorted(n for (_, n, _, _) in fast)
+    assert sizes == [4, 4, 8]
