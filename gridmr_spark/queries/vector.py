@@ -1346,18 +1346,22 @@ FROM nn GROUP BY 1, 2
 
 
 def _nn_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return nn_confusion_from(emb)
+
+
+def nn_confusion_from(emb: DataFrame, ref_cut: int = 500) -> DataFrame:
     """Shared 1-NN assignment + confusion matrix: reference = labeled
-    vectors vec_id < 500 (broadcast), queries = the held-out rest,
+    vectors vec_id < ref_cut (broadcast), queries = the held-out rest,
     argmax cosine with reference-id tie-break — ONE definition for both
     eval queries so the tie rule / split boundary can never diverge
     between them. Output: (true_label, pred_label, n), at most
     |classes|^2 rows."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    ref = emb.where(F.col("vec_id") < 500).select(
+    ref = emb.where(F.col("vec_id") < ref_cut).select(
         F.col("vec_id").alias("rid"), F.col("label").alias("pred_label"),
         F.col("embedding").alias("r_vec"),
     )
-    qry = emb.where(F.col("vec_id") >= 500).select(
+    qry = emb.where(F.col("vec_id") >= ref_cut).select(
         F.col("vec_id").alias("qid"), F.col("label").alias("true_label"),
         F.col("embedding").alias("q_vec"),
     )
@@ -1372,6 +1376,69 @@ def _nn_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ref.select("rid", "pred_label"), "rid")
     )
     return labeled.groupBy(
+        F.col("true_label").cast("long").alias("true_label"),
+        F.col("pred_label").cast("long").alias("pred_label"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def nn_shortlist_confusion(
+    emb: DataFrame, m: int, ref_cut: int = 500, dim: int = 64
+) -> DataFrame:
+    """1-NN confusion matrix through a HAMMING SHORTLIST: per query, the
+    m reference vectors closest in Hamming distance over packed sign
+    signatures (32x-compressed, XOR+popcount integer codegen against the
+    broadcast labeled reference), then exact cosine re-rank of those m
+    only — the standard two-stage ANN economics applied to the eval
+    harness, where the brute-force scan is |queries| x |ref| float folds.
+
+    At m >= |ref| the shortlist is everything, so the result must equal
+    ``nn_confusion_from`` BIT-FOR-BIT (the cosine expression below is
+    the same ``with_norm``/``_dot`` fold ``cosine_topk`` uses, and both
+    tie-break chains end in reference id) — the exactness canary the
+    persisted-index queries established. Production m trades recall for
+    a |ref|/m cut in float work; measured in BASELINE.md §D."""
+    from gridmr_spark.operators.similarity import (
+        _dot,
+        binary_signature,
+        with_norm,
+    )
+
+    sigc = [f"sig{w}" for w in range(-(-dim // 32))]
+    ref = emb.where(F.col("vec_id") < ref_cut).select(
+        F.col("vec_id").alias("rid"), F.col("label").alias("pred_label"),
+        F.col("embedding").alias("r_vec"), *binary_signature("embedding", dim),
+    )
+    ref = ref.select(
+        "rid", "pred_label", "r_vec", *[F.col(c).alias(f"r_{c}") for c in sigc]
+    )
+    qry = emb.where(F.col("vec_id") >= ref_cut).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_vec"), *binary_signature("embedding", dim),
+    )
+    qry = qry.select(
+        "qid", "true_label", "q_vec", *[F.col(c).alias(f"q_{c}") for c in sigc]
+    )
+    ham = None
+    for c in sigc:
+        term = F.bit_count(F.col(f"q_{c}").bitwiseXOR(F.col(f"r_{c}")))
+        ham = term if ham is None else ham + term
+    # broadcast the SMALL labeled reference (opposite of hamming_topk's
+    # bounded-query shape): the held-out side streams through once
+    pairs = qry.crossJoin(F.broadcast(ref)).withColumn("_ham", ham)
+    hwin = Window.partitionBy("qid").orderBy(F.asc("_ham"), F.asc("rid"))
+    short = pairs.withColumn("_hrnk", F.row_number().over(hwin)).where(
+        F.col("_hrnk") <= m
+    )
+    short = with_norm(short, "q_vec", "_qv", "_qn")
+    short = with_norm(short, "r_vec", "_cv", "_cn")
+    scored = short.withColumn(
+        "cosine", _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+    )
+    cwin = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("rid"))
+    best = scored.withColumn("_rnk", F.row_number().over(cwin)).where(
+        F.col("_rnk") == 1
+    )
+    return best.groupBy(
         F.col("true_label").cast("long").alias("true_label"),
         F.col("pred_label").cast("long").alias("pred_label"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -1392,6 +1459,24 @@ def eval_1nn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcastable); the query side is the full corpus, embarrassingly
     parallel, no shuffle beyond the final label-pair count."""
     return _nn_confusion_matrix(spark, sf_dir)
+
+
+@query("eval_1nn_shortlist", oracle=_NN_EVAL_ORACLE)
+def eval_1nn_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHORTLISTED 1-NN eval — the documented brute-force-eval lever,
+    now implemented: per query, a Hamming top-m shortlist over packed
+    sign signatures (integer XOR+popcount against the broadcast labeled
+    reference) feeds an exact cosine re-rank of m candidates instead of
+    the full |ref| float scan. Registered AT THE EXACTNESS CANARY REGIME
+    m = |ref| (the persisted-index pattern): the shortlist passes
+    everything through, so the oracle is eval_1nn_confusion's brute-force
+    SQL verbatim and hash-equality proves the two-stage plumbing
+    (shortlist window, re-rank tie chain ending in reference id,
+    confusion fold) introduces zero drift. Production m (a recall/compute
+    dial: float folds drop |ref|/m-fold) is measured on the same harness
+    in BASELINE.md §D and floor-tested in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return nn_shortlist_confusion(emb, m=500)
 
 
 _NN_F1_ORACLE = f"""

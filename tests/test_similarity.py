@@ -364,3 +364,42 @@ def test_hamming_pairs_rejects_lossy_band_count(spark):
     df = spark.createDataFrame([(1, 0, 0)], "id long, sig0 long, sig1 long")
     with pytest.raises(ValueError, match="LOSE"):
         hamming_pairs(df, "id", n_words=2, radius=5, total_bits=60, bands=5)
+
+
+def test_shortlisted_1nn_canary_and_recall(spark):
+    """eval_1nn_shortlist contract: at m = |ref| the two-stage path must
+    equal brute-force 1-NN BIT-FOR-BIT (exactness canary); at small m on
+    clustered data the agreement stays high (the recall/compute dial)."""
+    import random
+
+    from gridmr_spark.queries.vector import (
+        nn_confusion_from,
+        nn_shortlist_confusion,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(200):
+        label = i % 5
+        center = [(1.0 if d == label else -0.3) for d in range(8)]
+        vec = [c + rng.uniform(-0.4, 0.4) for c in center]
+        rows.append((i, label, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, label long, embedding array<double>")
+    brute = {tuple(r) for r in nn_confusion_from(emb, ref_cut=50).collect()}
+    canary = {
+        tuple(r)
+        for r in nn_shortlist_confusion(emb, m=50, ref_cut=50, dim=8).collect()
+    }
+    assert canary == brute and brute
+    # production-m regime: top-8 Hamming shortlist out of 50 refs still
+    # agrees on the vast majority of assignments (clustered data)
+    small = {
+        tuple(r)
+        for r in nn_shortlist_confusion(emb, m=8, ref_cut=50, dim=8).collect()
+    }
+    n_total = sum(n for (_, _, n) in brute)
+    n_agree = sum(
+        min(n, dict(((t, p), n2) for (t, p, n2) in small).get((t, p), 0))
+        for (t, p, n) in brute
+    )
+    assert n_agree >= 0.9 * n_total
