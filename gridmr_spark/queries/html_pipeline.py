@@ -120,12 +120,18 @@ def pipeline_warc_to_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full crawl ingest path, end to end: synthetic pages are written
     as WARC/1.0 response records through the custom ``format("warc")``
     sink, read back through the record-boundary-safe byte-range reader
-    with deliberately tiny splits (records straddle chunk boundaries),
-    payloads decoded, and main text extracted — the oracle replays page
-    construction + extraction directly from parquet, so a green hash
-    proves WARC transport is byte-exact AND extraction is correct in one
-    row. md5(main_text) stands in for the text itself to keep the
-    comparison row small; n_blocks/n_chars stay readable."""
+    with splits smaller than the file (records straddle chunk
+    boundaries), payloads decoded, and main text extracted — the oracle
+    replays page construction + extraction directly from parquet, so a
+    green hash proves WARC transport is byte-exact AND extraction is
+    correct in one row. md5(main_text) stands in for the text itself to
+    keep the comparison row small; n_blocks/n_chars stay readable.
+
+    Round-10 re-pricing: the 8 s bench row was ~500 Python-DataSource
+    tasks from 10 KB stress chunks, not record-parse cost (full parse of
+    the same input at production-shaped chunks: 0.53 s) — see
+    source_warc_ingest's docstring and COVERAGE.md; straddling stays
+    stress-tested at pathological chunks in tests/test_warc.py."""
     from gridmr_spark.sources import warc as W
 
     W.register(spark)
@@ -145,7 +151,7 @@ def pipeline_warc_to_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     back = (
         spark.read.format("warc")
-        .option("chunk_mb", 0.01)  # ~10 KB splits force boundary straddling
+        .option("chunk_mb", 0.25)  # < file size at every SF: real straddling
         .option("path", path)
         .load()
     )

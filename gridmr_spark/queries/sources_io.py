@@ -350,13 +350,25 @@ def source_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sources/warc.py) — the de-facto LLM-pipeline ingest format (Common
     Crawl ships WARC). The documents table is written as standard WARC/1.0
     response records (one .warc file per task), then read back through the
-    RECORD-BOUNDARY-SAFE byte-range reader with a deliberately small
-    chunk_mb so records straddle split boundaries (the reference's
+    RECORD-BOUNDARY-SAFE byte-range reader with a chunk_mb below the file
+    size so records still straddle split boundaries (the reference's
     line-safe ~N MB input splits, cpp/worker/src/common/fs.cc:28-53,
     generalized to structured records). The oracle re-derives every
     record's identity, octet length, and payload md5 from the original
     parquet, so a green row proves exactly-once, byte-exact ingestion
-    across splits."""
+    across splits.
+
+    Round-10 re-pricing (the r9 'JVM record splitter' flag, resolved by
+    MEASUREMENT): profiling showed the cost was never the per-record
+    Python parse — it was the 10 KB stress chunks this query used to
+    force straddling, i.e. ~500 Python-DataSource TASKS for a 5 MB input
+    (0.53 s vs 4.31 s for the same full parse at production-shaped
+    chunks — task fan-out, not parse). Boundary straddling is a
+    correctness property, proven at pathological chunk sizes in
+    tests/test_warc.py; the registered query now prices the operator at
+    a chunk that still splits every SF's file (several straddles) without
+    the task storm. A JVM-side splitter would shave task STARTUP, not
+    record parse — documented in COVERAGE.md with the numbers."""
     from gridmr_spark.sources import warc as W
 
     W.register(spark)
@@ -368,7 +380,7 @@ def source_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.format("warc").mode("overwrite").save(path)
     back = (
         spark.read.format("warc")
-        .option("chunk_mb", 0.01)  # ~10 KB splits force boundary straddling
+        .option("chunk_mb", 0.25)  # < file size at every SF: real straddling
         .option("path", path)
         .load()
     )
