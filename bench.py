@@ -2,7 +2,10 @@
 """Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ...}. Stdout carries a COMPACT record
+(total + 40 slowest + md5 of the full record) sized to survive the
+driver's stdout-tail buffer intact; the FULL per-query map is written to
+BENCH_local.json (committed at the same HEAD).
 
 Protocol (BASELINE.md §B): one discarded warm-up execution per query, then
 TWO timed runs, recording the MIN — single-shot sweeps exhibit transient
@@ -60,19 +63,41 @@ def main() -> None:
     if errors:
         record["errors"] = errors
     line = json.dumps(record)
-    # Persist in addition to stdout: the driver's stdout-tail capture
-    # truncates long JSON lines (BENCH_r06.json recorded ``parsed: null``
-    # because the record outgrew its 2 KB buffer), so the file is the
-    # durable copy of record. Default is the TRACKED repo-root
-    # BENCH_local.json (committed alongside BASELINE.md §C re-stamps, per
-    # its protocol); set SPARK_GRAFT_BENCH_OUT to write elsewhere for
-    # scratch runs that shouldn't touch the committed record.
+    # The FULL record goes to a file; stdout gets a COMPACT line that fits
+    # the driver's ~2 KB stdout-tail buffer whole. Rationale (round-10 fix
+    # for BENCH_rNN self-containment): the full per-query map is ~8 KB at
+    # 258 queries, so printing it guaranteed the driver's `tail` truncated
+    # mid-object and its `parsed` field stayed null every round. A compact
+    # line — total, count, the 40 slowest rows (the ones perf review
+    # actually reads), any errors, and the md5 of the full record — parses
+    # completely from the tail, and `full_md5` ties it to the
+    # BENCH_local.json committed at the same HEAD for whole-map diffs.
+    # Default full-record path is the TRACKED repo-root BENCH_local.json
+    # (committed alongside BASELINE.md §C re-stamps, per its protocol);
+    # set SPARK_GRAFT_BENCH_OUT for scratch runs.
     out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
     )
     with open(out_path, "w") as fh:
         fh.write(line + "\n")
-    print(line)
+    import hashlib
+
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:40]
+    )
+    compact = {
+        "metric": record["metric"],
+        "value": record["value"],
+        "unit": "sec",
+        "sf": record["sf"],
+        "n_queries": len(timings),
+        "queries": slowest,
+        "queries_note": "40 slowest; full map in BENCH_local.json (same commit)",
+        "full_md5": hashlib.md5(line.encode()).hexdigest(),
+    }
+    if errors:
+        compact["errors"] = errors
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -50,34 +50,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # here explicitly and served first; long-green queries re-verify with
 # whatever budget remains. Update per round as rows come back green.
 _DRIVER_PRIORITY: list[str] = [
-    # --- round-9 priority (driver budget ~50; first rows first) ---
-    # (a) round-9 additions (first driver rows ever) PLUS the two queries
-    # whose code changed this round (merge_upsert's insert-key scheme,
-    # setsim's default token order) — evidence must track the change.
-    "table_stats_pruned_read", "vector_binary_hamming",
-    "dedup_bloom_membership", "pipeline_shard_export", "agg_countmin_freq",
-    "stream_countmin_merge", "dedup_keep_best", "table_zorder_pruned",
-    "dedup_bloom_incremental", "eval_1nn_confusion", "eval_1nn_f1",
-    "text_readability_flesch", "pipeline_corpus_diff",
-    "table_merge_upsert", "dedup_setsim_prefix",
-    # (b) freshness rotation: queries whose latest green driver row is
-    # ROUND 3 — the oldest evidence on the board (29 rows).
-    "agg_approx_distinct", "dedup_contamination_check",
-    "dedup_incremental_minhash", "dedup_simhash",
-    "join_asof_forward", "join_full_outer", "join_null_safe",
-    "join_salted_skew", "layout_compact_files", "map_funcs",
-    "merge_scd2_history", "multimodal_decode", "multimodal_resize",
-    "pipeline_domain_caps", "pipeline_token_batching", "q11_important_values",
-    "q13_order_distribution", "q15_top_supplier", "q16_supplier_counts",
-    "q17_small_quantity", "q19_disjunctive_brackets",
-    "q20_part_family_shippers", "q21_waiting_suppliers",
-    "q2_min_cost_supplier", "q6_forecast_revenue", "q7_nation_volume",
-    "q8_market_share", "q9_product_profit", "source_schema_evolution",
-    "stream_dedup_exact", "stream_interval_join", "stream_static_enrich",
-    "text_chunk_windows", "text_corpus_freq_score", "text_repetition_filters",
-    "text_tfidf_topterms", "try_funcs", "vector_quantize_int8",
-    "window_lag_lead", "window_time_range",
-    # (c) next-oldest (round 4) with whatever budget remains.
+    # --- round-10 priority (driver budget ~50; first rows first) ---
+    # (a) round-10 additions (first driver rows ever).
+    "dedup_binary_hamming_pairs", "eval_1nn_shortlist",
+    # (b) queries whose CODE PATH changed this round — evidence must
+    # track the change: keep_best's digest pre-collapse, the WARC
+    # chunking re-price, and every table_* query (two-level manifests
+    # replaced their storage layer wholesale).
+    "dedup_keep_best", "source_warc_ingest", "pipeline_warc_to_docs",
+    "table_stats_pruned_read", "table_zorder_pruned", "table_merge_upsert",
+    "table_time_travel", "table_incremental_read", "table_compact_expire",
+    "table_delete_rows",
+    # (c) freshness rotation: the 36 queries whose latest green driver
+    # row is round 3-4 — the oldest evidence on the board (computed from
+    # CORRECTNESS_r01..r09; everything else is r5+).
     "agg_distinct", "agg_equidepth_histogram", "agg_moments",
     "conditional_funcs", "dedup_containment_pairs", "dedup_exact_digest",
     "dedup_paragraphs", "ds_channel_compare", "ds_customer_ltv_window",
@@ -88,9 +74,10 @@ _DRIVER_PRIORITY: list[str] = [
     "multimodal_audio_energy", "sample_importance_weighted",
     "source_dynamic_partition_pruning", "source_python_datasource",
     "stream_session_10m", "stream_sliding_1h_30m", "stream_stateful_totals",
-    "stream_tumbling_1h", "text_token_entropy", "udtf_analyze_firstk",
-    "window_value_range",
-    # r5-r8-green queries follow in registration order with whatever
+    "stream_tumbling_1h", "text_tfidf_topterms", "text_token_entropy",
+    "try_funcs", "udtf_analyze_firstk", "vector_quantize_int8",
+    "window_lag_lead", "window_time_range", "window_value_range",
+    # r5-r9-green queries follow in registration order with whatever
     # budget remains.
 ]
 
