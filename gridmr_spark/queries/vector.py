@@ -1397,6 +1397,22 @@ def nn_shortlist_confusion(
     tie-break chains end in reference id) — the exactness canary the
     persisted-index queries established. Production m trades recall for
     a |ref|/m cut in float work; measured in BASELINE.md §D."""
+    best = nn_shortlist_predictions(emb, m, ref_cut, dim)
+    return best.groupBy(
+        F.col("true_label").cast("long").alias("true_label"),
+        F.col("pred_label").cast("long").alias("pred_label"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def nn_shortlist_predictions(
+    emb: DataFrame, m: int, ref_cut: int = 500, dim: int = 64
+) -> DataFrame:
+    """Per-query (qid, true_label, pred_label) through the two-stage plan
+    — the shared core of ``nn_shortlist_confusion`` and the granularity
+    telemetry needs to measure assignment AGREEMENT between shortlist
+    sizes (two confusion matrices can't recover per-query agreement).
+    Hamming shortlist window, then the exact-cosine re-rank whose tie
+    chain ends in reference id (the ``cosine_topk`` rule)."""
     from gridmr_spark.operators.similarity import (
         _dot,
         binary_signature,
@@ -1422,8 +1438,6 @@ def nn_shortlist_confusion(
     for c in sigc:
         term = F.bit_count(F.col(f"q_{c}").bitwiseXOR(F.col(f"r_{c}")))
         ham = term if ham is None else ham + term
-    # broadcast the SMALL labeled reference (opposite of hamming_topk's
-    # bounded-query shape): the held-out side streams through once
     pairs = qry.crossJoin(F.broadcast(ref)).withColumn("_ham", ham)
     hwin = Window.partitionBy("qid").orderBy(F.asc("_ham"), F.asc("rid"))
     short = pairs.withColumn("_hrnk", F.row_number().over(hwin)).where(
@@ -1435,13 +1449,11 @@ def nn_shortlist_confusion(
         "cosine", _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
     )
     cwin = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("rid"))
-    best = scored.withColumn("_rnk", F.row_number().over(cwin)).where(
-        F.col("_rnk") == 1
+    return (
+        scored.withColumn("_rnk", F.row_number().over(cwin))
+        .where(F.col("_rnk") == 1)
+        .select("qid", "true_label", "pred_label")
     )
-    return best.groupBy(
-        F.col("true_label").cast("long").alias("true_label"),
-        F.col("pred_label").cast("long").alias("pred_label"),
-    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
 
 
 @query("eval_1nn_confusion", oracle=_NN_EVAL_ORACLE)

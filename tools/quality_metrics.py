@@ -144,6 +144,83 @@ def main() -> None:
         "value": round(recall(got_bq, exact_lt200), 4),
     }
 
+    # Companion telemetry (round 10): the row above measures sign
+    # quantization at its WORST case (near-uniform synthetic vectors —
+    # random directions put every pair near the Hamming mode). Real
+    # embedding corpora are CLUSTERED, the regime binary quantization is
+    # deployed in — measure the same two-stage recall on deterministic
+    # planted clusters (20 centers x 50 members, dim 64, seeded) so §D
+    # carries both ends of the operating range.
+    import numpy as _np
+
+    def _two_stage_on(cl):
+        cq = cl.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")).where(F.col("q_id") < 200)
+        cc = cl.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+        exact_cl = pairs(cosine_topk(cq, cc, k=5), "q_id", "c_id")
+        csigs = cl.select("vec_id", *binary_signature("embedding", 64))
+        cbq = csigs.where(F.col("vec_id") < 200).withColumnRenamed("vec_id", "qid")
+        cbc = csigs.withColumnRenamed("vec_id", "cid")
+        cshort = hamming_topk(cbq, cbc, k=20, n_words=2, q_id="qid", c_id="cid")
+        cqv = cl.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("q_vec"))
+        ccv = cl.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c_vec"))
+        crr = (
+            cshort.join(ccv, "cid").join(cqv, "qid")
+            .withColumn("cos", _cos("q_vec", "c_vec"))
+            .withColumn("r", F.row_number().over(
+                _W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))))
+            .where(F.col("r") <= 5)
+        )
+        got_cl = {(r.qid, r.cid) for r in crr.select("qid", "cid").collect()}
+        # cluster-hit: the axis quantization is DEPLOYED for — does the
+        # shortlisted top-5 land in the query's true cluster? (50 members
+        # per cluster: ids // 50 agree). Exact top-5's own cluster-hit is
+        # the ceiling.
+        hit = sum(1 for q, c in got_cl if q // 50 == c // 50) / max(1, len(got_cl))
+        ceil = sum(1 for q, c in exact_cl if q // 50 == c // 50) / max(1, len(exact_cl))
+        return round(recall(got_cl, exact_cl), 4), round(hit, 4), round(ceil, 4)
+
+    sweep = {}
+    for sigma in (0.5, 0.25, 0.1):
+        rng = _np.random.default_rng(42)
+        centers = rng.normal(size=(20, 64))
+        pts = (centers[:, None, :] + sigma * rng.normal(size=(20, 50, 64))).reshape(-1, 64)
+        cl = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(pts)],
+            "vec_id long, embedding array<double>",
+        ).localCheckpoint(eager=True)
+        r5, hit, ceil = _two_stage_on(cl)
+        sweep[f"sigma={sigma}"] = {
+            "recall@5": r5, "cluster_hit@5": hit, "cluster_hit_exact": ceil
+        }
+    out["vector_binary_hamming_clustered"] = {
+        "metric": "two-stage quality on planted clusters (20 centers x 50, dim 64, seeded) across tightness: recall@5 vs exact, plus cluster-hit@5 (fraction of returned top-5 in the query's true cluster; exact top-5's own rate is the ceiling) — sign bits resolve BETWEEN-cluster structure, not within-cluster micro-ranking, and cluster-hit is the deployed axis",
+        "value": sweep,
+    }
+
+    # Shortlisted 1-NN eval at PRODUCTION m (the registered query runs
+    # the m=|ref| exactness canary, hash-oracled): per-query assignment
+    # AGREEMENT between the full scan and the Hamming top-32 shortlist on
+    # the sf embeddings' held-out split — the recall/compute dial's
+    # operating point (float folds drop |ref|/m = 15.6x at m=32).
+    # Accuracy itself is near-chance on this near-uniform corpus, so
+    # agreement (does the cheap path pick the same neighbor class?) is
+    # the informative number.
+    from gridmr_spark.queries.vector import nn_shortlist_predictions
+
+    full = nn_shortlist_predictions(emb, m=500).select(
+        "qid", F.col("pred_label").alias("pred_full")
+    )
+    m32 = nn_shortlist_predictions(emb, m=32).select(
+        "qid", F.col("pred_label").alias("pred_m32")
+    )
+    agree = full.join(m32, "qid").select(
+        F.avg((F.col("pred_full") == F.col("pred_m32")).cast("double")).alias("a")
+    ).collect()[0].a
+    out["eval_1nn_shortlist"] = {
+        "metric": "per-query 1-NN assignment agreement, Hamming-shortlist m=32 vs full scan (registered query is the m=|ref| exactness canary, hash-exact)",
+        "value": round(agree, 4) if agree is not None else None,
+    }
+
     # HLL estimates: max relative error vs exact COUNT DISTINCT.
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     exact_li = {
