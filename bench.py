@@ -96,7 +96,15 @@ def main() -> None:
         "full_md5": hashlib.md5(line.encode()).hexdigest(),
     }
     if errors:
-        compact["errors"] = errors
+        # errors must not blow the size budget on exactly the rounds that
+        # have them: names + a short excerpt of the first two; full
+        # messages live in BENCH_local.json
+        compact["n_errors"] = len(errors)
+        compact["errors"] = {
+            k: errors[k][:120] for k in sorted(errors)[:2]
+        }
+        if len(errors) > 2:
+            compact["errors_note"] = "first 2 shown; all in BENCH_local.json"
     print(json.dumps(compact))
 
 

@@ -214,11 +214,19 @@ def _parse_sc_url(remote_url: str) -> tuple[str, int]:
     host, _, port = authority.partition(":")
     if not host or not port.isdigit():
         raise ValueError(f"remote_url: expected sc://host:port[/;params], got {remote_url!r}")
-    keys = {p.partition("=")[0].strip().lower() for p in params.split(";") if p.strip()}
-    secure = keys & {"token", "use_ssl"}
+    kv = {}
+    for p in params.split(";"):
+        if p.strip():
+            k, _, v = p.partition("=")
+            kv[k.strip().lower()] = v.strip().lower()
+    secure = sorted(
+        k for k, v in kv.items()
+        if k == "token"
+        or (k == "use_ssl" and v in ("true", "1", "yes"))  # =false IS plaintext
+    )
     if secure:
         raise ValueError(
-            f"remote_url carries auth/TLS params {sorted(secure)} which the "
+            f"remote_url carries auth/TLS params {secure} which the "
             "delegated transport cannot honor (it dials an insecure "
             "plaintext channel) — install grpcio so the grpc transport "
             "handles them, or strip the params to opt into plaintext"

@@ -852,6 +852,11 @@ def _band_exprs(
     (columns ``sig0..sig{n_words-1}``, ``word_bits`` low bits each),
     re-packed into a single value. All shifts/masks are Python-computed
     literals, so the whole extraction is integer whole-stage codegen."""
+    if not 1 <= bands <= total_bits:
+        raise ValueError(
+            f"hamming bands={bands} must be in [1, total_bits={total_bits}] "
+            "(more bands than bits means zero-width bands)"
+        )
     bounds = [round(j * total_bits / bands) for j in range(bands + 1)]
     out = []
     for j in range(bands):

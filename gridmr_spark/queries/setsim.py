@@ -134,9 +134,13 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     default): exact duplicates (identical text, hence identical shingle
     sets) are collapsed to one representative per md5(text) BEFORE pair
     search, and each copy is re-attached by a star edge to its
-    representative. Components are provably unchanged — a copy's Jaccard
-    to ANY document equals its representative's, so every lost edge
-    (x, y) is re-derived via x—rep(x)—y — but a k-copy clique now
+    representative. Only SHINGLE-BEARING docs (>= n tokens) collapse: a
+    shingle-less doc pairs with nothing under the definition — not even
+    its byte-identical twin — so starring it would merge what the oracle
+    keeps separate. With that guard components are provably unchanged —
+    a copy's Jaccard to ANY document equals its representative's, so
+    every lost edge (x, y) is re-derived via x—rep(x)—y — but a k-copy
+    clique now
     contributes k-1 star edges instead of C(k,2) near-dup edges AND its
     shingles enter the posting lists once, which is exactly what turned
     the sf1 tiled corpus (10-copy cliques) superlinear before
@@ -168,18 +172,31 @@ def keep_best_survivorship(docs: DataFrame, collapse_exact: bool = True) -> Data
             pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst")),
         )
         return _rank_survivors(docs, comp)
-    digests = docs.select("doc_id", F.md5("text").alias("_digest"))
+    from gridmr_spark.operators.dedup import normalize_tokens
+
+    # Only SHINGLE-BEARING docs participate in the collapse: a doc with
+    # fewer than n=3 tokens has an EMPTY shingle set, so the pair search
+    # (and the quadratic oracle) can never link it to anything — even to
+    # a byte-identical twin (0-shingle Jaccard yields no pair). A star
+    # edge there would MERGE what the definition keeps separate; leaving
+    # such docs uncollapsed preserves exact equivalence.
+    eligible = docs.where(F.size(normalize_tokens("text")) >= 3)
+    digests = eligible.select("doc_id", F.md5("text").alias("_digest"))
     reps = digests.groupBy("_digest").agg(F.min("doc_id").alias("rep_id"))
-    rep_docs = docs.join(
-        reps, docs["doc_id"] == reps["rep_id"], "left_semi"
-    ).select("doc_id", "text")
+    # collapsed copies: eligible docs that are NOT their digest's rep
+    copies = (
+        digests.join(reps, "_digest")
+        .where(F.col("doc_id") != F.col("rep_id"))
+        .select("doc_id", "rep_id")
+    )
+    # pair-search input: everything except the collapsed copies (reps +
+    # shingle-less docs, the latter contributing no postings by definition)
+    rep_docs = docs.join(copies.select("doc_id"), "doc_id", "left_anti")
     pairs = setsim.prefix_filter_pairs(
         rep_docs, "doc_id", "text", n=3, tau_num=1, tau_den=2
     )
-    star = (
-        digests.join(reps, "_digest")
-        .where(F.col("doc_id") != F.col("rep_id"))
-        .select(F.col("rep_id").alias("src"), F.col("doc_id").alias("dst"))
+    star = copies.select(
+        F.col("rep_id").alias("src"), F.col("doc_id").alias("dst")
     )
     edges = pairs.select(
         F.col("id1").alias("src"), F.col("id2").alias("dst")

@@ -491,10 +491,21 @@ class ManifestTable:
             version = self.current_version()
             if version is None:
                 raise ValueError(f"nothing to clone in {self.root}")
-        groups = self._groups_of(version)
         dest = ManifestTable(dest_root)
         if dest.current_version() is not None:
             raise ValueError(f"clone destination {dest_root} is not empty")
+        raw = self._raw(version)
+        if "groups" in raw:
+            groups = list(raw["groups"])
+        else:
+            # format-1 source: materialize the upgrade group under the
+            # DEST's own groups dir — only dest's manifest will reference
+            # it, and a group file in the SOURCE's dir that no source
+            # manifest references would be reclaimed by the source's
+            # routine vacuum_orphans, silently bricking the clone
+            groups = [
+                dest._write_group(raw["files"], self.snapshot_stats(version))
+            ]
         # group entries reference the SOURCE's group files by absolute
         # path (like data files) — stats ride with the groups, so the
         # clone prunes exactly as well as the source did, at zero copy
@@ -560,8 +571,11 @@ class ManifestTable:
         concurrent-writer race (plus stale ``.tmp`` manifests). Removing
         the directory (not just ``*.parquet``) matters: it also clears
         ``_SUCCESS`` markers so the version directory namespace is fully
-        reclaimed. Returns deleted data-file paths (and removed tmp
-        manifests).
+        reclaimed. Returns every reclaimed path: deleted data files,
+        stale tmp manifests, and orphaned group manifests (groups no
+        snapshot references — the leftovers of the same torn/lost
+        commits). ``expire``'s return, by contrast, stays
+        data-files-only (its documented caller contract).
 
         ``min_age_seconds`` is the retention window that makes vacuum safe
         under CONCURRENT writers: a commit in flight right now has written

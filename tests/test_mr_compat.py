@@ -334,5 +334,8 @@ def test_parse_sc_url_rejects_auth_params_in_delegated_mode():
         _parse_sc_url("sc://h:15002/;token=abc123")
     with pytest.raises(ValueError, match="use_ssl"):
         _parse_sc_url("sc://h:15002/;use_ssl=true")
+    # an EXPLICIT plaintext opt-in is exactly what the delegated
+    # transport does — must not be rejected
+    assert _parse_sc_url("sc://h:15002/;use_ssl=false") == ("h", 15002)
     with pytest.raises(ValueError, match="auth/TLS"):
         _parse_sc_url("sc://h:15002/;use_ssl=true;token=abc;user_id=x")

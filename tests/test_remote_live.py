@@ -260,4 +260,3 @@ def test_submit_job_multi_input_union(connect_server, tmp_path):
     assert _read_tab_counts(out) == {"red": 1, "green": 2, "blue": 3}
     parts = [f for f in os.listdir(out) if f.startswith("part-")]
     assert len(parts) == 1  # REPARTITION(1) honored
-

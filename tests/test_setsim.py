@@ -163,6 +163,12 @@ def test_keep_best_digest_collapse_is_equivalent(spark):
             # copies are byte-identical; near-dups differ by a token
             rows.append((i, text))
             i += 1
+    # the review-found edge: byte-identical docs BELOW the shingle size
+    # (n=3 tokens) have empty shingle sets, so the definition (and the
+    # oracle) keeps them as SEPARATE singletons — the collapse must not
+    # merge them via star edges
+    rows.append((i, "tiny doc")); i += 1
+    rows.append((i, "tiny doc")); i += 1
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     fast = {
         tuple(r)
@@ -173,6 +179,7 @@ def test_keep_best_digest_collapse_is_equivalent(spark):
         for r in keep_best_survivorship(docs, collapse_exact=False).collect()
     }
     assert fast == naive and fast
-    # sanity: copies of [0] and [1] merged into ONE cluster of 8
+    # sanity: copies of [0] and [1] merged into ONE cluster of 8; the two
+    # shingle-less twins stay singletons
     sizes = sorted(n for (_, n, _, _) in fast)
-    assert sizes == [4, 4, 8]
+    assert sizes == [1, 1, 4, 4, 8]

@@ -878,3 +878,34 @@ def test_format1_manifests_stay_readable_and_upgrade_on_write(spark, tmp_path):
     assert sorted(r.k for r in t.read(spark, v2).collect()) == [1, 5, 9]
     # the upgraded group carries the legacy stats forward
     assert any("k" in st for st in t.snapshot_stats(v2).values())
+
+
+def test_clone_of_format1_source_survives_source_vacuum(spark, tmp_path):
+    """Review-found hazard: cloning a format-1 (pre-two-level) source must
+    NOT leave the upgrade group manifest in the SOURCE's groups dir where
+    no source snapshot references it — the source's routine vacuum would
+    reclaim it and brick the clone. The upgrade group belongs to the
+    clone."""
+    import json
+
+    src = ManifestTable(str(tmp_path / "src"))
+    src.commit(
+        spark.createDataFrame([(1, "a"), (5, "b")], "k long, v string").coalesce(1)
+    )
+    # rewrite v1 as a format-1 manifest (an old table on disk)
+    m = dict(src._manifest(1))
+    m["stats"] = src.snapshot_stats(1)
+    for g in src._raw(1)["groups"]:
+        os.remove(g["path"])
+    os.remove(os.path.join(src._mdir, "v00001.json"))
+    with open(os.path.join(src._mdir, "v00001.json"), "w") as f:
+        json.dump(m, f)
+    src = ManifestTable(src.root)
+    dest = src.clone_to(str(tmp_path / "dest"))
+    # the clone's group manifest lives under DEST, not SRC
+    gpaths = [g["path"] for g in dest._raw(1)["groups"]]
+    assert all(p.startswith(dest._gdir + os.sep) for p in gpaths)
+    # source maintenance cannot touch it
+    src.vacuum_orphans(min_age_seconds=0)
+    assert sorted(r.k for r in dest.read(spark).collect()) == [1, 5]
+    assert any("k" in st for st in dest.snapshot_stats().values())
