@@ -172,38 +172,8 @@ def keep_best_survivorship(docs: DataFrame, collapse_exact: bool = True) -> Data
             pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst")),
         )
         return _rank_survivors(docs, comp)
-    from gridmr_spark.operators.dedup import normalize_tokens
-
-    # Only SHINGLE-BEARING docs participate in the collapse: a doc with
-    # fewer than n=3 tokens has an EMPTY shingle set, so the pair search
-    # (and the quadratic oracle) can never link it to anything — even to
-    # a byte-identical twin (0-shingle Jaccard yields no pair). A star
-    # edge there would MERGE what the definition keeps separate; leaving
-    # such docs uncollapsed preserves exact equivalence.
-    eligible = docs.where(F.size(normalize_tokens("text")) >= 3)
-    digests = eligible.select("doc_id", F.md5("text").alias("_digest"))
-    reps = digests.groupBy("_digest").agg(F.min("doc_id").alias("rep_id"))
-    # collapsed copies: eligible docs that are NOT their digest's rep
-    copies = (
-        digests.join(reps, "_digest")
-        .where(F.col("doc_id") != F.col("rep_id"))
-        .select("doc_id", "rep_id")
-    )
-    # pair-search input: everything except the collapsed copies (reps +
-    # shingle-less docs, the latter contributing no postings by definition)
-    rep_docs = docs.join(copies.select("doc_id"), "doc_id", "left_anti")
-    pairs = setsim.prefix_filter_pairs(
-        rep_docs, "doc_id", "text", n=3, tau_num=1, tau_den=2
-    )
-    star = copies.select(
-        F.col("rep_id").alias("src"), F.col("doc_id").alias("dst")
-    )
-    edges = pairs.select(
-        F.col("id1").alias("src"), F.col("id2").alias("dst")
-    ).unionByName(star)
-    comp = connected_components(
-        docs.select(F.col("doc_id").alias("id")),
-        edges,
+    comp = _near_dup_components(docs).select(
+        "id", F.col("cluster_id").alias("component")
     )
     return _rank_survivors(docs, comp)
 
@@ -230,3 +200,113 @@ def _rank_survivors(docs: DataFrame, comp: DataFrame) -> DataFrame:
         F.min(F.when(F.col("rnk") == 1, F.col("doc_id"))).cast("long").alias("kept_doc_id"),
         F.min(F.when(F.col("rnk") == 1, F.col("n_chars"))).cast("long").alias("kept_chars"),
     )
+
+
+# Leakage-safe split: the eval-hygiene op every training pipeline needs —
+# if a near-duplicate of a validation document sits in train, the eval is
+# contaminated no matter how good the exact-dedup was. Assignment must
+# therefore be BY NEAR-DUP CLUSTER, not by document: cluster the pair
+# graph transitively, hash the CLUSTER id into train/val. The oracle
+# replays the whole composition (quadratic pairs -> recursive-CTE closure
+# -> the identical 60-bit md5 split rule) so one hash row certifies that
+# no near-dup pair can ever straddle the split.
+_LEAKAGE_SPLIT_ORACLE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ','g')),' '), t -> t <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(ws)-2),
+         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), p AS (
+  SELECT id1, id2 FROM common
+  JOIN sizes s1 ON id1 = s1.doc_id JOIN sizes s2 ON id2 = s2.doc_id
+  WHERE 2 * c >= s1.sz + s2.sz - c
+), e AS (
+  SELECT id1 AS s, id2 AS d FROM p UNION SELECT id2, id1 FROM p
+), r(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.d FROM r JOIN e ON r.b = e.s
+), comp AS (
+  SELECT a AS doc_id, MIN(b) AS cluster_id FROM r GROUP BY a
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT) % 10 < 8
+            THEN 'train' ELSE 'val' END AS split
+FROM comp
+"""
+
+
+@query("pipeline_leakage_safe_split", oracle=_LEAKAGE_SPLIT_ORACLE)
+def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split with a NO-NEAR-DUP-LEAKAGE guarantee: documents are
+    clustered by the exact near-dup relation (lossless prefix-filtered
+    pair search -> transitive closure), and the deterministic 80/20
+    assignment hashes the CLUSTER id — so a validation document's
+    near-duplicates land in validation BY CONSTRUCTION, the property
+    per-document hashing cannot give (Lee et al.'s dedup-eval-leakage
+    observation turned into a split rule). The md5-60-bit hash rule is
+    engine-portable, so the oracle replays pairs + closure + rule and the
+    hash row proves the guarantee end to end. Scale: the pair graph and
+    CC are the proven dedup_keep_best machinery (digest pre-collapse,
+    O(log n) pointer-jumping); the split itself is one hash map — no new
+    shuffle beyond the clustering the pipeline already runs."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    comp = _near_dup_components(docs)
+    split_hash = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 15), 16, 10
+        ).cast("long") % 10
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        F.when(split_hash < 8, F.lit("train")).otherwise(F.lit("val")).alias("split"),
+    )
+
+
+def _near_dup_components(docs: DataFrame) -> DataFrame:
+    """(id, cluster_id) under the exact near-dup relation (3-shingle
+    Jaccard >= 1/2) with the digest pre-collapse front — the clustering
+    core shared by dedup_keep_best and pipeline_leakage_safe_split.
+
+    Only SHINGLE-BEARING docs (>= n tokens) participate in the collapse:
+    a doc with an empty shingle set can never pair with anything under
+    the definition — not even its byte-identical twin — so a star edge
+    there would merge what the quadratic oracle keeps separate."""
+    from pyspark.sql import functions as F
+
+    from gridmr_spark.operators.dedup import normalize_tokens
+    from gridmr_spark.operators.graph import connected_components
+
+    eligible = docs.where(F.size(normalize_tokens("text")) >= 3)
+    digests = eligible.select("doc_id", F.md5("text").alias("_digest"))
+    reps = digests.groupBy("_digest").agg(F.min("doc_id").alias("rep_id"))
+    copies = (
+        digests.join(reps, "_digest")
+        .where(F.col("doc_id") != F.col("rep_id"))
+        .select("doc_id", "rep_id")
+    )
+    rep_docs = docs.join(copies.select("doc_id"), "doc_id", "left_anti")
+    pairs = setsim.prefix_filter_pairs(
+        rep_docs, "doc_id", "text", n=3, tau_num=1, tau_den=2
+    )
+    star = copies.select(
+        F.col("rep_id").alias("src"), F.col("doc_id").alias("dst")
+    )
+    edges = pairs.select(
+        F.col("id1").alias("src"), F.col("id2").alias("dst")
+    ).unionByName(star)
+    return connected_components(
+        docs.select(F.col("doc_id").alias("id")), edges
+    ).select("id", F.col("component").alias("cluster_id"))

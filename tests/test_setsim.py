@@ -183,3 +183,36 @@ def test_keep_best_digest_collapse_is_equivalent(spark):
     # shingle-less twins stay singletons
     sizes = sorted(n for (_, n, _, _) in fast)
     assert sizes == [1, 1, 4, 4, 8]
+
+
+def test_leakage_safe_split_never_splits_near_dups(spark):
+    """The guarantee pipeline_leakage_safe_split exists for: every
+    near-dup pair (incl. transitive) lands in ONE split, and the hash
+    rule produces both splits on a plain corpus."""
+    from gridmr_spark.queries.setsim import (
+        _near_dup_components,
+        pipeline_leakage_safe_split,
+    )
+
+    out = pipeline_leakage_safe_split(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) == 500  # one assignment per document
+    by_doc = {r.doc_id: (r.cluster_id, r.split) for r in rows}
+    # cluster -> split is a FUNCTION (same cluster, same split) and both
+    # splits occur
+    from collections import defaultdict
+
+    splits_per_cluster = defaultdict(set)
+    for cid, sp in by_doc.values():
+        splits_per_cluster[cid].add(sp)
+    assert all(len(v) == 1 for v in splits_per_cluster.values())
+    assert {sp for _, sp in by_doc.values()} == {"train", "val"}
+    # and the clusters really are the near-dup relation: every verified
+    # pair's endpoints share a cluster (hence a split)
+    from gridmr_spark.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    pairs = setsim.prefix_filter_pairs(docs, "doc_id", "text", 3, 1, 2).collect()
+    assert pairs  # non-vacuous on this corpus
+    for p in pairs:
+        assert by_doc[p.id1][1] == by_doc[p.id2][1]
