@@ -564,6 +564,46 @@ class ManifestTable:
                 self._gcache.pop(g, None)
         return removed
 
+    def rewrite_manifests(self, target_groups: int = 1) -> int:
+        """Metadata-only manifest compaction (Iceberg's
+        ``rewrite_manifests``): merge the current snapshot's group
+        manifests into ``target_groups`` balanced groups and publish the
+        result as a new snapshot — ZERO data movement, the logical file
+        set is byte-identical. This is the maintenance op that keeps the
+        manifest LIST itself O(small) on long-lived tables: after 10k
+        commits a snapshot carries 10k group entries (and a point probe
+        pays 10k summary checks); one rewrite collapses that to a handful
+        of balanced groups with freshly-computed summary envelopes, and
+        routine ``expire`` reclaims the superseded group files once no
+        surviving snapshot references them.
+
+        Because the FILE SET is unchanged and nothing was added,
+        incremental readers may safely CROSS this snapshot (unlike
+        compact/overwrite/restore, whose files are rewrites) — ``diff``
+        and the changelog stream treat it as contributing zero rows.
+
+        File order is preserved (cumulative commit order), so resolved
+        ``files`` lists stay byte-stable across the rewrite."""
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"nothing to rewrite in {self.root}")
+        if target_groups < 1:
+            raise ValueError("target_groups must be >= 1")
+        files: list[str] = []
+        stats: dict[str, dict] = {}
+        for g in self._groups_of(cur):
+            grp = self._load_group(g["path"])
+            files.extend(grp["files"])
+            stats.update(grp["stats"])
+        per = -(-len(files) // target_groups)
+        entries = [
+            self._write_group(files[i : i + per], stats)
+            for i in range(0, len(files), per)
+        ]
+        v = cur + 1
+        self._publish(v, "rewrite_manifests", None, entries, [])
+        return v
+
     def vacuum_orphans(self, min_age_seconds: float = 3600.0) -> list[str]:
         """Delete whole data directories under ``<root>/data`` that NO
         manifest references — the leftovers of commits that crashed between
@@ -971,7 +1011,10 @@ class ManifestTable:
         added: list[str] = []
         for v in range(v_from + 1, v_to + 1):
             m = self._manifest(v)
-            if m.get("operation", "append") != "append":
+            op = m.get("operation", "append")
+            if op == "rewrite_manifests":
+                continue  # metadata-only: identical file set, zero new rows
+            if op != "append":
                 raise ValueError(
                     f"incremental read v{v_from}..v{v_to} crosses a "
                     f"{m['operation']!r} snapshot at v{v}: its files are "
@@ -1051,6 +1094,8 @@ def _changelog_classes():
             for v in range(lo + 1, hi + 1):
                 m = t._manifest(v)
                 op = m.get("operation", "append")
+                if op == "rewrite_manifests":
+                    continue  # metadata-only: no new rows at any setting
                 if op != "append":
                     if self.on_rewrite == "skip":
                         continue

@@ -909,3 +909,63 @@ def test_clone_of_format1_source_survives_source_vacuum(spark, tmp_path):
     src.vacuum_orphans(min_age_seconds=0)
     assert sorted(r.k for r in dest.read(spark).collect()) == [1, 5]
     assert any("k" in st for st in dest.snapshot_stats().values())
+
+
+def test_rewrite_manifests_is_metadata_only_and_crossable(spark, tmp_path):
+    """Iceberg's rewrite_manifests on this format: groups merge into
+    balanced new group manifests, the logical snapshot is byte-identical
+    with ZERO new data directories, pruning works off the recomputed
+    summaries, incremental reads CROSS it (unlike compact/overwrite),
+    and expire reclaims the superseded group files."""
+    import glob as _glob
+
+    t = ManifestTable(str(tmp_path / "tbl"))
+    for base in (0, 1000, 2000, 3000, 4000, 5000):
+        rows = [(base + i, f"v{base + i}") for i in range(20)]
+        t.commit(
+            spark.createDataFrame(rows, "k long, v string").repartitionByRange(2, "k")
+        )
+    before_files = t._manifest(6)["files"]
+    data_dirs_before = set(_glob.glob(os.path.join(t.root, "data", "*")))
+    old_groups = {g["path"] for g in t._raw(6)["groups"]}
+    assert len(old_groups) == 6
+
+    v = t.rewrite_manifests(target_groups=2)
+    assert v == 7
+    raw7 = t._raw(7)
+    assert raw7["operation"] == "rewrite_manifests"
+    assert len(raw7["groups"]) == 2 and raw7["added_groups"] == []
+    # zero data movement: same files, same order, no new data dirs
+    assert t._manifest(7)["files"] == before_files
+    assert set(_glob.glob(os.path.join(t.root, "data", "*"))) == data_dirs_before
+    assert sorted(r.k for r in t.read(spark).collect()) == sorted(
+        r.k for r in t.read(spark, 6).collect()
+    )
+    # summaries recomputed: pruning still group-granular on a cold instance
+    t2 = ManifestTable(t.root)
+    pruned = t2.pruned_files("k", lo=5005, hi=5010)
+    assert pruned and t2.group_opens == 1
+    # incremental reads cross the rewrite (it contributes zero rows) ...
+    t.commit(spark.createDataFrame([(9999, "x")], "k long, v string"))
+    got = sorted(r.k for r in t.diff(spark, 6, 8).collect())
+    assert got == [9999]
+    # ... while a data rewrite still refuses
+    t.compact(spark, target_partitions=1)
+    with pytest.raises(ValueError, match="compact"):
+        t.diff(spark, 6, 9)
+    # expire reclaims the superseded group files (no survivor references)
+    t.expire(keep_last=1)
+    assert all(not os.path.exists(p) for p in old_groups)
+
+
+def test_changelog_stream_crosses_rewrite_manifests(spark, tmp_path):
+    """The changelog source must deliver rows around a rewrite_manifests
+    snapshot without error even at on_rewrite=error (it is metadata-only:
+    nothing was added, nothing was rewritten)."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([("a1", "b1")], "a string, b string"))
+    t.rewrite_manifests()
+    t.commit(spark.createDataFrame([("a2", "b2")], "a string, b string"))
+    got = _run_changelog(spark, t, str(tmp_path / "run"))
+    rows = {(r.a, r.b) for r in got.collect()}
+    assert rows == {("a1", "b1"), ("a2", "b2")}
