@@ -53,7 +53,7 @@ _DRIVER_PRIORITY: list[str] = [
     # --- round-10 priority (driver budget ~50; first rows first) ---
     # (a) round-10 additions (first driver rows ever).
     "dedup_binary_hamming_pairs", "eval_1nn_shortlist",
-    "pipeline_leakage_safe_split",
+    "pipeline_leakage_safe_split", "source_jsonl_quarantine",
     # (b) queries whose CODE PATH changed this round — evidence must
     # track the change: keep_best's digest pre-collapse, the WARC
     # chunking re-price, and every table_* query (two-level manifests

@@ -989,3 +989,86 @@ def table_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_custkey").cast("long").alias("min_cust"),
         F.max("o_orderkey").cast("long").alias("max_key"),
     )
+
+
+# Ingest hygiene: corrupt-record QUARANTINE. Real JSONL feeds carry a
+# malformed-line tail (truncated writes, encoding junk); the operational
+# contract is route-don't-crash — parse what parses, quarantine the rest
+# with counts, never silently drop. Both engines build the IDENTICAL line
+# text by string concat (no serializer drift), corrupt every 7th line by
+# truncation, and classify by their native validity test (Spark PERMISSIVE
+# _corrupt column == DuckDB json_valid — both mark the truncated object
+# malformed), so the hash row proves the routing split end to end.
+_JSONL_QUARANTINE_ORACLE = """
+WITH lines AS (
+  SELECT doc_id,
+         '{"doc_id": ' || doc_id || ', "n_chars": ' || length(text) || '}' AS line
+  FROM documents
+), fed AS (
+  SELECT CASE WHEN doc_id % 7 = 0
+              THEN substr(line, 1, length(line) - 2)
+              ELSE line END AS line
+  FROM lines
+), routed AS (
+  SELECT CASE WHEN json_valid(line) THEN 'ok' ELSE 'quarantined' END AS status,
+         CASE WHEN json_valid(line) THEN CAST(line->>'$.n_chars' AS BIGINT) END AS n_chars,
+         CASE WHEN json_valid(line) THEN CAST(line->>'$.doc_id' AS BIGINT) END AS doc_id
+  FROM fed
+)
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM routed GROUP BY status
+"""
+
+
+@query("source_jsonl_quarantine", oracle=_JSONL_QUARANTINE_ORACLE)
+def source_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-JSONL routing with Spark's PERMISSIVE corrupt-record
+    column: lines that parse flow through with their extracted fields,
+    lines that don't land in quarantine WITH accounting — the
+    crash-is-not-an-option contract of a production feed (Spark's
+    badRecordsPath semantics expressed through
+    ``from_json(columnNameOfCorruptRecord)``). The line text is built by
+    identical string concat in both engines and every 7th line is
+    truncated mid-object; classification parity holds because PERMISSIVE
+    marks exactly the lines DuckDB's ``json_valid`` rejects. Fields of
+    quarantined lines are never trusted (Jackson may PARTIALLY parse a
+    truncated object — the _corrupt flag, not field nullness, is the
+    routing key). One narrow map + one 2-row aggregate: at 100 TB this
+    is a free rider on the ingest scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.concat(
+        F.lit('{"doc_id": '), F.col("doc_id"),
+        F.lit(', "n_chars": '), F.length("text"),
+        F.lit("}"),
+    )
+    fed = docs.select("doc_id", line.alias("line")).select(
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.col("line").substr(F.lit(1), F.length("line") - 2),
+        )
+        .otherwise(F.col("line"))
+        .alias("line")
+    )
+    schema = "doc_id bigint, n_chars bigint, _corrupt string"
+    parsed = fed.select(
+        F.from_json(
+            "line",
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("r")
+    )
+    routed = parsed.select(
+        F.when(F.col("r._corrupt").isNull(), F.lit("ok"))
+        .otherwise(F.lit("quarantined"))
+        .alias("status"),
+        F.when(F.col("r._corrupt").isNull(), F.col("r.n_chars")).alias("n_chars"),
+        F.when(F.col("r._corrupt").isNull(), F.col("r.doc_id")).alias("doc_id"),
+    )
+    return routed.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )
