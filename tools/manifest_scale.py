@@ -106,7 +106,44 @@ def main() -> None:
     res["probe_opens_ratio"] = (
         res["x10"]["probe_group_opens"] / max(1, res["x1"]["probe_group_opens"])
     )
+
+    # rewrite_manifests demo: a LONG-LIVED table (many commits => many
+    # group entries) before/after metadata compaction — the snapshot
+    # manifest shrinks and a probe touches fewer group manifests, with
+    # zero data movement.
+    root = os.path.join(work, "tbl_longlived")
+    if os.path.isdir(root):
+        shutil.rmtree(root)
+    t = ManifestTable(root)
+    for c in range(120):
+        base = c * 100
+        t.commit(
+            spark.range(base, base + 100).withColumnRenamed("id", "k").coalesce(1)
+        )
+    before = measure_probe(root, lo=6000 * 1 + 10)
+    v = t.rewrite_manifests(target_groups=4)
+    after = measure_probe(root, lo=6000 * 1 + 10)
+    res["longlived_120_commits"] = {
+        "before": before,
+        "after_rewrite_manifests_4": after,
+        "new_version": v,
+    }
     print(json.dumps(res))
+
+
+def measure_probe(root: str, lo: int) -> dict:
+    t = ManifestTable(root)  # cold caches
+    cur = t.current_version()
+    mpath = os.path.join(t._mdir, f"v{cur:05d}.json")
+    t0 = time.perf_counter()
+    files = t.pruned_files("k", lo=lo, hi=lo + 50)
+    return {
+        "snapshot_manifest_bytes": os.path.getsize(mpath),
+        "n_groups": len(t._raw(cur)["groups"]),
+        "probe_group_opens": t.group_opens,
+        "probe_seconds": round(time.perf_counter() - t0, 5),
+        "probe_files": len(files),
+    }
 
 
 if __name__ == "__main__":
