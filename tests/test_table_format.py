@@ -485,6 +485,9 @@ def test_reader_writer_interleaving_soak(spark, tmp_path):
     v = t.compact(spark, target_partitions=1)
     expected[v] = expected[v - 1]
     check_all()
+    v = t.rewrite_manifests(target_groups=1)  # metadata-only verb in the mix
+    expected[v] = expected[v - 1]
+    check_all()
     v = t.commit(spark.createDataFrame([(100, "y")], "k long, v string"))
     expected[v] = sorted(expected[v - 1] + [100])
     check_all()
