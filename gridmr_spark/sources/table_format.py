@@ -232,6 +232,19 @@ class ManifestTable:
         self._mcache[version] = m
         return m
 
+    def _added_files(self, version: int) -> list[str]:
+        """Just the version's DELTA file list — for format-2 manifests
+        this loads only the added groups' manifests, never the full
+        snapshot resolution (the O(delta) metadata read incremental
+        consumers are promised)."""
+        raw = self._raw(version)
+        if "groups" not in raw:
+            return list(raw.get("added", []))
+        out: list[str] = []
+        for p in raw.get("added_groups", []):
+            out.extend(self._load_group(p)["files"])
+        return out
+
     def _find_idempotent(self, idempotency_key: str | None) -> int | None:
         if idempotency_key is None:
             return None
@@ -595,6 +608,10 @@ class ManifestTable:
             grp = self._load_group(g["path"])
             files.extend(grp["files"])
             stats.update(grp["stats"])
+        if not files:
+            raise ValueError(
+                f"snapshot v{cur} of {self.root} is empty — nothing to rewrite"
+            )
         per = -(-len(files) // target_groups)
         entries = [
             self._write_group(files[i : i + per], stats)
@@ -1009,19 +1026,29 @@ class ManifestTable:
         if not 0 <= v_from < v_to:
             raise ValueError(f"need 0 <= v_from < v_to, got {v_from}..{v_to}")
         added: list[str] = []
+        crossed_rewrite = False
         for v in range(v_from + 1, v_to + 1):
-            m = self._manifest(v)
-            op = m.get("operation", "append")
+            # operation comes from the RAW manifest (O(1), cached) so a
+            # metadata-only snapshot is skipped without resolving the
+            # table's full file list; appends load only their DELTA groups
+            op = self._raw(v).get("operation", "append")
             if op == "rewrite_manifests":
+                crossed_rewrite = True
                 continue  # metadata-only: identical file set, zero new rows
             if op != "append":
                 raise ValueError(
                     f"incremental read v{v_from}..v{v_to} crosses a "
-                    f"{m['operation']!r} snapshot at v{v}: its files are "
+                    f"{op!r} snapshot at v{v}: its files are "
                     "rewrites, not new rows — read from the snapshot instead"
                 )
-            added.extend(m["added"])
+            added.extend(self._added_files(v))
         if not added:
+            if crossed_rewrite:
+                # a range of pure manifest rewrites legitimately adds
+                # nothing: the crossability contract means EMPTY, not error
+                from pyspark.sql import functions as _F
+
+                return self.read(spark, v_to).where(_F.lit(False))
             raise ValueError(f"no files added in {self.root} v{v_from}..v{v_to}")
         return spark.read.parquet(*added)
 
@@ -1092,8 +1119,9 @@ def _changelog_classes():
             t = ManifestTable(self.root)
             files: list[str] = []
             for v in range(lo + 1, hi + 1):
-                m = t._manifest(v)
-                op = m.get("operation", "append")
+                # raw operation first (O(1)): a metadata-only snapshot
+                # must not cost a full file-list resolve to skip
+                op = t._raw(v).get("operation", "append")
                 if op == "rewrite_manifests":
                     continue  # metadata-only: no new rows at any setting
                 if op != "append":
@@ -1104,7 +1132,7 @@ def _changelog_classes():
                         "are rewrites, not appends; read a snapshot instead or "
                         "set on_rewrite=skip"
                     )
-                files.extend(m["added"])
+                files.extend(t._added_files(v))
             return [_FileSplit(f) for f in files] or [_FileSplit("")]
 
         def read(self, partition):

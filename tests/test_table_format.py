@@ -972,3 +972,24 @@ def test_changelog_stream_crosses_rewrite_manifests(spark, tmp_path):
     got = _run_changelog(spark, t, str(tmp_path / "run"))
     rows = {(r.a, r.b) for r in got.collect()}
     assert rows == {("a1", "b1"), ("a2", "b2")}
+
+
+def test_diff_over_pure_rewrite_range_is_empty_not_error(spark, tmp_path):
+    """The crossability contract taken literally: a diff range containing
+    ONLY rewrite_manifests snapshots added nothing — the incremental
+    consumer gets an EMPTY frame with the snapshot schema, not a crash
+    (routine maintenance must never break a polling reader)."""
+    t = _mk(spark, tmp_path, [[(1, "a")]])
+    t.rewrite_manifests()
+    out = t.diff(spark, 1, 2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["k", "v"]
+    # and the genuinely-empty-range error is preserved for misuse
+    with pytest.raises(ValueError, match="need 0 <= v_from < v_to"):
+        t.diff(spark, 2, 2)
+
+
+def test_rewrite_manifests_rejects_empty_snapshot(tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    with pytest.raises(ValueError, match="nothing to rewrite"):
+        t.rewrite_manifests()
