@@ -857,6 +857,13 @@ def _band_exprs(
             f"hamming bands={bands} must be in [1, total_bits={total_bits}] "
             "(more bands than bits means zero-width bands)"
         )
+    if total_bits > n_words * word_bits:
+        raise ValueError(
+            f"hamming total_bits={total_bits} exceeds the signature's "
+            f"{n_words} words x {word_bits} bits = {n_words * word_bits}: "
+            "a band would reference a nonexistent sig column (or band over "
+            "unrelated columns and silently lose pairs)"
+        )
     bounds = [round(j * total_bits / bands) for j in range(bands + 1)]
     out = []
     for j in range(bands):
@@ -905,13 +912,22 @@ def hamming_candidates(
     UNVERIFIED candidates (hamming may exceed the caller's radius);
     ``hamming_pairs`` applies the radius filter. Exposed separately so
     tests can measure candidate reduction vs the n^2 floor.
+
+    Shuffle shape: the exploded/banded stream carries ONLY
+    ``(id, band_id, band_value)`` — the signature words are re-joined by
+    id AFTER the distinct pair set exists. Folding the words through the
+    explode would multiply shuffle bytes by ``bands`` (at 1e9 signatures
+    the duplicated words, not the narrow band key, would dominate); the
+    narrow shape pays instead two n-row equi-joins on id, which do NOT
+    scale with ``bands``, and deduplicates pairs before the words are
+    ever attached.
     """
     sigs = df.select(
         F.col(id_col).alias("_hid"),
         *[F.col(f"sig{w}") for w in range(n_words)],
     )
     banded = sigs.select(
-        "*",
+        "_hid",
         F.explode(
             F.array(
                 *[
@@ -924,27 +940,31 @@ def hamming_candidates(
                 ]
             )
         ).alias("_b"),
-    ).select("_hid", *[f"sig{w}" for w in range(n_words)],
-             F.col("_b.bid").alias("_bid"), F.col("_b.bval").alias("_bval"))
-    left = banded.select(
+    ).select("_hid", F.col("_b.bid").alias("_bid"), F.col("_b.bval").alias("_bval"))
+    pairs = (
+        banded.select(F.col("_hid").alias("id_1"), "_bid", "_bval")
+        .join(banded.select(F.col("_hid").alias("id_2"), "_bid", "_bval"),
+              ["_bid", "_bval"])
+        .where(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    lsig = sigs.select(
         F.col("_hid").alias("id_1"),
         *[F.col(f"sig{w}").alias(f"l_sig{w}") for w in range(n_words)],
-        "_bid", "_bval",
     )
-    right = banded.select(
+    rsig = sigs.select(
         F.col("_hid").alias("id_2"),
         *[F.col(f"sig{w}").alias(f"r_sig{w}") for w in range(n_words)],
-        "_bid", "_bval",
     )
     ham = None
     for w in range(n_words):
         term = F.bit_count(F.col(f"l_sig{w}").bitwiseXOR(F.col(f"r_sig{w}")))
         ham = term if ham is None else ham + term
     return (
-        left.join(right, ["_bid", "_bval"])
-        .where(F.col("id_1") < F.col("id_2"))
+        pairs.join(lsig, "id_1")
+        .join(rsig, "id_2")
         .select("id_1", "id_2", ham.cast("long").alias("hamming"))
-        .distinct()
     )
 
 

@@ -74,6 +74,15 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _norm(p: str) -> str:
+    """Canonical spelling for path liveness tests: manifests record paths
+    as they were spelled at commit time (absolute, but possibly through a
+    symlink or a different CWD-relative root), while maintenance ops glob
+    the filesystem — realpath both sides so GC never mistakes a live file
+    for garbage over a spelling difference."""
+    return os.path.realpath(p)
+
+
 def _file_column_stats(path: str) -> dict:
     """Per-column [min, max] from a parquet file's FOOTER (no data read):
     aggregated across row groups, kept only for JSON-representable scalar
@@ -544,24 +553,33 @@ class ManifestTable:
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         keep, drop = vs[-keep_last:], vs[:-keep_last]
+        # Every membership/prefix test below runs on realpath-normalized
+        # spellings: a table opened via a relative path, a different CWD, or
+        # a symlinked mount must never mistake a LIVE file for garbage just
+        # because the manifest recorded a different spelling of it.
         referenced: set[str] = set()
         kept_groups: set[str] = set()
         for v in keep:
-            referenced.update(self._manifest(v)["files"])
-            kept_groups.update(g["path"] for g in self._raw(v).get("groups", []))
-        own_prefix = os.path.join(self.root, "data") + os.sep
+            referenced.update(_norm(f) for f in self._manifest(v)["files"])
+            kept_groups.update(
+                _norm(g["path"]) for g in self._raw(v).get("groups", [])
+            )
+        own_prefix = _norm(os.path.join(self.root, "data")) + os.sep
         removed: list[str] = []
         dropped_groups: set[str] = set()
         for v in drop:
             for f in self._manifest(v)["files"]:
+                nf = _norm(f)
                 if (
-                    f.startswith(own_prefix)
-                    and f not in referenced
+                    nf.startswith(own_prefix)
+                    and nf not in referenced
                     and os.path.exists(f)
                 ):
                     os.remove(f)
                     removed.append(f)
-            dropped_groups.update(g["path"] for g in self._raw(v).get("groups", []))
+            dropped_groups.update(
+                _norm(g["path"]) for g in self._raw(v).get("groups", [])
+            )
             os.remove(os.path.join(self._mdir, f"v{v:05d}.json"))
             self._mcache.pop(v, None)
             self._rawcache.pop(v, None)
@@ -570,7 +588,7 @@ class ManifestTable:
         # is "which DATA was physically deleted"); same ownership guard —
         # a clone's manifests reference the SOURCE's group files, which
         # expire-on-the-clone must never delete
-        own_groups = self._gdir + os.sep
+        own_groups = _norm(self._gdir) + os.sep
         for g in sorted(dropped_groups - kept_groups):
             if g.startswith(own_groups) and os.path.exists(g):
                 os.remove(g)
@@ -644,12 +662,17 @@ class ManifestTable:
         writer can be active (tests, single-process maintenance)."""
         import time as _time
 
+        # glob()'d paths and manifest-recorded paths can spell the same
+        # file differently (relative root, symlinked mount, '..' segments);
+        # realpath-normalize BOTH sides of every liveness test or a live
+        # group/data dir gets reclaimed — destroying file lists and stats
+        # for every snapshot that references it.
         referenced: set[str] = set()
         referenced_groups: set[str] = set()
         for v in self.versions():
-            referenced.update(self._manifest(v)["files"])
+            referenced.update(_norm(f) for f in self._manifest(v)["files"])
             referenced_groups.update(
-                g["path"] for g in self._raw(v).get("groups", [])
+                _norm(g["path"]) for g in self._raw(v).get("groups", [])
             )
         live_dirs = {os.path.dirname(f) for f in referenced}
         cutoff = _time.time() - min_age_seconds
@@ -659,7 +682,7 @@ class ManifestTable:
             for d in sorted(glob.glob(os.path.join(data_root, "*"))):
                 if (
                     os.path.isdir(d)
-                    and d not in live_dirs
+                    and _norm(d) not in live_dirs
                     and os.path.getmtime(d) <= cutoff
                 ):
                     removed.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
@@ -679,7 +702,7 @@ class ManifestTable:
                     os.remove(f)
                     removed.append(f)
             for g in sorted(glob.glob(os.path.join(self._gdir, "g-*.json"))):
-                if g not in referenced_groups and os.path.getmtime(g) <= cutoff:
+                if _norm(g) not in referenced_groups and os.path.getmtime(g) <= cutoff:
                     os.remove(g)
                     self._gcache.pop(g, None)
                     removed.append(g)

@@ -366,6 +366,45 @@ def test_hamming_pairs_rejects_lossy_band_count(spark):
         hamming_pairs(df, "id", n_words=2, radius=5, total_bits=60, bands=5)
 
 
+def test_band_exprs_rejects_total_bits_beyond_signature(spark):
+    """total_bits > n_words*word_bits would band over a nonexistent (or
+    unrelated) sig column — must fail fast with a clear contract error,
+    not an opaque AnalysisException at execution."""
+    import pytest
+
+    from gridmr_spark.operators.similarity import hamming_pairs
+
+    df = spark.createDataFrame([(1, 0, 0)], "id long, sig0 long, sig1 long")
+    with pytest.raises(ValueError, match="exceeds the signature"):
+        hamming_pairs(df, "id", n_words=2, radius=2, total_bits=80, bands=8)
+
+
+def test_hamming_candidates_explode_is_narrow(spark):
+    """Scale contract: the banded/exploded stream must NOT carry the
+    signature words through the bands-way fan-out — words re-join by id
+    after the distinct pair set exists (shuffle bytes stay O(n*bands*3
+    cols), not O(n*bands*n_words))."""
+    from gridmr_spark.operators.similarity import hamming_candidates
+
+    df = spark.createDataFrame(
+        [(i, i & 0xFFFFFFFF, 0) for i in range(8)],
+        "id long, sig0 long, sig1 long",
+    )
+    import re
+
+    plan = hamming_candidates(df, "id", 2, 60, 5)._jdf.queryExecution().toString()
+    # the projections feeding the (_bid,_bval) band join must be exactly
+    # the narrow (id, _bid, _bval) triple — no sig words folded through
+    narrow = re.findall(
+        r"Project \[_hid#\d+L AS id_[12]#\d+L, _b#\d+\.bid AS _bid#\d+, "
+        r"_b#\d+\.bval AS _bval#\d+L\]",
+        plan,
+    )
+    assert len(narrow) >= 2, plan
+    # and the pair set is narrowed to (id_1, id_2) before dedup/verify
+    assert re.search(r"Project \[id_1#\d+L, id_2#\d+L\]", plan), plan
+
+
 def test_shortlisted_1nn_canary_and_recall(spark):
     """eval_1nn_shortlist contract: at m = |ref| the two-stage path must
     equal brute-force 1-NN BIT-FOR-BIT (exactness canary); at small m on

@@ -208,6 +208,25 @@ def test_vacuum_removes_only_orphans(spark, tmp_path):
     assert t.vacuum_orphans(min_age_seconds=0) == []  # idempotent
 
 
+def test_vacuum_and_expire_survive_symlinked_root_spelling(spark, tmp_path):
+    """GC liveness tests must be spelling-insensitive: a table written
+    under its real path then maintained through a SYMLINKED root (or any
+    other alternate spelling) must not mistake live group manifests or
+    data dirs for orphans — that would destroy file lists and stats for
+    every snapshot."""
+    t = _mk(spark, tmp_path, [[(1, "a")], [(2, "b")]])
+    link = str(tmp_path / "tbl_link")
+    os.symlink(t.root, link)
+    alias = ManifestTable(link)
+    # nothing is orphaned: vacuum through the alias must reclaim NOTHING
+    assert alias.vacuum_orphans(min_age_seconds=0) == []
+    assert sorted(r.k for r in alias.read(spark).collect()) == [1, 2]
+    assert sorted(r.k for r in t.read(spark).collect()) == [1, 2]
+    # expire through the alias keeps the surviving snapshot intact
+    alias.expire(keep_last=1)
+    assert sorted(r.k for r in ManifestTable(t.root).read(spark).collect()) == [1, 2]
+
+
 def _run_changelog(spark, t, run_dir):
     from gridmr_spark.sources.table_format import register_changelog_source
 
