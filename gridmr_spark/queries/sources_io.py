@@ -518,6 +518,63 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_SQL_READ_ORACLE = f"""
+SELECT 'v1' AS label, CAST(COUNT(*) AS BIGINT) AS n_rows, {_SUM_CENTS_SQL} AS sum_cents
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT 'v2', CAST(COUNT(*) AS BIGINT), {_SUM_CENTS_SQL}
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+UNION ALL
+SELECT 'current', CAST(COUNT(*) AS BIGINT), {_SUM_CENTS_SQL}
+FROM orders
+UNION ALL
+SELECT 'asof_v2', CAST(COUNT(*) AS BIGINT), {_SUM_CENTS_SQL}
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+UNION ALL
+SELECT 'appends', CAST(3 AS BIGINT), CAST(0 AS BIGINT)
+"""
+
+_SQL_READ_AGG = "CAST(COUNT(*) AS BIGINT) AS n_rows, " + _SUM_CENTS_SQL + " AS sum_cents"
+
+
+@query("table_sql_read", oracle=_SQL_READ_ORACLE)
+def table_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest table's SQL read surface
+    (`ManifestTable.register_sql`, sources/table_format.py): the 3-commit
+    orders table is registered as temp views and then queried with PURE
+    SQL — current snapshot (`mt_orders`), version travel
+    (`mt_orders_v1/_v2` = VERSION AS OF), timestamp travel (a view pinned
+    via `version_at`, = TIMESTAMP AS OF), and the commit-log metadata view
+    (`mt_orders_history`). The oracle re-derives every snapshot from the
+    base table with the cumulative modulo filters, so a green row proves
+    the SQL spelling resolves the exact same file lists as the Python API.
+
+    Scale shape: each view is a LAZY native parquet plan over the
+    manifest's file list — registration reads no data, and the SQL reader
+    keeps full pushdown/codegen (the reason this is a view helper, not a
+    Python batch DataSource: batch rows through Python workers would
+    forfeit the JVM vectorized reader)."""
+    t = _manifest_orders_table(spark, sf_dir)
+    t.register_sql(spark, "mt_orders")
+    # TIMESTAMP AS OF the instant between v2's and v3's commits -> v2
+    ts2, ts3 = t._raw(2)["ts"], t._raw(3)["ts"]
+    t.sql_view(spark, "mt_orders_asof", at_ts=(ts2 + ts3) / 2.0)
+    return spark.sql(f"""
+        SELECT 'v1' AS label, {_SQL_READ_AGG} FROM mt_orders_v1
+        UNION ALL
+        SELECT 'v2', {_SQL_READ_AGG} FROM mt_orders_v2
+        UNION ALL
+        SELECT 'current', {_SQL_READ_AGG} FROM mt_orders
+        UNION ALL
+        SELECT 'asof_v2', {_SQL_READ_AGG} FROM mt_orders_asof
+        UNION ALL
+        SELECT 'appends',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM mt_orders_history
+                WHERE operation = 'append') AS n_rows,
+               CAST(0 AS BIGINT) AS sum_cents
+    """)
+
+
 _INC_ORACLE = f"""
 SELECT CAST(o_orderkey % 3 AS BIGINT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_rows,

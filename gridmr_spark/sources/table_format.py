@@ -1043,6 +1043,73 @@ class ManifestTable:
                 df = df.where(_F.col(c) <= _F.lit(p_hi))
         return df
 
+    def sql_view(
+        self,
+        spark: SparkSession,
+        name: str,
+        version: int | None = None,
+        at_ts: float | None = None,
+        preds: dict | None = None,
+    ) -> str:
+        """Register one snapshot as a temp view so ``spark.sql`` can query
+        it — the SQL half of time travel: ``version=`` pins a VERSION AS OF
+        read, ``at_ts=`` a TIMESTAMP AS OF read (resolved through
+        ``version_at``, version order authoritative under clock skew).
+        The view is the NATIVE parquet scan over the snapshot's manifest
+        file list — full predicate pushdown, column pruning, and
+        whole-stage codegen apply, which is why this is a view helper and
+        not a Python DataSource (batch rows through Python workers would
+        forfeit the JVM vectorized reader at 100 TB). ``preds={col: (lo,
+        hi)}`` additionally applies manifest-stats FILE pruning before the
+        view is built (same contract as ``read_pruned``: residual
+        predicates re-applied, results identical to the unpruned read).
+
+        The file list is resolved NOW: the view is a stable snapshot
+        (SQL readers get snapshot isolation for free); re-register to see
+        later commits. Returns ``name``."""
+        if at_ts is not None:
+            if version is not None:
+                raise ValueError("sql_view: pass version OR at_ts, not both")
+            version = self.version_at(at_ts)
+        if preds is not None:
+            df = self.read_pruned(spark, version=version, preds=preds)
+        else:
+            df = self.read(spark, version)
+        df.createOrReplaceTempView(name)
+        return name
+
+    def register_sql(
+        self, spark: SparkSession, name: str, versions: bool = True
+    ) -> list[str]:
+        """Register the table's whole SQL read surface under ``name``:
+
+        - ``<name>``          — the current snapshot
+        - ``<name>_v{N}``     — every surviving version (``versions=True``),
+          the VERSION AS OF spelling (Spark temp-view identifiers reject
+          Iceberg's ``@``/``$`` characters, hence the underscore convention)
+        - ``<name>_history``  — the commit log (DESCRIBE HISTORY)
+        - ``<name>_files``    — current snapshot's data files with their
+          per-column min/max stats envelope (Iceberg's ``files`` metadata
+          table), for SQL-side scan planning / debugging
+
+        Every data view is a lazy native parquet plan over a manifest file
+        list — registration reads NO data, costs O(#versions) manifest
+        fetches, and later commits never mutate a registered view (snapshot
+        isolation; re-register to advance). Returns the registered names."""
+        out = [self.sql_view(spark, name)]
+        if versions:
+            for v in self.versions():
+                out.append(self.sql_view(spark, f"{name}_v{v}", version=v))
+        self.history(spark).createOrReplaceTempView(f"{name}_history")
+        out.append(f"{name}_history")
+        stats = self.snapshot_stats()
+        files_rows = [(f, json.dumps(st, sort_keys=True)) for f, st in stats.items()]
+        spark.createDataFrame(
+            files_rows, "file_path string, column_stats string"
+        ).createOrReplaceTempView(f"{name}_files")
+        out.append(f"{name}_files")
+        return out
+
     def diff(self, spark: SparkSession, v_from: int, v_to: int) -> DataFrame:
         """Rows ADDED strictly after ``v_from`` up to and including
         ``v_to`` — the O(delta) incremental-read input."""

@@ -208,6 +208,58 @@ def test_vacuum_removes_only_orphans(spark, tmp_path):
     assert t.vacuum_orphans(min_age_seconds=0) == []  # idempotent
 
 
+def test_sql_surface_views_versions_history_files(spark, tmp_path):
+    """register_sql exposes current/_vN/_history/_files; each data view is
+    the exact snapshot and SQL time travel equals the Python API."""
+    t = _mk(spark, tmp_path, [[(1, "a")], [(2, "b"), (3, "c")], [(4, "d")]])
+    names = t.register_sql(spark, "sqlt")
+    assert set(names) == {"sqlt", "sqlt_v1", "sqlt_v2", "sqlt_v3",
+                          "sqlt_history", "sqlt_files"}
+    assert sorted(r.k for r in spark.sql("SELECT k FROM sqlt").collect()) == [1, 2, 3, 4]
+    assert sorted(r.k for r in spark.sql("SELECT k FROM sqlt_v2").collect()) == [1, 2, 3]
+    hist = spark.sql(
+        "SELECT version, operation FROM sqlt_history ORDER BY version"
+    ).collect()
+    assert [(r.version, r.operation) for r in hist] == [
+        (1, "append"), (2, "append"), (3, "append")]
+    files = spark.sql("SELECT file_path, column_stats FROM sqlt_files").collect()
+    assert len(files) == len(t._manifest(3)["files"])
+    assert all(os.path.exists(r.file_path) for r in files)
+
+
+def test_sql_view_snapshot_isolation_and_timestamp_travel(spark, tmp_path):
+    """A registered view pins the file list at registration: later commits
+    never leak in (snapshot isolation); at_ts resolves like version_at."""
+    t = _mk(spark, tmp_path, [[(1, "a")], [(2, "b")]])
+    t.sql_view(spark, "iso_view")
+    t.commit(spark.createDataFrame([(3, "c")], "k long, v string"))
+    assert sorted(r.k for r in spark.sql("SELECT k FROM iso_view").collect()) == [1, 2]
+    ts2 = t._raw(2)["ts"]
+    t.sql_view(spark, "iso_asof", at_ts=(ts2 + t._raw(3)["ts"]) / 2.0)
+    assert sorted(r.k for r in spark.sql("SELECT k FROM iso_asof").collect()) == [1, 2]
+    import pytest
+
+    with pytest.raises(ValueError, match="not both"):
+        t.sql_view(spark, "iso_bad", version=1, at_ts=ts2)
+
+
+def test_sql_view_manifest_pruning_still_works(spark, tmp_path):
+    """sql_view(preds=...) must scan ONLY the stats-overlapping files while
+    returning results identical to the unpruned snapshot filter."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    for lo in (0, 100, 200):  # three commits with disjoint k ranges
+        t.commit(
+            spark.createDataFrame(
+                [(lo + i, "x") for i in range(10)], "k long, v string"
+            ).coalesce(1)
+        )
+    t.sql_view(spark, "pruned_view", preds={"k": (100, 109)})
+    got = spark.sql("SELECT k FROM pruned_view ORDER BY k").collect()
+    assert [r.k for r in got] == list(range(100, 110))
+    scanned = spark.table("pruned_view").inputFiles()
+    assert 0 < len(scanned) < len(t._manifest(3)["files"])
+
+
 def test_vacuum_and_expire_survive_symlinked_root_spelling(spark, tmp_path):
     """GC liveness tests must be spelling-insensitive: a table written
     under its real path then maintained through a SYMLINKED root (or any
