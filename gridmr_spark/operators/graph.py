@@ -98,6 +98,112 @@ def connected_components(
     return labels
 
 
+def incremental_components(
+    assignment: DataFrame,
+    new_vertices: DataFrame,
+    new_edges: DataFrame,
+    id_col: str = "id",
+    comp_col: str = "component",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Day-N maintenance of a components assignment WITHOUT reclustering
+    the corpus: given the prior full run's ``assignment`` (id ->
+    component, where the component label is the MIN member id — the
+    convention every CC in this module emits) and the day's
+    ``new_edges`` (old x new and new x new pairs; any old x old pair the
+    day discovers is fine too), recluster ONLY the affected components.
+
+    Algorithm (quotient-graph contraction): every old endpoint of a new
+    edge is replaced by its component label — valid because an old
+    component is already internally connected, so for connectivity it IS
+    one supernode — then connected components runs on the CONTRACTED
+    graph, whose size is O(day's edges), never O(corpus). Because old
+    labels are min member ids and min-label CC takes the min over the
+    contracted nodes, the new label of a merged group equals the global
+    min id — EXACTLY what a full recompute over (old pairs ∪ new pairs)
+    yields (the registered query's oracle proves this by hash equality).
+
+    Scale shape / what is NOT re-shuffled: the corpus-size ``assignment``
+    is touched twice, both times shuffle-free — a broadcast LEFT-SEMI
+    probe to pull the O(|edges|) affected rows, and the final relabel,
+    a broadcast hash join of the tiny (old component -> new label) map
+    against the streaming assignment scan. Untouched components' rows
+    pass through map-side with their label unchanged (asserted on the
+    physical plan by tests/test_graph_incremental.py). In production the
+    relabel output feeds ``ManifestTable.merge_by_key`` with just the
+    changed rows, so even the rewrite is bounded by the day's blast
+    radius.
+
+    Returns the updated full assignment: DataFrame[id, component]
+    covering old ∪ new vertices.
+    """
+    asg = assignment.select(F.col(id_col).alias("id"), F.col(comp_col).alias("component"))
+    edges = new_edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
+
+    # 1. Affected OLD rows: endpoints of new edges that exist in the prior
+    #    assignment. Broadcast-semi probe — assignment streams, no shuffle.
+    endpoints = (
+        edges.select(F.col("_s").alias("id"))
+        .union(edges.select(F.col("_d").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    touched = asg.join(F.broadcast(endpoints), "id", "left_semi").localCheckpoint(
+        eager=True
+    )  # O(|edges|) rows: (old id, old component)
+
+    # 2. Contract edge endpoints through the touched map (new ids miss the
+    #    map and stay themselves). Both sides of these joins are day-sized.
+    s_map = touched.select(F.col("id").alias("_s"), F.col("component").alias("_sc"))
+    d_map = touched.select(F.col("id").alias("_d"), F.col("component").alias("_dc"))
+    contracted = (
+        edges.join(F.broadcast(s_map), "_s", "left")
+        .join(F.broadcast(d_map), "_d", "left")
+        .select(
+            F.coalesce(F.col("_sc"), F.col("_s")).alias("src"),
+            F.coalesce(F.col("_dc"), F.col("_d")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+
+    # 3. CC on the contracted graph: supernodes (affected components'
+    #    labels) + the day's new vertices.
+    cverts = (
+        touched.select("component").distinct().select(F.col("component").alias("id"))
+        .union(new_vertices.select(F.col(id_col).alias("id")))
+        .distinct()
+    )
+    cc = connected_components(
+        cverts, contracted, id_col="id", src_col="src", dst_col="dst",
+        max_iter=max_iter,
+    ).localCheckpoint(eager=True)  # day-sized
+
+    # 4. Relabel map for affected old components only (id here is an old
+    #    component label). Identity rows dropped: the broadcast map carries
+    #    only components that actually changed.
+    aff = touched.select(F.col("component").alias("_tc")).distinct()
+    relabel = (
+        cc.join(F.broadcast(aff), cc["id"] == F.col("_tc"), "left_semi")
+        .where(F.col("id") != F.col("component"))
+        .select(F.col("id").alias("_old_comp"), F.col("component").alias("_new_comp"))
+    )
+
+    # 5. Output: corpus scan + broadcast relabel (shuffle-free), plus the
+    #    new vertices' labels straight from the contracted CC.
+    old_rows = (
+        asg.join(F.broadcast(relabel), asg["component"] == F.col("_old_comp"), "left")
+        .select("id", F.coalesce(F.col("_new_comp"), F.col("component")).alias("component"))
+    )
+    new_rows = cc.join(
+        F.broadcast(new_vertices.select(F.col(id_col).alias("id")).distinct()),
+        "id",
+        "left_semi",
+    )
+    return old_rows.unionByName(new_rows)
+
+
 def pagerank(
     vertices: DataFrame,
     edges: DataFrame,

@@ -1638,6 +1638,57 @@ def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_incremental_clusters", oracle=_MINHASH_CC_ORACLE)
+def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CLUSTER maintenance (operators/graph.py:
+    incremental_components): the even-id half plays yesterday's corpus
+    with its components already assigned (a prior full run); the odd-id
+    half is today's ingest. The day's pairs (bipartite old x new from
+    `minhash_dedup_incremental` plus new x new) recluster only AFFECTED
+    components via quotient-graph contraction — CC runs on a graph of
+    O(day's pairs) supernodes, and untouched components' rows pass
+    through a broadcast relabel join unshuffled (plan asserted in
+    tests/test_graph_incremental.py). The oracle is the FULL recompute
+    over all documents (same recursive closure as dedup_minhash_clusters)
+    — hash equality proves the incremental shortcut is exact, not
+    approximately right."""
+    from gridmr_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    prior_pairs = dedup_ops.minhash_dedup_pairs(
+        old, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5
+    )
+    prior = connected_components(
+        old.select("doc_id"), prior_pairs.select("id1", "id2"),
+        id_col="doc_id", src_col="id1", dst_col="id2",
+    )
+    day_pairs = (
+        dedup_ops.minhash_dedup_incremental(
+            old, new, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5
+        )
+        .select("id1", "id2")
+        .union(
+            dedup_ops.minhash_dedup_pairs(
+                new, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5
+            ).select("id1", "id2")
+        )
+    )
+    updated = incremental_components(
+        prior, new.select(F.col("doc_id").alias("id")),
+        day_pairs, src_col="id1", dst_col="id2",
+    )
+    return updated.select(
+        F.col("id").alias("doc_id"),
+        "component",
+        (F.col("id") == F.col("component")).cast("int").alias("is_representative"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Quality classifier: broadcast linear model inference as a DataFrame op
 # ---------------------------------------------------------------------------
