@@ -22,12 +22,20 @@ LineRecordReader uses:
   necessarily heuristic — the same trade every Hadoop WARC reader makes;
   Common Crawl's per-record-gzip-member layout exists precisely so that
   splitters can use member boundaries instead.)
-- ``.warc.gz`` files are one split each (a gzip stream is not
-  byte-addressable without an index); records are parsed from the
-  decompressed stream sequentially. At 100 TB the scale path is many
-  moderate .gz files (Common Crawl ships ~1 GB segments), so per-file
-  parallelism is already ample; per-member splitting is a documented
-  extension seam.
+- ``.warc.gz`` files larger than one chunk are split by GZIP MEMBER
+  boundaries (Common Crawl compresses each record as its own member for
+  exactly this reason): compressed byte ranges [lo, hi) sync forward to
+  the first gzip magic that VALIDATES (decompresses to a well-formed WARC
+  header — the same scan-plus-validate trade as the plain-file sync), and
+  a member belongs to the split containing its first compressed byte. A
+  split keeps decompressing across member boundaries until its last
+  record completes, and stops when a record would begin exactly at a
+  member starting at-or-past ``hi`` — so archives whose members straddle
+  records, and even single-member streams (no internal sync points:
+  split 0 reads everything, the rest sync to nothing), parse exactly
+  once at ANY chunk size (asserted by tests/test_warc.py). For gz
+  records, ``offset`` is the COMPRESSED offset of the record's member —
+  the locator a ranged re-fetch needs.
 
 Reader schema (all splits)::
 
@@ -52,6 +60,7 @@ import hashlib
 import os
 import time
 import uuid
+import zlib
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -74,10 +83,11 @@ _MAX_HEADER = 64 * 1024  # spec headers are tiny; 64 KB is a hard sanity cap
 
 
 class _WarcSplit(InputPartition):
-    def __init__(self, path: str, start: int, end: int | None):
+    def __init__(self, path: str, start: int, end: int | None, gz: bool = False):
         self.path = path
         self.start = start
         self.end = end  # None => gzip stream, parse to EOF
+        self.gz = gz  # True => [start, end) is a COMPRESSED member range
 
 
 def _list_warc_files(path: str, missing_ok: bool = False) -> list[str]:
@@ -179,6 +189,175 @@ def _read_records(fh, base_offset: int, end: int | None, fname: str):
         pos += need
 
 
+class _MemberWalker:
+    """Sequential decompressor over a CONCATENATED-gzip stream starting at
+    a member boundary, tracking every member transition as
+    ``(decomp_pos, comp_pos)`` — the bookkeeping the split stop-rule and
+    the per-record member ``offset`` need. Invariant: every compressed
+    byte read from ``fh`` is either consumed by the current decompressor
+    or sitting in ``self.pending``, so the next member's compressed
+    offset is always ``comp_read - len(pending)``."""
+
+    def __init__(self, fh, comp_start: int):
+        fh.seek(comp_start)
+        self.fh = fh
+        self.d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        self.comp_read = comp_start
+        self.pending = b""
+        self.decomp_total = 0
+        self.boundaries: list[tuple[int, int]] = []  # upcoming member starts
+
+    def produce(self) -> bytes:
+        """Next chunk of decompressed bytes; b'' at end of file."""
+        while True:
+            if self.d.eof:
+                self.pending = self.d.unused_data + self.pending
+                if not self.pending:
+                    chunk = self.fh.read(1 << 20)
+                    if not chunk:
+                        return b""
+                    self.comp_read += len(chunk)
+                    self.pending = chunk
+                next_comp = self.comp_read - len(self.pending)
+                self.boundaries.append((self.decomp_total, next_comp))
+                self.d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            if not self.pending:
+                chunk = self.fh.read(1 << 20)
+                if not chunk:
+                    raise ValueError("warc: truncated gzip member")
+                self.comp_read += len(chunk)
+                self.pending = chunk
+            out = self.d.decompress(self.pending)
+            self.pending = b""
+            if out:
+                self.decomp_total += len(out)
+                return out
+
+
+def _gz_records(path: str, start: int, hi: int | None, fname: str):
+    """Yield records from a concatenated-gzip WARC, beginning at member
+    offset ``start`` (must be a validated member start, or 0). Stops when
+    a record would BEGIN exactly at a member boundary whose compressed
+    offset is >= ``hi`` — that member is the next split's sync anchor, so
+    together the splits parse every record exactly once, including
+    records that straddle member boundaries (this split finishes them;
+    the next split's sync skips the non-record-aligned member).
+    ``hi=None``: parse to EOF. Record ``offset`` = compressed offset of
+    the record's member."""
+    with open(path, "rb") as fh:
+        w = _MemberWalker(fh, start)
+        buf = b""
+        pos = 0  # decompressed offset (anchor-relative) of next record
+        member_comp = start  # member containing the next record's first byte
+        exhausted = False
+        while True:
+            # top up until the header block is complete (or EOF)
+            while _SEP not in buf[: _MAX_HEADER + len(_SEP)] and not exhausted:
+                chunk = w.produce()
+                if not chunk:
+                    exhausted = True
+                    break
+                buf += chunk
+            if not buf:
+                return
+            # advance member bookkeeping to the record start, then apply
+            # the stop rule: a boundary EXACTLY at the record start whose
+            # member begins at-or-past hi hands over to the next split
+            boundary_here = None
+            while w.boundaries and w.boundaries[0][0] <= pos:
+                dpos, cpos = w.boundaries.pop(0)
+                member_comp = cpos
+                boundary_here = (dpos, cpos)
+            if (
+                hi is not None
+                and boundary_here is not None
+                and boundary_here[0] == pos
+                and boundary_here[1] >= hi
+            ):
+                return
+            parsed = _parse_header_block(buf)
+            if parsed is None:
+                raise ValueError(
+                    f"warc: malformed record at {fname}:gz+{pos} (bytes: {buf[:40]!r})"
+                )
+            headers, hlen = parsed
+            clen = int(headers["content-length"])
+            need = hlen + clen + len(_SEP)
+            while len(buf) < need and not exhausted:
+                chunk = w.produce()
+                if not chunk:
+                    exhausted = True
+                    break
+                buf += chunk
+            payload = buf[hlen : hlen + clen]
+            if len(payload) < clen:
+                raise ValueError(f"warc: truncated payload at {fname}:gz+{pos}")
+            yield (
+                headers.get("warc-record-id"),
+                headers.get("warc-type"),
+                headers.get("warc-target-uri"),
+                headers.get("warc-date"),
+                headers.get("content-type"),
+                clen,
+                payload,
+                fname,
+                member_comp,
+            )
+            tail = buf[hlen + clen : need]
+            if tail not in (_SEP, _SEP[: len(tail)]):
+                raise ValueError(f"warc: missing record separator at {fname}:gz+{pos}")
+            buf = buf[need:]
+            pos += need
+
+
+_GZ_MAGIC = b"\x1f\x8b\x08"
+
+
+def _sync_to_gz_member(fh, start: int, hi: int) -> int | None:
+    """First VALIDATED gzip member start in [start, hi): scan the
+    compressed bytes for the gzip magic and accept a candidate only if a
+    probe decompression yields a well-formed WARC header (same
+    scan-plus-validate heuristic as ``_sync_to_record``; a false magic
+    inside compressed data fails the probe and scanning continues).
+    Returns None when the range holds no member start — which is exactly
+    what makes single-member streams safe: every split but the first
+    syncs to nothing, and split 0 reads to EOF."""
+    if start == 0:
+        return 0
+    fh.seek(start)
+    window = b""
+    wbase = start
+    while wbase < hi:
+        chunk = fh.read(1 << 20)
+        window += chunk
+        at = 0
+        while True:
+            hit = window.find(_GZ_MAGIC, at)
+            if hit < 0 or wbase + hit >= hi:
+                break
+            cand = wbase + hit
+            save = fh.tell()
+            fh.seek(cand)
+            probe = fh.read(max(_MAX_HEADER, 256 * 1024))
+            fh.seek(save)
+            try:
+                out = zlib.decompressobj(16 + zlib.MAX_WBITS).decompress(
+                    probe, _MAX_HEADER + len(_SEP)
+                )
+                if out.startswith(b"WARC/") and _parse_header_block(out) is not None:
+                    return cand
+            except zlib.error:
+                pass
+            at = hit + 1
+        if not chunk:
+            return None
+        keep = len(_GZ_MAGIC) - 1
+        if len(window) > keep:
+            wbase += len(window) - keep
+            window = window[-keep:]
+    return None
+
+
 def _sync_to_record(fh, start: int, fsize: int) -> int | None:
     """First record start at-or-after ``start`` in a plain file, validated
     by a header parse; None when the range holds no record start. Scans
@@ -222,10 +401,18 @@ def _file_splits(f: str, chunk: int) -> list[_WarcSplit]:
     """Byte-range splits for ONE file — the single definition of the
     split contract, shared by the batch reader, the stream reader, and
     the Arrow scan (a contract change lands in exactly one place).
-    Gzip streams are one split (not byte-addressable without an index)."""
-    if f.endswith(".gz"):
-        return [_WarcSplit(f, 0, None)]
+    Gzip archives bigger than one chunk split on COMPRESSED member
+    ranges (sync + stop rule in ``_gz_records``); smaller ones — and
+    therefore also single-member streams below the chunk size — stay one
+    whole-stream split."""
     size = os.path.getsize(f)
+    if f.endswith(".gz"):
+        if size <= chunk:
+            return [_WarcSplit(f, 0, None)]
+        return [
+            _WarcSplit(f, lo, min(lo + chunk, size), gz=True)
+            for lo in range(0, size, chunk)
+        ]
     return [
         _WarcSplit(f, lo, min(lo + chunk, size))
         for lo in range(0, max(size, 1), chunk)
@@ -253,8 +440,16 @@ class WarcReader(DataSourceReader):
             return
         fname = os.path.basename(split.path)
         if split.end is None:
-            with gzip.open(split.path, "rb") as fh:
-                yield from _read_records(fh, 0, None, fname)
+            # whole gzip stream: same member walker as ranged splits, so
+            # `offset` (member compressed offset) is consistent either way
+            yield from _gz_records(split.path, 0, None, fname)
+            return
+        if getattr(split, "gz", False):
+            with open(split.path, "rb") as fh:
+                first = _sync_to_gz_member(fh, split.start, split.end)
+            if first is None:
+                return
+            yield from _gz_records(split.path, first, split.end, fname)
             return
         with open(split.path, "rb") as fh:
             fsize = os.path.getsize(split.path)
@@ -455,12 +650,13 @@ def register(spark) -> None:
 # ---------------------------------------------------------------------------
 
 
-def _plan_splits(path: str, chunk: int) -> list[tuple[str, int, int]]:
+def _plan_splits(path: str, chunk: int) -> list[tuple[str, int, int, bool]]:
     """The batch reader's split plan as plain rows (end=-1 marks a gzip
-    stream parsed to EOF) — the same ``_file_splits`` contract the
-    DataSource readers use, flattened for shipping in a DataFrame."""
+    stream parsed to EOF; gz=True a compressed member range) — the same
+    ``_file_splits`` contract the DataSource readers use, flattened for
+    shipping in a DataFrame."""
     return [
-        (s.path, s.start, -1 if s.end is None else s.end)
+        (s.path, s.start, -1 if s.end is None else s.end, s.gz)
         for f in _list_warc_files(path)
         for s in _file_splits(f, chunk)
     ]
@@ -500,7 +696,7 @@ def read_warc_arrow(spark, path: str, chunk_mb: float = 64):
     # just to spread a few-KB task list)
     sdf = spark.createDataFrame(
         spark.sparkContext.parallelize(splits, len(splits)),
-        "path string, start long, end long",
+        "path string, start long, end long, gz boolean",
     )
 
     arrow_schema = pa.schema(
@@ -532,9 +728,15 @@ def read_warc_arrow(spark, path: str, chunk_mb: float = 64):
                 fname = os.path.basename(fpath)
                 cols = [[] for _ in range(9)]
                 nbytes = 0
+                fh = None
                 if end == -1:
-                    fh = gzip.open(fpath, "rb")
-                    records = _read_records(fh, 0, None, fname)
+                    records = _gz_records(fpath, 0, None, fname)
+                elif task["gz"]:
+                    with open(fpath, "rb") as sfh:
+                        first = _sync_to_gz_member(sfh, start, end)
+                    if first is None:
+                        continue
+                    records = _gz_records(fpath, first, end, fname)
                 else:
                     fh = open(fpath, "rb")
                     first = _sync_to_record(fh, start, os.path.getsize(fpath))
@@ -553,7 +755,8 @@ def read_warc_arrow(spark, path: str, chunk_mb: float = 64):
                             cols = [[] for _ in range(9)]
                             nbytes = 0
                 finally:
-                    fh.close()
+                    if fh is not None:
+                        fh.close()
                 if cols[0]:
                     yield flush(cols)
 

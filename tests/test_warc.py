@@ -105,6 +105,87 @@ def test_gzip_stream_equals_plain(spark, tmp_path):
     )
 
 
+def _incompressible_payloads(n=60, seed=7):
+    import random
+
+    rng = random.Random(seed)
+    return [
+        bytes(rng.randrange(256) for _ in range(rng.randrange(500, 4000)))
+        for _ in range(n)
+    ]
+
+
+def _mk_members(path, members):
+    with open(path, "wb") as fh:
+        for m in members:
+            fh.write(gzip.compress(m))
+    return os.path.getsize(path)
+
+
+@pytest.mark.parametrize(
+    "layout",
+    ["per_record", "single_member", "straddling_members", "mixed_members"],
+)
+def test_gz_member_split_chunk_invariance(spark, tmp_path, layout):
+    """A single multi-member .warc.gz archive must parse every record
+    exactly once at ANY chunk size — including member boundaries that fall
+    MID-record (the owning split decompresses across them; the next
+    split's sync rejects the unaligned member) and a pure single-member
+    stream (no sync points: split 0 reads everything). Incompressible
+    payloads force genuinely multi-split files."""
+    payloads = _incompressible_payloads()
+    records = [
+        W.format_record(f"http://t.example/{i}", p) for i, p in enumerate(payloads)
+    ]
+    blob = b"".join(records)
+    if layout == "per_record":
+        members = records
+    elif layout == "single_member":
+        members = [blob]
+    elif layout == "straddling_members":
+        import random
+
+        cuts = sorted(
+            {0, len(blob), *(random.Random(3).randrange(1, len(blob)) for _ in range(15))}
+        )
+        members = [blob[a:b] for a, b in zip(cuts, cuts[1:]) if b > a]
+    else:
+        members = [
+            b"".join(records[:5]), records[5],
+            b"".join(records[6:20]), b"".join(records[20:]),
+        ]
+    gz = str(tmp_path / "t.warc.gz")
+    size = _mk_members(gz, members)
+    want = sorted((f"http://t.example/{i}", p) for i, p in enumerate(payloads))
+    for chunk in (4096, 33333, size * 2):
+        got = sorted(
+            (r.target_uri, bytes(r.payload))
+            for r in _read(spark, gz, chunk / 1024 / 1024).collect()
+        )
+        assert got == want, f"{layout} chunk={chunk}"
+
+
+def test_gz_member_split_parallelism_and_offsets(spark, tmp_path):
+    """Per-record-member archives (the Common Crawl layout) must actually
+    parallelize — many splits, work spread across them — and each record's
+    `offset` is its member's compressed offset (unique, monotone)."""
+    payloads = _incompressible_payloads(40)
+    gz = str(tmp_path / "t.warc.gz")
+    _mk_members(
+        gz,
+        [W.format_record(f"http://t.example/{i}", p) for i, p in enumerate(payloads)],
+    )
+    reader = W.WarcReader({"path": gz, "chunk_mb": 4096 / 1024 / 1024})
+    parts = reader.partitions()
+    assert len(parts) > 5  # one big archive, many splits
+    per_split = [len(list(reader.read(s))) for s in parts]
+    assert sum(per_split) == 40
+    assert sum(1 for n in per_split if n > 0) > 5  # work is spread
+    rows = _read(spark, gz, 4096 / 1024 / 1024).collect()
+    offs = sorted(r.offset for r in rows)
+    assert len(set(offs)) == 40 and offs[0] == 0  # unique member offsets
+
+
 def test_record_metadata_fields(spark, tmp_path):
     f = str(tmp_path / "t.warc")
     _mk_warc(f, [b"hello"])
