@@ -1080,6 +1080,141 @@ FROM routed GROUP BY status
 """
 
 
+_CSV_QUARANTINE_ORACLE = """
+WITH lines AS (
+  SELECT doc_id,
+         CAST(doc_id AS VARCHAR) || ',' || CAST(length(text) AS VARCHAR) AS line
+  FROM documents
+), fed AS (
+  SELECT CASE WHEN doc_id % 7 = 0 THEN line || 'xx' ELSE line END AS line
+  FROM lines
+), routed AS (
+  SELECT CASE WHEN TRY_CAST(split_part(line, ',', 2) AS BIGINT) IS NOT NULL
+              THEN 'ok' ELSE 'quarantined' END AS status,
+         TRY_CAST(split_part(line, ',', 2) AS BIGINT) AS n_chars,
+         CASE WHEN TRY_CAST(split_part(line, ',', 2) AS BIGINT) IS NOT NULL
+              THEN TRY_CAST(split_part(line, ',', 1) AS BIGINT) END AS doc_id
+  FROM fed
+)
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM routed GROUP BY status
+"""
+
+
+@query("source_csv_quarantine", oracle=_CSV_QUARANTINE_ORACLE)
+def source_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest hygiene, same route-don't-crash contract as
+    `source_jsonl_quarantine`: `from_csv` in PERMISSIVE mode with a
+    corrupt-record column classifies each line by the REAL parser (a
+    type-mangled numeric field — every 7th line gets a non-numeric tail —
+    marks the whole line corrupt), ok lines flow through with extracted
+    fields, quarantined lines are counted and never field-trusted. The
+    oracle rebuilds the identical line text and classifies with DuckDB's
+    own TRY_CAST of the mangled field, so the hash row proves both
+    engines' parsers draw the same ok/quarantine boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.concat_ws(",", F.col("doc_id"), F.length("text"))
+    fed = docs.select(
+        F.when(F.col("doc_id") % 7 == 0, F.concat(line, F.lit("xx")))
+        .otherwise(line)
+        .alias("line")
+    )
+    parsed = fed.select(
+        F.from_csv(
+            "line",
+            "doc_id bigint, n_chars bigint, _corrupt string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("r")
+    )
+    routed = parsed.select(
+        F.when(F.col("r._corrupt").isNull(), F.lit("ok"))
+        .otherwise(F.lit("quarantined"))
+        .alias("status"),
+        F.when(F.col("r._corrupt").isNull(), F.col("r.n_chars")).alias("n_chars"),
+        F.when(F.col("r._corrupt").isNull(), F.col("r.doc_id")).alias("doc_id"),
+    )
+    return routed.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )
+
+
+_XML_QUARANTINE_ORACLE = r"""
+WITH lines AS (
+  SELECT doc_id,
+         '<r><doc_id>' || doc_id || '</doc_id><n_chars>' || length(text)
+         || '</n_chars></r>' AS line
+  FROM documents
+), fed AS (
+  SELECT CASE WHEN doc_id % 7 = 0
+              THEN substr(line, 1, length(line) - 4)
+              ELSE line END AS line
+  FROM lines
+), routed AS (
+  SELECT CASE WHEN line LIKE '%</r>' THEN 'ok' ELSE 'quarantined' END AS status,
+         CASE WHEN line LIKE '%</r>'
+              THEN TRY_CAST(regexp_extract(line, '<n_chars>(\d+)</n_chars>', 1) AS BIGINT) END AS n_chars,
+         CASE WHEN line LIKE '%</r>'
+              THEN TRY_CAST(regexp_extract(line, '<doc_id>(\d+)</doc_id>', 1) AS BIGINT) END AS doc_id
+  FROM fed
+)
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM routed GROUP BY status
+"""
+
+
+@query("source_xml_quarantine", oracle=_XML_QUARANTINE_ORACLE)
+def source_xml_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest hygiene completing the quarantine family
+    (JSONL/CSV/XML — every PERMISSIVE-capable text source): `from_xml`
+    classifies each record by real well-formedness (every 7th record's
+    closing root tag is truncated away, leaving an unclosed element),
+    routed exactly like the siblings. The oracle classifies by the
+    structural invariant the corruption breaks (a well-formed record ends
+    with its root close tag) and extracts fields by regex — independent
+    logic drawing the same boundary, proven by hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.concat(
+        F.lit("<r><doc_id>"), F.col("doc_id"),
+        F.lit("</doc_id><n_chars>"), F.length("text"),
+        F.lit("</n_chars></r>"),
+    )
+    fed = docs.select(
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            line.substr(F.lit(1), F.length(line) - 4),
+        )
+        .otherwise(line)
+        .alias("line")
+    )
+    parsed = fed.select(
+        F.from_xml(
+            "line",
+            "doc_id bigint, n_chars bigint, _corrupt string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("r")
+    )
+    routed = parsed.select(
+        F.when(F.col("r._corrupt").isNull(), F.lit("ok"))
+        .otherwise(F.lit("quarantined"))
+        .alias("status"),
+        F.when(F.col("r._corrupt").isNull(), F.col("r.n_chars")).alias("n_chars"),
+        F.when(F.col("r._corrupt").isNull(), F.col("r.doc_id")).alias("doc_id"),
+    )
+    return routed.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )
+
+
 @query("source_jsonl_quarantine", oracle=_JSONL_QUARANTINE_ORACLE)
 def source_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed-JSONL routing with Spark's PERMISSIVE corrupt-record
