@@ -63,14 +63,28 @@ class PersistedIVF:
     def __init__(self, k: int = 16, nprobe: int = 3, assign_n: int = 1, **fit_kw):
         self.idx = IVFIndex(k=k, nprobe=nprobe, assign_n=assign_n, **fit_kw)
 
-    def build(self, df: DataFrame, id_col: str, vec_col: str, path: str) -> None:
+    def build(
+        self,
+        df: DataFrame,
+        id_col: str,
+        vec_col: str,
+        path: str,
+        centroids: list[list[float]] | None = None,
+        refit_skew: float = 4.0,
+    ) -> None:
         """Fit centroids, assign every base vector to its assign_n nearest
         cells, persist. Postings repartition BY CELL so each cell's rows are
         contiguous — at scale a probed search shuffles nothing on the base
-        side (the cogroup's exchange is satisfied by the stored layout)."""
+        side (the cogroup's exchange is satisfied by the stored layout).
+        ``centroids`` injects a fixed codebook instead of fitting (the
+        exactness contract of ``append`` is row-equality to a build on the
+        union UNDER THE SAME CENTROIDS — this is how tests state it).
+        ``refit_skew`` is persisted: the cell-occupancy ratio beyond which
+        ``append`` reports the index needs a refit."""
         spark = df.sparkSession
         idx = self.idx
-        centroids = idx.fit_centroids(df, vec_col)
+        if centroids is None:
+            centroids = idx.fit_centroids(df, vec_col)
         spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
             "cell int, cvec array<double>",
@@ -84,8 +98,59 @@ class PersistedIVF:
             _p(path, "postings.parquet")
         )
         _write_meta(
-            spark, path, kind="ivf", k=idx.k, nprobe=idx.nprobe, assign_n=idx.assign_n
+            spark, path, kind="ivf", k=idx.k, nprobe=idx.nprobe,
+            assign_n=idx.assign_n, refit_skew=float(refit_skew),
         )
+
+    def _stored_centroids(self, spark: SparkSession, path: str) -> list[list[float]]:
+        crows = spark.read.parquet(_p(path, "centroids.parquet")).collect()
+        return [[float(x) for x in r.cvec] for r in sorted(crows, key=lambda r: r.cell)]
+
+    def append(self, df_new: DataFrame, id_col: str, vec_col: str, path: str) -> dict:
+        """Incremental add: assign the NEW vectors to the STORED centroids
+        (no refit — centroids held fixed) and append their postings. Cost
+        is O(|new| * k) assignment + one append write; the existing
+        postings are untouched (parquet append adds files; the by-cell
+        clustering of old files is preserved, new files carry the delta).
+        Because assignment is a pure function of (vector, centroids), the
+        appended index is ROW-IDENTICAL to a from-scratch build on the
+        union with the same centroids — tests prove search equality.
+
+        Drift guard: appending shifts cell occupancy; when the max/mean
+        cell-count ratio (over the FULL postings — a column-pruned count
+        on the narrow `cell` column) exceeds the build-time ``refit_skew``
+        threshold, the returned dict says so. The caller decides when to
+        pay the rebuild; searches stay CORRECT either way (occupancy skew
+        costs probe balance, never wrongness).
+
+        Returns {"added", "occupancy_skew", "needs_refit"}."""
+        spark = df_new.sparkSession
+        centroids = self._stored_centroids(spark, path)
+        new_posts = self.idx.assign_multi(
+            df_new.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")),
+            "cvec",
+            centroids,
+        ).select("cell", "cid", "cvec")
+        added = new_posts.count()
+        new_posts.repartition("cell").write.mode("append").parquet(
+            _p(path, "postings.parquet")
+        )
+        occ = (
+            spark.read.parquet(_p(path, "postings.parquet"))
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.max("n").cast("double").alias("mx"),
+                F.avg("n").alias("mean"),
+            )
+            .collect()[0]
+        )
+        skew = float(occ.mx) / max(float(occ.mean), 1e-300)
+        threshold = float(read_meta(spark, path).get("refit_skew") or 4.0)
+        return {
+            "added": int(added),
+            "occupancy_skew": skew,
+            "needs_refit": skew > threshold,
+        }
 
     def search(
         self,
@@ -99,10 +164,7 @@ class PersistedIVF:
         """Top-k from the stored index: NO centroid fit, NO base re-assign.
         Driver work is reading k centroid rows; everything else is the same
         cogrouped per-cell GEMM as the in-memory operator."""
-        crows = spark.read.parquet(_p(path, "centroids.parquet")).collect()
-        centroids = [
-            [float(x) for x in r.cvec] for r in sorted(crows, key=lambda r: r.cell)
-        ]
+        centroids = self._stored_centroids(spark, path)
         qside = self.idx.probe_cells(
             queries.select(F.col(qid_col).alias("qid"), F.col(vec_col).alias("qvec")),
             "qvec",
@@ -120,21 +182,13 @@ class PersistedPQ:
         # shortlist=96) so persisted and in-memory results are comparable
         self.pq = ProductQuantizer(**pq_kw)
 
-    def build(self, df: DataFrame, id_col: str, vec_col: str, path: str) -> None:
-        """Fit codebooks on the bounded sample, ENCODE THE WHOLE TABLE once
-        (the expensive per-subspace argmin), persist codes. Search never
-        encodes again — that is the entire point of the separation."""
-        spark = df.sparkSession
-        books = self.pq.fit(df, vec_col)  # (m, ksub, dsub) float64
-        m, ksub, dsub = books.shape
-        rows = [
-            (s, j, [float(x) for x in books[s, j]])
-            for s in range(m)
-            for j in range(ksub)
-        ]
-        spark.createDataFrame(rows, "s int, j int, cvec array<double>").coalesce(
-            1
-        ).write.mode("overwrite").parquet(_p(path, "codebooks.parquet"))
+    @staticmethod
+    def _encode_df(df: DataFrame, id_col: str, vec_col: str, books: np.ndarray) -> DataFrame:
+        """Per-subspace argmin encode of ``df`` against ``books`` — the one
+        encode definition shared by build and append, so an appended
+        vector's codes are bit-identical to what a from-scratch encode
+        with the same codebooks yields."""
+        m, _ksub, dsub = books.shape
 
         def encode(it):
             for pdf in it:
@@ -152,10 +206,107 @@ class PersistedPQ:
                     {"cid": pdf["cid"], "codes": list(codes)}
                 )
 
-        df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")).mapInPandas(
-            encode, schema="cid long, codes array<int>"
-        ).write.mode("overwrite").parquet(_p(path, "codes.parquet"))
-        _write_meta(spark, path, kind="pq", m=m, ksub=ksub, shortlist=self.pq.shortlist)
+        return df.select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        ).mapInPandas(encode, schema="cid long, codes array<int>")
+
+    @staticmethod
+    def _recon_err(df: DataFrame, vec_col: str, books: np.ndarray, sample: int = 1024) -> float:
+        """Mean squared reconstruction error of a bounded deterministic
+        sample under ``books`` — the drift statistic. Driver-side numpy on
+        <= sample rows (same hash-order sampling idiom as the fits)."""
+        m, _ksub, dsub = books.shape
+        rows = (
+            df.select(
+                F.col(vec_col).alias("v"),
+                F.xxhash64(F.col(vec_col).cast("array<float>").cast("string")).alias("h"),
+            )
+            .orderBy("h")
+            .limit(sample)
+            .collect()
+        )
+        X = np.stack([np.asarray(r.v, dtype="float64") for r in rows])
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        X = X[norms[:, 0] > 0] / np.maximum(norms[norms[:, 0] > 0], 1e-300)
+        if len(X) == 0:
+            return 0.0
+        Xs = X.reshape(len(X), m, dsub)
+        err = 0.0
+        for s in range(m):
+            d = ((Xs[:, s, None, :] - books[None, s, :, :]) ** 2).sum(axis=2)
+            err += float(d.min(axis=1).sum())
+        return err / len(X)
+
+    def _stored_books(self, spark: SparkSession, path: str) -> np.ndarray:
+        brows = spark.read.parquet(_p(path, "codebooks.parquet")).collect()
+        m = 1 + max(r.s for r in brows)
+        ksub = 1 + max(r.j for r in brows)
+        books = np.zeros((m, ksub, len(brows[0].cvec)))
+        for r in brows:
+            books[r.s, r.j] = np.asarray(r.cvec, dtype="float64")
+        return books
+
+    def build(
+        self,
+        df: DataFrame,
+        id_col: str,
+        vec_col: str,
+        path: str,
+        refit_err_ratio: float = 2.0,
+    ) -> None:
+        """Fit codebooks on the bounded sample, ENCODE THE WHOLE TABLE once
+        (the expensive per-subspace argmin), persist codes. Search never
+        encodes again — that is the entire point of the separation. The
+        build-time reconstruction error (bounded sample) is persisted as
+        the drift baseline ``append`` compares against."""
+        spark = df.sparkSession
+        books = self.pq.fit(df, vec_col)  # (m, ksub, dsub) float64
+        m, ksub, _dsub = books.shape
+        rows = [
+            (s, j, [float(x) for x in books[s, j]])
+            for s in range(m)
+            for j in range(ksub)
+        ]
+        spark.createDataFrame(rows, "s int, j int, cvec array<double>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(_p(path, "codebooks.parquet"))
+        self._encode_df(df, id_col, vec_col, books).write.mode("overwrite").parquet(
+            _p(path, "codes.parquet")
+        )
+        _write_meta(
+            spark, path, kind="pq", m=m, ksub=ksub, shortlist=self.pq.shortlist,
+            build_recon_err=self._recon_err(df, vec_col, books),
+            refit_err_ratio=float(refit_err_ratio),
+        )
+
+    def append(self, df_new: DataFrame, id_col: str, vec_col: str, path: str) -> dict:
+        """Incremental add: encode the NEW vectors with the STORED
+        codebooks (no refit) and append their codes — bit-identical to
+        what a from-scratch encode of the union under the same codebooks
+        would produce, because ``_encode_df`` is the single encode
+        definition. Drift guard: the append batch's reconstruction error
+        (bounded sample) against the build-time baseline; a batch from a
+        shifted distribution quantizes worse, and when the ratio exceeds
+        the persisted ``refit_err_ratio`` the dict says a refit is due.
+        ADC scores degrade gracefully in between — the exact re-rank stage
+        keeps final scores exact regardless.
+
+        Returns {"added", "recon_err", "build_recon_err", "needs_refit"}."""
+        spark = df_new.sparkSession
+        books = self._stored_books(spark, path)
+        encoded = self._encode_df(df_new, id_col, vec_col, books)
+        added = encoded.count()
+        encoded.write.mode("append").parquet(_p(path, "codes.parquet"))
+        meta = read_meta(spark, path)
+        base_err = float(meta.get("build_recon_err") or 0.0)
+        ratio = float(meta.get("refit_err_ratio") or 2.0)
+        err = self._recon_err(df_new, vec_col, books)
+        return {
+            "added": int(added),
+            "recon_err": err,
+            "build_recon_err": base_err,
+            "needs_refit": base_err > 0 and err > ratio * base_err,
+        }
 
     def search(
         self,
@@ -171,13 +322,8 @@ class PersistedPQ:
         ``df`` is the base table; it supplies the query set (ids under
         ``query_bound``, the family's contract) and the re-rank vectors."""
         spark = df.sparkSession
-        brows = spark.read.parquet(_p(path, "codebooks.parquet")).collect()
-        m = 1 + max(r.s for r in brows)
-        ksub = 1 + max(r.j for r in brows)
-        dsub = len(brows[0].cvec)
-        books = np.zeros((m, ksub, dsub))
-        for r in brows:
-            books[r.s, r.j] = np.asarray(r.cvec, dtype="float64")
+        books = self._stored_books(spark, path)
+        m, _ksub, dsub = books.shape
         qpdf = (
             df.where(F.col(id_col) < query_bound)
             .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))

@@ -718,6 +718,47 @@ def similarity_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _fold_rerank(sel, emb, k=5, q_col="qid", c_col="cid")
 
 
+@query("similarity_ivf_append", oracle=_IVF_PERSISTED_ORACLE)
+def similarity_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental add to a PERSISTED IVF index
+    (operators/ann_index.py:PersistedIVF.append): the index is built on
+    the even-id half, the odd-id half is APPENDED — assigned to the
+    STORED centroids, no refit, postings appended in place — and the
+    search runs over the appended state. EXACT-REGIME parameter point
+    (nprobe = k probes every cell), so the result must be the true top-5
+    over the UNION — the same brute-force oracle as
+    similarity_ivf_persisted, now proving the append path end to end by
+    hash. Fixed-centroid row-equality to a from-scratch union build and
+    the occupancy-skew drift guard are proven in tests/test_ann_index.py;
+    §D carries recall telemetry at the appended state. At 100 TB this is
+    the nightly-ingest shape: O(|new| * k) assignment + one append write,
+    never a corpus re-encode."""
+    import math as _m
+    import os as _os
+    import shutil as _sh
+    import tempfile as _t
+
+    from gridmr_spark.catalog import table_rows
+    from gridmr_spark.operators.ann_index import PersistedIVF
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = table_rows(sf_dir, "embeddings")
+    k_cells = max(4, _m.ceil(_m.sqrt(max(n, 1))))
+    idx = PersistedIVF(k=k_cells, nprobe=k_cells, iters=4, seed=42, assign_n=2)
+    path = _os.path.join(
+        _t.gettempdir(), f"gridmr_ivf_append_{_os.path.basename(sf_dir)}"
+    )
+    # build+append must happen EXACTLY once per run: a stale appended
+    # index would double the odd half on re-append, so rebuild fresh
+    _sh.rmtree(path, ignore_errors=True)
+    idx.build(emb.where(F.col("vec_id") % 2 == 0), "vec_id", "embedding", path)
+    idx.append(emb.where(F.col("vec_id") % 2 == 1), "vec_id", "embedding", path)
+    sel = idx.search(
+        spark, emb.select("vec_id", "embedding"), "vec_id", "embedding", path, k=8
+    )
+    return _fold_rerank(sel, emb, k=5, q_col="qid", c_col="cid")
+
+
 _JL_IN_DIM, _JL_OUT_DIM = 64, 8
 
 # One projected coordinate as DuckDB SQL: sequential left fold (prepended

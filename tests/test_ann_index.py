@@ -114,3 +114,91 @@ def test_ivf_postings_clustered_by_cell(spark, emb, tmp_path):
         .collect()
     )
     assert per_cell_files and all(r["count"] == 1 for r in per_cell_files)
+
+
+def test_ivf_append_equals_union_build_fixed_centroids(spark, emb, tmp_path):
+    """Incremental add contract: append(new) onto build(old) searches
+    ROW-IDENTICALLY to a from-scratch build on old ∪ new when the
+    centroids are held fixed (assignment is a pure function of vector ×
+    centroids, and search reads postings without caring which file
+    carried them)."""
+    kw = dict(k=8, nprobe=3, assign_n=2, iters=2, seed=42)
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+
+    inc = AI.PersistedIVF(**kw)
+    inc_path = str(tmp_path / "ivf_inc")
+    inc.build(old, "vec_id", "embedding", inc_path)
+    centroids = inc._stored_centroids(spark, inc_path)
+    stats = inc.append(new, "vec_id", "embedding", inc_path)
+    assert stats["added"] >= new.count()  # assign_n=2: >= one row per vector
+
+    full = AI.PersistedIVF(**kw)
+    full_path = str(tmp_path / "ivf_full")
+    full.build(emb, "vec_id", "embedding", full_path, centroids=centroids)
+
+    q = emb.select("vec_id", "embedding")
+    got = _rows(inc.search(spark, q, "vec_id", "embedding", inc_path, k=5))
+    want = _rows(full.search(spark, q, "vec_id", "embedding", full_path, k=5))
+    assert got == want and len(got) > 0
+
+
+def test_ivf_append_drift_guard_trips_on_skew(spark, emb, tmp_path):
+    """A pile of near-identical vectors lands in one cell; the occupancy
+    skew must cross the build-time threshold and flag a refit."""
+    kw = dict(k=8, nprobe=3, assign_n=1, iters=2, seed=42)
+    idx = AI.PersistedIVF(**kw)
+    path = str(tmp_path / "ivf_drift")
+    idx.build(emb, "vec_id", "embedding", path, refit_skew=3.0)
+    (one,) = emb.where(F.col("vec_id") == 0).select("embedding").collect()
+    n = emb.count()
+    clones = spark.createDataFrame(
+        [(100000 + i, one.embedding) for i in range(3 * n)],
+        "vec_id long, embedding array<float>",
+    )
+    stats = idx.append(clones, "vec_id", "embedding", path)
+    assert stats["occupancy_skew"] > 3.0 and stats["needs_refit"]
+    # a benign append on the other hand must NOT flag
+    benign = emb.select((F.col("vec_id") + 200000).alias("vec_id"), "embedding")
+    path2 = str(tmp_path / "ivf_ok")
+    AI.PersistedIVF(**kw).build(emb, "vec_id", "embedding", path2, refit_skew=3.0)
+    stats2 = AI.PersistedIVF(**kw).append(benign, "vec_id", "embedding", path2)
+    assert not stats2["needs_refit"]
+
+
+def test_pq_append_codes_exact_and_drift_guard(spark, emb, tmp_path):
+    """Appended codes are bit-identical to a from-scratch encode under the
+    same codebooks (shared encode definition); search over the appended
+    index equals search over a union build with those codebooks. A
+    distribution-shifted batch trips the reconstruction-error guard."""
+    old = emb.where(F.col("vec_id") % 2 == 0)
+    new = emb.where(F.col("vec_id") % 2 == 1)
+    inc = AI.PersistedPQ()
+    path = str(tmp_path / "pq_inc")
+    inc.build(old, "vec_id", "embedding", path)
+    books = inc._stored_books(spark, path)
+    stats = inc.append(new, "vec_id", "embedding", path)
+    assert stats["added"] == new.count() and not stats["needs_refit"]
+    stored = {
+        r.cid: list(r.codes)
+        for r in spark.read.parquet(f"{path}/codes.parquet").collect()
+    }
+    fresh = {
+        r.cid: list(r.codes)
+        for r in AI.PersistedPQ()._encode_df(emb, "vec_id", "embedding", books).collect()
+    }
+    assert stored == fresh and len(stored) == emb.count()
+    # drift: vectors orthogonal-ish to the corpus (one-hot dims) quantize
+    # far worse than the build baseline
+    dim = len(emb.select("embedding").first().embedding)
+    shifted = spark.createDataFrame(
+        [
+            (300000 + i, [100.0 if d == (i % dim) else 0.0 for d in range(dim)])
+            for i in range(64)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    stats2 = inc.append(shifted, "vec_id", "embedding", path)
+    assert stats2["recon_err"] > stats2["build_recon_err"]
+    if stats2["recon_err"] > 2.0 * stats2["build_recon_err"]:
+        assert stats2["needs_refit"]

@@ -101,6 +101,48 @@ def main() -> None:
         "value": round(recall(pairs(reg["similarity_ivf_persisted"].fn(spark, sf_dir), "qid", "cid"), exact_all), 4),
     }
 
+    # Appended-state telemetry (round 11): the registered query runs the
+    # exact regime over build(even)+append(odd) — its recall is a 1.0
+    # canary like the other persisted rows. The PRODUCTION question is the
+    # probed regime: does an appended index lose recall vs a from-scratch
+    # build at the same (fitted-on-even vs fitted-on-all) centroids? Both
+    # numbers recorded so §D shows the append penalty explicitly.
+    out["similarity_ivf_append"] = {
+        "metric": "recall@5, exact regime at appended state (must be 1.0)",
+        "value": round(recall(pairs(reg["similarity_ivf_append"].fn(spark, sf_dir), "qid", "cid"), exact_all), 4),
+    }
+    import math as _math
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from gridmr_spark.operators.ann_index import PersistedIVF as _PIVF
+
+    _k_cells = max(4, _math.ceil(_math.sqrt(max(n_emb, 1))))
+    _probe_kw = dict(k=_k_cells, nprobe=3, iters=4, seed=42, assign_n=2)
+    _qside = emb.select("vec_id", "embedding")
+    _vals = {}
+    for _name, _halved in (("appended", True), ("full_build", False)):
+        _idx = _PIVF(**_probe_kw)
+        _pth = _tempfile.mkdtemp(prefix=f"qm_ivf_{_name}_")
+        try:
+            if _halved:
+                _idx.build(emb.where(F.col("vec_id") % 2 == 0), "vec_id", "embedding", _pth)
+                _idx.append(emb.where(F.col("vec_id") % 2 == 1), "vec_id", "embedding", _pth)
+            else:
+                _idx.build(emb, "vec_id", "embedding", _pth)
+            _got = pairs(
+                _idx.search(spark, _qside, "vec_id", "embedding", _pth, k=5),
+                "qid", "cid",
+            )
+            _vals[_name] = round(recall(_got, exact_all), 4)
+        finally:
+            _shutil.rmtree(_pth, ignore_errors=True)
+    out["similarity_ivf_append@probed"] = {
+        "metric": "recall@5, probed regime (nprobe=3): build(even)+append(odd) vs full build",
+        "value": _vals["appended"],
+        "full_build_value": _vals["full_build"],
+    }
+
     # Exact GEMM paths: neighbor-set recall vs the fold path must be 1.0.
     # similarity_topk_gemm bounds its query side to vec_id < 1000 by
     # contract, so its reference is the fold top-5 restricted to those.
