@@ -50,35 +50,33 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # here explicitly and served first; long-green queries re-verify with
 # whatever budget remains. Update per round as rows come back green.
 _DRIVER_PRIORITY: list[str] = [
-    # --- round-10 priority (driver budget ~50; first rows first) ---
-    # (a) round-10 additions (first driver rows ever).
-    "dedup_binary_hamming_pairs", "eval_1nn_shortlist",
-    "pipeline_leakage_safe_split", "source_jsonl_quarantine",
-    # (b) queries whose CODE PATH changed this round — evidence must
-    # track the change: keep_best's digest pre-collapse, the WARC
-    # chunking re-price, and every table_* query (two-level manifests
-    # replaced their storage layer wholesale).
-    "dedup_keep_best", "source_warc_ingest", "pipeline_warc_to_docs",
-    "table_stats_pruned_read", "table_zorder_pruned", "table_merge_upsert",
-    "table_time_travel", "table_incremental_read", "table_compact_expire",
-    "table_delete_rows",
-    # (c) freshness rotation: the 36 queries whose latest green driver
-    # row is round 3-4 — the oldest evidence on the board (computed from
-    # CORRECTNESS_r01..r09; everything else is r5+).
-    "agg_distinct", "agg_equidepth_histogram", "agg_moments",
-    "conditional_funcs", "dedup_containment_pairs", "dedup_exact_digest",
-    "dedup_paragraphs", "ds_channel_compare", "ds_customer_ltv_window",
-    "ds_date_star", "ds_returns_anti", "ds_store_sales_rollup",
-    "ds_time_band_counts", "graph_pagerank", "join_range_bucketed",
-    "join_star_revenue", "json_funcs", "merge_cdc_with_deletes",
-    "merge_scd2_asof_lookup", "multimodal_arrow_byte_stats",
-    "multimodal_audio_energy", "sample_importance_weighted",
-    "source_dynamic_partition_pruning", "source_python_datasource",
-    "stream_session_10m", "stream_sliding_1h_30m", "stream_stateful_totals",
-    "stream_tumbling_1h", "text_tfidf_topterms", "text_token_entropy",
-    "try_funcs", "udtf_analyze_firstk", "vector_quantize_int8",
-    "window_lag_lead", "window_time_range", "window_value_range",
-    # r5-r9-green queries follow in registration order with whatever
+    # --- round-11 priority (driver budget ~50; first rows first) ---
+    # (a) round-11 additions (first driver rows ever).
+    "table_sql_read", "source_csv_quarantine", "source_xml_quarantine",
+    "dedup_incremental_clusters", "similarity_ivf_append",
+    # (b) queries whose CODE PATH changed this round: the Hamming
+    # candidate generator was re-shaped (narrow-key explode + rejoin),
+    # and the WARC reader gained gz member splitting.
+    "dedup_binary_hamming_pairs", "dedup_simhash", "vector_binary_hamming",
+    "source_warc_ingest", "pipeline_warc_to_docs",
+    # (c) freshness rotation: the 40-query cohort whose latest green
+    # driver row is round 5 — the oldest evidence on the board (computed
+    # from CORRECTNESS_r01..r10; everything else is r6+).
+    "agg_percentiles", "cluster_kmeans_assign", "date_funcs",
+    "dedup_clusters_cc", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_minhash_clusters", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "distinct_rows", "events_variant_props", "graph_degree_distribution",
+    "graph_triangle_count", "join_bloom_runtime", "math_funcs",
+    "merge_upsert_cdc", "multimodal_meta", "multimodal_wav_decode",
+    "pandas_udf_revenue", "pipeline_training_data", "pivot_status",
+    "q4_priority_late_ship", "q5_local_supplier_volume",
+    "sample_stratified_cap", "similarity_ivf_topk", "similarity_lsh_topk",
+    "similarity_near_pairs", "similarity_topk", "source_xml_roundtrip",
+    "sql_pipe_syntax", "string_collation_ci", "string_funcs",
+    "subquery_scalar_exists", "text_fingerprint", "text_lang_id",
+    "text_quality", "text_quality_classifier", "text_token_count",
+    "unpivot_status", "wordcount",
+    # r6+-green queries follow in registration order with whatever
     # budget remains.
 ]
 

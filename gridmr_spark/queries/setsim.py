@@ -154,25 +154,33 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_best_survivorship(docs)
 
 
-def keep_best_survivorship(docs: DataFrame, collapse_exact: bool = True) -> DataFrame:
+def keep_best_survivorship(
+    docs: DataFrame,
+    collapse_exact: bool = True,
+    tau_num: int = 1,
+    tau_den: int = 2,
+) -> DataFrame:
     """The dedup_keep_best plan on any (doc_id, text) frame — exposed so
     tests can prove the digest pre-collapse changes nothing but cost
     (``collapse_exact=False`` runs the pre-round-10 all-docs pair
-    search)."""
+    search). ``tau_num/tau_den`` is the Jaccard threshold dial SCALING.md
+    names as the lever on dup-dense corpora: a higher tau shrinks both
+    the prefix postings AND the surviving cliques (measured there at
+    tau = 4/5 on the tiled sf1 corpus)."""
     from pyspark.sql import functions as F
 
     from gridmr_spark.operators.graph import connected_components
 
     if not collapse_exact:
         pairs = setsim.prefix_filter_pairs(
-            docs, "doc_id", "text", n=3, tau_num=1, tau_den=2
+            docs, "doc_id", "text", n=3, tau_num=tau_num, tau_den=tau_den
         )
         comp = connected_components(
             docs.select(F.col("doc_id").alias("id")),
             pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst")),
         )
         return _rank_survivors(docs, comp)
-    comp = _near_dup_components(docs).select(
+    comp = _near_dup_components(docs, tau_num=tau_num, tau_den=tau_den).select(
         "id", F.col("cluster_id").alias("component")
     )
     return _rank_survivors(docs, comp)
@@ -275,10 +283,13 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _near_dup_components(docs: DataFrame) -> DataFrame:
+def _near_dup_components(
+    docs: DataFrame, tau_num: int = 1, tau_den: int = 2
+) -> DataFrame:
     """(id, cluster_id) under the exact near-dup relation (3-shingle
-    Jaccard >= 1/2) with the digest pre-collapse front — the clustering
-    core shared by dedup_keep_best and pipeline_leakage_safe_split.
+    Jaccard >= tau, default 1/2) with the digest pre-collapse front — the
+    clustering core shared by dedup_keep_best and
+    pipeline_leakage_safe_split.
 
     Only SHINGLE-BEARING docs (>= n tokens) participate in the collapse:
     a doc with an empty shingle set can never pair with anything under
@@ -299,7 +310,7 @@ def _near_dup_components(docs: DataFrame) -> DataFrame:
     )
     rep_docs = docs.join(copies.select("doc_id"), "doc_id", "left_anti")
     pairs = setsim.prefix_filter_pairs(
-        rep_docs, "doc_id", "text", n=3, tau_num=1, tau_den=2
+        rep_docs, "doc_id", "text", n=3, tau_num=tau_num, tau_den=tau_den
     )
     star = copies.select(
         F.col("rep_id").alias("src"), F.col("doc_id").alias("dst")
