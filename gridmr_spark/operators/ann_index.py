@@ -126,11 +126,23 @@ class PersistedIVF:
         Returns {"added", "occupancy_skew", "needs_refit"}."""
         spark = df_new.sparkSession
         centroids = self._stored_centroids(spark, path)
-        new_posts = self.idx.assign_multi(
+        meta = read_meta(spark, path)
+        # assign with the INDEX'S persisted parameters, not this instance's
+        # construction args: an append job configured differently from the
+        # builder (e.g. default assign_n) must not give new vectors a
+        # different posting multiplicity than the old ones — that would
+        # break the row-equality-to-union-build contract silently.
+        assigner = IVFIndex(
+            k=int(meta["k"]), nprobe=int(meta["nprobe"]),
+            assign_n=int(meta["assign_n"]),
+        )
+        new_posts = assigner.assign_multi(
             df_new.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")),
             "cvec",
             centroids,
-        ).select("cell", "cid", "cvec")
+        ).select("cell", "cid", "cvec").localCheckpoint(eager=True)
+        # localCheckpoint: the assignment runs ONCE, feeding both the count
+        # and the append write (an uncached plan would execute it twice)
         added = new_posts.count()
         new_posts.repartition("cell").write.mode("append").parquet(
             _p(path, "postings.parquet")
@@ -145,7 +157,8 @@ class PersistedIVF:
             .collect()[0]
         )
         skew = float(occ.mx) / max(float(occ.mean), 1e-300)
-        threshold = float(read_meta(spark, path).get("refit_skew") or 4.0)
+        stored = meta.get("refit_skew")
+        threshold = 4.0 if stored is None else float(stored)
         return {
             "added": int(added),
             "occupancy_skew": skew,
@@ -225,6 +238,8 @@ class PersistedPQ:
             .limit(sample)
             .collect()
         )
+        if not rows:
+            return 0.0
         X = np.stack([np.asarray(r.v, dtype="float64") for r in rows])
         norms = np.linalg.norm(X, axis=1, keepdims=True)
         X = X[norms[:, 0] > 0] / np.maximum(norms[norms[:, 0] > 0], 1e-300)
@@ -294,12 +309,16 @@ class PersistedPQ:
         Returns {"added", "recon_err", "build_recon_err", "needs_refit"}."""
         spark = df_new.sparkSession
         books = self._stored_books(spark, path)
-        encoded = self._encode_df(df_new, id_col, vec_col, books)
+        # localCheckpoint: the per-subspace argmin encode (the expensive
+        # stage) runs ONCE for both the count and the append write
+        encoded = self._encode_df(df_new, id_col, vec_col, books).localCheckpoint(
+            eager=True
+        )
         added = encoded.count()
         encoded.write.mode("append").parquet(_p(path, "codes.parquet"))
         meta = read_meta(spark, path)
-        base_err = float(meta.get("build_recon_err") or 0.0)
-        ratio = float(meta.get("refit_err_ratio") or 2.0)
+        base_err = 0.0 if meta.get("build_recon_err") is None else float(meta["build_recon_err"])
+        ratio = 2.0 if meta.get("refit_err_ratio") is None else float(meta["refit_err_ratio"])
         err = self._recon_err(df_new, vec_col, books)
         return {
             "added": int(added),

@@ -142,6 +142,20 @@ def incremental_components(
     asg = assignment.select(F.col(id_col).alias("id"), F.col(comp_col).alias("component"))
     edges = new_edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
 
+    # A re-ingested document (its id already in the prior assignment) is an
+    # OLD vertex: its edges contract through its component like any other
+    # old endpoint, and it must NOT also enter the contracted graph as a
+    # raw node (that would emit a second — possibly conflicting — output
+    # row for it). Probe the assignment with a broadcast semi (shuffle-
+    # free) and keep only genuinely-new ids. All frames here are day-sized.
+    new_v = new_vertices.select(F.col(id_col).alias("id")).distinct().localCheckpoint(
+        eager=True
+    )
+    dup_ids = asg.join(F.broadcast(new_v), "id", "left_semi").select(
+        "id"
+    ).localCheckpoint(eager=True)
+    new_v = new_v.join(F.broadcast(dup_ids), "id", "left_anti")
+
     # 1. Affected OLD rows: endpoints of new edges that exist in the prior
     #    assignment. Broadcast-semi probe — assignment streams, no shuffle.
     endpoints = (
@@ -172,7 +186,7 @@ def incremental_components(
     #    labels) + the day's new vertices.
     cverts = (
         touched.select("component").distinct().select(F.col("component").alias("id"))
-        .union(new_vertices.select(F.col(id_col).alias("id")))
+        .union(new_v.select("id"))
         .distinct()
     )
     cc = connected_components(
@@ -196,11 +210,7 @@ def incremental_components(
         asg.join(F.broadcast(relabel), asg["component"] == F.col("_old_comp"), "left")
         .select("id", F.coalesce(F.col("_new_comp"), F.col("component")).alias("component"))
     )
-    new_rows = cc.join(
-        F.broadcast(new_vertices.select(F.col(id_col).alias("id")).distinct()),
-        "id",
-        "left_semi",
-    )
+    new_rows = cc.join(F.broadcast(new_v), "id", "left_semi")
     return old_rows.unionByName(new_rows)
 
 

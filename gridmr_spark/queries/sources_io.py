@@ -1080,6 +1080,26 @@ FROM routed GROUP BY status
 """
 
 
+def _quarantine_rollup(parsed: DataFrame) -> DataFrame:
+    """The routing + accounting tail shared by the whole quarantine family
+    (JSONL/CSV/XML): route on the parsed struct's _corrupt flag — never on
+    field nullness, since a parser may PARTIALLY fill a corrupt record —
+    then the two-row ok/quarantined rollup. One definition so the
+    accounting contract cannot drift between formats."""
+    routed = parsed.select(
+        F.when(F.col("r._corrupt").isNull(), F.lit("ok"))
+        .otherwise(F.lit("quarantined"))
+        .alias("status"),
+        F.when(F.col("r._corrupt").isNull(), F.col("r.n_chars")).alias("n_chars"),
+        F.when(F.col("r._corrupt").isNull(), F.col("r.doc_id")).alias("doc_id"),
+    )
+    return routed.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )
+
+
 _CSV_QUARANTINE_ORACLE = """
 WITH lines AS (
   SELECT doc_id,
@@ -1129,18 +1149,7 @@ def source_csv_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
         ).alias("r")
     )
-    routed = parsed.select(
-        F.when(F.col("r._corrupt").isNull(), F.lit("ok"))
-        .otherwise(F.lit("quarantined"))
-        .alias("status"),
-        F.when(F.col("r._corrupt").isNull(), F.col("r.n_chars")).alias("n_chars"),
-        F.when(F.col("r._corrupt").isNull(), F.col("r.doc_id")).alias("doc_id"),
-    )
-    return routed.groupBy("status").agg(
-        F.count(F.lit(1)).cast("long").alias("n_lines"),
-        F.sum("n_chars").cast("long").alias("total_chars"),
-        F.max("doc_id").cast("long").alias("max_doc_id"),
-    )
+    return _quarantine_rollup(parsed)
 
 
 _XML_QUARANTINE_ORACLE = r"""
@@ -1201,18 +1210,7 @@ def source_xml_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
         ).alias("r")
     )
-    routed = parsed.select(
-        F.when(F.col("r._corrupt").isNull(), F.lit("ok"))
-        .otherwise(F.lit("quarantined"))
-        .alias("status"),
-        F.when(F.col("r._corrupt").isNull(), F.col("r.n_chars")).alias("n_chars"),
-        F.when(F.col("r._corrupt").isNull(), F.col("r.doc_id")).alias("doc_id"),
-    )
-    return routed.groupBy("status").agg(
-        F.count(F.lit(1)).cast("long").alias("n_lines"),
-        F.sum("n_chars").cast("long").alias("total_chars"),
-        F.max("doc_id").cast("long").alias("max_doc_id"),
-    )
+    return _quarantine_rollup(parsed)
 
 
 @query("source_jsonl_quarantine", oracle=_JSONL_QUARANTINE_ORACLE)
@@ -1252,15 +1250,4 @@ def source_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
         ).alias("r")
     )
-    routed = parsed.select(
-        F.when(F.col("r._corrupt").isNull(), F.lit("ok"))
-        .otherwise(F.lit("quarantined"))
-        .alias("status"),
-        F.when(F.col("r._corrupt").isNull(), F.col("r.n_chars")).alias("n_chars"),
-        F.when(F.col("r._corrupt").isNull(), F.col("r.doc_id")).alias("doc_id"),
-    )
-    return routed.groupBy("status").agg(
-        F.count(F.lit(1)).cast("long").alias("n_lines"),
-        F.sum("n_chars").cast("long").alias("total_chars"),
-        F.max("doc_id").cast("long").alias("max_doc_id"),
-    )
+    return _quarantine_rollup(parsed)

@@ -733,6 +733,7 @@ def similarity_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     §D carries recall telemetry at the appended state. At 100 TB this is
     the nightly-ingest shape: O(|new| * k) assignment + one append write,
     never a corpus re-encode."""
+    import hashlib as _h
     import math as _m
     import os as _os
     import shutil as _sh
@@ -745,9 +746,8 @@ def similarity_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table_rows(sf_dir, "embeddings")
     k_cells = max(4, _m.ceil(_m.sqrt(max(n, 1))))
     idx = PersistedIVF(k=k_cells, nprobe=k_cells, iters=4, seed=42, assign_n=2)
-    path = _os.path.join(
-        _t.gettempdir(), f"gridmr_ivf_append_{_os.path.basename(sf_dir)}"
-    )
+    key = _h.md5(f"{sf_dir}:ivfappend".encode()).hexdigest()[:12]
+    path = _os.path.join(_t.gettempdir(), f"gridmr_ivf_append_{key}")
     # build+append must happen EXACTLY once per run: a stale appended
     # index would double the odd half on re-append, so rebuild fresh
     _sh.rmtree(path, ignore_errors=True)

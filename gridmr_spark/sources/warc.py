@@ -137,39 +137,50 @@ def _parse_header_block(buf: bytes):
     return headers, hend + len(_SEP)
 
 
-def _read_records(fh, base_offset: int, end: int | None, fname: str):
-    """Yield schema rows for records starting at stream offsets in
-    [base_offset, end) (end=None: to EOF). ``fh`` must be positioned at
-    ``base_offset``, which must be a record start. Reads sequentially —
-    no seeks — so it works on gzip streams too."""
-    pos = base_offset
+def _parse_records(produce, fname: str, start_pos: int, stop_before=None,
+                   offset_for=None, loc=None):
+    """The single WARC record-parse state machine, shared by the plain and
+    gzip readers (one definition: a header-handling fix cannot drift
+    between them). ``produce()`` returns the next raw chunk (b'' at end of
+    input); ``stop_before(pos)`` is consulted once per record start, after
+    the parser is byte-aligned there, and ends the split; ``offset_for``
+    maps the parse position to the emitted offset column (plain: the byte
+    position itself; gz: the record's member compressed offset); ``loc``
+    renders positions in error messages."""
+    pos = start_pos
     buf = b""
-    while end is None or pos < end:
+    exhausted = False
+    offset_for = offset_for or (lambda p: p)
+    loc = loc or (lambda p: f"{fname}:{p}")
+    while True:
         # top up the buffer until the header block is complete
-        while _SEP not in buf[: _MAX_HEADER + len(_SEP)]:
-            chunk = fh.read(65536)
+        while _SEP not in buf[: _MAX_HEADER + len(_SEP)] and not exhausted:
+            chunk = produce()
             if not chunk:
+                exhausted = True
                 break
             buf += chunk
         if not buf:
             return
+        if stop_before is not None and stop_before(pos):
+            return
         parsed = _parse_header_block(buf)
         if parsed is None:
             raise ValueError(
-                f"warc: malformed record at {fname}:{pos} "
-                f"(bytes: {buf[:40]!r})"
+                f"warc: malformed record at {loc(pos)} (bytes: {buf[:40]!r})"
             )
         headers, hlen = parsed
         clen = int(headers["content-length"])
         need = hlen + clen + len(_SEP)
-        while len(buf) < need:
-            chunk = fh.read(max(65536, need - len(buf)))
+        while len(buf) < need and not exhausted:
+            chunk = produce()
             if not chunk:
+                exhausted = True
                 break
             buf += chunk
         payload = buf[hlen : hlen + clen]
         if len(payload) < clen:
-            raise ValueError(f"warc: truncated payload at {fname}:{pos}")
+            raise ValueError(f"warc: truncated payload at {loc(pos)}")
         yield (
             headers.get("warc-record-id"),
             headers.get("warc-type"),
@@ -179,14 +190,27 @@ def _read_records(fh, base_offset: int, end: int | None, fname: str):
             clen,
             payload,
             fname,
-            pos,
+            offset_for(pos),
         )
         # spec: every record is followed by CRLFCRLF; tolerate EOF instead
         tail = buf[hlen + clen : need]
         if tail not in (_SEP, _SEP[: len(tail)]):
-            raise ValueError(f"warc: missing record separator at {fname}:{pos}")
+            raise ValueError(f"warc: missing record separator at {loc(pos)}")
         buf = buf[need:]
         pos += need
+
+
+def _read_records(fh, base_offset: int, end: int | None, fname: str):
+    """Yield schema rows for records starting at stream offsets in
+    [base_offset, end) (end=None: to EOF). ``fh`` must be positioned at
+    ``base_offset``, which must be a record start. Reads sequentially —
+    no seeks."""
+    return _parse_records(
+        lambda: fh.read(1 << 20),
+        fname,
+        base_offset,
+        stop_before=(None if end is None else (lambda p: p >= end)),
+    )
 
 
 class _MemberWalker:
@@ -246,82 +270,84 @@ def _gz_records(path: str, start: int, hi: int | None, fname: str):
     the record's member."""
     with open(path, "rb") as fh:
         w = _MemberWalker(fh, start)
-        buf = b""
-        pos = 0  # decompressed offset (anchor-relative) of next record
-        member_comp = start  # member containing the next record's first byte
-        exhausted = False
-        while True:
-            # top up until the header block is complete (or EOF)
-            while _SEP not in buf[: _MAX_HEADER + len(_SEP)] and not exhausted:
-                chunk = w.produce()
-                if not chunk:
-                    exhausted = True
-                    break
-                buf += chunk
-            if not buf:
-                return
-            # advance member bookkeeping to the record start, then apply
-            # the stop rule: a boundary EXACTLY at the record start whose
-            # member begins at-or-past hi hands over to the next split
+        # member containing the next record's first byte, advanced by the
+        # stop-rule hook (which runs once per record start, byte-aligned)
+        state = {"member_comp": start}
+
+        def stop_before(pos: int) -> bool:
             boundary_here = None
             while w.boundaries and w.boundaries[0][0] <= pos:
                 dpos, cpos = w.boundaries.pop(0)
-                member_comp = cpos
+                state["member_comp"] = cpos
                 boundary_here = (dpos, cpos)
-            if (
+            return (
                 hi is not None
                 and boundary_here is not None
                 and boundary_here[0] == pos
                 and boundary_here[1] >= hi
-            ):
-                return
-            parsed = _parse_header_block(buf)
-            if parsed is None:
-                raise ValueError(
-                    f"warc: malformed record at {fname}:gz+{pos} (bytes: {buf[:40]!r})"
-                )
-            headers, hlen = parsed
-            clen = int(headers["content-length"])
-            need = hlen + clen + len(_SEP)
-            while len(buf) < need and not exhausted:
-                chunk = w.produce()
-                if not chunk:
-                    exhausted = True
-                    break
-                buf += chunk
-            payload = buf[hlen : hlen + clen]
-            if len(payload) < clen:
-                raise ValueError(f"warc: truncated payload at {fname}:gz+{pos}")
-            yield (
-                headers.get("warc-record-id"),
-                headers.get("warc-type"),
-                headers.get("warc-target-uri"),
-                headers.get("warc-date"),
-                headers.get("content-type"),
-                clen,
-                payload,
-                fname,
-                member_comp,
             )
-            tail = buf[hlen + clen : need]
-            if tail not in (_SEP, _SEP[: len(tail)]):
-                raise ValueError(f"warc: missing record separator at {fname}:gz+{pos}")
-            buf = buf[need:]
-            pos += need
+
+        yield from _parse_records(
+            w.produce,
+            fname,
+            0,  # decompressed offset, anchor-relative
+            stop_before=stop_before,
+            offset_for=lambda p: state["member_comp"],
+            loc=lambda p: f"{fname}:gz+{p}",
+        )
 
 
 _GZ_MAGIC = b"\x1f\x8b\x08"
 
 
+def _probe_warc_member(fh, cand: int) -> bytes | None:
+    """Decompress up to one header block's worth of bytes starting at
+    candidate member offset ``cand``, CROSSING member boundaries. The
+    crossing matters for the split-handoff symmetry: a record-aligned
+    member can be SMALLER than its record's header block (an archiver
+    that flushes members at arbitrary byte counts), and the previous
+    split's stop rule hands over at that boundary — so the validator must
+    see the header the way the reader will, by continuing into the
+    following members. Returns decompressed bytes (possibly short at
+    EOF), or None when ``cand`` does not start a gzip member."""
+    save = fh.tell()
+    fh.seek(cand)
+    need = _MAX_HEADER + len(_SEP)
+    out = b""
+    d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+    pending = b""
+    try:
+        while len(out) < need:
+            if d.eof:
+                pending = d.unused_data + pending
+                d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            if not pending:
+                chunk = fh.read(1 << 18)
+                if not chunk:
+                    break
+                pending = chunk
+            out += d.decompress(pending)
+            pending = b""
+    except zlib.error:
+        # error before ANY output: not a member start. Error after some
+        # output (e.g. trailing junk in a later member): validate what we
+        # have — a false candidate won't parse as a WARC header anyway.
+        if not out:
+            out = None
+    fh.seek(save)
+    return out
+
+
 def _sync_to_gz_member(fh, start: int, hi: int) -> int | None:
     """First VALIDATED gzip member start in [start, hi): scan the
     compressed bytes for the gzip magic and accept a candidate only if a
-    probe decompression yields a well-formed WARC header (same
-    scan-plus-validate heuristic as ``_sync_to_record``; a false magic
-    inside compressed data fails the probe and scanning continues).
-    Returns None when the range holds no member start — which is exactly
-    what makes single-member streams safe: every split but the first
-    syncs to nothing, and split 0 reads to EOF."""
+    probe decompression (member-crossing — see ``_probe_warc_member``)
+    yields a well-formed WARC header (same scan-plus-validate heuristic
+    as ``_sync_to_record``; a false magic inside compressed data fails
+    the probe and scanning continues). Returns None when the range holds
+    no member start — which is exactly what makes single-member streams
+    safe: every split but the first syncs to nothing, and split 0 reads
+    to EOF."""
     if start == 0:
         return 0
     fh.seek(start)
@@ -336,18 +362,13 @@ def _sync_to_gz_member(fh, start: int, hi: int) -> int | None:
             if hit < 0 or wbase + hit >= hi:
                 break
             cand = wbase + hit
-            save = fh.tell()
-            fh.seek(cand)
-            probe = fh.read(max(_MAX_HEADER, 256 * 1024))
-            fh.seek(save)
-            try:
-                out = zlib.decompressobj(16 + zlib.MAX_WBITS).decompress(
-                    probe, _MAX_HEADER + len(_SEP)
-                )
-                if out.startswith(b"WARC/") and _parse_header_block(out) is not None:
-                    return cand
-            except zlib.error:
-                pass
+            probe = _probe_warc_member(fh, cand)
+            if (
+                probe
+                and probe.startswith(b"WARC/")
+                and _parse_header_block(probe) is not None
+            ):
+                return cand
             at = hit + 1
         if not chunk:
             return None

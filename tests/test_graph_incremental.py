@@ -58,6 +58,25 @@ def test_incremental_no_day_without_merges_is_identity(spark):
     assert got == {**dict(ASG), 50: 50}
 
 
+def test_reingested_ids_emit_one_row(spark):
+    """An id present in BOTH the prior assignment and new_vertices (a
+    re-ingested document) is an old vertex: exactly one output row, and
+    its edges still merge components through the contraction."""
+    asg = spark.createDataFrame(ASG, "id long, component long")
+    newv = spark.createDataFrame([(3,), (21,)], "id long")  # 3 is re-ingested
+    edges = spark.createDataFrame([(3, 21)], "src long, dst long")
+    out = incremental_components(asg, newv, edges).collect()
+    ids = [r.id for r in out]
+    assert sorted(ids) == sorted(set(ids))  # no duplicates
+    m = {r.id: r.component for r in out}
+    assert m[3] == 3 and m[21] == 3  # merged through the re-ingested id
+    assert m == _full_recompute_dict(spark, ASG, [21], [(3, 21)])
+
+
+def _full_recompute_dict(spark, asg_rows, new_ids, edge_rows):
+    return dict(_full_recompute(spark, asg_rows, new_ids, edge_rows))
+
+
 def test_untouched_components_are_not_reshuffled(spark):
     """The corpus-size assignment must reach the output through a
     broadcast relabel join with NO exchange on the assignment stream —

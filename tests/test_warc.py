@@ -124,7 +124,8 @@ def _mk_members(path, members):
 
 @pytest.mark.parametrize(
     "layout",
-    ["per_record", "single_member", "straddling_members", "mixed_members"],
+    ["per_record", "single_member", "straddling_members", "mixed_members",
+     "tiny_aligned_member"],
 )
 def test_gz_member_split_chunk_invariance(spark, tmp_path, layout):
     """A single multi-member .warc.gz archive must parse every record
@@ -149,11 +150,23 @@ def test_gz_member_split_chunk_invariance(spark, tmp_path, layout):
             {0, len(blob), *(random.Random(3).randrange(1, len(blob)) for _ in range(15))}
         )
         members = [blob[a:b] for a, b in zip(cuts, cuts[1:]) if b > a]
-    else:
+    elif layout == "mixed_members":
         members = [
             b"".join(records[:5]), records[5],
             b"".join(records[6:20]), b"".join(records[20:]),
         ]
+    else:
+        # handoff-symmetry regression: a RECORD-ALIGNED member smaller
+        # than its record's header block. The owning split stops at that
+        # boundary, so the next split's sync validator must accept it by
+        # decompressing ACROSS members — a single-member probe rejects it
+        # and the records after it are silently lost.
+        starts = [0]
+        for r in records:
+            starts.append(starts[-1] + len(r))
+        cuts = [0, starts[5] + 100, starts[10], starts[10] + 50,
+                starts[20], len(blob)]
+        members = [blob[a:b] for a, b in zip(cuts, cuts[1:])]
     gz = str(tmp_path / "t.warc.gz")
     size = _mk_members(gz, members)
     want = sorted((f"http://t.example/{i}", p) for i, p in enumerate(payloads))
