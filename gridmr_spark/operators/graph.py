@@ -107,6 +107,7 @@ def incremental_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 25,
+    changed_only: bool = False,
 ) -> DataFrame:
     """Day-N maintenance of a components assignment WITHOUT reclustering
     the corpus: given the prior full run's ``assignment`` (id ->
@@ -137,7 +138,12 @@ def incremental_components(
     radius.
 
     Returns the updated full assignment: DataFrame[id, component]
-    covering old ∪ new vertices.
+    covering old ∪ new vertices. With ``changed_only=True`` it returns
+    ONLY the rows whose label differs from (or is absent in) the prior
+    assignment — the bounded update set a keyed table write-back
+    (``ManifestTable.merge_by_key``) needs, selected with an INNER
+    broadcast join against the relabel map so the day's blast radius,
+    not the corpus, sizes the write.
     """
     asg = assignment.select(F.col(id_col).alias("id"), F.col(comp_col).alias("component"))
     edges = new_edges.select(F.col(src_col).alias("_s"), F.col(dst_col).alias("_d"))
@@ -206,11 +212,17 @@ def incremental_components(
 
     # 5. Output: corpus scan + broadcast relabel (shuffle-free), plus the
     #    new vertices' labels straight from the contracted CC.
+    new_rows = cc.join(F.broadcast(new_v), "id", "left_semi")
+    if changed_only:
+        relabeled = (
+            asg.join(F.broadcast(relabel), asg["component"] == F.col("_old_comp"))
+            .select("id", F.col("_new_comp").alias("component"))
+        )
+        return relabeled.unionByName(new_rows)
     old_rows = (
         asg.join(F.broadcast(relabel), asg["component"] == F.col("_old_comp"), "left")
         .select("id", F.coalesce(F.col("_new_comp"), F.col("component")).alias("component"))
     )
-    new_rows = cc.join(F.broadcast(new_v), "id", "left_semi")
     return old_rows.unionByName(new_rows)
 
 

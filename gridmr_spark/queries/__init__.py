@@ -54,6 +54,7 @@ _DRIVER_PRIORITY: list[str] = [
     # (a) round-11 additions (first driver rows ever).
     "table_sql_read", "source_csv_quarantine", "source_xml_quarantine",
     "dedup_incremental_clusters", "similarity_ivf_append",
+    "pipeline_incremental_dedup_table",
     # (b) queries whose CODE PATH changed this round: the Hamming
     # candidate generator was re-shaped (narrow-key explode + rejoin),
     # and the WARC reader gained gz member splitting.

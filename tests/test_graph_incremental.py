@@ -77,6 +77,31 @@ def _full_recompute_dict(spark, asg_rows, new_ids, edge_rows):
     return dict(_full_recompute(spark, asg_rows, new_ids, edge_rows))
 
 
+def test_changed_only_returns_exactly_the_delta(spark):
+    """changed_only=True emits precisely: members of relabeled components
+    plus genuinely-new vertices — nothing from untouched components, so a
+    keyed write-back is bounded by the day's blast radius."""
+    asg = spark.createDataFrame(ASG, "id long, component long")
+    newv = spark.createDataFrame([(i,) for i in NEW], "id long")
+    edges = spark.createDataFrame(EDGES, "src long, dst long")
+    full = dict(
+        (r.id, r.component)
+        for r in incremental_components(asg, newv, edges).collect()
+    )
+    delta = dict(
+        (r.id, r.component)
+        for r in incremental_components(
+            asg, newv, edges, changed_only=True
+        ).collect()
+    )
+    prior = dict(ASG)
+    want = {i: c for i, c in full.items() if prior.get(i) != c}
+    assert delta == want
+    assert 3 not in delta  # comp 3 keeps its label (merged INTO, min stays 3)
+    # and applying the delta over the prior state reproduces the full result
+    assert {**prior, **delta} == full
+
+
 def test_untouched_components_are_not_reshuffled(spark):
     """The corpus-size assignment must reach the output through a
     broadcast relabel join with NO exchange on the assignment stream —
