@@ -1251,3 +1251,89 @@ def source_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     )
     return _quarantine_rollup(parsed)
+
+
+# ---------------------------------------------------------------------------
+# Branches, tags, write-audit-publish on the manifest table
+# ---------------------------------------------------------------------------
+
+_WAP_ORACLE = f"""
+SELECT 'main_before_publish' AS label, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_SUM_CENTS_SQL} AS sum_cents
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT 'branch_staged', CAST(COUNT(*) AS BIGINT), {_SUM_CENTS_SQL}
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+UNION ALL
+SELECT 'tag_release1', CAST(COUNT(*) AS BIGINT), {_SUM_CENTS_SQL}
+FROM orders WHERE o_orderkey % 3 = 0
+UNION ALL
+SELECT 'main_after_publish', CAST(COUNT(*) AS BIGINT), {_SUM_CENTS_SQL}
+FROM orders WHERE o_orderkey % 3 IN (0, 1)
+UNION ALL
+SELECT 'publish_delta', CAST(COUNT(*) AS BIGINT), {_SUM_CENTS_SQL}
+FROM orders WHERE o_orderkey % 3 = 1
+"""
+
+
+@query("table_wap_publish", oracle=_WAP_ORACLE)
+def table_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish on the manifest table
+    (`ManifestTable.create_branch/publish_branch/create_tag`,
+    sources/table_format.py — Iceberg's WAP pattern, absent from the
+    reference's bare shared-FS data plane): v1 of an orders table is
+    tagged `release-1`, a day's delta is committed to an `audit` BRANCH
+    (with a CHECK constraint as the audit gate), and only after the
+    audited read does `publish_branch` fast-forward main — one atomic,
+    metadata-only snapshot.
+
+    The five output rows prove each leg against the base-table oracle:
+    staged rows are INVISIBLE to main (`main_before_publish` still = v1),
+    visible on the branch handle (`branch_staged`), the tag keeps pinning
+    v1 after publish (`tag_release1`), main sees the audited union after
+    publish (`main_after_publish`), and — because the branch history was
+    appends-only — the publish lands as a CROSSABLE append whose
+    `diff(v1, v2)` is exactly the staged delta (`publish_delta`),
+    so incremental consumers never rescan.
+
+    Scale shape: branch create, tag create, and publish are all O(#groups)
+    manifest writes — zero data movement at any table size; the branch
+    shares the main table's immutable data/group planes, and main-table
+    GC (expire/vacuum) treats branch and tag references as live
+    (tests/test_table_refs.py)."""
+    import shutil
+
+    from gridmr_spark.sources.table_format import ManifestTable
+
+    root = _scratch(sf_dir, "wap")
+    shutil.rmtree(root, ignore_errors=True)
+    t = ManifestTable(root)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t.commit(orders.where(F.col("o_orderkey") % 3 == 0))
+    t.create_tag("release-1")
+
+    b = t.create_branch("audit")
+    b.commit(
+        orders.where(F.col("o_orderkey") % 3 == 1),
+        check="o_totalprice >= 0",  # the audit gate, enforced on the branch
+    )
+
+    def leg(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(*_cents_agg()).select(
+            F.lit(label).alias("label"), "n_rows", "sum_cents"
+        )
+
+    parts = [
+        leg("main_before_publish", t.read(spark)),
+        leg("branch_staged", b.read(spark)),
+    ]
+    v_pub = t.publish_branch("audit")
+    parts += [
+        leg("tag_release1", t.read_tag(spark, "release-1")),
+        leg("main_after_publish", t.read(spark, v_pub)),
+        leg("publish_delta", t.diff(spark, 1, v_pub)),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -2231,6 +2231,132 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Duplicate-span REMOVAL (ExactSubstr, the other half): keep the canonical
+# first occurrence of every repeated 10-gram, cut every other occurrence,
+# and reconstruct the cleaned token stream.
+# ---------------------------------------------------------------------------
+
+_REMOVE_SPANS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')), ' '),
+                     w -> w <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos,
+         array_to_string(t[CAST(g.i AS INT):CAST(g.i + 9 AS INT)], ' ') AS shingle
+  FROM toks, unnest(generate_series(1, len(t) - 9)) AS g(i)
+  WHERE len(t) >= 10
+), ranked AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY shingle ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY shingle) AS c
+  FROM sh
+), dropped AS (
+  SELECT doc_id, pos FROM ranked WHERE c > 1 AND rn > 1
+), rem AS (
+  SELECT DISTINCT doc_id, r.p
+  FROM dropped, unnest(generate_series(pos, pos + 9)) AS r(p)
+), tokpos AS (
+  SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS p, t[g.i] AS w
+  FROM toks, unnest(generate_series(1, len(t))) AS g(i)
+), kept AS (
+  SELECT tokpos.doc_id, tokpos.p, tokpos.w
+  FROM tokpos ANTI JOIN rem USING (doc_id, p)
+), ka AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+         md5(string_agg(w, ' ' ORDER BY p)) AS kept_digest
+  FROM kept GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(t) AS BIGINT) - COALESCE(ka.kept_tokens, 0) AS removed_tokens,
+       COALESCE(ka.kept_tokens, CAST(0 AS BIGINT)) AS kept_tokens,
+       COALESCE(ka.kept_digest, md5('')) AS kept_digest
+FROM toks LEFT JOIN ka USING (doc_id)
+"""
+
+
+@query("text_remove_duplicate_spans", oracle=_REMOVE_SPANS_ORACLE)
+def text_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring REMOVAL — the second half of Lee et al. 2022's
+    ExactSubstr (dedup_duplicate_spans above is the measurement half): for
+    every 10-gram that occurs more than once in the corpus, keep the
+    canonical first occurrence (min (doc_id, pos) lexicographic — the
+    paper keeps one arbitrary occurrence; a total order makes it
+    deterministic and oracle-replayable) and cut the token span of every
+    other occurrence. The output carries an md5 digest of each document's
+    reconstructed kept-token stream, so the driver hash proves the actual
+    cleaned TEXT, not just the counts.
+
+    Pipeline: the shingle index is shared shape with dedup_duplicate_spans;
+    the canonical keeper is one `min(struct(doc_id, pos))` inside the same
+    count aggregate (no extra shuffle, no window sort); non-keeper spans
+    explode to removed positions (10x the duplicated occurrences ONLY),
+    and reconstruction is a position anti-join + one sorted collect per doc.
+
+    Scale shape: identical to the measurement query's inverted index — at
+    100 TB hash the shingle (xxhash64) instead of shipping strings and cap
+    degenerate hot shingles; the removal explode is bounded by true span
+    volume, and reconstruction is doc-local (collect_list within one doc's
+    rows, never cross-doc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(text_ops.tokenize("text"), lambda w: w != "").alias("t"),
+    )
+    sh = toks.where(F.size("t") >= 10).select(
+        "doc_id",
+        F.posexplode(
+            F.expr("transform(sequence(0, size(t) - 10), i -> array_join(slice(t, i + 1, 10), ' '))")
+        ).alias("pos", "shingle"),
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "shingle")
+
+    cnt = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.min(F.struct("doc_id", "pos")).alias("keep"),
+    )
+    dropped = (
+        sh.join(cnt.where(F.col("c") > 1), "shingle")
+        .where(
+            ~(
+                (F.col("doc_id") == F.col("keep.doc_id"))
+                & (F.col("pos") == F.col("keep.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    rem = dropped.select(
+        "doc_id", F.explode(F.expr("sequence(pos, pos + 9)")).alias("p")
+    ).distinct()
+
+    tokpos = toks.select(
+        "doc_id", F.posexplode("t").alias("p", "w")
+    ).select("doc_id", F.col("p").cast("long").alias("p"), "w")
+    kept = tokpos.join(rem, ["doc_id", "p"], "left_anti")
+    ka = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_tokens"),
+        F.md5(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(p, w))), x -> x.w)"),
+                " ",
+            )
+        ).alias("kept_digest"),
+    )
+    return (
+        toks.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        .join(ka, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("kept_tokens", F.lit(0))).cast("long").alias("removed_tokens"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+            F.coalesce("kept_digest", F.md5(F.lit(""))).alias("kept_digest"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Decision-tree model inference compiled to CASE expressions
 # ---------------------------------------------------------------------------
 

@@ -158,10 +158,22 @@ class ManifestTable:
     (exclusive create) decides the winner.
     """
 
-    def __init__(self, root: str) -> None:
+    def __init__(self, root: str, _branch: str | None = None) -> None:
         self.root = root
-        self._mdir = os.path.join(root, "_manifests")
-        self._gdir = os.path.join(self._mdir, "groups")
+        #: None for the main table; the branch name for a branch HANDLE
+        #: (returned by :meth:`branch` / :meth:`create_branch`). A branch
+        #: shares the main table's data and group-manifest planes and keeps
+        #: only its own snapshot-manifest namespace.
+        self.branch_name = _branch
+        main_mdir = os.path.join(root, "_manifests")
+        self._mdir = (
+            main_mdir
+            if _branch is None
+            else os.path.join(main_mdir, "branches", _branch)
+        )
+        self._bdir = os.path.join(main_mdir, "branches")
+        self._tdir = os.path.join(main_mdir, "tags")
+        self._gdir = os.path.join(main_mdir, "groups")
         # Manifests are immutable once published, so a parsed manifest can
         # be cached for the instance's lifetime — a long-running streaming
         # sink's idempotency scan then reads each manifest file once ever,
@@ -537,6 +549,185 @@ class ManifestTable:
         )
         return dest
 
+    # -- branches & tags ----------------------------------------------------
+
+    _REF_NAME_OK = staticmethod(
+        lambda n: bool(n) and all(c.isalnum() or c in "_-." for c in n)
+    )
+
+    def _require_main(self, op: str) -> None:
+        if self.branch_name is not None:
+            raise ValueError(
+                f"{op} must run on the MAIN table, not branch "
+                f"{self.branch_name!r} of {self.root} — branches share the "
+                "main table's data plane, so ref/maintenance operations are "
+                "main-table responsibilities"
+            )
+
+    def branches(self) -> list[str]:
+        """Names of existing branches (refs with at least one snapshot)."""
+        if not os.path.isdir(self._bdir):
+            return []
+        out = []
+        for name in sorted(os.listdir(self._bdir)):
+            if glob.glob(os.path.join(self._bdir, name, "v*.json")):
+                out.append(name)
+        return out
+
+    def branch(self, name: str) -> "ManifestTable":
+        """A handle on an EXISTING branch: a ManifestTable whose snapshot
+        namespace is the branch's, sharing this table's data files and
+        group manifests. Commit/merge/delete/read/time-travel all work on
+        the handle; maintenance (expire/vacuum) and ref operations refuse
+        and must run on the main table."""
+        self._require_main("branch()")
+        b = ManifestTable(self.root, _branch=name)
+        if b.current_version() is None:
+            raise ValueError(f"no such branch {name!r} in {self.root}")
+        return b
+
+    def create_branch(
+        self, name: str, version: int | None = None
+    ) -> "ManifestTable":
+        """Create branch ``name`` from snapshot ``version`` (default:
+        current) and return its handle — the write-audit-publish (WAP)
+        entry point, Iceberg's ``CREATE BRANCH``. Metadata-only: branch v1
+        is a snapshot manifest referencing the source version's (immutable,
+        shared) group manifests; zero data movement at any table size.
+
+        The branch records its fork point (``branched_from``); that base is
+        what :meth:`publish_branch` checks its fast-forward condition
+        against. Creation is exclusive (the branch's v1 manifest publish):
+        two racing creators get exactly one winner."""
+        self._require_main("create_branch")
+        if not ManifestTable._REF_NAME_OK(name):
+            raise ValueError(f"invalid ref name {name!r} (alnum/_-. only)")
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise ValueError(f"nothing to branch in {self.root}")
+        groups = self._groups_of(version)  # raises if unknown
+        b = ManifestTable(self.root, _branch=name)
+        b._publish(1, "branch", None, groups, [], {"branched_from": version})
+        return b
+
+    def drop_branch(self, name: str) -> None:
+        """Delete branch ``name``'s snapshot namespace. Data files only the
+        branch referenced become unreferenced orphans that the main table's
+        age-gated ``vacuum_orphans`` reclaims — same two-step as every
+        other delete in this format."""
+        self._require_main("drop_branch")
+        d = os.path.join(self._bdir, name)
+        if not glob.glob(os.path.join(d, "v*.json")):
+            raise ValueError(f"no such branch {name!r} in {self.root}")
+        shutil.rmtree(d)
+
+    def publish_branch(self, name: str) -> int:
+        """Fast-forward MAIN to branch ``name``'s head — the PUBLISH step
+        of write-audit-publish: stage commits on the branch, audit the
+        branch read, then make the audited state visible to main-table
+        readers in ONE atomic snapshot.
+
+        Fast-forward condition: main's current version must still be the
+        branch's fork point. If main advanced since the branch was cut,
+        raises :class:`ConcurrentCommitError` — the caller re-branches from
+        the new head and replays (the same optimistic-concurrency contract
+        as racing commits; silently merging diverged states would forfeit
+        the audit).
+
+        The published snapshot is metadata-only (branch head's group list).
+        If every branch commit after the fork was an append, the publish is
+        recorded as an ``append`` whose delta is the branch's cumulative
+        delta — incremental readers (``diff``, the changelog stream) see
+        the audited rows as one ordinary append. Any rewrite on the branch
+        (merge/delete/compact) makes the publish non-crossable
+        (``publish``), exactly like the underlying operation would have
+        been on main."""
+        self._require_main("publish_branch")
+        b = self.branch(name)
+        bv = b.current_version()
+        base = b._raw(1).get("branched_from")
+        cur = self.current_version()
+        if cur != base:
+            raise ConcurrentCommitError(
+                f"publish of branch {name!r} into {self.root} is not a "
+                f"fast-forward: branched from v{base} but main is at "
+                f"v{cur} — re-branch from the current head and replay"
+            )
+        ops = [b._raw(v).get("operation", "append") for v in range(2, bv + 1)]
+        appends_only = all(op in ("append", "rewrite_manifests") for op in ops)
+        added: list[str] = []
+        if appends_only:
+            for v in range(2, bv + 1):
+                if b._raw(v).get("operation", "append") == "append":
+                    added.extend(b._raw(v).get("added_groups", []))
+        self._publish(
+            (cur or 0) + 1,
+            "append" if appends_only else "publish",
+            None,
+            b._groups_of(bv),
+            added,
+            {"published_from": {"branch": name, "version": bv, "base": base}},
+        )
+        return (cur or 0) + 1
+
+    def tags(self) -> dict[str, int]:
+        """name -> pinned version for every tag."""
+        if not os.path.isdir(self._tdir):
+            return {}
+        out: dict[str, int] = {}
+        for f in sorted(glob.glob(os.path.join(self._tdir, "*.json"))):
+            with open(f, encoding="utf-8") as fh:
+                out[os.path.basename(f)[:-5]] = json.load(fh)["version"]
+        return out
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``version`` (default: current) under an immutable name —
+        Iceberg's ``CREATE TAG``, the audit/release marker. A tagged
+        snapshot survives ``expire`` regardless of ``keep_last`` until the
+        tag is dropped. Exclusive create: re-tagging an existing name
+        raises (tags are immutable by contract — drop and re-create to
+        move one, leaving an auditable gap)."""
+        self._require_main("create_tag")
+        if not ManifestTable._REF_NAME_OK(name):
+            raise ValueError(f"invalid ref name {name!r} (alnum/_-. only)")
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise ValueError(f"nothing to tag in {self.root}")
+        self._raw(version)  # raises if unknown
+        import time as _time
+
+        os.makedirs(self._tdir, exist_ok=True)
+        tmp = os.path.join(self._tdir, f".{name}.{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"version": version, "ts": _time.time()}, f)
+        final = os.path.join(self._tdir, f"{name}.json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise ValueError(
+                f"tag {name!r} already exists in {self.root} (tags are "
+                "immutable; drop_tag first to move it)"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        return version
+
+    def drop_tag(self, name: str) -> None:
+        self._require_main("drop_tag")
+        f = os.path.join(self._tdir, f"{name}.json")
+        if not os.path.exists(f):
+            raise ValueError(f"no such tag {name!r} in {self.root}")
+        os.remove(f)
+
+    def read_tag(self, spark: SparkSession, name: str) -> DataFrame:
+        """``read`` at the tagged version (VERSION AS OF a name)."""
+        tags = self.tags()
+        if name not in tags:
+            raise ValueError(f"no such tag {name!r} in {self.root}")
+        return self.read(spark, tags[name])
+
     def expire(self, keep_last: int = 1) -> list[str]:
         """Drop all but the last ``keep_last`` snapshots and DELETE data
         files no surviving manifest references. Returns the deleted file
@@ -548,11 +739,22 @@ class ManifestTable:
         SOURCE table's files by absolute path; expiring the clone must
         drop its manifests without reaching into the source — Delta's
         shallow-clone contract (maintenance on the clone never deletes
-        source data)."""
+        source data).
+
+        REF GUARDS: tagged versions survive regardless of ``keep_last``
+        (their manifests are not dropped, their files not reclaimed), and
+        files/groups referenced by any BRANCH snapshot are kept — a branch
+        shares the main table's data plane, so main-table maintenance must
+        see branch references or it would destroy staged WAP state. Runs
+        on the main table only (branch handles raise): a branch's expiry
+        is ``drop_branch``."""
+        self._require_main("expire")
         vs = self.versions()
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        keep, drop = vs[-keep_last:], vs[:-keep_last]
+        tagged = set(self.tags().values())
+        keep = [v for v in vs if v in tagged or v in set(vs[-keep_last:])]
+        drop = [v for v in vs if v not in set(keep)]
         # Every membership/prefix test below runs on realpath-normalized
         # spellings: a table opened via a relative path, a different CWD, or
         # a symlinked mount must never mistake a LIVE file for garbage just
@@ -564,6 +766,13 @@ class ManifestTable:
             kept_groups.update(
                 _norm(g["path"]) for g in self._raw(v).get("groups", [])
             )
+        for bname in self.branches():
+            bt = ManifestTable(self.root, _branch=bname)
+            for v in bt.versions():
+                referenced.update(_norm(f) for f in bt._manifest(v)["files"])
+                kept_groups.update(
+                    _norm(g["path"]) for g in bt._raw(v).get("groups", [])
+                )
         own_prefix = _norm(os.path.join(self.root, "data")) + os.sep
         removed: list[str] = []
         dropped_groups: set[str] = set()
@@ -659,9 +868,13 @@ class ManifestTable:
         manifest publish would point at deleted files (the exact hazard
         Delta's VACUUM retention hours exist for). Only directories whose
         mtime is older than the window are touched; pass 0 ONLY when no
-        writer can be active (tests, single-process maintenance)."""
+        writer can be active (tests, single-process maintenance).
+
+        Branch snapshots count as references (shared data plane — see
+        ``expire``); runs on the main table only."""
         import time as _time
 
+        self._require_main("vacuum_orphans")
         # glob()'d paths and manifest-recorded paths can spell the same
         # file differently (relative root, symlinked mount, '..' segments);
         # realpath-normalize BOTH sides of every liveness test or a live
@@ -669,11 +882,15 @@ class ManifestTable:
         # for every snapshot that references it.
         referenced: set[str] = set()
         referenced_groups: set[str] = set()
-        for v in self.versions():
-            referenced.update(_norm(f) for f in self._manifest(v)["files"])
-            referenced_groups.update(
-                _norm(g["path"]) for g in self._raw(v).get("groups", [])
-            )
+        namespaces = [self] + [
+            ManifestTable(self.root, _branch=b) for b in self.branches()
+        ]
+        for ns in namespaces:
+            for v in ns.versions():
+                referenced.update(_norm(f) for f in ns._manifest(v)["files"])
+                referenced_groups.update(
+                    _norm(g["path"]) for g in ns._raw(v).get("groups", [])
+                )
         live_dirs = {os.path.dirname(f) for f in referenced}
         cutoff = _time.time() - min_age_seconds
         removed: list[str] = []
@@ -687,11 +904,12 @@ class ManifestTable:
                 ):
                     removed.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
                     shutil.rmtree(d)
-        if os.path.isdir(self._mdir):
-            for f in sorted(glob.glob(os.path.join(self._mdir, ".*.tmp"))):
-                if os.path.getmtime(f) <= cutoff:
-                    os.remove(f)
-                    removed.append(f)
+        for ns in namespaces:
+            if os.path.isdir(ns._mdir):
+                for f in sorted(glob.glob(os.path.join(ns._mdir, ".*.tmp"))):
+                    if os.path.getmtime(f) <= cutoff:
+                        os.remove(f)
+                        removed.append(f)
         # orphan GROUP manifests: written by commits that crashed or lost
         # the OCC race before their snapshot publish (plus stale group
         # tmp files). Same retention window: an in-flight commit has
