@@ -302,10 +302,18 @@ def minhash_dedup_pairs(
     cand = lsh_candidate_pairs(
         minhash_signatures_from_shingles(sh, k), k, bands
     ).localCheckpoint(eager=True)
+    return verify_jaccard_pairs(sh, cand, threshold)
+
+
+def verify_jaccard_pairs(sh: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of a candidate pair set against an
+    (id, shingle) table: output ⊆ exact pairs, with the exact jaccard
+    attached — the shared verify stage of every candidate generator
+    (batch LSH, incremental bipartite, streaming band state). Both legs
+    are semi-filtered to candidate documents before the shingle equi-join
+    so verification scales with candidate volume, not with the full
+    inverted-index join."""
     sizes = _shingle_sizes(sh)
-    # Semi-filter both legs to candidate documents before the shingle
-    # equi-join so verification scales with band collisions, not with the
-    # full inverted-index join (see minhash_dedup_incremental).
     cand_ids = cand.select(F.col("id1").alias("id")).union(
         cand.select(F.col("id2").alias("id"))
     ).distinct()

@@ -393,3 +393,67 @@ def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
         "left",
     ).select("c_id", "p_id")
+
+
+# Streaming MinHash near-dup flags (batch twin of streaming/neardup.py).
+# Oracle = exact-Jaccard first-seen flags; the verify stage guarantees
+# output ⊆ exact pairs, so the hash additionally asserts LSH recall 1.0 on
+# this data (same argument as dedup_minhash_lsh).
+_STREAM_NEARDUP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(regexp_replace(text,'[^a-zA-Z0-9]+',' ','g')),' '), t -> t <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(ws)-2),
+         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+  FROM toks
+), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id1, id2
+  FROM common
+  JOIN sizes s1 ON id1 = s1.doc_id
+  JOIN sizes s2 ON id2 = s2.doc_id
+  WHERE CAST(c AS DOUBLE)/CAST(s1.sz + s2.sz - c AS DOUBLE) >= 0.5
+), dup AS (
+  SELECT id2 AS doc_id, CAST(MIN(id1) AS BIGINT) AS first_dup_of
+  FROM pairs GROUP BY id2
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN dup.first_dup_of IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup,
+       dup.first_dup_of
+FROM documents d LEFT JOIN dup USING (doc_id)
+"""
+
+
+@query("stream_dedup_minhash", oracle=_STREAM_NEARDUP_ORACLE)
+def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup as a STREAM operator (batch mode of
+    streaming/neardup.py): documents arriving on an unbounded ingest are
+    flagged against everything seen so far — MinHash signatures and LSH
+    band hashes computed row-locally (stateless, streaming-legal, NO
+    groupBy), band buckets kept as transformWithStateInPandas ListState
+    emitting candidate pairs eagerly (pairs are final on emission — no
+    watermark needed), exact-Jaccard verify downstream. This batch twin
+    runs the identical band structure declaratively; stream==batch
+    candidate equality is asserted live in tests/test_stream_neardup.py
+    (fake-handle multi-batch + real readStream when protobuf is present).
+
+    Output: (doc_id, is_dup, first_dup_of) under first-seen semantics —
+    a doc is a dup iff an EARLIER doc verifies at jaccard >= 0.5; the
+    oracle replays that definition exactly (verify ⊆ exact pairs, and
+    hash-equality asserts LSH recall 1.0 on this corpus, the
+    dedup_minhash_lsh argument).
+
+    Scale shape: state per band bucket is the member id list; pair
+    emission is the bucket self-join LSH contracts for — the ``cap``
+    dial bounds adversarial hot buckets (documented recall cost). The
+    streaming operator shuffles (id, band_id, band_hash) only — the
+    narrow-key posture dedup_binary_hamming_pairs uses."""
+    from gridmr_spark.streaming.neardup import neardup_flags_batch
+
+    return neardup_flags_batch(load_table(spark, sf_dir, "documents"))
