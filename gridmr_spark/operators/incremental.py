@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from gridmr_spark.functions.numeric import dmoney
 
-__all__ = ["partial_aggs", "merge_partial_aggs", "finalize_aggs"]
+__all__ = ["partial_aggs", "cdc_partial_aggs", "merge_partial_aggs", "finalize_aggs"]
 
 
 def partial_aggs(
@@ -46,6 +46,46 @@ def partial_aggs(
     return df.groupBy(*keys).agg(*aggs)
 
 
+def cdc_partial_aggs(
+    df: DataFrame,
+    keys: list[str],
+    sums: dict[str, str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Partial state of a CDC delta WITH RETRACTIONS — the Z-set/retract
+    algebra (Flink retract streams, DBSP): an ``'I'`` row weights +1, a
+    ``'D'`` row −1 (an update is encoded as D-old + I-new, the standard
+    retract+insert pair), so n_rows is the signed count and each DECIMAL
+    sum accumulates the signed value. The output merges with append-only
+    states through the unchanged ``merge_partial_aggs`` — deletion support
+    costs nothing in the monoid, only in the encoding. A group whose rows
+    all vanished nets to n_rows == 0; render with
+    ``finalize_aggs(drop_empty=True)`` so it disappears from the view.
+
+    Unknown op codes fail the job loudly (raise_error) rather than
+    silently weighting NULL — a malformed CDC feed must never corrupt
+    maintained state."""
+    w = (
+        F.when(F.col(op_col) == "I", F.lit(1).cast("long"))
+        .when(F.col(op_col) == "D", F.lit(-1).cast("long"))
+        .otherwise(
+            F.raise_error(
+                F.concat(F.lit("cdc_partial_aggs: unknown op "), F.col(op_col))
+            ).cast("long")
+        )
+    )
+    weighted = df.withColumn("_w", w)
+    aggs = [F.sum("_w").cast("long").alias("n_rows")] + [
+        F.sum(
+            F.when(F.col("_w") < 0, -dmoney(src, 2)).otherwise(dmoney(src, 2))
+        )
+        .cast("decimal(38,2)")
+        .alias(out)
+        for out, src in sums.items()
+    ]
+    return weighted.groupBy(*keys).agg(*aggs)
+
+
 def merge_partial_aggs(states: list[DataFrame], keys: list[str]) -> DataFrame:
     """Merge any number of partial-state frames (stored base + fresh
     deltas): union, then re-sum per group. Associative and commutative —
@@ -60,9 +100,17 @@ def merge_partial_aggs(states: list[DataFrame], keys: list[str]) -> DataFrame:
     return unioned.groupBy(*keys).agg(*aggs)
 
 
-def finalize_aggs(state: DataFrame, keys: list[str]) -> DataFrame:
+def finalize_aggs(
+    state: DataFrame, keys: list[str], drop_empty: bool = False
+) -> DataFrame:
     """Render merged state for consumers: sums and averages as doubles
-    (single deterministic decimal->double cast / division per value)."""
+    (single deterministic decimal->double cast / division per value).
+    ``drop_empty=True`` removes groups whose signed count netted to zero —
+    required after merging retraction deltas (``cdc_partial_aggs``), where
+    a fully-deleted group leaves a zero-state tombstone rather than
+    vanishing from the frame."""
+    if drop_empty:
+        state = state.where(F.col("n_rows") != 0)
     sum_cols = [c for c in state.columns if c not in keys and c != "n_rows"]
     out = [F.col(k) for k in keys] + [F.col("n_rows")]
     for c in sum_cols:

@@ -1453,6 +1453,94 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_aggs(merge_partial_aggs([stored, delta], keys), keys)
 
 
+# Retraction-capable incremental view maintenance: the maintained answer is
+# the post-CDC logical table re-aggregated from scratch (the oracle), but
+# the engine only ever touched the stored partial state + the CDC delta.
+_INC_CDC_ORACLE = """
+WITH final_rows AS (
+  SELECT o_orderpriority,
+         CAST(o_totalprice AS DOUBLE)
+           + CASE WHEN o_orderkey % 3 <> 1 AND o_orderkey % 10 = 7
+                  THEN 100.0 ELSE 0.0 END AS price
+  FROM orders
+  WHERE (o_orderkey % 3 IN (0, 2) AND o_orderkey % 10 <> 0)
+     OR o_orderkey % 3 = 1
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_total
+FROM final_rows
+GROUP BY o_orderpriority
+"""
+
+
+@query("incremental_agg_view_cdc", oracle=_INC_CDC_ORACLE)
+def incremental_agg_view_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance under a CDC feed WITH DELETES and
+    UPDATES (operators/incremental.py: cdc_partial_aggs) — the retraction
+    algebra agg_incremental_merge lacks: inserts weight +1, deletes −1,
+    updates are the standard retract+insert pair, and the signed DECIMAL
+    monoid merges with stored append-only state through the unchanged
+    merge_partial_aggs. Day 0 persists partial state over the base orders
+    (o_orderkey % 3 in (0,2)); day 1 applies a CDC batch that INSERTS the
+    %3=1 rows, DELETES base rows with %10=0, and UPDATES base rows with
+    %10=7 (price +100.00). The oracle recomputes the post-CDC table from
+    scratch — the hash match proves a view maintained through retractions
+    is indistinguishable from recompute, including fully-deleted groups
+    vanishing (n_rows nets to 0, dropped by finalize_aggs(drop_empty)).
+
+    Scale shape: refresh cost is O(|CDC batch| + |groups|) regardless of
+    history — the nightly-merge posture for a 100 TB fact table where
+    rows are also corrected and forgotten (GDPR deletes), not only
+    appended. A malformed op code raises in-plan (raise_error), never
+    silently corrupts state."""
+    import hashlib as _h
+    import os as _os
+    import tempfile as _t
+
+    from gridmr_spark.operators.incremental import (
+        cdc_partial_aggs,
+        finalize_aggs,
+        merge_partial_aggs,
+        partial_aggs,
+    )
+
+    keys = ["o_orderpriority"]
+    sums = {"total": "o_totalprice"}
+    orders = load_table(spark, sf_dir, "orders")
+    base_pred = (F.col("o_orderkey") % 3).isin(0, 2)
+    base = orders.where(base_pred)
+
+    src = _os.path.join(sf_dir, "orders.parquet")
+    st = _os.stat(src)
+    key = _h.md5(f"{sf_dir}:incaggcdc:{st.st_mtime_ns}:{st.st_size}".encode()).hexdigest()[:12]
+    path = _os.path.join(_t.gettempdir(), f"gridmr_incaggcdc_{key}")
+    if not _os.path.isfile(_os.path.join(path, "_SUCCESS")):
+        partial_aggs(base, keys, sums).coalesce(1).write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+
+    cols = ["o_orderpriority", "o_totalprice"]
+    inserts = orders.where(F.col("o_orderkey") % 3 == 1).select(
+        F.lit("I").alias("op"), *cols
+    )
+    deletes = base.where(F.col("o_orderkey") % 10 == 0).select(
+        F.lit("D").alias("op"), *cols
+    )
+    upd_src = base.where(F.col("o_orderkey") % 10 == 7)
+    upd_retract = upd_src.select(F.lit("D").alias("op"), *cols)
+    upd_insert = upd_src.select(
+        F.lit("I").alias("op"),
+        F.col("o_orderpriority"),
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+    )
+    cdc = inserts.unionByName(deletes).unionByName(upd_retract).unionByName(upd_insert)
+
+    merged = merge_partial_aggs([stored, cdc_partial_aggs(cdc, keys, sums)], keys)
+    return finalize_aggs(merged, keys, drop_empty=True)
+
+
 _OLS_ORACLE = """
 WITH j AS (
   SELECT c.c_mktsegment AS segment,

@@ -74,3 +74,68 @@ def test_decimal_state_is_exact_across_many_increments(spark, sf_smoke):
     merged = finalize_aggs(merge_partial_aggs(parts, KEYS), KEYS)
     one_shot = finalize_aggs(partial_aggs(li, KEYS, SUMS), KEYS)
     assert _canon(merged) == _canon(one_shot)
+
+
+# -- CDC retraction algebra (cdc_partial_aggs) -------------------------------
+
+
+def _rows(spark, data):
+    return spark.createDataFrame(data, "op string, g string, v double")
+
+
+def test_cdc_retraction_matches_recompute(spark):
+    from gridmr_spark.operators.incremental import cdc_partial_aggs
+
+    base = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", 5.0)], "g string, v double"
+    )
+    stored = partial_aggs(base, ["g"], {"v": "v"})
+    # delete one 'a' row, update the other (20 -> 25), insert a 'c' row
+    cdc = _rows(
+        spark,
+        [("D", "a", 10.0), ("D", "a", 20.0), ("I", "a", 25.0), ("I", "c", 1.0)],
+    )
+    got = finalize_aggs(
+        merge_partial_aggs([stored, cdc_partial_aggs(cdc, ["g"], {"v": "v"})], ["g"]),
+        ["g"],
+        drop_empty=True,
+    )
+    want = finalize_aggs(
+        partial_aggs(
+            spark.createDataFrame(
+                [("a", 25.0), ("b", 5.0), ("c", 1.0)], "g string, v double"
+            ),
+            ["g"],
+            {"v": "v"},
+        ),
+        ["g"],
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_cdc_fully_deleted_group_vanishes(spark):
+    from gridmr_spark.operators.incremental import cdc_partial_aggs
+
+    base = spark.createDataFrame([("a", 10.0), ("b", 5.0)], "g string, v double")
+    stored = partial_aggs(base, ["g"], {"v": "v"})
+    cdc = _rows(spark, [("D", "b", 5.0)])
+    merged = merge_partial_aggs(
+        [stored, cdc_partial_aggs(cdc, ["g"], {"v": "v"})], ["g"]
+    )
+    # without drop_empty the tombstone is visible (n_rows 0, sum 0)
+    tomb = {r.g: (r.n_rows, float(r.v)) for r in merged.collect()}
+    assert tomb["b"] == (0, 0.0)
+    out = finalize_aggs(merged, ["g"], drop_empty=True)
+    assert [r.g for r in out.collect()] == ["a"]
+
+
+def test_cdc_unknown_op_raises_in_plan(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from gridmr_spark.operators.incremental import cdc_partial_aggs
+
+    cdc = _rows(spark, [("X", "a", 1.0)])
+    with pytest.raises((Py4JJavaError, PySparkException)):
+        cdc_partial_aggs(cdc, ["g"], {"v": "v"}).collect()
