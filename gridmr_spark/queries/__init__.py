@@ -55,6 +55,13 @@ _DRIVER_PRIORITY: list[str] = [
     "table_sql_read", "source_csv_quarantine", "source_xml_quarantine",
     "dedup_incremental_clusters", "similarity_ivf_append",
     "pipeline_incremental_dedup_table",
+    "text_remove_duplicate_spans", "table_wap_publish",
+    "stream_dedup_minhash", "incremental_agg_view_cdc",
+    "table_changefeed_agg",
+    # (a2) queries sharing code with round-11 refactors: the shared
+    # exact-Jaccard verify stage was extracted (verify_jaccard_pairs),
+    # and finalize_aggs gained drop_empty.
+    "agg_incremental_merge",
     # (b) queries whose CODE PATH changed this round: the Hamming
     # candidate generator was re-shaped (narrow-key explode + rejoin),
     # and the WARC reader gained gz member splitting.

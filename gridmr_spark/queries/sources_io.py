@@ -1337,3 +1337,86 @@ def table_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Row-level change feed across table rewrites, feeding incremental state
+# ---------------------------------------------------------------------------
+
+# The post-rewrite logical table: base (o_orderkey%3 in (0,2)) minus the
+# %10=0 deletes, +100.00 on the %10=7 updates, plus the %3=1 inserts —
+# same algebra as incremental_agg_view_cdc's oracle, reached here through
+# REAL table rewrites + the row-diff feed instead of a constructed CDC batch.
+_CHANGEFEED_AGG_ORACLE = """
+WITH final_rows AS (
+  SELECT o_orderpriority,
+         CAST(o_totalprice AS DOUBLE)
+           + CASE WHEN o_orderkey % 3 <> 1 AND o_orderkey % 10 = 7
+                  THEN 100.0 ELSE 0.0 END AS price
+  FROM orders
+  WHERE (o_orderkey % 3 IN (0, 2) AND o_orderkey % 10 <> 0)
+     OR o_orderkey % 3 = 1
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS avg_total
+FROM final_rows
+GROUP BY o_orderpriority
+"""
+
+
+@query("table_changefeed_agg", oracle=_CHANGEFEED_AGG_ORACLE)
+def table_changefeed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CHANGE FEED across table rewrites
+    (`ManifestTable.changefeed`, sources/table_format.py — Delta's CDF for
+    the ranges `diff` refuses), composed end to end with retraction-
+    capable view maintenance: v1 commits the base orders, v2 DELETES rows
+    (delete_where %10=0), v3 MERGES updates (+100.00 on %10=7) and inserts
+    (the %3=1 rows) in one upsert — then `changefeed(1, 3)` emits the
+    multiset row diff as I/D rows, which is exactly the encoding
+    `cdc_partial_aggs` consumes, and the stored v1 partial state merged
+    with the feed's signed partials hash-matches a from-scratch recompute
+    of v3 (the oracle). One green row therefore proves the feed is
+    row-exact through delete+merge rewrites AND that the maintenance
+    algebra composes with it.
+
+    Scale shape: the feed costs one exceptAll pass each way over the two
+    snapshots — the honest price of row-diffing a format with no row
+    lineage; appends-only ranges keep `diff`'s O(delta) fast path. The
+    downstream maintenance stays O(|feed| + |groups|)."""
+    import shutil
+
+    from gridmr_spark.operators.incremental import (
+        cdc_partial_aggs,
+        finalize_aggs,
+        merge_partial_aggs,
+        partial_aggs,
+    )
+    from gridmr_spark.sources.table_format import ManifestTable
+
+    root = _scratch(sf_dir, "cfeed")
+    shutil.rmtree(root, ignore_errors=True)
+    t = ManifestTable(root)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base = orders.where((F.col("o_orderkey") % 3).isin(0, 2))
+    t.commit(base)                                            # v1
+    t.delete_where(spark, F.col("o_orderkey") % 10 == 0)      # v2
+    upserts = base.where(F.col("o_orderkey") % 10 == 7).select(
+        "o_orderkey",
+        "o_orderpriority",
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+    ).unionByName(orders.where(F.col("o_orderkey") % 3 == 1))
+    v3 = t.merge_by_key(spark, upserts, "o_orderkey")         # v3
+
+    keys = ["o_orderpriority"]
+    sums = {"total": "o_totalprice"}
+    stored = partial_aggs(t.read(spark, 1), keys, sums)
+    feed = t.changefeed(spark, 1, v3)
+    merged = merge_partial_aggs(
+        [stored, cdc_partial_aggs(feed, keys, sums, op_col="_op")], keys
+    )
+    return finalize_aggs(merged, keys, drop_empty=True)

@@ -1268,6 +1268,8 @@ class ManifestTable:
         version: int | None = None,
         at_ts: float | None = None,
         preds: dict | None = None,
+        tag: str | None = None,
+        branch: str | None = None,
     ) -> str:
         """Register one snapshot as a temp view so ``spark.sql`` can query
         it — the SQL half of time travel: ``version=`` pins a VERSION AS OF
@@ -1282,17 +1284,30 @@ class ManifestTable:
         view is built (same contract as ``read_pruned``: residual
         predicates re-applied, results identical to the unpruned read).
 
+        ``tag=`` resolves a tagged version (VERSION AS OF a name);
+        ``branch=`` reads the branch head — the SQL spelling of the WAP
+        staging read. version/at_ts/tag/branch are mutually exclusive.
+
         The file list is resolved NOW: the view is a stable snapshot
         (SQL readers get snapshot isolation for free); re-register to see
         later commits. Returns ``name``."""
+        pinned = [x for x in (version, at_ts, tag, branch) if x is not None]
+        if len(pinned) > 1:
+            raise ValueError(
+                "sql_view: pass at most ONE of version/at_ts/tag/branch"
+            )
         if at_ts is not None:
-            if version is not None:
-                raise ValueError("sql_view: pass version OR at_ts, not both")
             version = self.version_at(at_ts)
+        if tag is not None:
+            tags = self.tags()
+            if tag not in tags:
+                raise ValueError(f"no such tag {tag!r} in {self.root}")
+            version = tags[tag]
+        src: "ManifestTable" = self if branch is None else self.branch(branch)
         if preds is not None:
-            df = self.read_pruned(spark, version=version, preds=preds)
+            df = src.read_pruned(spark, version=version, preds=preds)
         else:
-            df = self.read(spark, version)
+            df = src.read(spark, version)
         df.createOrReplaceTempView(name)
         return name
 
@@ -1318,6 +1333,16 @@ class ManifestTable:
         if versions:
             for v in self.versions():
                 out.append(self.sql_view(spark, f"{name}_v{v}", version=v))
+        # refs: tags pin versions (`<name>_tag_<t>`), branches read their
+        # head (`<name>_branch_<b>` — the SQL spelling of the WAP staging
+        # read); ref-name chars outside [alnum] map to '_' for view-name
+        # validity (ref names are validated to alnum/_-. at creation)
+        for tname, tv in self.tags().items():
+            safe = "".join(c if c.isalnum() else "_" for c in tname)
+            out.append(self.sql_view(spark, f"{name}_tag_{safe}", version=tv))
+        for bname in self.branches():
+            safe = "".join(c if c.isalnum() else "_" for c in bname)
+            out.append(self.sql_view(spark, f"{name}_branch_{safe}", branch=bname))
         self.history(spark).createOrReplaceTempView(f"{name}_history")
         out.append(f"{name}_history")
         stats = self.snapshot_stats()
@@ -1359,6 +1384,41 @@ class ManifestTable:
                 return self.read(spark, v_to).where(_F.lit(False))
             raise ValueError(f"no files added in {self.root} v{v_from}..v{v_to}")
         return spark.read.parquet(*added)
+
+    def changefeed(self, spark: SparkSession, v_from: int, v_to: int) -> DataFrame:
+        """ROW-LEVEL change feed between ANY two snapshots — Delta's CDF /
+        Iceberg's changelog, for the version ranges ``diff`` refuses:
+        rewrites (merge/delete/compact/restore/publish) change the file
+        set without the files being pure additions, so the row delta must
+        be computed, not listed. Output is the two snapshots' multiset
+        difference with an ``_op`` column — ``'I'`` rows appear in v_to
+        but not v_from, ``'D'`` the reverse; an update surfaces as its
+        retract+insert pair. That is exactly the encoding
+        ``operators/incremental.cdc_partial_aggs`` consumes, so a
+        downstream aggregate view maintains through arbitrary table
+        rewrites by reading the feed (proven hash-exact by the
+        ``table_changefeed_agg`` driver oracle).
+
+        Cost: one anti-semi pass over the two snapshots (exceptAll each
+        way) — O(both snapshots), the honest price of row-level diffing
+        a format that stores no row lineage; when the range is
+        appends-only, ``diff`` remains the O(delta) fast path (and this
+        method returns the same rows with ``_op = 'I'``). Duplicate-row
+        multiplicity is preserved (exceptAll, not except), so signed
+        counts stay correct."""
+        from pyspark.sql import functions as _F
+
+        if not 0 <= v_from < v_to:
+            raise ValueError(f"need 0 <= v_from < v_to, got {v_from}..{v_to}")
+        new = self.read(spark, v_to)
+        old = (
+            self.read(spark, v_from)
+            if v_from > 0
+            else new.where(_F.lit(False))
+        )
+        inserts = new.exceptAll(old).withColumn("_op", _F.lit("I"))
+        deletes = old.exceptAll(new).withColumn("_op", _F.lit("D"))
+        return inserts.unionByName(deletes)
 
 
 # ---------------------------------------------------------------------------

@@ -191,8 +191,15 @@ def minhash_candidates_batch(
     bands: int = 16,
 ) -> DataFrame:
     """Batch twin of the processor's emitted pair set: bucket self-join on
-    (band_id, band_hash), id1 < id2, distinct."""
-    b = minhash_bands_stateless(docs, id_col, text_col, n, k, bands)
+    (band_id, band_hash), id1 < id2, distinct.
+
+    The banded frame is checkpointed before the self-join: the stateless
+    signature expression (k array passes per row) is the dominant cost,
+    and without materialization BOTH join legs would recompute it — 10x
+    the whole pipeline's runtime, measured at sf0.1."""
+    b = minhash_bands_stateless(docs, id_col, text_col, n, k, bands).localCheckpoint(
+        eager=True
+    )
     other = b.select(F.col("id").alias("id2"), "band_id", "band_hash")
     return (
         b.join(other, ["band_id", "band_hash"])
@@ -219,8 +226,21 @@ def neardup_flags_batch(
     exact, so output ⊆ exact pairs and (at LSH recall 1.0, which the
     oracle hash asserts on this data) the flags equal the exact-Jaccard
     definition."""
-    cand = minhash_candidates_batch(docs, id_col, text_col, n, k, bands)
+    # Signatures via the batch AGGREGATE form (explode + 64 running minima
+    # in one whole-stage-codegen hash agg), not the row-local array form:
+    # the two are bit-identical (tests/test_stream_neardup.py proves
+    # candidate-set equality), and the aggregate form measures ~5x faster
+    # at sf0.1 — the stateless form exists because a streaming plan cannot
+    # contain the groupBy, not because it is the better batch plan.
+    from gridmr_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_from_shingles,
+    )
+
     sh = word_shingles(docs, id_col, text_col, n).localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(
+        minhash_signatures_from_shingles(sh, k), k, bands
+    ).localCheckpoint(eager=True)
     pairs = verify_jaccard_pairs(sh, cand, threshold)
     dup = pairs.groupBy("id2").agg(F.min("id1").cast("long").alias("first_dup_of"))
     return (

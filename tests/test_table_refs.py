@@ -138,3 +138,91 @@ def test_ref_name_validation(spark, tmp_path):
         t.create_tag("a/b")
     with pytest.raises(ValueError):
         t.branch("nope")
+
+
+# -- row-level change feed (changefeed) --------------------------------------
+
+
+def _feed(spark, t, v_from, v_to):
+    return sorted(
+        (r["_op"], r.k, r.v) for r in t.changefeed(spark, v_from, v_to).collect()
+    )
+
+
+def test_changefeed_crosses_rewrites_with_exact_rows(spark, tmp_path):
+    t = _mk(spark, tmp_path, [[(1, "a"), (2, "b"), (3, "c")]])
+    t.delete_where(spark, F.col("k") == 2)                       # v2
+    t.merge_by_key(
+        spark, spark.createDataFrame([(3, "C"), (4, "d")], "k long, v string"), "k"
+    )                                                            # v3
+    assert _feed(spark, t, 1, 3) == [
+        ("D", 2, "b"),
+        ("D", 3, "c"),
+        ("I", 3, "C"),
+        ("I", 4, "d"),
+    ]
+    # appends-only ranges agree with diff (all-I feed)
+    t.commit(spark.createDataFrame([(5, "e")], "k long, v string"))  # v4
+    assert _feed(spark, t, 3, 4) == [("I", 5, "e")]
+
+
+def test_changefeed_from_zero_is_full_insert_feed(spark, tmp_path):
+    t = _mk(spark, tmp_path, [[(1, "a")], [(2, "b")]])
+    assert _feed(spark, t, 0, 2) == [("I", 1, "a"), ("I", 2, "b")]
+
+
+def test_changefeed_preserves_duplicate_multiplicity(spark, tmp_path):
+    # two identical rows in v1; v2 rewrites to ONE copy — a set-based diff
+    # would emit nothing and the downstream signed count would drift
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, "a"), (1, "a")], "k long, v string"))
+    t.replace(spark.createDataFrame([(1, "a")], "k long, v string"))
+    assert _feed(spark, t, 1, 2) == [("D", 1, "a")]
+
+
+def test_changefeed_feeds_cdc_partial_aggs(spark, tmp_path):
+    from gridmr_spark.operators.incremental import (
+        cdc_partial_aggs,
+        finalize_aggs,
+        merge_partial_aggs,
+        partial_aggs,
+    )
+
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.createDataFrame(
+            [("a", 10.0), ("a", 20.0), ("b", 5.0)], "g string, x double"
+        )
+    )
+    t.delete_where(spark, F.col("g") == "b")
+    t.merge_by_key(
+        spark, spark.createDataFrame([("a", 20.0)], "g string, x double"), "g"
+    )  # dedupes the two 'a' rows down to one via key merge
+    stored = partial_aggs(t.read(spark, 1), ["g"], {"x": "x"})
+    feed = t.changefeed(spark, 1, 3)
+    got = finalize_aggs(
+        merge_partial_aggs(
+            [stored, cdc_partial_aggs(feed, ["g"], {"x": "x"}, op_col="_op")], ["g"]
+        ),
+        ["g"],
+        drop_empty=True,
+    )
+    want = finalize_aggs(partial_aggs(t.read(spark, 3), ["g"], {"x": "x"}), ["g"])
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_sql_views_for_tags_and_branches(spark, tmp_path):
+    t = _mk(spark, tmp_path, [[(1, "a")], [(2, "b")]])
+    t.create_tag("rel-1", version=1)
+    b = t.create_branch("audit")
+    b.commit(spark.createDataFrame([(3, "c")], "k long, v string"))
+    names = t.register_sql(spark, "reftbl")
+    assert "reftbl_tag_rel_1" in names and "reftbl_branch_audit" in names
+    assert [r.k for r in spark.sql("SELECT k FROM reftbl_tag_rel_1").collect()] == [1]
+    assert sorted(
+        r.k for r in spark.sql("SELECT k FROM reftbl_branch_audit").collect()
+    ) == [1, 2, 3]
+    # main view is unaffected by the staged branch
+    assert sorted(r.k for r in spark.sql("SELECT k FROM reftbl").collect()) == [1, 2]
+    with pytest.raises(ValueError, match="at most ONE"):
+        t.sql_view(spark, "x", version=1, tag="rel-1")
