@@ -2299,18 +2299,22 @@ def text_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB hash the shingle (xxhash64) instead of shipping strings and cap
     degenerate hot shingles; the removal explode is bounded by true span
     volume, and reconstruction is doc-local (collect_list within one doc's
-    rows, never cross-doc)."""
+    rows, never cross-doc). The token and shingle frames are materialized
+    (localCheckpoint): toks feeds three consumers and sh two — without
+    the checkpoints each re-runs the tokenizer/shingler from the parquet
+    scan, measured 1.7x the whole query at sf0.1 (word_shingles'
+    project-collapse lesson, applied at the frame level)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.filter(text_ops.tokenize("text"), lambda w: w != "").alias("t"),
-    )
+    ).localCheckpoint(eager=True)
     sh = toks.where(F.size("t") >= 10).select(
         "doc_id",
         F.posexplode(
             F.expr("transform(sequence(0, size(t) - 10), i -> array_join(slice(t, i + 1, 10), ' '))")
         ).alias("pos", "shingle"),
-    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "shingle")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "shingle").localCheckpoint(eager=True)
 
     cnt = sh.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("c"),
