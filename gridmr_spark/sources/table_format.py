@@ -1416,6 +1416,21 @@ class ManifestTable:
             if v_from > 0
             else new.where(_F.lit(False))
         )
+        # exceptAll positionally matches columns; across additive schema
+        # evolution the two snapshots' shapes differ and the multiset diff
+        # is ill-defined (a row isn't comparable to its widened self) —
+        # fail with the contract spelled out instead of a positional
+        # AnalysisException deep in the plan.
+        if [f.simpleString() for f in old.schema.fields] != [
+            f.simpleString() for f in new.schema.fields
+        ]:
+            raise ValueError(
+                f"changefeed v{v_from}..v{v_to} of {self.root} crosses a "
+                f"schema change ({old.schema.simpleString()} -> "
+                f"{new.schema.simpleString()}): a row-level multiset diff "
+                "across shapes is ill-defined — read the snapshots with "
+                "merge_schema and diff on an explicit key instead"
+            )
         inserts = new.exceptAll(old).withColumn("_op", _F.lit("I"))
         deletes = old.exceptAll(new).withColumn("_op", _F.lit("D"))
         return inserts.unionByName(deletes)

@@ -226,3 +226,37 @@ def test_sql_views_for_tags_and_branches(spark, tmp_path):
     assert sorted(r.k for r in spark.sql("SELECT k FROM reftbl").collect()) == [1, 2]
     with pytest.raises(ValueError, match="at most ONE"):
         t.sql_view(spark, "x", version=1, tag="rel-1")
+
+
+def test_changefeed_refuses_schema_change(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.replace(spark.createDataFrame([(1, "a", 5.0)], "k long, v string, w double"))
+    with pytest.raises(ValueError, match="schema change"):
+        t.changefeed(spark, 1, 2)
+
+
+def test_racing_publishers_get_exactly_one_winner(spark, tmp_path):
+    """Two branches cut from the same fork race to publish: the snapshot
+    manifest's exclusive create decides — exactly one fast-forward lands,
+    the loser sees ConcurrentCommitError from the version collision (or
+    from the fork-point check once it re-reads)."""
+    t = _mk(spark, tmp_path, [[(1, "a")]])
+    b1 = t.create_branch("day-a")
+    b1.commit(spark.createDataFrame([(2, "b")], "k long, v string"))
+    b2 = t.create_branch("day-b")
+    b2.commit(spark.createDataFrame([(3, "c")], "k long, v string"))
+    wins, losses = [], []
+    for name in ("day-a", "day-b"):
+        try:
+            wins.append((name, t.publish_branch(name)))
+        except ConcurrentCommitError:
+            losses.append(name)
+    assert len(wins) == 1 and len(losses) == 1
+    assert _ks(t.read(spark)) == [1, 2] if wins[0][0] == "day-a" else [1, 3]
+    # loser recovers by re-branching from the new head and replaying
+    loser = losses[0]
+    replay = t.create_branch(f"{loser}-replay")
+    replay.commit(spark.createDataFrame([(9, "r")], "k long, v string"))
+    v = t.publish_branch(f"{loser}-replay")
+    assert 9 in _ks(t.read(spark, v))
