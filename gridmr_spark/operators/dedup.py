@@ -218,6 +218,8 @@ def minhash_dedup_incremental(
     k: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    sh_old: DataFrame | None = None,
+    sh_new: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dedup: NEW documents checked against the OLD corpus
     only — the nightly-ingest shape. Bipartite banding: candidates are
@@ -231,9 +233,14 @@ def minhash_dedup_incremental(
     minhash_dedup_pairs."""
     # Each half tokenizes ONCE (materialized), feeding its signature pass
     # and its verify-join leg — in production the old half is a precomputed
-    # artifact and this checkpoint is a table read.
-    sh_old = word_shingles(old, id_col, text_col, n).localCheckpoint(eager=True)
-    sh_new = word_shingles(new, id_col, text_col, n).localCheckpoint(eager=True)
+    # artifact and this checkpoint is a table read. Callers that already
+    # hold the (id, shingle) tables pass them via sh_old/sh_new (MUST be
+    # materialized) so a composition like the nightly pipeline shingles
+    # each half exactly once across all its stages.
+    if sh_old is None:
+        sh_old = word_shingles(old, id_col, text_col, n).localCheckpoint(eager=True)
+    if sh_new is None:
+        sh_new = word_shingles(new, id_col, text_col, n).localCheckpoint(eager=True)
     sig_old = minhash_signatures_from_shingles(sh_old, k)
     sig_new = minhash_signatures_from_shingles(sh_new, k)
     a = _stacked_bands(sig_old, k, bands).select(
@@ -290,6 +297,7 @@ def minhash_dedup_pairs(
     k: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates -> exact Jaccard verification (the standard two-stage
     near-dup pipeline). Output matches jaccard_pairs up to LSH recall; at
@@ -298,7 +306,8 @@ def minhash_dedup_pairs(
     # ONE tokenize+shingle pass, materialized: the table feeds the signature
     # aggregation AND both verify-join legs AND the size aggregate — without
     # the checkpoint each consumer re-runs the tokenizer over the raw text.
-    sh = word_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
+    if sh is None:
+        sh = word_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(
         minhash_signatures_from_shingles(sh, k), k, bands
     ).localCheckpoint(eager=True)

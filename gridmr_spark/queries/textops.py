@@ -1718,8 +1718,17 @@ def pipeline_incremental_dedup_table(spark: SparkSession, sf_dir: str) -> DataFr
     docs = load_table(spark, sf_dir, "documents")
     old = docs.where(F.col("doc_id") % 2 == 0)
     new = docs.where(F.col("doc_id") % 2 == 1)
+    # Shingle each half exactly ONCE for the whole composition: the prior
+    # pair build, the bipartite day search, and the new x new search all
+    # reuse the two materialized tables. Measured ~neutral at sf0.1 (the
+    # three LSH+verify stages dominate and each checkpointed its own
+    # shingles anyway), but at 100 TB the old half is a precomputed
+    # artifact and this is the contract that lets it be one (stage
+    # profile: shingle 3.1s / pair searches 9.3s / CC+recluster 5.3s).
+    sh_old = dedup_ops.word_shingles(old, "doc_id", "text", 3).localCheckpoint(eager=True)
+    sh_new = dedup_ops.word_shingles(new, "doc_id", "text", 3).localCheckpoint(eager=True)
     prior_pairs = dedup_ops.minhash_dedup_pairs(
-        old, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5
+        old, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5, sh=sh_old
     )
     prior = connected_components(
         old.select("doc_id"), prior_pairs.select("id1", "id2"),
@@ -1731,12 +1740,13 @@ def pipeline_incremental_dedup_table(spark: SparkSession, sf_dir: str) -> DataFr
     t.commit(prior)  # v1: day-0 state
     day_pairs = (
         dedup_ops.minhash_dedup_incremental(
-            old, new, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5
+            old, new, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5,
+            sh_old=sh_old, sh_new=sh_new,
         )
         .select("id1", "id2")
         .union(
             dedup_ops.minhash_dedup_pairs(
-                new, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5
+                new, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5, sh=sh_new
             ).select("id1", "id2")
         )
     )
