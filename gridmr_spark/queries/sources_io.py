@@ -1420,3 +1420,62 @@ def table_changefeed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         [stored, cdc_partial_aggs(feed, keys, sums, op_col="_op")], keys
     )
     return finalize_aggs(merged, keys, drop_empty=True)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-indexed point lookup on the manifest table
+# ---------------------------------------------------------------------------
+
+_BLOOM_PRUNED_ORACLE = f"""
+WITH k AS (SELECT MAX(o_orderkey) AS pk FROM orders)
+SELECT CAST(k.pk AS BIGINT) AS probe_key,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_SUM_CENTS_SQL} AS sum_cents,
+       CAST(1 AS INT) AS bloom_pruned
+FROM orders, k WHERE o_orderkey = k.pk GROUP BY k.pk
+"""
+
+
+@query("table_bloom_pruned_read", oracle=_BLOOM_PRUNED_ORACLE)
+def table_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file BLOOM index on the manifest table
+    (`ManifestTable.commit(bloom_cols=...)` / `pruned_files(point=...)`,
+    sources/table_format.py): orders land in 16 round-robin files, so
+    every file spans the FULL o_orderkey range and min/max zone maps
+    prune nothing — the exact case Parquet/Iceberg bloom filters exist
+    for. The commit stores a ~16-bits-per-key bloom per file; the point
+    probe skips every file whose bloom excludes the key (FP ~1% at k=7,
+    deterministic given the data), and the residual equality keeps the
+    result exact. The `bloom_pruned` flag asserts files were actually
+    skipped INSIDE the hashed result, so the driver row fails if bloom
+    pruning ever silently degrades to scan-everything.
+
+    Scale shape: a point lookup on a 100 TB unclustered key costs
+    O(matching files ~= 1 + FP) data reads instead of a full scan;
+    commit-time cost is one column read of the DELTA per indexed column,
+    and the index rides the (immutable, shared) group manifests like the
+    min/max stats do. Key-clustered tables still prune GROUPS first via
+    the equality-tightened range (point implies lo = hi = value)."""
+    import shutil
+
+    from gridmr_spark.sources.table_format import ManifestTable
+
+    root = _scratch(sf_dir, "bloomtbl")
+    shutil.rmtree(root, ignore_errors=True)
+    t = ManifestTable(root)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t.commit(orders.repartition(16), bloom_cols=["o_orderkey"])
+
+    key = int(orders.agg(F.max("o_orderkey")).collect()[0][0])
+    n_total = len(t.pruned_files(point=None, preds={}))
+    n_kept = len(t.pruned_files(point={"o_orderkey": key}))
+    return (
+        t.read_pruned(spark, point={"o_orderkey": key})
+        .agg(*_cents_agg())
+        .select(
+            F.lit(key).cast("long").alias("probe_key"),
+            "n_rows",
+            "sum_cents",
+            F.lit(1 if n_kept < n_total else 0).cast("int").alias("bloom_pruned"),
+        )
+    )

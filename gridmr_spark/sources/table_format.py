@@ -125,6 +125,64 @@ def _file_column_stats(path: str) -> dict:
     return out
 
 
+_BLOOM_K = 7           # hash count — ~1% FP at 16 bits/key
+_BLOOM_MAX_BITS = 1 << 23  # 1 MiB bitset cap per (file, column)
+
+
+def _bloom_hashes(value, m: int) -> list[int]:
+    """k deterministic bit positions for a value. int and str only — the
+    two types a point lookup keys on; floats are rejected (repr-canonical
+    hashing across writers is not a contract worth keeping for a type
+    nobody equality-probes)."""
+    import hashlib
+
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        raise TypeError(
+            f"bloom index supports int/str point values, got {type(value).__name__}"
+        )
+    raw = (("i:" + str(value)) if isinstance(value, int) else ("s:" + value)).encode()
+    out = []
+    for i in range(_BLOOM_K):
+        h = hashlib.md5(raw + bytes([i])).digest()
+        out.append(int.from_bytes(h[:8], "big") % m)
+    return out
+
+
+def _file_bloom(path: str, col: str) -> dict | None:
+    """Build a per-file bloom over a column's distinct values, sized at
+    ~16 bits per distinct key (FP ~1% at k=7). Returns None when the
+    column is absent or all-null (no bloom = conservatively unprunable).
+    NULLs are excluded: a point probe is an equality on a value, and SQL
+    equality never matches NULL."""
+    import base64
+
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    if col not in pf.schema_arrow.names:
+        return None
+    vals = {v for v in pf.read(columns=[col]).column(col).to_pylist() if v is not None}
+    if not vals:
+        return None
+    m = 1024
+    while m < 16 * len(vals) and m < _BLOOM_MAX_BITS:
+        m <<= 1
+    bits = bytearray(m // 8)
+    for v in vals:
+        for h in _bloom_hashes(v, m):
+            bits[h >> 3] |= 1 << (h & 7)
+    return {"m": m, "k": _BLOOM_K, "b64": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_may_contain(bloom: dict, value) -> bool:
+    import base64
+
+    bits = base64.b64decode(bloom["b64"])
+    return all(
+        bits[h >> 3] & (1 << (h & 7)) for h in _bloom_hashes(value, bloom["m"])
+    )
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed the same version first. The losing commit
     wrote NO visible state (its data directory is an unreferenced orphan);
@@ -282,6 +340,7 @@ class ManifestTable:
         idempotency_key: str | None = None,
         check: str | None = None,
         enforce_schema: bool = False,
+        bloom_cols: list[str] | None = None,
     ) -> int:
         """Append ``df`` as a new snapshot; returns the new version.
 
@@ -305,6 +364,15 @@ class ManifestTable:
         non-deterministic inputs (a plan re-evaluated for the write could
         otherwise produce rows the pre-write count never saw), and it
         costs one scan of the DELTA, not a second scan of the input.
+        ``bloom_cols`` builds a per-file BLOOM index over each named
+        column's distinct values (~16 bits/key, FP ~1%), stored in the
+        group manifest: point lookups through ``pruned_files(point=...)``
+        then skip files whose bloom excludes the value — the pruning
+        min/max stats cannot do when a high-cardinality key is randomly
+        distributed (every file spans the full range). Commit-time cost is
+        one column read of the DELTA per indexed column; rewrite
+        operations (compact/merge/delete/replace) do not carry blooms
+        forward — re-commit with ``bloom_cols`` where the index matters.
         ``enforce_schema=True`` additionally rejects appends whose
         (name, type) column set differs from the current snapshot's
         merged schema — the writer-side guard for pipelines where drift
@@ -351,7 +419,17 @@ class ManifestTable:
                     f"violate CHECK ({check}); no manifest was published — "
                     "the attempt's files are orphans for vacuum_orphans()"
                 )
-        entry = self._write_group(added, self._stats_for(added))
+        blooms = None
+        if bloom_cols:
+            blooms = {
+                f: {
+                    c: b
+                    for c in bloom_cols
+                    if (b := _file_bloom(f, c)) is not None
+                }
+                for f in added
+            }
+        entry = self._write_group(added, self._stats_for(added), blooms)
         groups = (self._groups_of(prev) if prev else []) + [entry]
         self._publish(v, "append", idempotency_key, groups, [entry["path"]])
         return v
@@ -966,7 +1044,9 @@ class ManifestTable:
             out[c] = [lo, hi]
         return out
 
-    def _write_group(self, files: list[str], stats: dict) -> dict:
+    def _write_group(
+        self, files: list[str], stats: dict, blooms: dict | None = None
+    ) -> dict:
         """Write an immutable file-group manifest and return its snapshot
         entry ``{path, n_files, summary}``. Unique name per write attempt
         (same reasoning as data dirs): a group whose snapshot publish
@@ -975,8 +1055,11 @@ class ManifestTable:
         os.makedirs(self._gdir, exist_ok=True)
         path = os.path.join(self._gdir, f"g-{uuid.uuid4().hex[:12]}.json")
         tmp = os.path.join(self._gdir, f".{os.path.basename(path)}.tmp")
+        payload = {"files": files, "stats": {f2: stats.get(f2, {}) for f2 in files}}
+        if blooms:
+            payload["blooms"] = {f2: blooms.get(f2, {}) for f2 in files}
         with open(tmp, "w", encoding="utf-8") as f:
-            json.dump({"files": files, "stats": {f2: stats.get(f2, {}) for f2 in files}}, f, indent=1)
+            json.dump(payload, f, indent=1)
         os.replace(tmp, path)
         return {
             "path": path,
@@ -1163,6 +1246,7 @@ class ManifestTable:
         hi=None,
         version: int | None = None,
         preds: dict | None = None,
+        point: dict | None = None,
     ) -> list[str]:
         """The snapshot's files whose [min, max] INTERSECTS every range
         predicate — files with no stats for a column are conservatively
@@ -1172,13 +1256,29 @@ class ManifestTable:
         unbounded on that side. This is manifest-level zone-map skipping,
         the scan-side half of what makes a 100 TB table cheap to query.
 
+        ``point={col: value}`` adds per-file BLOOM checks (for files
+        committed with ``bloom_cols``): a file whose bloom excludes the
+        value is skipped even when its [min, max] covers it — the case
+        of a randomly-distributed high-cardinality key, where every file
+        spans the full range and zone maps prune nothing. Each point
+        equality also tightens the range predicates (lo = hi = value), so
+        key-clustered tables still prune at the GROUP level first; bloom
+        checks themselves are file-level (the group manifest is opened),
+        which is the honest trade — a group-level bloom union over
+        unclustered keys saturates and prunes nothing. Files without a
+        bloom for the column are conservatively kept.
+
         Two-level resolution order: predicates are tested against each
         GROUP's summary envelope first, and only intersecting groups'
         manifests are opened for per-file checks — a selective probe on a
         clustered table reads O(matching groups) metadata no matter how
         many files the table holds (``group_opens`` counts it)."""
         if preds is None:
-            preds = {col: (lo, hi)}
+            preds = {col: (lo, hi)} if col is not None else {}
+        preds = dict(preds)
+        if point:
+            for c, v in point.items():
+                preds.setdefault(c, (v, v))
         if version is None:
             version = self.current_version()
             if version is None:
@@ -1196,11 +1296,19 @@ class ManifestTable:
                 grp = self._load_group(g["path"])
                 for f in grp["files"]:
                     st = grp["stats"].get(f, {})
-                    if not any(
+                    if any(
                         self._disjoint(st.get(c), p_lo, p_hi, c)
                         for c, (p_lo, p_hi) in preds.items()
                     ):
-                        keep.append(f)
+                        continue
+                    if point:
+                        fb = grp.get("blooms", {}).get(f, {})
+                        if any(
+                            c in fb and not _bloom_may_contain(fb[c], v)
+                            for c, v in point.items()
+                        ):
+                            continue
+                    keep.append(f)
             return keep
         for f, st in self.snapshot_stats(version).items():
             if not any(
@@ -1237,6 +1345,7 @@ class ManifestTable:
         hi=None,
         version: int | None = None,
         preds: dict | None = None,
+        point: dict | None = None,
     ) -> DataFrame:
         """Exactly ``read(version).where(<all range predicates>)``, but
         scanning only the stats-overlapping files: the residual predicates
@@ -1248,8 +1357,8 @@ class ManifestTable:
         from pyspark.sql import functions as _F
 
         if preds is None:
-            preds = {col: (lo, hi)}
-        files = self.pruned_files(version=version, preds=preds)
+            preds = {col: (lo, hi)} if col is not None else {}
+        files = self.pruned_files(version=version, preds=preds, point=point)
         if not files:
             # no file can match: an empty frame with the snapshot's schema
             return self.read(spark, version).where(_F.lit(False))
@@ -1259,6 +1368,8 @@ class ManifestTable:
                 df = df.where(_F.col(c) >= _F.lit(p_lo))
             if p_hi is not None:
                 df = df.where(_F.col(c) <= _F.lit(p_hi))
+        for c, v in (point or {}).items():
+            df = df.where(_F.col(c) == _F.lit(v))
         return df
 
     def sql_view(

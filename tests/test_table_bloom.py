@@ -1,0 +1,88 @@
+"""Per-file bloom index on the manifest table: pruning actually skips
+files, never loses a row, and degrades conservatively."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gridmr_spark.sources.table_format import ManifestTable, _bloom_hashes
+
+
+def _mk(spark, tmp_path, n_files=8, n_rows=4000):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    df = spark.range(n_rows).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("u"), F.col("id")).alias("s"),
+        (F.col("id") * 2).alias("v"),
+    )
+    t.commit(df.repartition(n_files), bloom_cols=["k", "s"])
+    return t
+
+
+def test_point_probe_skips_files_and_loses_nothing(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    total = len(t.pruned_files(preds={}))
+    assert total == 8
+    kept = t.pruned_files(point={"k": 1234})
+    assert 0 < len(kept) < total
+    got = t.read_pruned(spark, point={"k": 1234}).collect()
+    want = t.read(spark).where(F.col("k") == 1234).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # string-column bloom probes work the same way
+    kept_s = t.pruned_files(point={"s": "u77"})
+    assert 0 < len(kept_s) < total
+    rows = t.read_pruned(spark, point={"s": "u77"}).collect()
+    assert [r.k for r in rows] == [77]
+
+
+def test_absent_value_prunes_everything_or_fp_only(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    kept = t.pruned_files(point={"k": 10_000_000})
+    # all 8 blooms excluding the value is the expected case; a rare FP
+    # keeps a file but the residual equality still yields zero rows
+    assert len(kept) <= 1
+    assert t.read_pruned(spark, point={"k": 10_000_000}).count() == 0
+
+
+def test_unindexed_files_are_conservatively_kept(spark, tmp_path):
+    t = _mk(spark, tmp_path, n_files=4)
+    # second commit WITHOUT blooms: its files can never be bloom-pruned
+    t.commit(
+        spark.range(100).select(
+            (F.col("id") + 50_000).alias("k"),
+            F.lit("x").alias("s"),
+            F.lit(0).cast("long").alias("v"),
+        ).repartition(4)
+    )
+    kept = set(t.pruned_files(point={"k": 123}))
+    v2_added = set(t._added_files(2))
+    # a probe into v2's key range: its files carry no blooms, so only the
+    # stats range keeps them — present-and-kept proves the conservative path
+    kept2 = set(t.pruned_files(point={"k": 50_050}))
+    assert v2_added & kept2  # unindexed files kept despite no bloom
+    assert t.read_pruned(spark, point={"k": 50_050}).count() == 1
+    assert kept  # v1 probe still returns candidates
+
+
+def test_float_point_value_raises(spark, tmp_path):
+    t = _mk(spark, tmp_path, n_files=2, n_rows=100)
+    with pytest.raises(TypeError, match="int/str"):
+        t.pruned_files(point={"k": 1.5})
+    with pytest.raises(TypeError):
+        _bloom_hashes(True, 1024)
+
+
+def test_bloom_rides_restore_and_clone(spark, tmp_path):
+    t = _mk(spark, tmp_path, n_files=4, n_rows=1000)
+    t.commit(
+        spark.range(10).select(
+            (F.col("id") + 90_000).alias("k"), F.lit("y").alias("s"),
+            F.lit(1).cast("long").alias("v"),
+        )
+    )
+    t.restore(1)
+    kept = t.pruned_files(point={"k": 500})
+    assert 0 < len(kept) < 4
+    c = t.clone_to(str(tmp_path / "clone"))
+    assert 0 < len(c.pruned_files(point={"k": 500})) < 4

@@ -239,7 +239,7 @@ def test_sql_view_snapshot_isolation_and_timestamp_travel(spark, tmp_path):
     assert sorted(r.k for r in spark.sql("SELECT k FROM iso_asof").collect()) == [1, 2]
     import pytest
 
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most ONE"):
         t.sql_view(spark, "iso_bad", version=1, at_ts=ts2)
 
 
