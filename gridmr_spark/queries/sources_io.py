@@ -1479,3 +1479,50 @@ def table_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1 if n_kept < n_total else 0).cast("int").alias("bloom_pruned"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Metadata-only aggregates on the manifest table
+# ---------------------------------------------------------------------------
+
+_META_AGG_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+"""
+
+
+@query("table_metadata_agg", oracle=_META_AGG_ORACLE)
+def table_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*)/MIN/MAX answered from manifest METADATA alone
+    (`ManifestTable.metadata_agg`, sources/table_format.py): the 3-commit
+    orders table's group entries carry per-group row totals and column
+    summary envelopes, so the five aggregates come from O(#groups) JSON —
+    no group manifest, no parquet footer, no data read
+    (tests/test_table_format.py asserts `group_opens` stays zero). The
+    oracle recomputes the same aggregates by scanning the base table, so
+    the hash match proves the metadata numbers are EXACT, not estimates —
+    files are immutable and every write path (append, compact, merge,
+    delete, rewrite) re-derives its files' stats and row counts at commit.
+
+    Scale shape: `SELECT COUNT(*) FROM t` on a 100 TB table costs a
+    catalog read — the Iceberg/Delta answer to the most common warehouse
+    query there is; conservatism is structural (a group predating row
+    counts nulls the total rather than under-counting)."""
+    t = _manifest_orders_table(spark, sf_dir)
+    agg = t.metadata_agg()
+    cols = agg["columns"]
+    row = (
+        int(agg["n_rows"]),
+        int(cols["o_orderkey"][0]),
+        int(cols["o_orderkey"][1]),
+        float(cols["o_totalprice"][0]),
+        float(cols["o_totalprice"][1]),
+    )
+    return spark.createDataFrame(
+        [row],
+        "n_rows long, min_key long, max_key long, min_price double, max_price double",
+    )

@@ -429,7 +429,7 @@ class ManifestTable:
                 }
                 for f in added
             }
-        entry = self._write_group(added, self._stats_for(added), blooms)
+        entry = self._write_group(added, self._stats_for(added), blooms, self._rows_for(added))
         groups = (self._groups_of(prev) if prev else []) + [entry]
         self._publish(v, "append", idempotency_key, groups, [entry["path"]])
         return v
@@ -493,7 +493,7 @@ class ManifestTable:
             snap = snap.repartition(target_partitions)
         v = cur + 1
         added = self._write_data(snap, v)
-        entry = self._write_group(added, self._stats_for(added))
+        entry = self._write_group(added, self._stats_for(added), rows=self._rows_for(added))
         self._publish(v, "compact", None, [entry], [entry["path"]])
         return v
 
@@ -508,7 +508,7 @@ class ManifestTable:
             return found
         v = (self.current_version() or 0) + 1
         added = self._write_data(df, v)
-        entry = self._write_group(added, self._stats_for(added))
+        entry = self._write_group(added, self._stats_for(added), rows=self._rows_for(added))
         self._publish(v, "overwrite", idempotency_key, [entry], [entry["path"]])
         return v
 
@@ -540,7 +540,7 @@ class ManifestTable:
         merged = kept.unionByName(updates.select(*current.columns))
         v = cur + 1
         added = self._write_data(merged, v)
-        entry = self._write_group(added, self._stats_for(added))
+        entry = self._write_group(added, self._stats_for(added), rows=self._rows_for(added))
         self._publish(v, "overwrite", idempotency_key, [entry], [entry["path"]])
         return v
 
@@ -568,7 +568,7 @@ class ManifestTable:
         kept = self.read(spark, cur).where(~cond)
         v = cur + 1
         added = self._write_data(kept, v)
-        entry = self._write_group(added, self._stats_for(added))
+        entry = self._write_group(added, self._stats_for(added), rows=self._rows_for(added))
         self._publish(v, "overwrite", None, [entry], [entry["path"]])
         return v
 
@@ -909,17 +909,23 @@ class ManifestTable:
             raise ValueError("target_groups must be >= 1")
         files: list[str] = []
         stats: dict[str, dict] = {}
+        blooms: dict[str, dict] = {}
+        rows: dict[str, int] = {}
         for g in self._groups_of(cur):
             grp = self._load_group(g["path"])
             files.extend(grp["files"])
             stats.update(grp["stats"])
+            blooms.update(grp.get("blooms", {}))
+            rows.update(grp.get("rows", {}))
         if not files:
             raise ValueError(
                 f"snapshot v{cur} of {self.root} is empty — nothing to rewrite"
             )
         per = -(-len(files) // target_groups)
         entries = [
-            self._write_group(files[i : i + per], stats)
+            self._write_group(
+                files[i : i + per], stats, blooms or None, rows or None
+            )
             for i in range(0, len(files), per)
         ]
         v = cur + 1
@@ -1013,7 +1019,12 @@ class ManifestTable:
         data_dir = os.path.join(self.root, "data", f"v{v:05d}-{token}")
         df.write.mode("error").parquet(data_dir)
         files = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
+        import pyarrow.parquet as pq
+
         self._pending_stats = {f: _file_column_stats(f) for f in files}
+        self._pending_rows = {
+            f: pq.ParquetFile(f).metadata.num_rows for f in files
+        }
         return files
 
     def _stats_for(self, added: list[str]) -> dict:
@@ -1022,6 +1033,13 @@ class ManifestTable:
         is the stats store, so readers never open a footer to prune)."""
         pending = getattr(self, "_pending_stats", {})
         return {f: pending.get(f, {}) for f in added}
+
+    def _rows_for(self, added: list[str]) -> dict:
+        """Per-file row counts for the files just written (footer
+        metadata, captured in _write_data) — the manifest-level term that
+        makes COUNT(*) a metadata read."""
+        pending = getattr(self, "_pending_rows", {})
+        return {f: pending[f] for f in added if f in pending}
 
     @staticmethod
     def _summarize(files: list[str], stats: dict) -> dict:
@@ -1045,7 +1063,11 @@ class ManifestTable:
         return out
 
     def _write_group(
-        self, files: list[str], stats: dict, blooms: dict | None = None
+        self,
+        files: list[str],
+        stats: dict,
+        blooms: dict | None = None,
+        rows: dict | None = None,
     ) -> dict:
         """Write an immutable file-group manifest and return its snapshot
         entry ``{path, n_files, summary}``. Unique name per write attempt
@@ -1058,14 +1080,21 @@ class ManifestTable:
         payload = {"files": files, "stats": {f2: stats.get(f2, {}) for f2 in files}}
         if blooms:
             payload["blooms"] = {f2: blooms.get(f2, {}) for f2 in files}
+        if rows:
+            payload["rows"] = {f2: rows[f2] for f2 in files if f2 in rows}
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump(payload, f, indent=1)
         os.replace(tmp, path)
-        return {
+        entry = {
             "path": path,
             "n_files": len(files),
             "summary": self._summarize(files, stats),
         }
+        # entry-level row total only when EVERY member file's count is
+        # known — a partial sum would read as an exact answer
+        if rows and all(f2 in rows for f2 in files):
+            entry["n_rows"] = sum(rows[f2] for f2 in files)
+        return entry
 
     def _groups_of(self, version: int) -> list[dict]:
         """The snapshot's group entries. A format-1 (flat) snapshot is
@@ -1238,6 +1267,52 @@ class ManifestTable:
             stats.update(m.get("stats", {}))
         files = self._manifest(version)["files"]
         return {f: stats.get(f, {}) for f in files}
+
+    def metadata_agg(self, version: int | None = None) -> dict:
+        """COUNT(*)/MIN/MAX answered from METADATA alone — the snapshot
+        manifest's group entries carry per-group row totals and column
+        summary envelopes, so this reads O(#groups) JSON and touches no
+        group manifest, no footer, no data (``group_opens`` unchanged;
+        the `table_metadata_agg` oracle proves the numbers). On 100 TB
+        this is the difference between a millisecond catalog answer and
+        a full scan for `SELECT COUNT(*)`.
+
+        Returns ``{"n_rows": int | None, "columns": {col: [min, max]}}``.
+        ``n_rows`` is None when any group predates per-file row counts
+        (a partial sum must not read as exact); a column appears only
+        when EVERY group carries its envelope (same conservatism as
+        pruning). MIN/MAX are exact for the snapshot: data files are
+        immutable and copy-on-write rewrites re-derive their stats."""
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                raise ValueError(f"table {self.root} has no committed snapshot")
+        raw = self._raw(version)
+        if "groups" not in raw:
+            raise ValueError(
+                "metadata_agg needs a format-2 snapshot (group entries); "
+                f"v{version} of {self.root} is format-1 — rewrite_manifests() "
+                "upgrades it"
+            )
+        groups = raw["groups"]
+        n_rows: int | None = 0
+        cols: dict[str, list] | None = None
+        for g in groups:
+            if n_rows is not None and "n_rows" in g:
+                n_rows += g["n_rows"]
+            else:
+                n_rows = None
+            summary = g.get("summary", {})
+            if cols is None:
+                cols = {c: list(v) for c, v in summary.items()}
+            else:
+                for c in list(cols):
+                    if c not in summary:
+                        del cols[c]
+                    else:
+                        cols[c][0] = min(cols[c][0], summary[c][0])
+                        cols[c][1] = max(cols[c][1], summary[c][1])
+        return {"n_rows": n_rows, "columns": cols or {}}
 
     def pruned_files(
         self,

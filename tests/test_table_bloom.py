@@ -86,3 +86,52 @@ def test_bloom_rides_restore_and_clone(spark, tmp_path):
     assert 0 < len(kept) < 4
     c = t.clone_to(str(tmp_path / "clone"))
     assert 0 < len(c.pruned_files(point={"k": 500})) < 4
+
+
+# -- metadata-only aggregates (metadata_agg) ---------------------------------
+
+
+def test_metadata_agg_exact_and_zero_group_opens(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "m"))
+    df1 = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    df2 = spark.range(50).select((F.col("id") + 1000).alias("k"), F.lit(7).cast("long").alias("v"))
+    t.commit(df1.repartition(4))
+    t.commit(df2)
+    before = t.group_opens
+    agg = t.metadata_agg()
+    assert t.group_opens == before  # pure manifest-list read
+    assert agg["n_rows"] == 150
+    assert agg["columns"]["k"] == [0, 1049]
+    # survives delete (rewrite re-derives counts) and manifest rewrite
+    t.delete_where(spark, F.col("k") >= 1000)
+    assert t.metadata_agg()["n_rows"] == 100
+    t.rewrite_manifests()
+    assert t.metadata_agg()["n_rows"] == 100
+    assert t.metadata_agg()["columns"]["k"] == [0, 99]
+
+
+def test_metadata_agg_nulls_total_for_unknown_groups(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "m"))
+    t.commit(spark.range(10).select(F.col("id").alias("k")))
+    # simulate a pre-rowcount group: strip the entry's n_rows
+    import json as _json
+    import os as _os
+
+    mp = _os.path.join(t._mdir, "v00001.json")
+    m = _json.load(open(mp))
+    for g in m["groups"]:
+        g.pop("n_rows", None)
+    _os.remove(mp)
+    with open(mp, "w") as f:
+        _json.dump(m, f)
+    t._rawcache.clear(); t._mcache.clear()
+    agg = t.metadata_agg()
+    assert agg["n_rows"] is None          # partial sums never read as exact
+    assert agg["columns"]["k"] == [0, 9]  # envelopes still answer min/max
+
+
+def test_rewrite_manifests_carries_blooms_forward(spark, tmp_path):
+    t = _mk(spark, tmp_path, n_files=4, n_rows=1000)
+    t.rewrite_manifests()
+    kept = t.pruned_files(point={"k": 500})
+    assert 0 < len(kept) < 4
