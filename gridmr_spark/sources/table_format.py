@@ -153,7 +153,15 @@ def _file_bloom(path: str, col: str) -> dict | None:
     ~16 bits per distinct key (FP ~1% at k=7). Returns None when the
     column is absent or all-null (no bloom = conservatively unprunable).
     NULLs are excluded: a point probe is an equality on a value, and SQL
-    equality never matches NULL."""
+    equality never matches NULL.
+
+    Like the min/max stats collection this runs on the DRIVER over the
+    commit's DELTA files — the right cost model for a format whose
+    manifests are driver-published JSON. At cluster scale the same
+    bitsets would be produced executor-side (one aggregate over the
+    written delta, or parquet's native column bloom filters) and only
+    the encoded bytes shipped to the manifest writer; the probe-side
+    contract here is unchanged by where the build runs."""
     import base64
 
     import pyarrow.parquet as pq
@@ -630,7 +638,11 @@ class ManifestTable:
     # -- branches & tags ----------------------------------------------------
 
     _REF_NAME_OK = staticmethod(
-        lambda n: bool(n) and all(c.isalnum() or c in "_-." for c in n)
+        # at least one alphanumeric: all-punctuation names like "." and
+        # ".." would resolve INTO or ABOVE the refs directory
+        lambda n: bool(n)
+        and all(c.isalnum() or c in "_-." for c in n)
+        and any(c.isalnum() for c in n)
     )
 
     def _require_main(self, op: str) -> None:

@@ -136,6 +136,13 @@ def test_ref_name_validation(spark, tmp_path):
         t.create_branch("../evil")
     with pytest.raises(ValueError, match="ref name"):
         t.create_tag("a/b")
+    # all-punctuation names would resolve INTO or ABOVE the refs dir:
+    # ".." is the main _manifests namespace itself
+    for bad in (".", "..", "...", "-", "_"):
+        with pytest.raises(ValueError, match="ref name"):
+            t.create_branch(bad)
+        with pytest.raises(ValueError, match="ref name"):
+            t.create_tag(bad)
     with pytest.raises(ValueError):
         t.branch("nope")
 
