@@ -58,7 +58,7 @@ _DRIVER_PRIORITY: list[str] = [
     "text_remove_duplicate_spans", "table_wap_publish",
     "stream_dedup_minhash", "incremental_agg_view_cdc",
     "table_changefeed_agg", "table_bloom_pruned_read",
-    "table_metadata_agg",
+    "table_metadata_agg", "catalog_txn_read",
     # (a2) queries sharing code with round-11 refactors: the shared
     # exact-Jaccard verify stage was extracted (verify_jaccard_pairs),
     # and finalize_aggs gained drop_empty.

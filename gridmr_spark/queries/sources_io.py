@@ -1526,3 +1526,90 @@ def table_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         [row],
         "n_rows long, min_key long, max_key long, min_price double, max_price double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-table transactional catalog: cross-table snapshot isolation
+# ---------------------------------------------------------------------------
+
+_CATALOG_TXN_ORACLE = """
+WITH j AS (
+  SELECT l.l_orderkey AS k, CAST(l.l_quantity AS DECIMAL(18,2)) AS q
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT 'v1_join' AS label, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(q) AS DOUBLE) AS sum_qty
+FROM j WHERE k % 2 = 0
+UNION ALL
+SELECT 'mid_txn_join', CAST(COUNT(*) AS BIGINT), CAST(SUM(q) AS DOUBLE)
+FROM j WHERE k % 2 = 0
+UNION ALL
+SELECT 'v2_join', CAST(COUNT(*) AS BIGINT), CAST(SUM(q) AS DOUBLE) FROM j
+"""
+
+
+@query("catalog_txn_read", oracle=_CATALOG_TXN_ORACLE)
+def catalog_txn_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table snapshot isolation through the transactional catalog
+    (`sources/catalog_txn.py`): orders and lineitem live in two manifest
+    tables whose VISIBLE versions are pinned by one catalog manifest. A
+    transaction stages the odd-key half of BOTH tables as ordinary table
+    commits, and the `mid_txn_join` leg — evaluated after the orders
+    append has durably landed in its table but before the catalog
+    publish — proves catalog readers still join the OLD orders against
+    the OLD lineitem (identical to `v1_join`): no reader can ever see new
+    facts against old dimensions or vice versa, the anomaly per-table
+    atomicity cannot rule out. `commit()` flips both pins in one
+    exclusive-create catalog snapshot (`v2_join` = the full join), and
+    catalog versions time-travel the whole PIN SET, not one table.
+
+    Scale shape: the catalog adds one O(#tables) JSON read per query plan
+    and one exclusive-create per transaction — table-format metadata
+    economics unchanged; staged-but-unpublished table versions are
+    harmless history (the orphan-until-referenced posture, one level up).
+    Conflicts are catalog-version OCC, same retry contract as racing
+    table commits (tests/test_catalog_txn.py)."""
+    import shutil
+
+    from gridmr_spark.sources.catalog_txn import TableCatalog
+    from gridmr_spark.sources.table_format import ManifestTable
+
+    root = _scratch(sf_dir, "cattxn")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("double").alias("l_quantity")
+    )
+    t_o = ManifestTable(os.path.join(root, "orders"))
+    t_l = ManifestTable(os.path.join(root, "lineitem"))
+    t_o.commit(orders.where(F.col("o_orderkey") % 2 == 0))
+    t_l.commit(li.where(F.col("l_orderkey") % 2 == 0))
+    cat = TableCatalog(root)
+    cat.create({"orders": t_o, "lineitem": t_l})
+
+    def leg(label: str, at: int | None) -> DataFrame:
+        o = cat.read(spark, "orders", at=at)
+        l = cat.read(spark, "lineitem", at=at)
+        return (
+            l.join(o, l["l_orderkey"] == o["o_orderkey"])
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+            .select(F.lit(label).alias("label"), "n_rows", "sum_qty")
+        )
+
+    parts = [leg("v1_join", 1)]
+    txn = cat.begin()
+    txn.commit_table("orders", orders.where(F.col("o_orderkey") % 2 == 1))
+    # the orders append is DURABLE in its table here — and invisible:
+    parts.append(leg("mid_txn_join", None))
+    txn.commit_table("lineitem", li.where(F.col("l_orderkey") % 2 == 1))
+    v2 = txn.commit()
+    parts.append(leg("v2_join", v2))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,209 @@
+"""Multi-table transactional catalog: cross-table snapshot isolation.
+
+A single ManifestTable gives per-table atomicity; a warehouse needs more —
+a fact table and its dimension evolve TOGETHER, and a reader that joins
+fact vN+1 against dim vN sees a state that never logically existed (new
+orders referencing customers whose rows haven't landed). The standard fix
+(Delta: one transaction log per catalog; Iceberg: catalog-level atomic
+swap) is a second indirection: per-table manifests define table CONTENT,
+and one catalog manifest defines which table VERSIONS are visible
+together.
+
+This module is that indirection, reusing the table format's publish
+discipline end to end:
+
+- The catalog is a directory of immutable JSON versions
+  (``_catalog/v%05d.json``), each pinning ``{table: {root, version}}``.
+  Publish is exclusive-create (``os.link``) — two racing transactions get
+  exactly one winner, the loser raises :class:`ConcurrentCommitError`.
+- A transaction stages ordinary per-table commits (data first, table
+  manifests next — visible to direct table readers, but a CATALOG reader
+  still resolves the pinned older versions), then publishes ONE catalog
+  version flipping every pinned table at once. A crash between table
+  commits and the catalog publish leaves the catalog consistent at the
+  old state; the staged table versions are harmless history (same
+  orphan-until-referenced posture as the table format's data files).
+- Catalog versions are themselves time travel: ``read(..., at=K)`` gives
+  the cross-table state as of catalog version K — a consistent
+  multi-table savepoint, which single-table time travel cannot express.
+
+Reference parity: none — GridMR's data plane is bare files (SURVEY §1.4);
+this extends the §2.D storage surface the same way ManifestTable does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gridmr_spark.sources.table_format import ConcurrentCommitError, ManifestTable
+
+
+class TableCatalog:
+    """A versioned mapping name -> (table root, pinned version)."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        self._cdir = os.path.join(root, "_catalog")
+
+    # -- version log ---------------------------------------------------------
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self._cdir):
+            return []
+        return sorted(
+            int(n[1:-5])
+            for n in os.listdir(self._cdir)
+            if n.startswith("v") and n.endswith(".json")
+        )
+
+    def current_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _raw(self, version: int) -> dict:
+        path = os.path.join(self._cdir, f"v{version:05d}.json")
+        if not os.path.exists(path):
+            raise ValueError(f"no such catalog version {version} in {self.root}")
+        with open(path, encoding="utf-8") as f:
+            return json.load(f)
+
+    def _publish(self, version: int, tables: dict) -> None:
+        """Exclusive-create publish — the same all-or-nothing discipline as
+        ManifestTable._write_manifest, applied to the cross-table pin set."""
+        import time as _time
+
+        os.makedirs(self._cdir, exist_ok=True)
+        tmp = os.path.join(self._cdir, f".v{version:05d}.{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"version": version, "ts": _time.time(), "tables": tables}, f, indent=1)
+        final = os.path.join(self._cdir, f"v{version:05d}.json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"catalog version {version} of {self.root} was committed by "
+                "another transaction; re-read and retry (staged table "
+                "versions are harmless history)"
+            ) from None
+        finally:
+            os.unlink(tmp)
+
+    # -- reads ----------------------------------------------------------------
+
+    def pins(self, at: int | None = None) -> dict:
+        """name -> {"root": str, "version": int} at a catalog version."""
+        if at is None:
+            at = self.current_version()
+            if at is None:
+                raise ValueError(f"catalog {self.root} has no committed version")
+        return dict(self._raw(at)["tables"])
+
+    def table(self, name: str, at: int | None = None) -> tuple[ManifestTable, int]:
+        pins = self.pins(at)
+        if name not in pins:
+            raise ValueError(f"no table {name!r} in catalog {self.root}")
+        p = pins[name]
+        return ManifestTable(p["root"]), p["version"]
+
+    def read(self, spark: SparkSession, name: str, at: int | None = None) -> DataFrame:
+        """The table's content at the CATALOG-pinned version — reads through
+        the catalog never see a table version another transaction staged
+        but did not publish. ``at=`` travels the whole catalog: every
+        table resolves to the versions that were visible TOGETHER."""
+        t, v = self.table(name, at)
+        return t.read(spark, v)
+
+    # -- writes ----------------------------------------------------------------
+
+    def begin(self) -> "CatalogTransaction":
+        return CatalogTransaction(self)
+
+    def create(self, tables: dict[str, ManifestTable]) -> int:
+        """Catalog v1 pinning each table's CURRENT version."""
+        if self.current_version() is not None:
+            raise ValueError(f"catalog {self.root} already exists")
+        pins = {}
+        for name, t in tables.items():
+            cur = t.current_version()
+            if cur is None:
+                raise ValueError(f"table {name!r} has no committed snapshot")
+            pins[name] = {"root": t.root, "version": cur}
+        self._publish(1, pins)
+        return 1
+
+
+class CatalogTransaction:
+    """Stage per-table writes, publish them as ONE catalog version.
+
+    The staged table versions are real table commits (atomic per table,
+    durable, time-travelable) — what the transaction adds is the
+    visibility gate: no CATALOG reader sees any of them until
+    :meth:`commit` publishes the new pin set, and a crash or a lost race
+    leaves the catalog exactly at its prior consistent state."""
+
+    def __init__(self, cat: TableCatalog) -> None:
+        self.cat = cat
+        self.base = cat.current_version()
+        if self.base is None:
+            raise ValueError(f"catalog {cat.root} has no committed version")
+        self._pins = cat.pins(self.base)
+        self._staged: dict[str, int] = {}
+
+    def _table(self, name: str) -> tuple[ManifestTable, int]:
+        """The table handle plus this transaction's CONTENT base for it:
+        the version the txn itself last staged, else the catalog pin.
+        Every staging verb builds on that base — never on the table HEAD,
+        which may carry versions other (possibly abandoned) transactions
+        staged but never published."""
+        if name not in self._pins:
+            raise ValueError(f"no table {name!r} in catalog {self.cat.root}")
+        base = self._staged.get(name, self._pins[name]["version"])
+        return ManifestTable(self._pins[name]["root"]), base
+
+    def commit_table(self, name: str, df: DataFrame, **kwargs) -> int:
+        """Stage an append to one table (ordinary ManifestTable.commit —
+        CHECK constraints, bloom_cols etc. all apply)."""
+        t, base = self._table(name)
+        v = t.commit(df, parent_version=base, **kwargs)
+        self._staged[name] = v
+        return v
+
+    def merge_table(
+        self, name: str, spark: SparkSession, updates: DataFrame, key: str
+    ) -> int:
+        t, base = self._table(name)
+        v = t.merge_by_key(spark, updates, key, base_version=base)
+        self._staged[name] = v
+        return v
+
+    def delete_where(self, name: str, spark: SparkSession, condition) -> int:
+        t, base = self._table(name)
+        v = t.delete_where(spark, condition, base_version=base)
+        self._staged[name] = v
+        return v
+
+    def commit(self) -> int:
+        """Publish every staged table version in ONE catalog snapshot.
+
+        Conflict rule: the catalog must still be at the transaction's base
+        version — if another transaction published first, raises
+        :class:`ConcurrentCommitError` even when the table sets are
+        disjoint (serialized catalog history keeps ``at=`` time travel
+        meaningful; retry is cheap — re-begin and re-stage)."""
+        if not self._staged:
+            raise ValueError("transaction staged no table writes")
+        cur = self.cat.current_version()
+        if cur != self.base:
+            raise ConcurrentCommitError(
+                f"catalog {self.cat.root} advanced v{self.base} -> v{cur} "
+                "since this transaction began; re-begin and replay"
+            )
+        pins = dict(self._pins)
+        for name, v in self._staged.items():
+            pins[name] = {"root": pins[name]["root"], "version": v}
+        self.cat._publish((cur or 0) + 1, pins)
+        return (cur or 0) + 1

@@ -349,6 +349,7 @@ class ManifestTable:
         check: str | None = None,
         enforce_schema: bool = False,
         bloom_cols: list[str] | None = None,
+        parent_version: int | None = None,
     ) -> int:
         """Append ``df`` as a new snapshot; returns the new version.
 
@@ -394,13 +395,20 @@ class ManifestTable:
         if found is not None:
             return found
         prev = self.current_version()
-        if enforce_schema and prev is not None:
+        # parent_version: append onto a PINNED snapshot instead of the
+        # head — the cross-table transaction's staging contract
+        # (catalog_txn.py): a staged-but-never-published version left by
+        # an abandoned transaction must not leak into later commits that
+        # pinned the published base. The new version number stays dense
+        # (head + 1); only its CONTENT parents differ.
+        base = prev if parent_version is None else parent_version
+        if enforce_schema and base is not None:
             # merged schema: on an additively-evolved table the current
             # shape is the UNION of file schemas, not whichever single
             # footer a plain read happens to sample
             cur_schema = {
                 (f.name, f.dataType.simpleString())
-                for f in self.read(df.sparkSession, prev, merge_schema=True).schema.fields
+                for f in self.read(df.sparkSession, base, merge_schema=True).schema.fields
             }
             new_schema = {
                 (f.name, f.dataType.simpleString()) for f in df.schema.fields
@@ -438,7 +446,7 @@ class ManifestTable:
                 for f in added
             }
         entry = self._write_group(added, self._stats_for(added), blooms, self._rows_for(added))
-        groups = (self._groups_of(prev) if prev else []) + [entry]
+        groups = (self._groups_of(base) if base else []) + [entry]
         self._publish(v, "append", idempotency_key, groups, [entry["path"]])
         return v
 
@@ -526,6 +534,7 @@ class ManifestTable:
         updates: DataFrame,
         key: str,
         idempotency_key: str | None = None,
+        base_version: int | None = None,
     ) -> int:
         """MERGE INTO by key (update-wins + insert-unmatched), as one
         atomic 'overwrite' snapshot: rows of ``updates`` replace
@@ -543,7 +552,7 @@ class ManifestTable:
         found = self._find_idempotent(idempotency_key)
         if found is not None:
             return found
-        current = self.read(spark, cur)
+        current = self.read(spark, cur if base_version is None else base_version)
         kept = current.join(updates.select(key), key, "left_anti")
         merged = kept.unionByName(updates.select(*current.columns))
         v = cur + 1
@@ -552,7 +561,9 @@ class ManifestTable:
         self._publish(v, "overwrite", idempotency_key, [entry], [entry["path"]])
         return v
 
-    def delete_where(self, spark: SparkSession, condition) -> int:
+    def delete_where(
+        self, spark: SparkSession, condition, base_version: int | None = None
+    ) -> int:
         """Row-level delete (copy-on-write): rewrite the current snapshot
         WITHOUT the rows matching ``condition`` (a Column or SQL string) as
         an 'overwrite' snapshot. The right-to-be-forgotten operation a
@@ -573,7 +584,7 @@ class ManifestTable:
         if cur is None:
             raise ValueError(f"nothing to delete from in {self.root}")
         cond = _F.expr(condition) if isinstance(condition, str) else condition
-        kept = self.read(spark, cur).where(~cond)
+        kept = self.read(spark, cur if base_version is None else base_version).where(~cond)
         v = cur + 1
         added = self._write_data(kept, v)
         entry = self._write_group(added, self._stats_for(added), rows=self._rows_for(added))
