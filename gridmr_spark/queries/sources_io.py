@@ -1343,28 +1343,13 @@ def table_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Row-level change feed across table rewrites, feeding incremental state
 # ---------------------------------------------------------------------------
 
-# The post-rewrite logical table: base (o_orderkey%3 in (0,2)) minus the
-# %10=0 deletes, +100.00 on the %10=7 updates, plus the %3=1 inserts —
-# same algebra as incremental_agg_view_cdc's oracle, reached here through
-# REAL table rewrites + the row-diff feed instead of a constructed CDC batch.
-_CHANGEFEED_AGG_ORACLE = """
-WITH final_rows AS (
-  SELECT o_orderpriority,
-         CAST(o_totalprice AS DOUBLE)
-           + CASE WHEN o_orderkey % 3 <> 1 AND o_orderkey % 10 = 7
-                  THEN 100.0 ELSE 0.0 END AS price
-  FROM orders
-  WHERE (o_orderkey % 3 IN (0, 2) AND o_orderkey % 10 <> 0)
-     OR o_orderkey % 3 = 1
-)
-SELECT o_orderpriority,
-       CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
-       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
-         / CAST(COUNT(*) AS DOUBLE) AS avg_total
-FROM final_rows
-GROUP BY o_orderpriority
-"""
+# The post-rewrite logical table is the SAME algebra incremental_agg_view_cdc
+# proves (base %3 in (0,2), minus the %10=0 deletes, +100.00 on the %10=7
+# updates, plus the %3=1 inserts) — reached here through REAL table rewrites
+# + the row-diff feed instead of a constructed CDC batch. The oracle is
+# imported, not copied: the two driver rows deliberately pin the same
+# contract and must never drift apart.
+from gridmr_spark.queries.relational import _INC_CDC_ORACLE as _CHANGEFEED_AGG_ORACLE
 
 
 @query("table_changefeed_agg", oracle=_CHANGEFEED_AGG_ORACLE)

@@ -35,11 +35,14 @@ from __future__ import annotations
 
 import json
 import os
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from gridmr_spark.sources.table_format import ConcurrentCommitError, ManifestTable
+from gridmr_spark.sources.table_format import (
+    ConcurrentCommitError,
+    ManifestTable,
+    _exclusive_publish_json,
+)
 
 
 class TableCatalog:
@@ -72,25 +75,24 @@ class TableCatalog:
             return json.load(f)
 
     def _publish(self, version: int, tables: dict) -> None:
-        """Exclusive-create publish — the same all-or-nothing discipline as
-        ManifestTable._write_manifest, applied to the cross-table pin set."""
+        """Exclusive-create publish — the table format's shared
+        ``_exclusive_publish_json`` discipline, applied to the
+        cross-table pin set."""
         import time as _time
 
-        os.makedirs(self._cdir, exist_ok=True)
-        tmp = os.path.join(self._cdir, f".v{version:05d}.{uuid.uuid4().hex[:8]}.tmp")
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump({"version": version, "ts": _time.time(), "tables": tables}, f, indent=1)
-        final = os.path.join(self._cdir, f"v{version:05d}.json")
-        try:
-            os.link(tmp, final)
-        except FileExistsError:
+        def on_exists():
             raise ConcurrentCommitError(
                 f"catalog version {version} of {self.root} was committed by "
                 "another transaction; re-read and retry (staged table "
                 "versions are harmless history)"
             ) from None
-        finally:
-            os.unlink(tmp)
+
+        _exclusive_publish_json(
+            self._cdir,
+            f"v{version:05d}.json",
+            {"version": version, "ts": _time.time(), "tables": tables},
+            on_exists,
+        )
 
     # -- reads ----------------------------------------------------------------
 

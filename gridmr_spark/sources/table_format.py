@@ -74,6 +74,26 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _exclusive_publish_json(dirpath: str, final_name: str, payload: dict, on_exists) -> None:
+    """The format's one publish discipline, shared by snapshot manifests,
+    tags, and the cross-table catalog (catalog_txn.py): write the full
+    payload to a uniquely-named temp file, then ``os.link`` it to the
+    final name — atomic on POSIX, and it FAILS with EEXIST when another
+    writer already published, in which case ``on_exists()`` is called (it
+    must raise). The temp file is always removed; stale temps from
+    crashes match the ``.*.tmp`` vacuum glob."""
+    os.makedirs(dirpath, exist_ok=True)
+    tmp = os.path.join(dirpath, f".{final_name}.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(payload, f, indent=1)
+    try:
+        os.link(tmp, os.path.join(dirpath, final_name))
+    except FileExistsError:
+        on_exists()
+    finally:
+        os.unlink(tmp)
+
+
 def _norm(p: str) -> str:
     """Canonical spelling for path liveness tests: manifests record paths
     as they were spelled at commit time (absolute, but possibly through a
@@ -682,6 +702,11 @@ class ManifestTable:
         the handle; maintenance (expire/vacuum) and ref operations refuse
         and must run on the main table."""
         self._require_main("branch()")
+        # validate on EVERY verb that resolves a ref name into a path, not
+        # only create: '..' resolves the "branch" namespace to the main
+        # _manifests dir itself
+        if not ManifestTable._REF_NAME_OK(name):
+            raise ValueError(f"invalid ref name {name!r} (alnum/_-. only)")
         b = ManifestTable(self.root, _branch=name)
         if b.current_version() is None:
             raise ValueError(f"no such branch {name!r} in {self.root}")
@@ -718,6 +743,11 @@ class ManifestTable:
         age-gated ``vacuum_orphans`` reclaims — same two-step as every
         other delete in this format."""
         self._require_main("drop_branch")
+        # name validation is load-bearing here: '..' would resolve d to the
+        # main _manifests dir, whose v*.json snapshots match the existence
+        # glob — rmtree would then destroy every manifest the table has
+        if not ManifestTable._REF_NAME_OK(name):
+            raise ValueError(f"invalid ref name {name!r} (alnum/_-. only)")
         d = os.path.join(self._bdir, name)
         if not glob.glob(os.path.join(d, "v*.json")):
             raise ValueError(f"no such branch {name!r} in {self.root}")
@@ -799,24 +829,27 @@ class ManifestTable:
         self._raw(version)  # raises if unknown
         import time as _time
 
-        os.makedirs(self._tdir, exist_ok=True)
-        tmp = os.path.join(self._tdir, f".{name}.{uuid.uuid4().hex[:8]}.tmp")
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump({"version": version, "ts": _time.time()}, f)
-        final = os.path.join(self._tdir, f"{name}.json")
-        try:
-            os.link(tmp, final)
-        except FileExistsError:
+        def on_exists():
             raise ValueError(
                 f"tag {name!r} already exists in {self.root} (tags are "
                 "immutable; drop_tag first to move it)"
             ) from None
-        finally:
-            os.unlink(tmp)
+
+        _exclusive_publish_json(
+            self._tdir,
+            f"{name}.json",
+            {"version": version, "ts": _time.time()},
+            on_exists,
+        )
         return version
 
     def drop_tag(self, name: str) -> None:
         self._require_main("drop_tag")
+        # same traversal hazard as drop_branch: '../v00001' would name a
+        # SNAPSHOT manifest, and deleting it through the tag verb would
+        # break the immutable-history contract
+        if not ManifestTable._REF_NAME_OK(name):
+            raise ValueError(f"invalid ref name {name!r} (alnum/_-. only)")
         f = os.path.join(self._tdir, f"{name}.json")
         if not os.path.exists(f):
             raise ValueError(f"no such tag {name!r} in {self.root}")
@@ -1155,31 +1188,39 @@ class ManifestTable:
         self._write_manifest(manifest)
 
     def _write_manifest(self, manifest: dict) -> None:
-        """Publish a manifest by EXCLUSIVE create: write the full content
-        to a temp file, then ``os.link`` it to the versioned name — atomic
-        on POSIX, and it fails with EEXIST (→ ConcurrentCommitError) if
-        another writer already published this version. Readers therefore
-        see either nothing or the complete manifest, and two racing
-        writers get exactly one winner."""
+        """Publish a manifest by EXCLUSIVE create (the shared
+        ``_exclusive_publish_json`` discipline): readers see either
+        nothing or the complete manifest, and two racing writers get
+        exactly one winner (→ ConcurrentCommitError).
+
+        Commit timestamps are made STRICTLY increasing within a
+        namespace: a coarse or quantized clock can stamp two successive
+        commits with the same ``time.time()``, which would make
+        TIMESTAMP AS OF ambiguous between them (version_at keeps the
+        LAST version at-or-before the probe) — nudging by 1 µs keeps
+        every probe strictly between two distinct instants."""
         import time as _time
 
-        os.makedirs(self._mdir, exist_ok=True)
-        manifest.setdefault("ts", _time.time())
         v = manifest["version"]
-        tmp = os.path.join(self._mdir, f".v{v:05d}.{uuid.uuid4().hex[:8]}.tmp")
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(manifest, f, indent=1)
-        final = os.path.join(self._mdir, f"v{v:05d}.json")
-        try:
-            os.link(tmp, final)
-        except FileExistsError:
+        if "ts" not in manifest:
+            now = _time.time()
+            if v > 1:
+                try:
+                    prev_ts = self._raw(v - 1).get("ts")
+                except ValueError:
+                    prev_ts = None
+                if prev_ts is not None and now <= prev_ts:
+                    now = prev_ts + 1e-6
+            manifest["ts"] = now
+
+        def on_exists():
             raise ConcurrentCommitError(
                 f"version {v} of {self.root} was committed by another writer; "
                 "re-read the table and retry (this attempt's data files are "
                 "orphans — vacuum_orphans() reclaims them)"
             ) from None
-        finally:
-            os.unlink(tmp)
+
+        _exclusive_publish_json(self._mdir, f"v{v:05d}.json", manifest, on_exists)
 
     # -- reads --------------------------------------------------------------
 

@@ -267,3 +267,43 @@ def test_racing_publishers_get_exactly_one_winner(spark, tmp_path):
     replay.commit(spark.createDataFrame([(9, "r")], "k long, v string"))
     v = t.publish_branch(f"{loser}-replay")
     assert 9 in _ks(t.read(spark, v))
+
+
+def test_destructive_ref_verbs_validate_names(spark, tmp_path):
+    """The round's worst-case bugs: '..' as a branch name resolves to the
+    main _manifests dir (whose v*.json match the existence glob), and
+    '../v00001' as a tag names a snapshot manifest — both delete verbs
+    must refuse BEFORE touching the filesystem, and branch() must refuse
+    before handing out a 'branch' whose namespace is main's."""
+    t = _mk(spark, tmp_path, [[(1, "a")]])
+    t.create_branch("real")  # branches/ and tags/ dirs exist
+    t.create_tag("realtag")
+    for bad in ("..", ".", "../v00001", "a/b"):
+        with pytest.raises(ValueError, match="ref name"):
+            t.drop_branch(bad)
+        with pytest.raises(ValueError, match="ref name"):
+            t.drop_tag(bad)
+        with pytest.raises(ValueError, match="ref name"):
+            t.branch(bad)
+    # the table is fully intact afterwards
+    assert t.versions() == [1]
+    assert _ks(t.read(spark)) == [1]
+    assert t.branches() == ["real"]
+    assert "realtag" in t.tags()
+
+
+def test_commit_timestamps_strictly_increase(spark, tmp_path, monkeypatch):
+    """A coarse clock stamping two commits identically would make
+    TIMESTAMP AS OF ambiguous; _write_manifest nudges by 1 us."""
+    import time as _time
+
+    frozen = _time.time()
+    t = ManifestTable(str(tmp_path / "tbl"))
+    monkeypatch.setattr(_time, "time", lambda: frozen)
+    t.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.commit(spark.createDataFrame([(2, "b")], "k long, v string"))
+    t.commit(spark.createDataFrame([(3, "c")], "k long, v string"))
+    ts = [t._raw(v)["ts"] for v in (1, 2, 3)]
+    assert ts[0] < ts[1] < ts[2]
+    # the midpoint probe the SQL-read query uses is now unambiguous
+    assert t.version_at((ts[1] + ts[2]) / 2.0) == 2
