@@ -96,3 +96,17 @@ def test_txn_rewrite_verbs_and_guards(spark, tmp_path):
         cat.begin().commit_table("zzz", a.read(spark))
     with pytest.raises(ValueError, match="staged no table"):
         cat.begin().commit()
+
+
+def test_publish_race_at_the_link_itself(spark, tmp_path):
+    """Two transactions that both pass the base check and race the catalog
+    manifest publish: the exclusive create (os.link) decides — second
+    writer of the same version raises, nothing is torn."""
+    cat, a, b = _setup(spark, tmp_path)
+    pins = cat.pins()
+    cat._publish(2, pins)
+    with pytest.raises(ConcurrentCommitError):
+        cat._publish(2, pins)
+    # the catalog remains readable and consistent at both versions
+    assert cat.versions() == [1, 2]
+    assert _ks(cat.read(spark, "a", at=2)) == [1]
