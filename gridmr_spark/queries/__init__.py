@@ -50,41 +50,38 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # here explicitly and served first; long-green queries re-verify with
 # whatever budget remains. Update per round as rows come back green.
 _DRIVER_PRIORITY: list[str] = [
-    # --- round-11 priority (driver budget ~50; first rows first) ---
-    # (a) round-11 additions (first driver rows ever).
-    "table_sql_read", "source_csv_quarantine", "source_xml_quarantine",
-    "dedup_incremental_clusters", "similarity_ivf_append",
+    # --- round-12 priority (driver budget ~50; first rows first) ---
+    # (a) round-12 additions (first driver rows ever).
+    "catalog_sql_read", "table_wap_multi", "table_changefeed_rewrite",
+    # (b) freshness rotation: the 10 queries whose latest green driver
+    # row is still round 5 — the round-11 budget ran out before reaching
+    # them (VERDICT r11 item 3). wordcount is the flagship.
+    "wordcount", "string_funcs", "string_collation_ci",
+    "subquery_scalar_exists", "text_fingerprint", "text_lang_id",
+    "text_quality", "text_quality_classifier", "text_token_count",
+    "unpivot_status",
+    # (c) queries whose CODE PATH changed this round: the ManifestTable
+    # commit-time bloom/stats build moved executor-side, the atomic
+    # publish went behind a backend seam (tables + refs + catalog), and
+    # changefeed gained file-level lineage for rewrite ranges.
+    "table_bloom_pruned_read", "table_stats_pruned_read",
+    "table_metadata_agg", "table_changefeed_agg", "table_wap_publish",
+    "table_sql_read", "catalog_txn_read", "merge_upsert_cdc",
+    "table_merge_upsert", "table_time_travel", "stream_table_upsert_view",
     "pipeline_incremental_dedup_table",
-    "text_remove_duplicate_spans", "table_wap_publish",
-    "stream_dedup_minhash", "incremental_agg_view_cdc",
-    "table_changefeed_agg", "table_bloom_pruned_read",
-    "table_metadata_agg", "catalog_txn_read",
-    # (a2) queries sharing code with round-11 refactors: the shared
-    # exact-Jaccard verify stage was extracted (verify_jaccard_pairs),
-    # and finalize_aggs gained drop_empty.
-    "agg_incremental_merge",
-    # (b) queries whose CODE PATH changed this round: the Hamming
-    # candidate generator was re-shaped (narrow-key explode + rejoin),
-    # and the WARC reader gained gz member splitting.
-    "dedup_binary_hamming_pairs", "dedup_simhash", "vector_binary_hamming",
-    "source_warc_ingest", "pipeline_warc_to_docs",
-    # (c) freshness rotation: the 40-query cohort whose latest green
-    # driver row is round 5 — the oldest evidence on the board (computed
-    # from CORRECTNESS_r01..r10; everything else is r6+).
+    # (d) second-oldest cohort (latest row r5 in the 40-query rotation
+    # that DID get r11 rows is now fresh; these are the r6-green set) —
+    # re-verify with whatever budget remains, oldest first.
     "agg_percentiles", "cluster_kmeans_assign", "date_funcs",
     "dedup_clusters_cc", "dedup_embedding_cosine", "dedup_exact",
     "dedup_minhash_clusters", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "distinct_rows", "events_variant_props", "graph_degree_distribution",
     "graph_triangle_count", "join_bloom_runtime", "math_funcs",
-    "merge_upsert_cdc", "multimodal_meta", "multimodal_wav_decode",
+    "multimodal_meta", "multimodal_wav_decode",
     "pandas_udf_revenue", "pipeline_training_data", "pivot_status",
     "q4_priority_late_ship", "q5_local_supplier_volume",
-    "sample_stratified_cap", "similarity_ivf_topk", "similarity_lsh_topk",
-    "similarity_near_pairs", "similarity_topk", "source_xml_roundtrip",
-    "sql_pipe_syntax", "string_collation_ci", "string_funcs",
-    "subquery_scalar_exists", "text_fingerprint", "text_lang_id",
-    "text_quality", "text_quality_classifier", "text_token_count",
-    "unpivot_status", "wordcount",
+    "sample_stratified_cap", "similarity_near_pairs", "similarity_topk",
+    "source_xml_roundtrip", "sql_pipe_syntax",
     # r6+-green queries follow in registration order with whatever
     # budget remains.
 ]

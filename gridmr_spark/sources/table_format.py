@@ -175,13 +175,13 @@ def _file_bloom(path: str, col: str) -> dict | None:
     NULLs are excluded: a point probe is an equality on a value, and SQL
     equality never matches NULL.
 
-    Like the min/max stats collection this runs on the DRIVER over the
-    commit's DELTA files — the right cost model for a format whose
-    manifests are driver-published JSON. At cluster scale the same
-    bitsets would be produced executor-side (one aggregate over the
-    written delta, or parquet's native column bloom filters) and only
-    the encoded bytes shipped to the manifest writer; the probe-side
-    contract here is unchanged by where the build runs."""
+    Executed EXECUTOR-SIDE: commits run this (with the footer stats and
+    row-count reads) inside one Spark job over the delta — one task per
+    written file (``_build_file_meta``) — so a 100-TB commit's column
+    reads parallelize across the cluster and only the encoded bitsets
+    (capped at _BLOOM_MAX_BITS/8 bytes per (file, column)) plus scalar
+    stats travel to the driver-side manifest writer. The probe-side
+    contract is independent of where the build runs."""
     import base64
 
     import pyarrow.parquet as pq
@@ -200,6 +200,26 @@ def _file_bloom(path: str, col: str) -> dict | None:
         for h in _bloom_hashes(v, m):
             bits[h >> 3] |= 1 << (h & 7)
     return {"m": m, "k": _BLOOM_K, "b64": base64.b64encode(bytes(bits)).decode()}
+
+
+def _build_file_meta(task: tuple[str, list[str]]) -> tuple[str, dict]:
+    """Executor-side metadata build for ONE just-written delta file:
+    footer min/max stats + row count (metadata-only reads) and a bloom
+    bitset per requested column (one column read). Runs as a Spark task
+    (``_write_data`` maps it over the delta, one task per file), so the
+    only bytes that reach the driver are the JSON-ready stats scalars and
+    the base64 bitsets — never column data. The file path must be
+    resolvable from executors, which holds for any shared-storage table
+    (and trivially in local mode)."""
+    path, bloom_cols = task
+    import pyarrow.parquet as pq
+
+    blooms = {c: b for c in bloom_cols if (b := _file_bloom(path, c)) is not None}
+    return path, {
+        "stats": _file_column_stats(path),
+        "rows": pq.ParquetFile(path).metadata.num_rows,
+        "blooms": blooms,
+    }
 
 
 def _bloom_may_contain(bloom: dict, value) -> bool:
@@ -399,7 +419,9 @@ class ManifestTable:
         then skip files whose bloom excludes the value — the pruning
         min/max stats cannot do when a high-cardinality key is randomly
         distributed (every file spans the full range). Commit-time cost is
-        one column read of the DELTA per indexed column; rewrite
+        one column read of the DELTA per indexed column, executed
+        executor-side (one task per written file, ``_build_file_meta``)
+        alongside the footer stats/row-count reads; rewrite
         operations (compact/merge/delete/replace) do not carry blooms
         forward — re-commit with ``bloom_cols`` where the index matters.
         ``enforce_schema=True`` additionally rejects appends whose
@@ -440,7 +462,7 @@ class ManifestTable:
                     f"current {sorted(cur_schema)}"
                 )
         v = (prev or 0) + 1
-        added = self._write_data(df, v)
+        added = self._write_data(df, v, bloom_cols)
         if check is not None:
             from pyspark.sql import functions as _F
 
@@ -457,14 +479,8 @@ class ManifestTable:
                 )
         blooms = None
         if bloom_cols:
-            blooms = {
-                f: {
-                    c: b
-                    for c in bloom_cols
-                    if (b := _file_bloom(f, c)) is not None
-                }
-                for f in added
-            }
+            pending = getattr(self, "_pending_blooms", {})
+            blooms = {f: pending.get(f, {}) for f in added}
         entry = self._write_group(added, self._stats_for(added), blooms, self._rows_for(added))
         groups = (self._groups_of(base) if base else []) + [entry]
         self._publish(v, "append", idempotency_key, groups, [entry["path"]])
@@ -1066,7 +1082,9 @@ class ManifestTable:
                     removed.append(g)
         return removed
 
-    def _write_data(self, df: DataFrame, v: int) -> list[str]:
+    def _write_data(
+        self, df: DataFrame, v: int, bloom_cols: list[str] | None = None
+    ) -> list[str]:
         # Unique suffix per write ATTEMPT: a concurrent writer racing to
         # the same version, or a retry after a torn (crashed) commit, never
         # collides with leftover data directories — losers/leftovers are
@@ -1075,12 +1093,20 @@ class ManifestTable:
         data_dir = os.path.join(self.root, "data", f"v{v:05d}-{token}")
         df.write.mode("error").parquet(data_dir)
         files = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
-        import pyarrow.parquet as pq
-
-        self._pending_stats = {f: _file_column_stats(f) for f in files}
-        self._pending_rows = {
-            f: pq.ParquetFile(f).metadata.num_rows for f in files
-        }
+        # Per-file commit metadata (footer stats, row counts, bloom
+        # bitsets) is built EXECUTOR-SIDE in one job — one task per
+        # written file — so the commit path never serializes N column
+        # reads through the driver; only encoded bytes come back.
+        meta: dict[str, dict] = {}
+        if files:
+            tasks = [(f, list(bloom_cols or [])) for f in files]
+            sc = df.sparkSession.sparkContext
+            meta = dict(
+                sc.parallelize(tasks, len(tasks)).map(_build_file_meta).collect()
+            )
+        self._pending_stats = {f: meta[f]["stats"] for f in files}
+        self._pending_rows = {f: meta[f]["rows"] for f in files}
+        self._pending_blooms = {f: meta[f]["blooms"] for f in files}
         return files
 
     def _stats_for(self, added: list[str]) -> dict:

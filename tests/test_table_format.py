@@ -473,8 +473,8 @@ def test_two_writer_race_exactly_one_wins(spark, tmp_path):
     class RacingTable(ManifestTable):
         # Hold both writers after the data write so both have computed the
         # SAME target version before either publishes a manifest.
-        def _write_data(self, df, v):
-            files = super()._write_data(df, v)
+        def _write_data(self, df, v, bloom_cols=None):
+            files = super()._write_data(df, v, bloom_cols)
             barrier.wait(timeout=120)
             return files
 
