@@ -74,24 +74,85 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+class PublishBackend:
+    """Storage-backend seam for the format's ONE publish discipline
+    (snapshot manifests, branch/tag refs, and the cross-table catalog all
+    publish through it — see ``_exclusive_publish_json``).
+
+    Contract — ``create_exclusive(path, data)``:
+
+    * Atomically create the object at ``path`` with exactly ``data`` IFF
+      no object exists there; return True.
+    * If an object already exists, create NOTHING and return False.
+      Losing must be side-effect-free: a reader listing or opening
+      ``path`` at any instant sees either no object or one complete
+      winning payload — never a torn or losing write.
+    * "Exists" races resolve to exactly one winner among concurrent
+      callers (this is what makes version numbers a total order).
+
+    Implementations:
+
+    * :class:`PosixLinkBackend` (default) — write a uniquely-named temp
+      file, ``os.link`` to the final name (atomic + EEXIST-failing on
+      POSIX, including NFS). Right for local/NFS/HDFS-mounted roots.
+    * An S3-class object store implements the same contract with ONE
+      conditional PUT: ``PUT path`` with ``If-None-Match: *`` (S3,
+      GCS ``x-goog-if-generation-match: 0``, Azure ``If-None-Match: *``)
+      — 2xx -> True, 412 Precondition Failed -> False. No temp object is
+      needed: a conditional PUT is already all-or-nothing. Not bundled
+      here (no cloud SDKs in this environment); swap via
+      :func:`set_publish_backend`.
+    """
+
+    def create_exclusive(self, path: str, data: bytes) -> bool:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class PosixLinkBackend(PublishBackend):
+    """Default backend: temp file + ``os.link`` exclusive-create. The
+    temp file is always removed; stale temps from crashes match the
+    ``.*.tmp`` vacuum glob."""
+
+    def create_exclusive(self, path: str, data: bytes) -> bool:
+        dirpath = os.path.dirname(path)
+        os.makedirs(dirpath, exist_ok=True)
+        tmp = os.path.join(
+            dirpath, f".{os.path.basename(path)}.{uuid.uuid4().hex[:8]}.tmp"
+        )
+        with open(tmp, "wb") as f:
+            f.write(data)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+
+_PUBLISH_BACKEND: PublishBackend = PosixLinkBackend()
+
+
+def set_publish_backend(backend: PublishBackend) -> PublishBackend:
+    """Swap the process-wide publish backend (e.g. for an object-store
+    implementation, or a fake in tests); returns the previous backend so
+    callers can restore it."""
+    global _PUBLISH_BACKEND
+    prev, _PUBLISH_BACKEND = _PUBLISH_BACKEND, backend
+    return prev
+
+
 def _exclusive_publish_json(dirpath: str, final_name: str, payload: dict, on_exists) -> None:
     """The format's one publish discipline, shared by snapshot manifests,
-    tags, and the cross-table catalog (catalog_txn.py): write the full
-    payload to a uniquely-named temp file, then ``os.link`` it to the
-    final name — atomic on POSIX, and it FAILS with EEXIST when another
-    writer already published, in which case ``on_exists()`` is called (it
-    must raise). The temp file is always removed; stale temps from
-    crashes match the ``.*.tmp`` vacuum glob."""
-    os.makedirs(dirpath, exist_ok=True)
-    tmp = os.path.join(dirpath, f".{final_name}.{uuid.uuid4().hex[:8]}.tmp")
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(payload, f, indent=1)
-    try:
-        os.link(tmp, os.path.join(dirpath, final_name))
-    except FileExistsError:
+    tags, and the cross-table catalog (catalog_txn.py): serialize the full
+    payload, then hand the bytes to the configured :class:`PublishBackend`
+    for an atomic exclusive create. When another writer already published
+    the name, ``on_exists()`` is called (it must raise)."""
+    data = json.dumps(payload, indent=1).encode("utf-8")
+    if not _PUBLISH_BACKEND.create_exclusive(
+        os.path.join(dirpath, final_name), data
+    ):
         on_exists()
-    finally:
-        os.unlink(tmp)
 
 
 def _norm(p: str) -> str:
