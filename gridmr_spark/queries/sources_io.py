@@ -1367,9 +1367,11 @@ def table_changefeed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-exact through delete+merge rewrites AND that the maintenance
     algebra composes with it.
 
-    Scale shape: the feed costs one exceptAll pass each way over the two
-    snapshots — the honest price of row-diffing a format with no row
-    lineage; appends-only ranges keep `diff`'s O(delta) fast path. The
+    Scale shape: the feed's exceptAll passes read only the range's
+    FILE-LEVEL delta (immutable files shared by both snapshots cancel out
+    of the multiset diff), and the rewrites themselves are partial COW —
+    so the compare is bounded by the rewrites' footprint, not the table
+    size; appends-only ranges keep `diff`'s O(delta) fast path. The
     downstream maintenance stays O(|feed| + |groups|)."""
     import shutil
 
@@ -1405,6 +1407,66 @@ def table_changefeed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         [stored, cdc_partial_aggs(feed, keys, sums, op_col="_op")], keys
     )
     return finalize_aggs(merged, keys, drop_empty=True)
+
+
+# ---------------------------------------------------------------------------
+# Changefeed over a mixed append+rewrite history, bounded by the rewrite's
+# file footprint
+# ---------------------------------------------------------------------------
+
+_CHANGEFEED_REWRITE_ORACLE = f"""
+SELECT 'I' AS _op, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows, {_SUM_CENTS_SQL} AS sum_cents
+FROM orders
+WHERE o_orderkey % 3 = 1
+  AND NOT (o_orderkey % 6 = 1 AND o_orderkey % 1000 = 7)
+GROUP BY o_orderpriority
+UNION ALL
+SELECT 'D' AS _op, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows, {_SUM_CENTS_SQL} AS sum_cents
+FROM orders
+WHERE o_orderkey % 3 IN (0, 2) AND o_orderkey % 1000 = 7
+GROUP BY o_orderpriority
+"""
+
+
+@query("table_changefeed_rewrite", oracle=_CHANGEFEED_REWRITE_ORACLE)
+def table_changefeed_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed across a MIXED append+rewrite history with FILE-LEVEL
+    LINEAGE (`ManifestTable.changefeed`, sources/table_format.py): v1
+    commits the base orders (%3 in (0,2)), v2 appends half the %3=1 rows
+    (%6=1), v3 partially DELETES a narrow key band (%1000=7 — the
+    partial-COW verb rewrites only the files that actually hold a match,
+    carrying every other file forward by manifest reference), v4 appends
+    the other half (%6=4). `changefeed(1, 4)` emits the exact I/D multiset
+    diff; the aggregate per (_op, priority) hash-matches a from-scratch
+    SQL re-derivation of both sides.
+
+    Scale shape: immutable files present in BOTH snapshots cancel out of
+    the multiset diff algebraically, so the feed scans only the range's
+    file-set delta — the appends' files plus the delete's true footprint —
+    never the two full snapshots. On a 100-TB table a 0.1% delete feeds
+    a compare over ~0.1% of files plus the appended deltas."""
+    import shutil
+
+    from gridmr_spark.sources.table_format import ManifestTable
+
+    root = _scratch(sf_dir, "cfrw")
+    shutil.rmtree(root, ignore_errors=True)
+    t = ManifestTable(root)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    t.commit(orders.where((F.col("o_orderkey") % 3).isin(0, 2)))   # v1
+    t.commit(orders.where(F.col("o_orderkey") % 6 == 1))           # v2 append
+    t.delete_where(spark, F.col("o_orderkey") % 1000 == 7)         # v3 partial COW
+    v4 = t.commit(orders.where(F.col("o_orderkey") % 6 == 4))      # v4 append
+    feed = t.changefeed(spark, 1, v4)
+    return (
+        feed.groupBy("_op", "o_orderpriority")
+        .agg(*_cents_agg())
+        .select("_op", "o_orderpriority", "n_rows", "sum_cents")
+    )
 
 
 # ---------------------------------------------------------------------------

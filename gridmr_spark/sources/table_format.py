@@ -640,22 +640,51 @@ class ManifestTable:
         the table format's transactional guarantees on top — together with
         commit/replace/delete_where this completes the CRUD verbs.
 
-        Copy-on-write like delete_where; at scale the rewrite is bounded
-        by partitioning so a merge touches few files. Schemas must match
-        (column-by-name union)."""
+        Copy-on-write like delete_where, and like it PARTIAL — but
+        planned from METADATA, not a scan: candidate files are the ones
+        whose manifest key min/max stats overlap the updates' key range
+        (files without key stats are conservatively candidates). Only
+        candidates are rewritten (minus matched rows, plus ALL update
+        rows); every other file carries forward by manifest reference.
+        On a key-clustered table (z-ordered, partitioned, bucketed — the
+        production shape for mergeable tables) that bounds write
+        amplification to the merge's true footprint with ZERO planning
+        scan; on an unclustered key the candidate set degenerates to
+        every file and the verb costs exactly the old single full
+        read+write. Schemas must match (column-by-name union)."""
         cur = self.current_version()
         if cur is None:
             raise ValueError(f"nothing to merge into in {self.root}")
         found = self._find_idempotent(idempotency_key)
         if found is not None:
             return found
-        current = self.read(spark, cur if base_version is None else base_version)
-        kept = current.join(updates.select(key), key, "left_anti")
-        merged = kept.unionByName(updates.select(*current.columns))
+        base = cur if base_version is None else base_version
+        current = self.read(spark, base)
+        keys = updates.select(key).distinct()
+        from pyspark.sql import functions as _F
+
+        lo, hi = updates.agg(_F.min(key), _F.max(key)).first()
+        affected = self._stats_candidate_files(base, key, lo, hi)
+        if affected:
+            kept = (
+                spark.read.schema(current.schema)
+                .parquet(*affected)
+                .join(keys, key, "left_anti")
+            )
+            merged = kept.unionByName(updates.select(*current.columns))
+        else:
+            merged = updates.select(*current.columns)
         v = cur + 1
-        added = self._write_data(merged, v)
-        entry = self._write_group(added, self._stats_for(added), rows=self._rows_for(added))
-        self._publish(v, "overwrite", idempotency_key, [entry], [entry["path"]])
+        added = self._nonempty(self._write_data(merged, v))
+        groups = self._carry_groups(base, set(affected))
+        added_groups: list[str] = []
+        if added:
+            entry = self._write_group(
+                added, self._stats_for(added), rows=self._rows_for(added)
+            )
+            groups.append(entry)
+            added_groups = [entry["path"]]
+        self._publish(v, "overwrite", idempotency_key, groups, added_groups)
         return v
 
     def delete_where(
@@ -671,9 +700,15 @@ class ManifestTable:
 
         Copy-on-write (vs merge-on-read delete vectors) is the honest
         choice at this format's complexity budget: reads stay plain parquet
-        scans with zero merge cost; the write amplification is bounded by
-        partitioning the table so deletes touch few files (Iceberg's COW
-        mode makes the same trade).
+        scans with zero merge cost — and the rewrite is PARTIAL: one
+        predicate-pushed scan tags matching rows with their source file
+        (``input_file_name``), only files that actually contain a match
+        are rewritten, and every untouched file carries forward BY
+        MANIFEST REFERENCE (zero data movement), so write amplification
+        is the delete's true footprint, not the table size — Iceberg's
+        COW mode semantics. File-level lineage falls out for free: the
+        snapshot-to-snapshot file delta IS the rewrite's footprint, which
+        is what bounds :meth:`changefeed` on ranges crossing this verb.
         """
         from pyspark.sql import functions as _F
 
@@ -681,11 +716,31 @@ class ManifestTable:
         if cur is None:
             raise ValueError(f"nothing to delete from in {self.root}")
         cond = _F.expr(condition) if isinstance(condition, str) else condition
-        kept = self.read(spark, cur if base_version is None else base_version).where(~cond)
+        base = cur if base_version is None else base_version
+        snap = self.read(spark, base)
+        # file provenance captured at scan time (see merge_by_key note)
+        hit_files = {
+            r[0]
+            for r in snap.withColumn("_src_file", _F.input_file_name())
+            .where(cond)
+            .select("_src_file")
+            .distinct()
+            .collect()
+        }
+        affected = self._match_manifest_files(base, hit_files)
         v = cur + 1
-        added = self._write_data(kept, v)
-        entry = self._write_group(added, self._stats_for(added), rows=self._rows_for(added))
-        self._publish(v, "overwrite", None, [entry], [entry["path"]])
+        groups = self._carry_groups(base, set(affected))
+        if affected:
+            kept = spark.read.schema(snap.schema).parquet(*affected).where(~cond)
+            added = self._nonempty(self._write_data(kept, v))
+            if added:
+                entry = self._write_group(
+                    added, self._stats_for(added), rows=self._rows_for(added)
+                )
+                groups.append(entry)
+                self._publish(v, "overwrite", None, groups, [entry["path"]])
+                return v
+        self._publish(v, "overwrite", None, groups, [])
         return v
 
     def restore(self, version: int) -> int:
@@ -1156,15 +1211,23 @@ class ManifestTable:
         files = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
         # Per-file commit metadata (footer stats, row counts, bloom
         # bitsets) is built EXECUTOR-SIDE in one job — one task per
-        # written file — so the commit path never serializes N column
-        # reads through the driver; only encoded bytes come back.
+        # written file — whenever the build must read column data
+        # (bloom_cols) or the delta is wide, so a large commit's reads
+        # parallelize across the cluster and only encoded bytes come
+        # back. Small bloom-less deltas (< 256 MiB total) skip the job:
+        # their build is footer-only metadata reads, cheaper on the
+        # driver than a scheduler round-trip — any real cluster-scale
+        # commit clears the threshold.
         meta: dict[str, dict] = {}
-        if files:
+        small = sum(os.path.getsize(f) for f in files) < (256 << 20)
+        if files and (bloom_cols or not small):
             tasks = [(f, list(bloom_cols or [])) for f in files]
             sc = df.sparkSession.sparkContext
             meta = dict(
                 sc.parallelize(tasks, len(tasks)).map(_build_file_meta).collect()
             )
+        elif files:
+            meta = dict(_build_file_meta((f, [])) for f in files)
         self._pending_stats = {f: meta[f]["stats"] for f in files}
         self._pending_rows = {f: meta[f]["rows"] for f in files}
         self._pending_blooms = {f: meta[f]["blooms"] for f in files}
@@ -1203,6 +1266,76 @@ class ManifestTable:
             except TypeError:
                 continue
             out[c] = [lo, hi]
+        return out
+
+    def _nonempty(self, added: list[str]) -> list[str]:
+        """Drop 0-row part files from a just-written delta (Spark emits
+        them for empty partitions). They carry no rows and no row-group
+        stats, and an all-unknown-stats member silently erases a column
+        from its group's prunable summary — filtering them keeps the
+        partial-COW rewrite groups stats-complete. Row counts were
+        captured from the footers in _write_data."""
+        pending = getattr(self, "_pending_rows", {})
+        return [f for f in added if pending.get(f, 0) > 0]
+
+    def _stats_candidate_files(self, version: int, col: str, lo, hi) -> list[str]:
+        """Files of snapshot ``version`` that MAY hold a row with ``col``
+        in [lo, hi], decided purely from the manifest's per-file min/max
+        stats — the metadata-only rewrite planner behind merge_by_key.
+        Conservative by construction: a file without stats for ``col`` is
+        always a candidate; only a proven-disjoint range is skipped.
+        ``lo``/``hi`` of None (empty or all-null update keys) means no
+        row can match — empty candidate set."""
+        if lo is None or hi is None:
+            return []
+        out: list[str] = []
+        for entry in self._groups_of(version):
+            g = self._load_group(entry["path"])
+            stats = g.get("stats") or {}
+            for f in g["files"]:
+                st = (stats.get(f) or {}).get(col)
+                if st is None or not (st[1] < lo or st[0] > hi):
+                    out.append(f)
+        return out
+
+    def _match_manifest_files(self, version: int, uris: set[str]) -> list[str]:
+        """Resolve ``input_file_name()`` URIs (``file:///...``, possibly
+        percent-encoded) back to the manifest's own file spellings for
+        snapshot ``version`` — the join between a scan's provenance and
+        the manifest, used by the partial-COW verbs to pick their rewrite
+        set. Manifest order is preserved."""
+        from urllib.parse import unquote, urlparse
+
+        def to_path(u: str) -> str:
+            return unquote(urlparse(u).path) if u.startswith("file:") else u
+
+        norm_hits = {_norm(to_path(u)) for u in uris}
+        return [
+            f for f in self._manifest(version)["files"] if _norm(f) in norm_hits
+        ]
+
+    def _carry_groups(self, version: int, dropped: set[str]) -> list[dict]:
+        """Snapshot ``version``'s group entries with ``dropped`` files
+        removed — the carry-forward half of a partial copy-on-write
+        rewrite. Groups containing no dropped file are carried VERBATIM
+        (same immutable group manifest, zero writes); groups losing some
+        files get one new subset group reusing the surviving files'
+        existing stats/blooms/row counts."""
+        out: list[dict] = []
+        for entry in self._groups_of(version):
+            g = self._load_group(entry["path"])
+            survivors = [f for f in g["files"] if f not in dropped]
+            if len(survivors) == len(g["files"]):
+                out.append(entry)
+            elif survivors:
+                out.append(
+                    self._write_group(
+                        survivors,
+                        g.get("stats", {}),
+                        g.get("blooms"),
+                        g.get("rows"),
+                    )
+                )
         return out
 
     def _write_group(
@@ -1736,13 +1869,20 @@ class ManifestTable:
         rewrites by reading the feed (proven hash-exact by the
         ``table_changefeed_agg`` driver oracle).
 
-        Cost: one anti-semi pass over the two snapshots (exceptAll each
-        way) — O(both snapshots), the honest price of row-level diffing
-        a format that stores no row lineage; when the range is
-        appends-only, ``diff`` remains the O(delta) fast path (and this
-        method returns the same rows with ``_op = 'I'``). Duplicate-row
-        multiplicity is preserved (exceptAll, not except), so signed
-        counts stay correct."""
+        Cost — FILE-LEVEL LINEAGE: data files are immutable, so any file
+        present in BOTH snapshots contributes identical rows to each side
+        and cancels out of the multiset difference exactly
+        ((S+A) \\ (S+R) == A \\ R for multisets). The compare therefore
+        reads only the range's file-set delta — files added to v_to and
+        files removed from v_from — bounding the exceptAll passes by the
+        REWRITES' footprint, not the table size: a compaction that
+        rewrote 1% of a 100-TB table diffs that 1%. An appends-only range
+        degenerates to reading just the delta (``diff``'s fast path, all
+        ``_op = 'I'``). Duplicate-row multiplicity is preserved
+        (exceptAll, not except), so signed counts stay correct. The
+        delta-file reads are pinned to v_to's resolved schema (legal
+        because the guard above rejects ranges that cross a schema
+        change)."""
         from pyspark.sql import functions as _F
 
         if not 0 <= v_from < v_to:
@@ -1768,8 +1908,20 @@ class ManifestTable:
                 "across shapes is ill-defined — read the snapshots with "
                 "merge_schema and diff on an explicit key instead"
             )
-        inserts = new.exceptAll(old).withColumn("_op", _F.lit("I"))
-        deletes = old.exceptAll(new).withColumn("_op", _F.lit("D"))
+        from_files = [] if v_from == 0 else self._manifest(v_from)["files"]
+        to_files = self._manifest(v_to)["files"]
+        fset, tset = set(from_files), set(to_files)
+        added = [f for f in to_files if f not in fset]
+        removed = [f for f in from_files if f not in tset]
+        empty = new.where(_F.lit(False))
+        new_part = (
+            spark.read.schema(new.schema).parquet(*added) if added else empty
+        )
+        old_part = (
+            spark.read.schema(new.schema).parquet(*removed) if removed else empty
+        )
+        inserts = new_part.exceptAll(old_part).withColumn("_op", _F.lit("I"))
+        deletes = old_part.exceptAll(new_part).withColumn("_op", _F.lit("D"))
         return inserts.unionByName(deletes)
 
 

@@ -1064,3 +1064,51 @@ def test_rewrite_manifests_rejects_empty_snapshot(tmp_path):
     t = ManifestTable(str(tmp_path / "tbl"))
     with pytest.raises(ValueError, match="nothing to rewrite"):
         t.rewrite_manifests()
+
+
+def test_partial_cow_delete_carries_untouched_files_by_reference(spark, tmp_path):
+    """delete_where rewrites ONLY files containing a matching row;
+    untouched files appear in the new snapshot under their ORIGINAL paths
+    and untouched groups are carried as the SAME group manifest (zero
+    writes for them) — write amplification is the delete's footprint."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    for lo in (0, 100, 200):
+        t.commit(
+            spark.range(lo, lo + 100)
+            .selectExpr("id as k", "concat('v', id) as v")
+            .coalesce(1)
+        )
+    before_files = t._manifest(3)["files"]
+    before_groups = [e["path"] for e in t._groups_of(3)]
+    t.delete_where(spark, (F.col("k") >= 150) & (F.col("k") < 160))
+    after_files = set(t._manifest(4)["files"])
+    after_groups = [e["path"] for e in t._groups_of(4)]
+    touched = set(t._added_files(2))  # the middle commit's file(s)
+    untouched = set(before_files) - touched
+    assert untouched <= after_files                 # carried by path identity
+    assert not (touched & after_files)              # affected files replaced
+    # untouched groups carried verbatim (same manifest object)
+    assert set(before_groups) - {before_groups[1]} <= set(after_groups)
+    # rows are exactly the survivors
+    got = sorted(r.k for r in t.read(spark).collect())
+    assert got == [k for k in range(300) if not 150 <= k < 160]
+
+
+def test_partial_cow_merge_carries_untouched_files_by_reference(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    for lo in (0, 100):
+        t.commit(
+            spark.range(lo, lo + 100)
+            .selectExpr("id as k", "concat('v', id) as v")
+            .coalesce(1)
+        )
+    ups = spark.createDataFrame([(150, "UP"), (999, "NEW")], "k long, v string")
+    t.merge_by_key(spark, ups, "k")
+    after_files = set(t._manifest(3)["files"])
+    untouched = set(t._added_files(1))
+    touched = set(t._added_files(2))
+    assert untouched <= after_files
+    assert not (touched & after_files)
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got[150] == "UP" and got[999] == "NEW" and got[0] == "v0"
+    assert len(got) == 201

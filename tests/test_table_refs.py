@@ -307,3 +307,35 @@ def test_commit_timestamps_strictly_increase(spark, tmp_path, monkeypatch):
     assert ts[0] < ts[1] < ts[2]
     # the midpoint probe the SQL-read query uses is now unambiguous
     assert t.version_at((ts[1] + ts[2]) / 2.0) == 2
+
+
+def test_changefeed_scan_bounded_by_rewrite_footprint(spark, tmp_path):
+    """File-level lineage: files shared by both snapshots cancel out of
+    the multiset diff, so the feed's SCAN SET is the rewrite's footprint,
+    not the two full snapshots — and the rows still hash-equal the full
+    snapshot-vs-snapshot compare."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    # three separate append commits -> three groups, distinct key ranges
+    for lo in (0, 100, 200):
+        t.commit(
+            spark.range(lo, lo + 100).selectExpr("id as k", "concat('v', id) as v")
+        )
+    # rewrite touching ONLY the middle commit's rows
+    t.delete_where(spark, (F.col("k") >= 150) & (F.col("k") < 160))  # v4
+    feed = t.changefeed(spark, 3, 4)
+    # exact rows: 10 deletes, nothing else
+    rows = sorted((r["_op"], r.k) for r in feed.collect())
+    assert rows == [("D", k) for k in range(150, 160)]
+    # hash-equality vs the unbounded full-snapshot compare
+    new, old = t.read(spark, 4), t.read(spark, 3)
+    ref = sorted(
+        [("I", r.k) for r in new.exceptAll(old).collect()]
+        + [("D", r.k) for r in old.exceptAll(new).collect()]
+    )
+    assert rows == ref
+    # scan set: only the middle commit's file(s) + their rewrite — the
+    # commits at k<100 and k>=200 never enter the plan
+    scanned = set(feed.inputFiles())
+    untouched = set(t._added_files(1)) | set(t._added_files(3))
+    assert scanned and not (scanned & untouched), (scanned, untouched)
+    assert len(scanned) < len(set(t._manifest(3)["files"]) | set(t._manifest(4)["files"]))
