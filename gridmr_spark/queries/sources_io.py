@@ -1576,6 +1576,190 @@ def table_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Catalog-wide SQL savepoints + cross-table write-audit-publish
+# ---------------------------------------------------------------------------
+
+_CATALOG_SQL_ORACLE = """
+WITH j AS (
+  SELECT l.l_orderkey AS k, CAST(l.l_quantity AS DECIMAL(18,2)) AS q
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT 'savepoint_v1' AS label, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(q) AS DOUBLE) AS sum_qty
+FROM j WHERE k % 2 = 0
+UNION ALL
+SELECT 'savepoint_v2', CAST(COUNT(*) AS BIGINT), CAST(SUM(q) AS DOUBLE) FROM j
+"""
+
+
+@query("catalog_sql_read", oracle=_CATALOG_SQL_ORACLE)
+def catalog_sql_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface for the multi-table catalog
+    (`TableCatalog.register_sql`, sources/catalog_txn.py): one call
+    registers EVERY table of a pinned catalog version as temp views, so a
+    SQL user joins a CONSISTENT cross-table savepoint — the guarantee
+    single-table `ManifestTable.register_sql` cannot give, because its
+    views advance per table. Here catalog v1 pins the even halves of
+    orders+lineitem; a transaction appends the odd halves and publishes
+    catalog v2; registering BOTH savepoints and running the same SQL join
+    against each yields the v1 numbers from the v1 views even though both
+    underlying tables have advanced (and a post-registration direct table
+    commit leaks into neither).
+
+    Scale shape: registration is O(#tables) manifest JSON reads, zero
+    data; each view is the same lazy pinned-file-list parquet plan every
+    table read uses."""
+    import shutil
+
+    from gridmr_spark.sources.catalog_txn import TableCatalog
+    from gridmr_spark.sources.table_format import ManifestTable
+
+    root = _scratch(sf_dir, "catsql")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("double").alias("l_quantity")
+    )
+    t_o = ManifestTable(os.path.join(root, "orders"))
+    t_l = ManifestTable(os.path.join(root, "lineitem"))
+    t_o.commit(orders.where(F.col("o_orderkey") % 2 == 0))
+    t_l.commit(li.where(F.col("l_orderkey") % 2 == 0))
+    cat = TableCatalog(root)
+    cat.create({"orders": t_o, "lineitem": t_l})
+    txn = cat.begin()
+    txn.commit_table("orders", orders.where(F.col("o_orderkey") % 2 == 1))
+    txn.commit_table("lineitem", li.where(F.col("l_orderkey") % 2 == 1))
+    v2 = txn.commit()
+
+    cat.register_sql(spark, at=1, prefix="cv1_")
+    cat.register_sql(spark, at=v2, prefix="cv2_")
+    # a DIRECT table commit after registration must leak into neither view
+    t_o.commit(orders.limit(10))
+
+    def leg(label: str, prefix: str) -> DataFrame:
+        return spark.sql(
+            f"""SELECT '{label}' AS label, CAST(COUNT(*) AS LONG) AS n_rows,
+                       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                           AS sum_qty
+                FROM {prefix}lineitem l
+                JOIN {prefix}orders o ON l.l_orderkey = o.o_orderkey"""
+        )
+
+    return leg("savepoint_v1", "cv1_").unionByName(leg("savepoint_v2", "cv2_"))
+
+
+_WAP_MULTI_ORACLE = """
+WITH j AS (
+  SELECT l.l_orderkey AS k, CAST(l.l_quantity AS DECIMAL(18,2)) AS q
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT 'v1_join' AS label, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(q) AS DOUBLE) AS sum_qty
+FROM j WHERE k % 2 = 0
+UNION ALL
+SELECT 'after_failed_wap', CAST(COUNT(*) AS BIGINT), CAST(SUM(q) AS DOUBLE)
+FROM j WHERE k % 2 = 0
+UNION ALL
+SELECT 'wap_audit_join', CAST(COUNT(*) AS BIGINT), CAST(SUM(q) AS DOUBLE) FROM j
+UNION ALL
+SELECT 'mid_wap_catalog', CAST(COUNT(*) AS BIGINT), CAST(SUM(q) AS DOUBLE)
+FROM j WHERE k % 2 = 0
+UNION ALL
+SELECT 'published_join', CAST(COUNT(*) AS BIGINT), CAST(SUM(q) AS DOUBLE) FROM j
+"""
+
+
+@query("table_wap_multi", oracle=_WAP_MULTI_ORACLE)
+def table_wap_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-TABLE write-audit-publish (`TableCatalog.begin_wap` /
+    `CatalogWap`, sources/catalog_txn.py) — the composition of branch
+    refs with the catalog's one-publish gate: each table's writes stage
+    on a branch forked at its CATALOG PIN; auditors query the staged
+    cross-table state; publish fast-forwards every table and flips ONE
+    catalog version. Five legs prove the contract end to end: a first WAP
+    stages a bad lineitem batch (negative quantities), the audit catches
+    it and aborts — `after_failed_wap` shows every catalog reader still
+    at the v1 cross-table state (hash-equal to `v1_join`, the oracle
+    re-derives it from base tables). A second WAP stages the valid odd
+    halves of BOTH tables: `wap_audit_join` (the staged cross-table
+    read) already equals the final published numbers — the audit sees
+    exactly what publish will make visible — while `mid_wap_catalog`
+    still shows v1; `published_join` is the atomically flipped state.
+
+    Scale shape: branch staging is metadata + ordinary appends; the
+    failed WAP costs zero data movement to undo (branches dropped,
+    catalog untouched); publish is O(#tables) manifest writes + one
+    exclusive catalog create."""
+    import shutil
+
+    from gridmr_spark.sources.catalog_txn import TableCatalog
+    from gridmr_spark.sources.table_format import ManifestTable
+
+    root = _scratch(sf_dir, "wapmulti")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("double").alias("l_quantity")
+    )
+    t_o = ManifestTable(os.path.join(root, "orders"))
+    t_l = ManifestTable(os.path.join(root, "lineitem"))
+    t_o.commit(orders.where(F.col("o_orderkey") % 2 == 0))
+    t_l.commit(li.where(F.col("l_orderkey") % 2 == 0))
+    cat = TableCatalog(root)
+    cat.create({"orders": t_o, "lineitem": t_l})
+
+    def cat_leg(label: str, at: int | None = None) -> DataFrame:
+        return _qty_join_leg(label, cat.read(spark, "lineitem", at=at),
+                             cat.read(spark, "orders", at=at))
+
+    parts = [cat_leg("v1_join", 1)]
+
+    wap1 = cat.begin_wap()
+    wap1.stage("orders", orders.where(F.col("o_orderkey") % 2 == 1))
+    wap1.stage(
+        "lineitem",
+        li.where(F.col("l_orderkey") % 2 == 1)
+        .withColumn("l_quantity", -F.col("l_quantity")),
+    )
+    # AUDIT: negative quantities are invalid -> abort, publish never runs
+    assert wap1.read(spark, "lineitem").where(F.col("l_quantity") < 0).count() > 0
+    wap1.abort()
+    parts.append(cat_leg("after_failed_wap"))
+
+    wap2 = cat.begin_wap()
+    wap2.stage("orders", orders.where(F.col("o_orderkey") % 2 == 1))
+    wap2.stage("lineitem", li.where(F.col("l_orderkey") % 2 == 1))
+    parts.append(
+        _qty_join_leg(
+            "wap_audit_join",
+            wap2.read(spark, "lineitem"),
+            wap2.read(spark, "orders"),
+        )
+    )
+    parts.append(cat_leg("mid_wap_catalog"))
+    v_pub = wap2.publish()
+    parts.append(cat_leg("published_join", v_pub))
+
+    out = parts[0]
+    for pp in parts[1:]:
+        out = out.unionByName(pp)
+    return out
+
+
+def _qty_join_leg(label: str, l: DataFrame, o: DataFrame) -> DataFrame:
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select(F.lit(label).alias("label"), "n_rows", "sum_qty")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multi-table transactional catalog: cross-table snapshot isolation
 # ---------------------------------------------------------------------------
 

@@ -119,10 +119,42 @@ class TableCatalog:
         t, v = self.table(name, at)
         return t.read(spark, v)
 
+    def register_sql(
+        self, spark: SparkSession, at: int | None = None, prefix: str = ""
+    ) -> list[str]:
+        """Register the WHOLE pinned table set of catalog version ``at``
+        (default: current) as SQL temp views — one view per table, each
+        resolved to the version pinned by that catalog snapshot, so a SQL
+        user joins a CONSISTENT multi-table savepoint (the thing
+        single-table ``ManifestTable.register_sql`` cannot give: its
+        views advance per table). Reuses the table format's
+        ``sql_view`` — every view is a lazy parquet plan over a pinned
+        manifest file list; registration reads no data and later
+        commits/transactions never mutate a registered view (re-register
+        to advance). ``prefix`` namespaces the views (e.g.
+        ``prefix='wh_'`` -> ``wh_orders``). Returns the view names."""
+        if at is None:
+            at = self.current_version()
+            if at is None:
+                raise ValueError(f"catalog {self.root} has no committed version")
+        out: list[str] = []
+        for name, p in sorted(self.pins(at).items()):
+            t = ManifestTable(p["root"])
+            out.append(t.sql_view(spark, f"{prefix}{name}", version=p["version"]))
+        return out
+
     # -- writes ----------------------------------------------------------------
 
     def begin(self) -> "CatalogTransaction":
         return CatalogTransaction(self)
+
+    def begin_wap(self, name: str = "wap") -> "CatalogWap":
+        """Start a cross-table WRITE-AUDIT-PUBLISH flow: stage each
+        table's writes on a branch forked at its catalog pin, audit the
+        branch reads, then :meth:`CatalogWap.publish` flips EVERY table's
+        audited state into one new catalog version. See
+        :class:`CatalogWap`."""
+        return CatalogWap(self, name)
 
     def create(self, tables: dict[str, ManifestTable]) -> int:
         """Catalog v1 pinning each table's CURRENT version."""
@@ -209,3 +241,101 @@ class CatalogTransaction:
             pins[name] = {"root": pins[name]["root"], "version": v}
         self.cat._publish((cur or 0) + 1, pins)
         return (cur or 0) + 1
+
+
+class CatalogWap:
+    """Cross-table WRITE-AUDIT-PUBLISH: the composition of the table
+    format's branch refs (`ManifestTable.create_branch`,
+    table_format.py) with the catalog's one-publish visibility gate.
+
+    - **Write**: :meth:`stage` commits onto a per-table branch forked at
+      the table's CATALOG PIN (unique branch name per WAP attempt, so
+      abandoned attempts never collide). Branch commits carry the full
+      table-commit surface (CHECK constraints, bloom_cols, ...).
+    - **Audit**: :meth:`read` serves the staged state (branch head for
+      staged tables, the pin for the rest) — auditors run arbitrary
+      cross-table queries against the EXACT rows a publish would make
+      visible, while every catalog reader still resolves the old pins.
+    - **Publish**: :meth:`publish` fast-forwards each staged table's
+      main to its branch head (`publish_branch` — refuses non-fast-
+      forward, preserving the audit), then publishes ONE catalog version
+      pinning every new table version. Readers flip atomically from the
+      old cross-table state to the new one; a failed audit simply calls
+      :meth:`abort` (or nothing at all) and no catalog reader ever saw a
+      staged row. A crash mid-publish leaves some tables' MAIN advanced
+      but the catalog unpublished — catalog readers still see the old
+      pins (main advances are invisible until pinned), and the stranded
+      versions are harmless history, the same orphan-until-referenced
+      posture as everywhere else in the format.
+    """
+
+    def __init__(self, cat: TableCatalog, name: str = "wap") -> None:
+        import uuid as _uuid
+
+        self.cat = cat
+        self.base = cat.current_version()
+        if self.base is None:
+            raise ValueError(f"catalog {cat.root} has no committed version")
+        self._pins = cat.pins(self.base)
+        self.branch_name = f"{name}-{_uuid.uuid4().hex[:8]}"
+        self._branches: dict[str, ManifestTable] = {}
+
+    def _pin(self, name: str) -> dict:
+        if name not in self._pins:
+            raise ValueError(f"no table {name!r} in catalog {self.cat.root}")
+        return self._pins[name]
+
+    def stage(self, name: str, df: DataFrame, **kwargs) -> int:
+        """Append ``df`` to table ``name``'s WAP branch (forked lazily at
+        the catalog pin); returns the branch version."""
+        b = self._branches.get(name)
+        if b is None:
+            p = self._pin(name)
+            b = ManifestTable(p["root"]).create_branch(
+                self.branch_name, version=p["version"]
+            )
+            self._branches[name] = b
+        return b.commit(df, **kwargs)
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame:
+        """The AUDIT view of one table: branch head if staged, else the
+        catalog pin — together, the exact cross-table state a publish
+        would make visible."""
+        b = self._branches.get(name)
+        if b is not None:
+            return b.read(spark)
+        p = self._pin(name)
+        return ManifestTable(p["root"]).read(spark, p["version"])
+
+    def publish(self) -> int:
+        """Fast-forward every staged table's main to its audited branch
+        head, then publish ONE catalog version pinning all of them.
+        Raises :class:`ConcurrentCommitError` (before any table publish)
+        if the catalog advanced past this WAP's base, or (per table) if a
+        table's main advanced past its fork point."""
+        if not self._branches:
+            raise ValueError("WAP staged no table writes")
+        cur = self.cat.current_version()
+        if cur != self.base:
+            raise ConcurrentCommitError(
+                f"catalog {self.cat.root} advanced v{self.base} -> v{cur} "
+                "since this WAP began; re-begin and replay"
+            )
+        pins = dict(self._pins)
+        for name, b in self._branches.items():
+            t = ManifestTable(self._pins[name]["root"])
+            new_v = t.publish_branch(self.branch_name)
+            pins[name] = {"root": t.root, "version": new_v}
+        self.cat._publish((cur or 0) + 1, pins)
+        self._drop_branches()
+        return (cur or 0) + 1
+
+    def abort(self) -> None:
+        """Drop every staged branch; the catalog was never touched."""
+        self._drop_branches()
+
+    def _drop_branches(self) -> None:
+        for name in list(self._branches):
+            t = ManifestTable(self._pins[name]["root"])
+            t.drop_branch(self.branch_name)
+            del self._branches[name]

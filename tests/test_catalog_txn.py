@@ -110,3 +110,94 @@ def test_publish_race_at_the_link_itself(spark, tmp_path):
     # the catalog remains readable and consistent at both versions
     assert cat.versions() == [1, 2]
     assert _ks(cat.read(spark, "a", at=2)) == [1]
+
+
+# -- catalog-wide SQL surface -------------------------------------------------
+
+
+def test_catalog_register_sql_joins_a_consistent_savepoint(spark, tmp_path):
+    cat, a, b = _setup(spark, tmp_path)
+    tx = cat.begin()
+    tx.commit_table("a", spark.createDataFrame([(2, "a2")], "k long, v string"))
+    tx.commit_table("b", spark.createDataFrame([(2, "b2")], "k long, v string"))
+    tx.commit()  # catalog v2
+    # register catalog v1: both views must resolve the ORIGINAL pins,
+    # even though both tables have advanced
+    names = cat.register_sql(spark, at=1, prefix="v1_")
+    assert sorted(names) == ["v1_a", "v1_b"]
+    joined = spark.sql(
+        "SELECT v1_a.k, v1_a.v AS av, v1_b.v AS bv FROM v1_a JOIN v1_b USING (k)"
+    ).collect()
+    assert [(r.k, r.av, r.bv) for r in joined] == [(1, "a1", "b1")]
+    # current catalog: the post-txn savepoint
+    cat.register_sql(spark, prefix="cur_")
+    assert spark.sql("SELECT COUNT(*) c FROM cur_a").first().c == 2
+    # views are snapshot-isolated: later commits don't leak in
+    a.commit(spark.createDataFrame([(3, "a3")], "k long, v string"))
+    assert spark.sql("SELECT COUNT(*) c FROM cur_a").first().c == 2
+
+
+# -- cross-table write-audit-publish ------------------------------------------
+
+
+def test_catalog_wap_publish_flips_all_tables_atomically(spark, tmp_path):
+    cat, a, b = _setup(spark, tmp_path)
+    wap = cat.begin_wap()
+    wap.stage("a", spark.createDataFrame([(2, "a2")], "k long, v string"))
+    wap.stage("b", spark.createDataFrame([(2, "b2")], "k long, v string"))
+    # audit reads see the staged state; catalog readers see the old pins
+    assert _ks(wap.read(spark, "a")) == [1, 2]
+    assert _ks(cat.read(spark, "a")) == [1]
+    v = wap.publish()
+    assert v == 2
+    assert _ks(cat.read(spark, "a")) == [1, 2]
+    assert _ks(cat.read(spark, "b")) == [1, 2]
+    # old savepoint intact
+    assert _ks(cat.read(spark, "a", at=1)) == [1]
+    # branches cleaned up
+    assert a.branches() == [] and b.branches() == []
+
+
+def test_catalog_wap_failed_audit_leaves_every_reader_at_old_state(spark, tmp_path):
+    cat, a, b = _setup(spark, tmp_path)
+    wap = cat.begin_wap()
+    wap.stage("a", spark.createDataFrame([(2, "a2")], "k long, v string"))
+    wap.stage("b", spark.createDataFrame([(-99, "bad")], "k long, v string"))
+    # audit: negative keys are invalid -> abort instead of publish
+    bad = wap.read(spark, "b").where(F.col("k") < 0).count()
+    assert bad == 1
+    wap.abort()
+    assert cat.current_version() == 1
+    assert _ks(cat.read(spark, "a")) == [1]
+    assert _ks(cat.read(spark, "b")) == [1]
+    assert a.branches() == [] and b.branches() == []
+    # main tables untouched too (branch staging never advanced main)
+    assert a.current_version() == 1 and b.current_version() == 1
+
+
+def test_catalog_wap_check_constraint_fails_the_stage(spark, tmp_path):
+    from gridmr_spark.sources.table_format import ConstraintViolation
+
+    cat, a, b = _setup(spark, tmp_path)
+    wap = cat.begin_wap()
+    with pytest.raises(ConstraintViolation):
+        wap.stage(
+            "a",
+            spark.createDataFrame([(-1, "bad")], "k long, v string"),
+            check="k >= 0",
+        )
+    wap.abort()
+    assert cat.current_version() == 1
+
+
+def test_catalog_wap_conflict_guards(spark, tmp_path):
+    cat, a, b = _setup(spark, tmp_path)
+    wap = cat.begin_wap()
+    wap.stage("a", spark.createDataFrame([(2, "a2")], "k long, v string"))
+    # another txn wins the catalog race first
+    tx = cat.begin()
+    tx.commit_table("b", spark.createDataFrame([(7, "b7")], "k long, v string"))
+    tx.commit()
+    with pytest.raises(ConcurrentCommitError, match="advanced"):
+        wap.publish()
+    wap.abort()
