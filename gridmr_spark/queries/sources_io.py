@@ -1576,6 +1576,61 @@ def table_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bin-packing compaction: pay only the small-file debt
+# ---------------------------------------------------------------------------
+
+_COMPACT_SMALL_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, {_SUM_CENTS_SQL} AS sum_cents,
+       CAST(1 AS INT) AS healthy_carried, CAST(1 AS INT) AS debt_packed
+FROM orders
+"""
+
+
+@query("table_compact_small", oracle=_COMPACT_SMALL_ORACLE)
+def table_compact_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIN-PACKING compaction (`ManifestTable.compact_small`,
+    sources/table_format.py — Iceberg's rewrite_data_files with a size
+    threshold): one healthy file plus four micro-batch slivers; the
+    maintenance pass rewrites ONLY the slivers into one packed file and
+    carries the healthy file forward by manifest reference. The
+    `healthy_carried` / `debt_packed` flags live INSIDE the hashed result,
+    so the driver row fails if the op ever silently degrades to a full
+    rewrite (healthy file replaced) or stops packing (sliver survives).
+
+    Scale shape: selection is metadata-only (manifest file sizes); cost
+    is O(small-file debt) reads + writes — a nightly pass over a
+    streaming-ingest table pays for the day's micro-batches, never the
+    table. Full rewrite remains `compact` (z-order/global clustering)."""
+    import shutil
+
+    from gridmr_spark.sources.table_format import ManifestTable
+
+    root = _scratch(sf_dir, "binpack")
+    shutil.rmtree(root, ignore_errors=True)
+    t = ManifestTable(root)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t.commit(orders.where(F.col("o_orderkey") % 5 != 0).coalesce(1))  # healthy
+    for m in range(4):                                                # debt
+        t.commit(
+            orders.where(
+                (F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 4 == m)
+            ).coalesce(1)
+        )
+    healthy = set(t._added_files(1))
+    debt = {f for v in range(2, 6) for f in t._added_files(v)}
+    v = t.compact_small(spark, small_mb=0.1, target_mb=128)
+    after = set(t._manifest(v)["files"])
+    carried = int(healthy <= after)
+    packed = int(not (debt & after) and len(after) == len(healthy) + 1)
+    return t.read(spark, v).agg(*_cents_agg()).select(
+        "n_rows",
+        "sum_cents",
+        F.lit(carried).cast("int").alias("healthy_carried"),
+        F.lit(packed).cast("int").alias("debt_packed"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Catalog-wide SQL savepoints + cross-table write-audit-publish
 # ---------------------------------------------------------------------------
 

@@ -610,6 +610,45 @@ class ManifestTable:
         self._publish(v, "compact", None, [entry], [entry["path"]])
         return v
 
+    def compact_small(
+        self, spark: SparkSession, small_mb: float = 32, target_mb: float = 128
+    ) -> int:
+        """BIN-PACKING compaction: rewrite ONLY files smaller than
+        ``small_mb`` into ~``target_mb`` outputs; every file already at
+        healthy size carries forward by manifest reference (zero reads,
+        zero writes for it). This is the maintenance op a streaming-
+        ingest table actually needs — a nightly pass pays O(the day's
+        micro-batch small-file debt), never O(table): Iceberg's
+        rewrite_data_files(MIN_INPUT_FILES/target-size) semantics on this
+        format. Selection is metadata-only (manifest file sizes); the
+        rewrite reads just the selected files. Published as
+        operation='compact', so ``diff`` refuses to cross it (the same
+        rewrites-not-new-rows contract as full compact); when no file is
+        small the version is a pure metadata snapshot.
+
+        For global clustering (z-order) or exact file-count control use
+        :meth:`compact` — full rewrite is the point there."""
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"nothing to compact in {self.root}")
+        files = self._manifest(cur)["files"]
+        sizes = {f: os.path.getsize(f) for f in files}
+        small = [f for f in files if sizes[f] < small_mb * (1 << 20)]
+        v = cur + 1
+        groups = self._carry_groups(cur, set(small))
+        if small:
+            total = sum(sizes[f] for f in small)
+            nparts = max(1, -(-total // int(target_mb * (1 << 20))))
+            packed = spark.read.parquet(*small).repartition(int(nparts))
+            added = self._nonempty(self._write_data(packed, v))
+            if added:
+                entry = self._write_group(
+                    added, self._stats_for(added), rows=self._rows_for(added)
+                )
+                groups.append(entry)
+        self._publish(v, "compact", None, groups, [])
+        return v
+
     def replace(self, df: DataFrame, idempotency_key: str | None = None) -> int:
         """Replace the table's ENTIRE logical content with ``df`` in one
         'overwrite' snapshot — the write mode a streaming materialized view

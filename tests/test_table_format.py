@@ -1112,3 +1112,31 @@ def test_partial_cow_merge_carries_untouched_files_by_reference(spark, tmp_path)
     got = {r.k: r.v for r in t.read(spark).collect()}
     assert got[150] == "UP" and got[999] == "NEW" and got[0] == "v0"
     assert len(got) == 201
+
+
+def test_compact_small_bin_packs_only_small_files(spark, tmp_path):
+    """compact_small rewrites only sub-threshold files; healthy files
+    carry forward by path identity, rows survive exactly, and diff
+    refuses to cross the rewrite like full compact."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    # v1: one "healthy" file (single part), v2+v3: small-file debt
+    t.commit(
+        spark.range(0, 1000).selectExpr("id as k", "concat('v', id) as v").coalesce(1)
+    )
+    t.commit(spark.createDataFrame([(2000, "a")], "k long, v string").coalesce(1))
+    t.commit(spark.createDataFrame([(2001, "b")], "k long, v string").coalesce(1))
+    healthy = set(t._added_files(1))
+    debt = set(t._added_files(2)) | set(t._added_files(3))
+    before = sorted(r.k for r in t.read(spark).collect())
+
+    v = t.compact_small(spark, small_mb=0.005)  # healthy file ~13KB > 5KB
+    after_files = set(t._manifest(v)["files"])
+    assert healthy <= after_files                    # carried by reference
+    assert not (debt & after_files)                  # debt rewritten
+    assert len(after_files) == len(healthy) + 1      # packed into one file
+    assert sorted(r.k for r in t.read(spark).collect()) == before
+    with pytest.raises(ValueError, match="compact"):
+        t.diff(spark, 1, v)
+    # nothing small -> pure metadata snapshot, zero data movement
+    v2 = t.compact_small(spark, small_mb=0.000001)
+    assert set(t._manifest(v2)["files"]) == after_files
