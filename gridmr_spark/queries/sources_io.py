@@ -1576,6 +1576,91 @@ def table_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CDC changelog stream across table rewrites
+# ---------------------------------------------------------------------------
+
+_STREAM_CDC_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR((o_totalprice +
+            CASE WHEN o_orderkey % 1000 = 500 THEN 100.0 ELSE 0.0 END)
+            * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders
+WHERE o_orderkey % 1000 <> 7
+GROUP BY o_orderpriority
+"""
+
+
+@query("stream_table_cdc_feed", oracle=_STREAM_CDC_ORACLE)
+def stream_table_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog STREAM across table rewrites
+    (`format('mtable_changelog').option('on_rewrite', 'cdc')`,
+    sources/table_format.py): the version-offset micro-batch source
+    streams appends as 'I' rows and every rewrite version as its
+    FILE-SET delta — added files 'I', removed files 'D', which under the
+    partial-COW verbs is the rewrite's true footprint, not the snapshot.
+    The feed is net-exact (a row rewritten unchanged is a cancelling D+I
+    pair), so folding the whole stream with signed weights reproduces
+    the final snapshot's aggregate exactly through append + partial
+    delete + stats-planned merge — proven by the oracle's from-scratch
+    re-derivation. This closes the loop the batch `changefeed` opened:
+    incremental view maintenance is now fully streaming across arbitrary
+    rewrites, checkpointed by table version.
+
+    Scale shape: per-version stream volume is O(that version's file
+    delta); a 0.1% delete streams ~0.1% of files as D plus its rewrite
+    as I. Minimal-feed consumers use batch `changefeed()`."""
+    import shutil
+    import uuid
+
+    from gridmr_spark.sources.table_format import (
+        ManifestTable,
+        register_changelog_source,
+    )
+
+    base = _scratch(sf_dir, "cdcstream")
+    shutil.rmtree(base, ignore_errors=True)
+    t = ManifestTable(f"{base}/tbl")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    t.commit(orders.where((F.col("o_orderkey") % 3).isin(0, 2)))      # v1
+    t.commit(orders.where(F.col("o_orderkey") % 3 == 1))              # v2
+    t.delete_where(spark, F.col("o_orderkey") % 1000 == 7)            # v3 partial
+    ups = orders.where(F.col("o_orderkey") % 1000 == 500).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
+    )
+    t.merge_by_key(spark, ups, "o_orderkey")                          # v4 planned
+
+    register_changelog_source(spark)
+    sink = f"{base}/feed"
+    q = (
+        spark.readStream.format("mtable_changelog")
+        .option("path", t.root)
+        .option("on_rewrite", "cdc")
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: df.write.mode("append").parquet(sink))
+        .option("checkpointLocation", f"{base}/ck-{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(sink)
+    w = F.when(F.col("_op") == "I", F.lit(1)).otherwise(F.lit(-1))
+    return (
+        feed.groupBy("o_orderpriority")
+        .agg(
+            F.sum(w).cast("long").alias("n_rows"),
+            F.sum(w * F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        .where(F.col("n_rows") != 0)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Bin-packing compaction: pay only the small-file debt
 # ---------------------------------------------------------------------------
 

@@ -1990,28 +1990,44 @@ def _changelog_classes():
     )
 
     class _FileSplit(InputPartition):
-        def __init__(self, path: str):
+        def __init__(self, path: str, op: str = "I"):
             self.path = path
+            self.op = op
 
     class MTableStreamReader(DataSourceStreamReader):
         """Micro-batch stream over a ManifestTable's APPEND log: the offset
         is the table VERSION (checkpointed by the engine), each batch is
         the files added by versions (start, end], each file is one input
         partition. Exactly the contract Delta's table-as-a-stream exposes,
-        reduced to this format: appends stream, rewrites don't — a
-        'compact'/'overwrite' snapshot either fails the stream (default:
-        its files are rewrites, not new rows) or is skipped wholesale
-        (on_rewrite=skip, for consumers that only want net-new appends and
-        accept missing rows deleted later)."""
+        reduced to this format: appends stream; a 'compact'/'overwrite'
+        snapshot either fails the stream (default: its files are
+        rewrites, not new rows), is skipped wholesale (on_rewrite=skip,
+        for consumers that only want net-new appends and accept missing
+        rows deleted later), or streams as SIGNED CHANGE ROWS
+        (on_rewrite=cdc: the declared schema must end with an
+        ``_op string`` column; each version emits its FILE-SET delta vs
+        the previous version — added files as 'I' rows, removed files as
+        'D' — which with partial-COW verbs is bounded by the rewrite's
+        true footprint). The cdc feed is net-exact, not minimal: a row
+        rewritten unchanged surfaces as a D+I pair that cancels under the
+        Z-set signed algebra (`cdc_partial_aggs`), so downstream
+        incremental views maintain exactly through arbitrary rewrites;
+        use batch ``changefeed()`` where a minimal feed matters."""
 
         def __init__(self, options, field_names):
             self.root = options.get("path")
             if not self.root:
                 raise ValueError("mtable_changelog: option 'path' is required")
             self.on_rewrite = options.get("on_rewrite", "error")
-            if self.on_rewrite not in ("error", "skip"):
+            if self.on_rewrite not in ("error", "skip", "cdc"):
                 raise ValueError(
-                    f"mtable_changelog: on_rewrite must be error|skip, got {self.on_rewrite!r}"
+                    f"mtable_changelog: on_rewrite must be error|skip|cdc, got {self.on_rewrite!r}"
+                )
+            if self.on_rewrite == "cdc" and field_names[-1:] != ["_op"]:
+                raise ValueError(
+                    "mtable_changelog: on_rewrite=cdc requires the declared "
+                    "schema to END with an `_op string` column (got "
+                    f"{list(field_names)})"
                 )
             # The declared stream schema's column ORDER, so read() can
             # select by NAME: on a schema-evolved table older files may
@@ -2038,13 +2054,22 @@ def _changelog_classes():
                 if op != "append":
                     if self.on_rewrite == "skip":
                         continue
+                    if self.on_rewrite == "cdc":
+                        # file-set delta vs the previous version: with
+                        # partial-COW verbs this is the rewrite's true
+                        # footprint, not the snapshot
+                        prev = set(t._manifest(v - 1)["files"]) if v > 1 else set()
+                        now = set(t._manifest(v)["files"])
+                        files.extend((f, "I") for f in sorted(now - prev))
+                        files.extend((f, "D") for f in sorted(prev - now))
+                        continue
                     raise ValueError(
                         f"mtable_changelog: v{v} is a {op!r} snapshot — its files "
-                        "are rewrites, not appends; read a snapshot instead or "
-                        "set on_rewrite=skip"
+                        "are rewrites, not appends; read a snapshot instead, or "
+                        "set on_rewrite=skip / on_rewrite=cdc"
                     )
-                files.extend(t._added_files(v))
-            return [_FileSplit(f) for f in files] or [_FileSplit("")]
+                files.extend((f, "I") for f in t._added_files(v))
+            return [_FileSplit(f, o) for f, o in files] or [_FileSplit("")]
 
         def read(self, partition):
             if not partition.path:
@@ -2053,17 +2078,22 @@ def _changelog_classes():
 
             # project at the reader (only the declared columns are ever
             # decoded — a wide table's extra columns cost zero I/O), with
-            # the schema check done on the FOOTER, not the data
+            # the schema check done on the FOOTER, not the data. In cdc
+            # mode the trailing _op column is the split's own sign, not a
+            # stored column.
+            want = [n for n in self._names if n != "_op"]
             file_cols = set(pq.read_schema(partition.path).names)
-            missing = [n for n in self._names if n not in file_cols]
+            missing = [n for n in want if n not in file_cols]
             if missing:
                 raise ValueError(
                     f"mtable_changelog: file {partition.path} lacks declared "
                     f"column(s) {missing}; the changelog stream requires every "
                     "appended file to carry the stream schema"
                 )
-            tbl = pq.read_table(partition.path, columns=list(self._names))
-            cols = [tbl.column(n).to_pylist() for n in self._names]
+            tbl = pq.read_table(partition.path, columns=want)
+            cols = [tbl.column(n).to_pylist() for n in want]
+            if "_op" in self._names:
+                cols.append([partition.op] * tbl.num_rows)
             return iter(zip(*cols)) if cols else iter(())
 
         def commit(self, end):
@@ -2092,6 +2122,8 @@ def _changelog_classes():
                         f"mtable_changelog: unmapped arrow type {f.type} for column {f.name!r}"
                     )
                 cols.append(f"{f.name} {ddl}")
+            if self.options.get("on_rewrite") == "cdc":
+                cols.append("_op string")
             return ", ".join(cols)
 
         def streamReader(self, schema):

@@ -1140,3 +1140,73 @@ def test_compact_small_bin_packs_only_small_files(spark, tmp_path):
     # nothing small -> pure metadata snapshot, zero data movement
     v2 = t.compact_small(spark, small_mb=0.000001)
     assert set(t._manifest(v2)["files"]) == after_files
+
+
+def test_merge_on_zordered_table_rewrites_only_overlapping_files(spark, tmp_path):
+    """The stats-planned merge composes with clustering: after a z-order
+    compact, files carry tight key ranges, so a narrow-key merge's
+    candidate set (manifest min/max overlap) is a small fraction of the
+    table — the production shape where partial COW pays off."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.range(4096).selectExpr("id as k", "id as k2", "concat('v', id) as v")
+    )
+    t.compact(spark, target_partitions=8, zorder_by=("k", "k2"), zorder_bits=6)
+    n_files = len(t._manifest(2)["files"])
+    assert n_files == 8
+    ups = spark.createDataFrame([(5, 5, "UP"), (9, 9, "UP")], "k long, k2 long, v string")
+    v = t.merge_by_key(spark, ups, "k")
+    before = set(t._manifest(2)["files"])
+    after = set(t._manifest(v)["files"])
+    carried = before & after
+    # low keys cluster into few files: most of the table is untouched
+    assert len(carried) >= n_files - 2, (len(carried), n_files)
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got[5] == "UP" and got[9] == "UP" and got[0] == "v0"
+    assert len(got) == 4096
+
+
+def test_changelog_stream_cdc_mode_maintains_view_through_rewrites(spark, tmp_path):
+    """on_rewrite=cdc: rewrites stream as signed I/D rows (file-set delta
+    per version — the rewrite's footprint under partial COW). The feed is
+    net-exact: folding it with the Z-set signed algebra reproduces the
+    final snapshot's aggregate exactly through delete + merge + append."""
+    from gridmr_spark.sources.table_format import register_changelog_source
+
+    t = _mk(spark, tmp_path, [[(1, "a"), (2, "b"), (3, "c")], [(4, "d")]])
+    t.delete_where(spark, F.col("k") == 2)                         # v3 rewrite
+    t.merge_by_key(
+        spark, spark.createDataFrame([(3, "C"), (5, "e")], "k long, v string"), "k"
+    )                                                              # v4 rewrite
+    t.commit(spark.createDataFrame([(6, "f")], "k long, v string"))  # v5 append
+
+    register_changelog_source(spark)
+    run = str(tmp_path / "run")
+    sink = os.path.join(run, "out")
+    q = (
+        spark.readStream.format("mtable_changelog")
+        .option("path", t.root)
+        .option("on_rewrite", "cdc")
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: df.write.mode("append").parquet(sink))
+        .option("checkpointLocation", os.path.join(run, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(sink)
+    # signed fold of the whole feed == the final snapshot, exactly
+    folded = (
+        feed.withColumn("w", F.when(F.col("_op") == "I", 1).otherwise(-1))
+        .groupBy("k", "v")
+        .agg(F.sum("w").alias("n"))
+        .where(F.col("n") != 0)
+    )
+    got = sorted((r.k, r.v, r.n) for r in folded.collect())
+    want = sorted((r.k, r.v, 1) for r in t.read(spark).collect())
+    assert got == want
+    # and the D side is bounded by the rewrites' true footprint: k=1 was
+    # never touched by either rewrite (its file carried by reference), so
+    # it must not appear with _op='D'
+    assert feed.where((F.col("_op") == "D") & (F.col("k") == 1)).count() == 0
