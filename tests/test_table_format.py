@@ -1210,3 +1210,34 @@ def test_changelog_stream_cdc_mode_maintains_view_through_rewrites(spark, tmp_pa
     # never touched by either rewrite (its file carried by reference), so
     # it must not appear with _op='D'
     assert feed.where((F.col("_op") == "D") & (F.col("k") == 1)).count() == 0
+
+
+def test_expire_after_partial_delete_reclaims_only_replaced_files(spark, tmp_path):
+    """Partial COW + expire: after a partial delete, expiring history
+    must physically reclaim ONLY the replaced file — carried files are
+    live members of the surviving snapshot."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    for lo in (0, 100):
+        t.commit(
+            spark.range(lo, lo + 100)
+            .selectExpr("id as k", "concat('v', id) as v")
+            .coalesce(1)
+        )
+    touched = set(t._added_files(2))
+    carried = set(t._added_files(1))
+    t.delete_where(spark, F.col("k") == 150)  # rewrites only commit 2's file
+    removed = set(t.expire(keep_last=1))
+    assert removed == touched
+    for f in carried:
+        assert os.path.exists(f)
+    got = sorted(r.k for r in t.read(spark).collect())
+    assert got == [k for k in range(200) if k != 150]
+
+
+def test_changefeed_of_pure_metadata_range_is_empty(spark, tmp_path):
+    t = _mk(spark, tmp_path, [[(1, "a"), (2, "b")]])
+    t.rewrite_manifests()
+    t.restore(1)
+    feed = t.changefeed(spark, 1, 3)
+    assert feed.count() == 0
+    assert feed.columns[-1] == "_op"
