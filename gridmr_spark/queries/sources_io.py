@@ -1633,7 +1633,7 @@ def stream_table_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.merge_by_key(spark, ups, "o_orderkey")                          # v4 planned
 
     register_changelog_source(spark)
-    sink = f"{base}/feed"
+    sink = f"{base}/feed-{uuid.uuid4().hex[:8]}"
     q = (
         spark.readStream.format("mtable_changelog")
         .option("path", t.root)
