@@ -639,7 +639,14 @@ class ManifestTable:
         if small:
             total = sum(sizes[f] for f in small)
             nparts = max(1, -(-total // int(target_mb * (1 << 20))))
-            packed = spark.read.parquet(*small).repartition(int(nparts))
+            # mergeSchema: micro-batch slivers may straddle an additive
+            # schema change; packing must carry the UNION of their
+            # columns (footer reads of the small set only — cheap)
+            packed = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*small)
+                .repartition(int(nparts))
+            )
             added = self._nonempty(self._write_data(packed, v))
             if added:
                 entry = self._write_group(

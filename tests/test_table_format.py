@@ -1241,3 +1241,18 @@ def test_changefeed_of_pure_metadata_range_is_empty(spark, tmp_path):
     feed = t.changefeed(spark, 1, 3)
     assert feed.count() == 0
     assert feed.columns[-1] == "_op"
+
+
+def test_compact_small_packs_across_additive_schema_change(spark, tmp_path):
+    """Slivers straddling an additive schema change pack with the UNION
+    of their columns (older rows NULL-backfilled), not whichever schema
+    the reader happened to sample."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, "a")], "k long, v string").coalesce(1))
+    t.commit(
+        spark.createDataFrame([(2, "b", 7)], "k long, v string, extra long").coalesce(1)
+    )
+    v = t.compact_small(spark, small_mb=1.0)
+    got = t.read(spark, v, merge_schema=True)
+    rows = {r.k: (r.v, r.extra) for r in got.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 7)}
