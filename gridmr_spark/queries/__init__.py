@@ -53,7 +53,7 @@ _DRIVER_PRIORITY: list[str] = [
     # --- round-12 priority (driver budget ~50; first rows first) ---
     # (a) round-12 additions (first driver rows ever).
     "catalog_sql_read", "table_wap_multi", "table_changefeed_rewrite",
-    "table_compact_small", "stream_table_cdc_feed",
+    "table_compact_small", "stream_table_cdc_feed", "table_delete_vectors",
     # (b) freshness rotation: the 10 queries whose latest green driver
     # row is still round 5 — the round-11 budget ran out before reaching
     # them (VERDICT r11 item 3). wordcount is the flagship.

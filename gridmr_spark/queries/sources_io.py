@@ -1576,6 +1576,92 @@ def table_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Merge-on-read deletion vectors
+# ---------------------------------------------------------------------------
+
+_DV_ORACLE = f"""
+WITH live AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 1000 <> 7
+), appended AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_totalprice FROM orders
+), allrows AS (
+  SELECT * FROM live UNION ALL SELECT * FROM appended
+)
+SELECT 'after_dv' AS label, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_SUM_CENTS_SQL} AS sum_cents,
+       CAST(1 AS INT) AS zero_rewrite, CAST(1 AS INT) AS meta_exact
+FROM live
+UNION ALL
+SELECT 'after_append', CAST(COUNT(*) AS BIGINT), {_SUM_CENTS_SQL},
+       CAST(1 AS INT), CAST(1 AS INT)
+FROM allrows
+UNION ALL
+SELECT 'materialized', CAST(COUNT(*) AS BIGINT), {_SUM_CENTS_SQL},
+       CAST(1 AS INT), CAST(1 AS INT)
+FROM allrows
+"""
+
+
+@query("table_delete_vectors", oracle=_DV_ORACLE)
+def table_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ deletion vectors
+    (`ManifestTable.delete_where(mode='dv')`, sources/table_format.py —
+    Iceberg v2 / Delta DV semantics): the GDPR-shaped case copy-on-write
+    handles worst — a low-selectivity delete (%1000=7) on a key that is
+    round-robin-spread across EVERY file, where COW (even partial) would
+    rewrite the whole table. The DV delete records O(matched rows)
+    (file, position) pairs and touches no data file: the `zero_rewrite`
+    flag inside the hashed result asserts the post-delete file set is
+    IDENTICAL to the pre-delete one. Reads subtract the DV set with one
+    broadcast anti-join on scan provenance; a subsequent append carries
+    the DV (deleted rows stay deleted); `compact()` materializes it
+    away, after which the read is plain scans again — three legs prove
+    delete / carry / materialize against a from-scratch SQL
+    re-derivation. `meta_exact` pins that metadata-only COUNT stays
+    exact mid-DV (the manifest carries the live deleted-row count).
+
+    Scale shape: delete cost is one predicate-pushed scan + O(matched)
+    DV bytes; read overhead is one broadcast anti-join until the next
+    rewrite/compaction naturally materializes; rewrite verbs compact the
+    DV set to surviving files so counts stay exact."""
+    import shutil
+
+    from gridmr_spark.sources.table_format import ManifestTable
+
+    root = _scratch(sf_dir, "dvtbl")
+    shutil.rmtree(root, ignore_errors=True)
+    t = ManifestTable(root)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t.commit(orders)                                                   # v1
+    files_before = list(t._manifest(1)["files"])
+    v2 = t.delete_where(spark, F.col("o_orderkey") % 1000 == 7, mode="dv")
+    zero_rewrite = int(t._manifest(v2)["files"] == files_before)
+    meta_exact = int(t.metadata_agg(v2)["n_rows"] == t.read(spark, v2).count())
+    v3 = t.commit(
+        orders.select(
+            (F.col("o_orderkey") + F.lit(10_000_000)).alias("o_orderkey"),
+            "o_totalprice",
+        )
+    )
+    v4 = t.compact(spark, target_partitions=8)
+
+    def leg(label: str, version: int) -> DataFrame:
+        return t.read(spark, version).agg(*_cents_agg()).select(
+            F.lit(label).alias("label"),
+            "n_rows",
+            "sum_cents",
+            F.lit(zero_rewrite).cast("int").alias("zero_rewrite"),
+            F.lit(meta_exact).cast("int").alias("meta_exact"),
+        )
+
+    return (
+        leg("after_dv", v2)
+        .unionByName(leg("after_append", v3))
+        .unionByName(leg("materialized", v4))
+    )
+
+
+# ---------------------------------------------------------------------------
 # CDC changelog stream across table rewrites
 # ---------------------------------------------------------------------------
 

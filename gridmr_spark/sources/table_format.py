@@ -544,7 +544,11 @@ class ManifestTable:
             blooms = {f: pending.get(f, {}) for f in added}
         entry = self._write_group(added, self._stats_for(added), blooms, self._rows_for(added))
         groups = (self._groups_of(base) if base else []) + [entry]
-        self._publish(v, "append", idempotency_key, groups, [entry["path"]])
+        dv = self._dv(base) if base else {}
+        self._publish(
+            v, "append", idempotency_key, groups, [entry["path"]],
+            self._dv_extra(dv) or None,
+        )
         return v
 
     def compact(
@@ -636,24 +640,27 @@ class ManifestTable:
         small = [f for f in files if sizes[f] < small_mb * (1 << 20)]
         v = cur + 1
         groups = self._carry_groups(cur, set(small))
+        carried = [f for f in files if f not in set(small)]
+        dv = self._compact_dv(spark, self._dv(cur), carried)
         if small:
             total = sum(sizes[f] for f in small)
             nparts = max(1, -(-total // int(target_mb * (1 << 20))))
             # mergeSchema: micro-batch slivers may straddle an additive
             # schema change; packing must carry the UNION of their
-            # columns (footer reads of the small set only — cheap)
-            packed = (
-                spark.read.option("mergeSchema", "true")
-                .parquet(*small)
-                .repartition(int(nparts))
-            )
+            # columns (footer reads of the small set only — cheap).
+            # DV-applied: packing materializes the packed files' deletes.
+            packed = self._apply_dv(
+                spark,
+                spark.read.option("mergeSchema", "true").parquet(*small),
+                self._dv(cur),
+            ).repartition(int(nparts))
             added = self._nonempty(self._write_data(packed, v))
             if added:
                 entry = self._write_group(
                     added, self._stats_for(added), rows=self._rows_for(added)
                 )
                 groups.append(entry)
-        self._publish(v, "compact", None, groups, [])
+        self._publish(v, "compact", None, groups, [], self._dv_extra(dv) or None)
         return v
 
     def replace(self, df: DataFrame, idempotency_key: str | None = None) -> int:
@@ -712,17 +719,19 @@ class ManifestTable:
         lo, hi = updates.agg(_F.min(key), _F.max(key)).first()
         affected = self._stats_candidate_files(base, key, lo, hi)
         if affected:
-            kept = (
-                spark.read.schema(current.schema)
-                .parquet(*affected)
-                .join(keys, key, "left_anti")
-            )
+            kept = self._apply_dv(
+                spark,
+                spark.read.schema(current.schema).parquet(*affected),
+                self._dv(base),
+            ).join(keys, key, "left_anti")
             merged = kept.unionByName(updates.select(*current.columns))
         else:
             merged = updates.select(*current.columns)
         v = cur + 1
         added = self._nonempty(self._write_data(merged, v))
         groups = self._carry_groups(base, set(affected))
+        carried = [f for f in self._manifest(base)["files"] if f not in set(affected)]
+        dv = self._compact_dv(spark, self._dv(base), carried)
         added_groups: list[str] = []
         if added:
             entry = self._write_group(
@@ -730,11 +739,18 @@ class ManifestTable:
             )
             groups.append(entry)
             added_groups = [entry["path"]]
-        self._publish(v, "overwrite", idempotency_key, groups, added_groups)
+        self._publish(
+            v, "overwrite", idempotency_key, groups, added_groups,
+            self._dv_extra(dv) or None,
+        )
         return v
 
     def delete_where(
-        self, spark: SparkSession, condition, base_version: int | None = None
+        self,
+        spark: SparkSession,
+        condition,
+        base_version: int | None = None,
+        mode: str = "cow",
     ) -> int:
         """Row-level delete (copy-on-write): rewrite the current snapshot
         WITHOUT the rows matching ``condition`` (a Column or SQL string) as
@@ -744,17 +760,25 @@ class ManifestTable:
         old files — deletion becomes PHYSICAL exactly when retention says
         so, and the two-step is auditable in the manifest log.
 
-        Copy-on-write (vs merge-on-read delete vectors) is the honest
-        choice at this format's complexity budget: reads stay plain parquet
-        scans with zero merge cost — and the rewrite is PARTIAL: one
-        predicate-pushed scan tags matching rows with their source file
-        (``input_file_name``), only files that actually contain a match
-        are rewritten, and every untouched file carries forward BY
-        MANIFEST REFERENCE (zero data movement), so write amplification
-        is the delete's true footprint, not the table size — Iceberg's
-        COW mode semantics. File-level lineage falls out for free: the
-        snapshot-to-snapshot file delta IS the rewrite's footprint, which
-        is what bounds :meth:`changefeed` on ranges crossing this verb.
+        Two modes, the same pair Iceberg v2 and Delta expose:
+
+        - ``mode="cow"`` (default) — PARTIAL copy-on-write: one
+          predicate-pushed scan tags matching rows with their source file
+          (``input_file_name``), only files that actually contain a match
+          are rewritten, and every untouched file carries forward BY
+          MANIFEST REFERENCE (zero data movement), so write amplification
+          is the delete's true footprint, not the table size. Reads stay
+          plain parquet scans with zero merge cost. File-level lineage
+          falls out for free: the snapshot-to-snapshot file delta IS the
+          rewrite's footprint, which is what bounds :meth:`changefeed` on
+          ranges crossing this verb.
+        - ``mode="dv"`` — MERGE-ON-READ deletion vectors
+          (:meth:`_delete_where_dv`): record (file, row position) of the
+          matched rows, write no data files at all. The right verb when
+          COW is worst — a low-selectivity delete on an unclustered key
+          (GDPR erasure by id) that would otherwise rewrite every file.
+          Reads pay one broadcast anti-join until a rewrite/compact
+          materializes the DV set.
         """
         from pyspark.sql import functions as _F
 
@@ -763,31 +787,157 @@ class ManifestTable:
             raise ValueError(f"nothing to delete from in {self.root}")
         cond = _F.expr(condition) if isinstance(condition, str) else condition
         base = cur if base_version is None else base_version
+        if mode == "dv":
+            return self._delete_where_dv(spark, cond, base, cur)
+        if mode != "cow":
+            raise ValueError(f"delete_where: mode must be cow|dv, got {mode!r}")
         snap = self.read(spark, base)
-        # file provenance captured at scan time (see merge_by_key note)
+        # file provenance captured at scan time; DV-subtracted so a row
+        # already deleted by a deletion vector can't mark its file
         hit_files = {
             r[0]
-            for r in snap.withColumn("_src_file", _F.input_file_name())
+            for r in self._scan_with_provenance(
+                spark, self._manifest(base)["files"], self._dv(base)
+            )
             .where(cond)
-            .select("_src_file")
+            .select("__mt_fp")
             .distinct()
             .collect()
         }
         affected = self._match_manifest_files(base, hit_files)
         v = cur + 1
         groups = self._carry_groups(base, set(affected))
+        carried = [f for f in self._manifest(base)["files"] if f not in set(affected)]
+        dv = self._compact_dv(spark, self._dv(base), carried)
         if affected:
-            kept = spark.read.schema(snap.schema).parquet(*affected).where(~cond)
+            kept = self._apply_dv(
+                spark,
+                spark.read.schema(snap.schema).parquet(*affected),
+                self._dv(base),
+            ).where(~cond)
             added = self._nonempty(self._write_data(kept, v))
             if added:
                 entry = self._write_group(
                     added, self._stats_for(added), rows=self._rows_for(added)
                 )
                 groups.append(entry)
-                self._publish(v, "overwrite", None, groups, [entry["path"]])
+                self._publish(
+                    v, "overwrite", None, groups, [entry["path"]],
+                    self._dv_extra(dv) or None,
+                )
                 return v
-        self._publish(v, "overwrite", None, groups, [])
+        self._publish(v, "overwrite", None, groups, [], self._dv_extra(dv) or None)
         return v
+
+    def _delete_where_dv(self, spark: SparkSession, cond, base: int, cur: int) -> int:
+        """MERGE-ON-READ delete: record the matching rows' (file, row
+        position) in a deletion-vector parquet under ``<root>/_deletes``
+        and publish a metadata snapshot carrying the grown DV set — ZERO
+        data files read beyond the predicate scan, zero written. The
+        complement of copy-on-write for the case COW handles worst: a
+        low-selectivity delete on an unclustered key (GDPR erasure by id)
+        touches every file under COW but costs O(matched rows) here.
+        Reads apply the DV set as a broadcast anti-join on scan
+        provenance (``_apply_dv``); rewrite verbs compact the DV set to
+        surviving files and ``compact()``/``replace()`` materialize it
+        away. Iceberg v2 / Delta deletion-vector semantics on this
+        format."""
+        from pyspark.sql import functions as _F
+
+        dv0 = self._dv(base)
+        tagged = self._scan_with_provenance(
+            spark, self._manifest(base)["files"], dv0
+        )
+        hits = tagged.where(cond).select(
+            _F.col("__mt_fp").alias("file"), _F.col("__mt_ri").alias("pos")
+        )
+        v = cur + 1
+        ddir = os.path.join(self.root, "_deletes")
+        os.makedirs(ddir, exist_ok=True)
+        out = os.path.join(ddir, f"dv-v{v:05d}-{uuid.uuid4().hex[:8]}")
+        hits.write.mode("error").parquet(out)
+        new_files = sorted(glob.glob(os.path.join(out, "*.parquet")))
+        import pyarrow.parquet as pq
+
+        counted = [
+            (f, pq.ParquetFile(f).metadata.num_rows) for f in new_files
+        ]
+        new_files = [f for f, n in counted if n > 0]
+        n_new = sum(n for _, n in counted)
+        dv1 = {"files": dv0["files"] + new_files, "rows": dv0["rows"] + n_new}
+        self._publish(
+            v, "delete_dv", None, self._groups_of(base), [], self._dv_extra(dv1) or None
+        )
+        return v
+
+    @staticmethod
+    def _scan_with_provenance(spark: SparkSession, files: list[str], dv: dict) -> DataFrame:
+        """Raw scan of ``files`` with scan-time provenance retained as
+        ``__mt_fp``/``__mt_ri`` columns and the DV set already
+        subtracted — the shared front half of the DV delete and the
+        partial-COW provenance scan (``input_file_name()`` cannot be
+        used once the DV anti-join makes the plan multi-source; the
+        ``_metadata`` columns are bound at the scan and survive it)."""
+        from pyspark.sql import functions as _F
+
+        tagged = spark.read.parquet(*files).select(
+            "*",
+            _F.col("_metadata.file_path").alias("__mt_fp"),
+            _F.col("_metadata.row_index").alias("__mt_ri"),
+        )
+        if dv and dv.get("files"):
+            dvdf = spark.read.parquet(*dv["files"]).select(
+                _F.col("file").alias("__dv_fp"), _F.col("pos").alias("__dv_ri")
+            )
+            tagged = tagged.join(
+                _F.broadcast(dvdf),
+                (_F.col("__mt_fp") == _F.col("__dv_fp"))
+                & (_F.col("__mt_ri") == _F.col("__dv_ri")),
+                "left_anti",
+            )
+        return tagged
+
+    def _compact_dv(self, spark: SparkSession, dv: dict, carried: list[str]) -> dict:
+        """Rewrite a DV set down to entries whose target file survives in
+        ``carried`` — called by every partial rewrite so the manifest's
+        ``dv.rows`` stays the EXACT live deleted-row count (stale entries
+        would be read-harmless but poison metadata COUNT). Driver-side
+        over the DV parquet: a DV set is O(rows deleted since the last
+        materialize) by contract — when that outgrows the driver, the
+        same filter is one executor-side job (the commit-metadata
+        precedent, `_build_file_meta`)."""
+        if not dv or not dv["files"]:
+            return {"files": [], "rows": 0}
+        from urllib.parse import unquote, urlparse
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        carried_norm = {_norm(f) for f in carried}
+
+        def live(u: str) -> bool:
+            p = unquote(urlparse(u).path) if u.startswith("file:") else u
+            return _norm(p) in carried_norm
+
+        keep_f: list[str] = []
+        keep_p: list[int] = []
+        for path in dv["files"]:
+            t = pq.read_table(path)
+            for f, pos in zip(t.column("file").to_pylist(), t.column("pos").to_pylist()):
+                if live(f):
+                    keep_f.append(f)
+                    keep_p.append(pos)
+        if not keep_f:
+            return {"files": [], "rows": 0}
+        ddir = os.path.join(self.root, "_deletes")
+        os.makedirs(ddir, exist_ok=True)
+        out = os.path.join(ddir, f"dv-c{uuid.uuid4().hex[:12]}.parquet")
+        pq.write_table(
+            pa.table({"file": pa.array(keep_f, pa.string()),
+                      "pos": pa.array(keep_p, pa.int64())}),
+            out,
+        )
+        return {"files": [out], "rows": len(keep_f)}
 
     def restore(self, version: int) -> int:
         """Roll the table back to ``version`` as a NEW snapshot (Delta's
@@ -804,7 +954,10 @@ class ManifestTable:
         restore manifest stays O(#groups) at any table size."""
         groups = self._groups_of(version)  # raises if unknown
         v = (self.current_version() or 0) + 1
-        self._publish(v, "restore", None, groups, [], {"restored_from": version})
+        self._publish(
+            v, "restore", None, groups, [],
+            {"restored_from": version, **self._dv_extra(self._dv(version))},
+        )
         return v
 
     def clone_to(self, dest_root: str, version: int | None = None) -> "ManifestTable":
@@ -912,7 +1065,10 @@ class ManifestTable:
                 raise ValueError(f"nothing to branch in {self.root}")
         groups = self._groups_of(version)  # raises if unknown
         b = ManifestTable(self.root, _branch=name)
-        b._publish(1, "branch", None, groups, [], {"branched_from": version})
+        b._publish(
+            1, "branch", None, groups, [],
+            {"branched_from": version, **self._dv_extra(self._dv(version))},
+        )
         return b
 
     def drop_branch(self, name: str) -> None:
@@ -976,7 +1132,10 @@ class ManifestTable:
             None,
             b._groups_of(bv),
             added,
-            {"published_from": {"branch": name, "version": bv, "base": base}},
+            {
+                "published_from": {"branch": name, "version": bv, "base": base},
+                **self._dv_extra(b._dv(bv)),
+            },
         )
         return (cur or 0) + 1
 
@@ -1114,6 +1273,28 @@ class ManifestTable:
             if g.startswith(own_groups) and os.path.exists(g):
                 os.remove(g)
                 self._gcache.pop(g, None)
+        # deletion-vector files referenced only by dropped manifests are
+        # garbage too (kept set spans main + branch namespaces; dropped
+        # manifests are gone from _raw by now, so the sweep works off the
+        # survivor set + the ownership guard, mirroring the data rule)
+        kept_dv: set[str] = set()
+        for ns in [self] + [ManifestTable(self.root, _branch=b) for b in self.branches()]:
+            for v in ns.versions():
+                kept_dv.update(_norm(p) for p in ns._dv(v)["files"])
+        own_dv = _norm(os.path.join(self.root, "_deletes")) + os.sep
+        for p in sorted(glob.glob(os.path.join(self.root, "_deletes", "dv-*"))):
+            np_ = _norm(p)
+            if not np_.startswith(own_dv) or np_ in kept_dv:
+                continue
+            # dv-delete versions write DIRECTORIES of parquet parts;
+            # compactions write single files — reclaim whichever form,
+            # but only when no surviving manifest references any part
+            if os.path.isdir(p):
+                parts = {_norm(x) for x in glob.glob(os.path.join(p, "*.parquet"))}
+                if parts and parts.isdisjoint(kept_dv):
+                    shutil.rmtree(p)
+            elif np_ not in kept_dv:
+                os.remove(p)
         return removed
 
     def rewrite_manifests(self, target_groups: int = 1) -> int:
@@ -1163,7 +1344,10 @@ class ManifestTable:
             for i in range(0, len(files), per)
         ]
         v = cur + 1
-        self._publish(v, "rewrite_manifests", None, entries, [])
+        self._publish(
+            v, "rewrite_manifests", None, entries, [],
+            self._dv_extra(self._dv(cur)) or None,
+        )
         return v
 
     def vacuum_orphans(self, min_age_seconds: float = 3600.0) -> list[str]:
@@ -1512,7 +1696,59 @@ class ManifestTable:
         if not files:
             raise ValueError(f"snapshot v{version} of {self.root} is empty")
         reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
-        return reader.parquet(*files)
+        return self._apply_dv(spark, reader.parquet(*files), self._dv(version))
+
+    # -- merge-on-read deletion vectors ---------------------------------------
+
+    def _dv(self, version: int) -> dict:
+        """The snapshot's active DELETION-VECTOR set: ``{"files": [dv
+        parquet paths], "rows": exact live deleted-row count}``. Empty for
+        snapshots without DVs (every pre-DV manifest)."""
+        dv = self._raw(version).get("dv")
+        return dict(dv) if dv else {"files": [], "rows": 0}
+
+    @staticmethod
+    def _dv_extra(dv: dict) -> dict:
+        return {"dv": dv} if dv and dv.get("files") else {}
+
+    @staticmethod
+    def _apply_dv(spark: SparkSession, df: DataFrame, dv: dict) -> DataFrame:
+        """Subtract a deletion-vector set from a raw file scan: anti-join
+        on the scan's own (``_metadata.file_path``, ``_metadata.row_index``)
+        provenance — the merge-on-read half of DV deletes. The DV side is
+        broadcast (it holds one row per DELETED row, the quantity a DV
+        delete was chosen to keep small; a DV set grown past broadcast
+        size is the signal to materialize via compact()). Entries whose
+        file is no longer in the scanned set match nothing — stale
+        entries after a partial rewrite are harmless by construction."""
+        if not dv or not dv.get("files"):
+            return df
+        from pyspark.sql import functions as _F
+
+        for guard in ("__mt_fp", "__mt_ri"):
+            if guard in df.columns:
+                raise ValueError(
+                    f"column {guard!r} collides with the DV reader's "
+                    "provenance columns — rename it"
+                )
+        dvdf = (
+            spark.read.parquet(*dv["files"])
+            .select(_F.col("file").alias("__dv_fp"), _F.col("pos").alias("__dv_ri"))
+        )
+        tagged = df.select(
+            "*",
+            _F.col("_metadata.file_path").alias("__mt_fp"),
+            _F.col("_metadata.row_index").alias("__mt_ri"),
+        )
+        return (
+            tagged.join(
+                _F.broadcast(dvdf),
+                (_F.col("__mt_fp") == _F.col("__dv_fp"))
+                & (_F.col("__mt_ri") == _F.col("__dv_ri")),
+                "left_anti",
+            )
+            .drop("__mt_fp", "__mt_ri")
+        )
 
     def version_at(self, ts: float) -> int:
         """The snapshot that was current at wall-clock time ``ts`` — the
@@ -1642,6 +1878,17 @@ class ManifestTable:
                     else:
                         cols[c][0] = min(cols[c][0], summary[c][0])
                         cols[c][1] = max(cols[c][1], summary[c][1])
+        dv = self._dv(version)
+        if dv["rows"]:
+            # deletion vectors: COUNT stays exact (the manifest carries
+            # the exact live deleted-row count, maintained by DV
+            # compaction at every rewrite); MIN/MAX become UNKNOWN — the
+            # extreme row may be among the deleted — and exactness is
+            # this method's contract, so the columns are omitted rather
+            # than served stale. compact() materializes and restores them.
+            if n_rows is not None:
+                n_rows -= dv["rows"]
+            cols = {}
         return {"n_rows": n_rows, "columns": cols or {}}
 
     def pruned_files(
@@ -1767,7 +2014,11 @@ class ManifestTable:
         if not files:
             # no file can match: an empty frame with the snapshot's schema
             return self.read(spark, version).where(_F.lit(False))
-        df = spark.read.parquet(*files)
+        df = self._apply_dv(
+            spark,
+            spark.read.parquet(*files),
+            self._dv(version if version is not None else self.current_version()),
+        )
         for c, (p_lo, p_hi) in preds.items():
             if p_lo is not None:
                 df = df.where(_F.col(c) >= _F.lit(p_lo))
@@ -1959,16 +2210,79 @@ class ManifestTable:
         fset, tset = set(from_files), set(to_files)
         added = [f for f in to_files if f not in fset]
         removed = [f for f in from_files if f not in tset]
+        dv_from = self._dv(v_from) if v_from > 0 else {"files": [], "rows": 0}
+        dv_to = self._dv(v_to)
         empty = new.where(_F.lit(False))
         new_part = (
-            spark.read.schema(new.schema).parquet(*added) if added else empty
+            self._apply_dv(spark, spark.read.schema(new.schema).parquet(*added), dv_to)
+            if added
+            else empty
         )
         old_part = (
-            spark.read.schema(new.schema).parquet(*removed) if removed else empty
+            self._apply_dv(
+                spark, spark.read.schema(new.schema).parquet(*removed), dv_from
+            )
+            if removed
+            else empty
         )
+        if dv_from["files"] or dv_to["files"]:
+            # DV deltas on SHARED files fold into the compare sides:
+            # (S - a) \ (S - b) == rows at positions (b \ a) for unique
+            # (file, pos), so v_to-only DV positions join the OLD side
+            # (they were live at v_from) and v_from-only positions join
+            # the NEW side (a restore un-deleted them). Cost is bounded
+            # by the DV deltas' file footprint.
+            def dv_df(dv):
+                if dv["files"]:
+                    return spark.read.parquet(*dv["files"]).select("file", "pos")
+                return spark.createDataFrame([], "file string, pos long")
+
+            f_df, t_df = dv_df(dv_from), dv_df(dv_to)
+            shared = [f for f in to_files if f in fset]
+            old_part = old_part.unionByName(
+                self._rows_at(spark, new.schema, shared, t_df.exceptAll(f_df))
+            )
+            new_part = new_part.unionByName(
+                self._rows_at(spark, new.schema, shared, f_df.exceptAll(t_df))
+            )
         inserts = new_part.exceptAll(old_part).withColumn("_op", _F.lit("I"))
         deletes = old_part.exceptAll(new_part).withColumn("_op", _F.lit("D"))
         return inserts.unionByName(deletes)
+
+    def _rows_at(self, spark: SparkSession, schema, files: list[str], delta) -> DataFrame:
+        """The rows of ``files`` sitting at the (file, pos) coordinates in
+        ``delta`` — reads only the files the delta actually names."""
+        from urllib.parse import unquote, urlparse
+
+        from pyspark.sql import functions as _F
+
+        uris = [r[0] for r in delta.select("file").distinct().collect()]
+        wanted = {
+            _norm(unquote(urlparse(u).path) if u.startswith("file:") else u)
+            for u in uris
+        }
+        hit = [f for f in files if _norm(f) in wanted]
+        base = spark.createDataFrame([], schema) if not hit else None
+        if base is not None:
+            return base
+        tagged = spark.read.schema(schema).parquet(*hit).select(
+            "*",
+            _F.col("_metadata.file_path").alias("__mt_fp"),
+            _F.col("_metadata.row_index").alias("__mt_ri"),
+        )
+        return (
+            tagged.join(
+                _F.broadcast(
+                    delta.select(
+                        _F.col("file").alias("__dv_fp"), _F.col("pos").alias("__dv_ri")
+                    )
+                ),
+                (_F.col("__mt_fp") == _F.col("__dv_fp"))
+                & (_F.col("__mt_ri") == _F.col("__dv_ri")),
+                "left_semi",
+            )
+            .drop("__mt_fp", "__mt_ri")
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -1997,9 +2311,22 @@ def _changelog_classes():
     )
 
     class _FileSplit(InputPartition):
-        def __init__(self, path: str, op: str = "I"):
+        """One changelog partition: a data file, the sign its rows carry,
+        and optional POSITION sets — ``skip`` (deletion-vector positions
+        to omit from a whole-file emission) or ``take`` (emit ONLY these
+        positions: the DV-delta rows of a delete_dv/restore version)."""
+
+        def __init__(
+            self,
+            path: str,
+            op: str = "I",
+            skip: tuple = (),
+            take: tuple | None = None,
+        ):
             self.path = path
             self.op = op
+            self.skip = skip
+            self.take = take
 
     class MTableStreamReader(DataSourceStreamReader):
         """Micro-batch stream over a ManifestTable's APPEND log: the offset
@@ -2048,35 +2375,82 @@ def _changelog_classes():
         def latestOffset(self):
             return {"version": ManifestTable(self.root).current_version() or 0}
 
+        @staticmethod
+        def _dv_map(t, version: int) -> dict:
+            """version's DV set as {normalized file path: frozenset(pos)},
+            loaded driver-side — a DV set is O(rows deleted since the
+            last materialize) by contract."""
+            from urllib.parse import unquote, urlparse
+
+            dv = t._dv(version) if version > 0 else {"files": [], "rows": 0}
+            if not dv["files"]:
+                return {}
+            import pyarrow.parquet as pq
+
+            out: dict = {}
+            for p in dv["files"]:
+                tb = pq.read_table(p)
+                for f, pos in zip(
+                    tb.column("file").to_pylist(), tb.column("pos").to_pylist()
+                ):
+                    fp = unquote(urlparse(f).path) if f.startswith("file:") else f
+                    out.setdefault(_norm(fp), set()).add(pos)
+            return out
+
         def partitions(self, start, end):
             lo, hi = int(start["version"]), int(end["version"])
             t = ManifestTable(self.root)
-            files: list[str] = []
+            splits: list[_FileSplit] = []
             for v in range(lo + 1, hi + 1):
                 # raw operation first (O(1)): a metadata-only snapshot
                 # must not cost a full file-list resolve to skip
                 op = t._raw(v).get("operation", "append")
                 if op == "rewrite_manifests":
-                    continue  # metadata-only: no new rows at any setting
-                if op != "append":
-                    if self.on_rewrite == "skip":
-                        continue
-                    if self.on_rewrite == "cdc":
-                        # file-set delta vs the previous version: with
-                        # partial-COW verbs this is the rewrite's true
-                        # footprint, not the snapshot
-                        prev = set(t._manifest(v - 1)["files"]) if v > 1 else set()
-                        now = set(t._manifest(v)["files"])
-                        files.extend((f, "I") for f in sorted(now - prev))
-                        files.extend((f, "D") for f in sorted(prev - now))
-                        continue
+                    continue  # metadata-only: identical rows at any setting
+                if op == "append":
+                    # appends carry the prior DV set unchanged and new
+                    # files can hold no DV entries — whole-file 'I' rows
+                    splits.extend(_FileSplit(f, "I") for f in t._added_files(v))
+                    continue
+                if self.on_rewrite == "skip":
+                    continue
+                if self.on_rewrite != "cdc":
                     raise ValueError(
                         f"mtable_changelog: v{v} is a {op!r} snapshot — its files "
                         "are rewrites, not appends; read a snapshot instead, or "
                         "set on_rewrite=skip / on_rewrite=cdc"
                     )
-                files.extend((f, "I") for f in t._added_files(v))
-            return [_FileSplit(f, o) for f, o in files] or [_FileSplit("")]
+                # cdc: the version's row delta = its FILE-SET delta (with
+                # each side's DV positions excluded) plus its DV-POSITION
+                # delta on shared files — exact for partial-COW rewrites,
+                # delete_dv, and restore alike.
+                prev = set(t._manifest(v - 1)["files"]) if v > 1 else set()
+                now = set(t._manifest(v)["files"])
+                dv_prev = self._dv_map(t, v - 1)
+                dv_now = self._dv_map(t, v)
+                for f in sorted(now - prev):
+                    splits.append(
+                        _FileSplit(f, "I", skip=tuple(dv_now.get(_norm(f), ())))
+                    )
+                for f in sorted(prev - now):
+                    splits.append(
+                        _FileSplit(f, "D", skip=tuple(dv_prev.get(_norm(f), ())))
+                    )
+                if dv_prev or dv_now:
+                    for f in sorted(now & prev):
+                        nf = _norm(f)
+                        was, is_ = dv_prev.get(nf, set()), dv_now.get(nf, set())
+                        newly_deleted = is_ - was
+                        undeleted = was - is_
+                        if newly_deleted:
+                            splits.append(
+                                _FileSplit(f, "D", take=tuple(sorted(newly_deleted)))
+                            )
+                        if undeleted:
+                            splits.append(
+                                _FileSplit(f, "I", take=tuple(sorted(undeleted)))
+                            )
+            return splits or [_FileSplit("")]
 
         def read(self, partition):
             if not partition.path:
@@ -2098,6 +2472,11 @@ def _changelog_classes():
                     "appended file to carry the stream schema"
                 )
             tbl = pq.read_table(partition.path, columns=want)
+            if partition.take is not None:
+                tbl = tbl.take(list(partition.take))
+            elif partition.skip:
+                skip = set(partition.skip)
+                tbl = tbl.take([i for i in range(tbl.num_rows) if i not in skip])
             cols = [tbl.column(n).to_pylist() for n in want]
             if "_op" in self._names:
                 cols.append([partition.op] * tbl.num_rows)

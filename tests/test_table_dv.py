@@ -1,0 +1,247 @@
+"""Merge-on-read deletion vectors (delete_where(mode='dv')): zero data
+movement on delete, exact reads everywhere (read / pruned / SQL /
+changefeed / CDC stream / metadata), DV compaction through partial
+rewrites, materialization on compact, GC of expired DV files."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gridmr_spark.sources.table_format import ManifestTable
+
+
+def _mk(spark, tmp_path, n=200, files=4):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.range(n)
+        .selectExpr("id as k", "concat('v', id) as v")
+        .repartition(files)
+    )
+    return t
+
+
+def _ks(df):
+    return sorted(r.k for r in df.collect())
+
+
+def test_dv_delete_moves_no_data_and_reads_exactly(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    before_files = t._manifest(1)["files"]
+    v = t.delete_where(spark, F.col("k") % 10 == 3, mode="dv")
+    assert v == 2
+    # zero data movement: the file set is IDENTICAL
+    assert t._manifest(2)["files"] == before_files
+    assert t._raw(2)["operation"] == "delete_dv"
+    assert _ks(t.read(spark)) == [k for k in range(200) if k % 10 != 3]
+    # time travel unaffected
+    assert _ks(t.read(spark, 1)) == list(range(200))
+    # exact live deleted-row count in the manifest
+    assert t._dv(2)["rows"] == 20
+
+
+def test_dv_deletes_accumulate_and_appends_carry(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where(spark, F.col("k") == 7, mode="dv")
+    t.delete_where(spark, F.col("k") == 8, mode="dv")
+    assert t._dv(3)["rows"] == 2
+    t.commit(spark.createDataFrame([(1000, "x")], "k long, v string"))
+    assert _ks(t.read(spark)) == [k for k in range(200) if k not in (7, 8)] + [1000]
+    # a second dv delete never re-records an already-deleted row
+    t.delete_where(spark, F.col("k").isin(7, 9), mode="dv")
+    assert t._dv(t.current_version())["rows"] == 3
+
+
+def test_dv_no_match_publishes_clean_metadata_version(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    v = t.delete_where(spark, F.col("k") == 10_000, mode="dv")
+    assert t._dv(v)["rows"] == 0 and t._dv(v)["files"] == []
+    assert _ks(t.read(spark)) == list(range(200))
+
+
+def test_partial_cow_verbs_never_resurrect_dv_rows_and_compact_dv(spark, tmp_path):
+    # key-clustered layout: one file per 100-key range, so partial COW
+    # actually carries files (an unclustered layout would touch every
+    # file and correctly materialize the whole DV set away)
+    t = ManifestTable(str(tmp_path / "tbl"))
+    for lo in (0, 100):
+        t.commit(
+            spark.range(lo, lo + 100)
+            .selectExpr("id as k", "concat('v', id) as v")
+            .coalesce(1)
+        )
+    t.delete_where(spark, F.col("k") % 10 == 3, mode="dv")          # v3 dv
+    # COW delete confined to the HIGH file: the low file carries, and
+    # its dv'd rows must stay gone
+    t.delete_where(spark, F.col("k") == 150)                         # v4 cow
+    assert _ks(t.read(spark)) == [
+        k for k in range(200) if k % 10 != 3 and k != 150
+    ]
+    # the DV set was compacted: low-file entries carried (10), the
+    # rewritten high file's entries re-materialized into its rewrite
+    assert t._dv(4)["rows"] == 10
+    # merge: updates on dv'd keys re-INSERT them (update-wins semantics)
+    ups = spark.createDataFrame([(3, "UP"), (113, "UP")], "k long, v string")
+    t.merge_by_key(spark, ups, "k")                                  # v5
+    got = {r.k: r.v for r in t.read(spark).collect()}
+    assert got[3] == "UP" and got[113] == "UP"
+    assert 23 not in got and 123 not in got and 150 not in got
+
+
+def test_compact_materializes_dv(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where(spark, F.col("k") < 50, mode="dv")
+    v = t.compact(spark, target_partitions=2)
+    assert t._dv(v)["files"] == []
+    assert _ks(t.read(spark, v)) == list(range(50, 200))
+    # metadata min/max come back after materialization
+    agg = t.metadata_agg(v)
+    assert agg["n_rows"] == 150 and agg["columns"]["k"] == [50, 199]
+
+
+def test_compact_small_applies_and_compacts_dv(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.range(1000).selectExpr("id as k", "concat('v', id) as v").coalesce(1)
+    )
+    t.commit(spark.createDataFrame([(2000, "a"), (2001, "b")], "k long, v string").coalesce(1))
+    t.delete_where(spark, F.col("k").isin(5, 2000), mode="dv")
+    v = t.compact_small(spark, small_mb=0.005)
+    got = _ks(t.read(spark, v))
+    assert 5 not in got and 2000 not in got and 2001 in got
+    # entry against the packed (small) file materialized away; entry
+    # against the carried healthy file survives, count exact
+    assert t._dv(v)["rows"] == 1
+
+
+def test_metadata_agg_count_exact_minmax_unknown_under_dv(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where(spark, F.col("k") >= 150, mode="dv")
+    agg = t.metadata_agg()
+    assert agg["n_rows"] == 150
+    assert agg["columns"] == {}  # conservative: the max may be deleted
+
+
+def test_read_pruned_and_sql_view_apply_dv(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.range(1000).selectExpr("id as k", "concat('u', id) as s"),
+        bloom_cols=["k"],
+    )
+    t.delete_where(spark, F.col("k") == 123, mode="dv")
+    assert t.read_pruned(spark, "k", 100, 130).count() == 30  # 123 gone
+    assert t.read_pruned(spark, point={"k": 123}).count() == 0
+    t.sql_view(spark, "dv_view")
+    assert spark.sql("SELECT COUNT(*) c FROM dv_view").first().c == 999
+
+
+def test_changefeed_exact_across_dv_delete_and_restore(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=100, files=2)
+    t.delete_where(spark, F.col("k").isin(5, 6), mode="dv")   # v2
+    feed = t.changefeed(spark, 1, 2)
+    rows = sorted((r["_op"], r.k) for r in feed.collect())
+    assert rows == [("D", 5), ("D", 6)]
+    # restore to pre-dv: the rows come back as inserts
+    t.restore(1)                                              # v3
+    rows = sorted((r["_op"], r.k) for r in t.changefeed(spark, 2, 3).collect())
+    assert rows == [("I", 5), ("I", 6)]
+    # and the whole range nets to nothing
+    assert t.changefeed(spark, 1, 3).count() == 0
+    # mixed: dv delete + append in one range
+    t.delete_where(spark, F.col("k") == 7, mode="dv")         # v4
+    t.commit(spark.createDataFrame([(500, "x")], "k long, v string"))  # v5
+    rows = sorted((r["_op"], r.k) for r in t.changefeed(spark, 3, 5).collect())
+    assert rows == [("D", 7), ("I", 500)]
+
+
+def test_changefeed_vs_full_compare_with_dv_and_rewrite(spark, tmp_path):
+    """Hash-equality of the lineage feed against the unbounded
+    snapshot-vs-snapshot compare on a history mixing DV deletes, a COW
+    delete, and appends."""
+    t = _mk(spark, tmp_path, n=300, files=3)
+    t.delete_where(spark, F.col("k") % 7 == 0, mode="dv")   # v2
+    t.commit(spark.createDataFrame([(900, "x")], "k long, v string"))  # v3
+    t.delete_where(spark, F.col("k") % 11 == 1)             # v4 cow (partial)
+    feed = t.changefeed(spark, 1, 4)
+    got = sorted((r["_op"], r.k, r.v) for r in feed.collect())
+    new, old = t.read(spark, 4), t.read(spark, 1)
+    want = sorted(
+        [("I", r.k, r.v) for r in new.exceptAll(old).collect()]
+        + [("D", r.k, r.v) for r in old.exceptAll(new).collect()]
+    )
+    assert got == want
+
+
+def test_cdc_stream_exact_across_dv_history(spark, tmp_path):
+    from gridmr_spark.sources.table_format import register_changelog_source
+
+    t = _mk(spark, tmp_path, n=100, files=2)
+    t.delete_where(spark, F.col("k").isin(3, 4), mode="dv")        # v2
+    t.commit(spark.createDataFrame([(700, "x")], "k long, v string"))  # v3
+    t.delete_where(spark, F.col("k") == 5)                          # v4 cow
+    t.restore(2)                                                    # v5
+
+    register_changelog_source(spark)
+    run = str(tmp_path / "run")
+    sink = os.path.join(run, "out")
+    q = (
+        spark.readStream.format("mtable_changelog")
+        .option("path", t.root)
+        .option("on_rewrite", "cdc")
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: df.write.mode("append").parquet(sink))
+        .option("checkpointLocation", os.path.join(run, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(sink)
+    folded = (
+        feed.withColumn("w", F.when(F.col("_op") == "I", 1).otherwise(-1))
+        .groupBy("k", "v")
+        .agg(F.sum("w").alias("n"))
+        .where(F.col("n") != 0)
+    )
+    got = sorted((r.k, r.v, r.n) for r in folded.collect())
+    want = sorted((r.k, r.v, 1) for r in t.read(spark).collect())
+    assert got == want
+
+
+def test_expire_reclaims_dropped_dv_files_keeps_live(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.delete_where(spark, F.col("k") == 1, mode="dv")   # v2
+    t.delete_where(spark, F.col("k") == 2, mode="dv")   # v3
+    live = {os.path.realpath(p) for p in t._dv(3)["files"]}
+    all_dv = {
+        os.path.realpath(p)
+        for p in glob.glob(os.path.join(t.root, "_deletes", "dv-*", "*.parquet"))
+    }
+    assert live <= all_dv
+    t.compact(spark, target_partitions=1)               # v4 materializes
+    t.expire(keep_last=1)
+    left = {
+        os.path.realpath(p)
+        for p in glob.glob(os.path.join(t.root, "_deletes", "dv-*", "*.parquet"))
+    }
+    assert left == set()                                 # nothing references DVs now
+    assert _ks(t.read(spark)) == [k for k in range(200) if k not in (1, 2)]
+
+
+def test_branch_and_wap_carry_dv(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=50, files=1)
+    t.delete_where(spark, F.col("k") == 9, mode="dv")
+    b = t.create_branch("audit")
+    assert _ks(b.read(spark)) == [k for k in range(50) if k != 9]
+    b.commit(spark.createDataFrame([(100, "x")], "k long, v string"))
+    v = t.publish_branch("audit")
+    assert _ks(t.read(spark, v)) == [k for k in range(50) if k != 9] + [100]
+
+
+def test_dv_mode_rejects_unknown(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10, files=1)
+    with pytest.raises(ValueError, match="cow|dv"):
+        t.delete_where(spark, F.col("k") == 1, mode="nope")
