@@ -991,9 +991,16 @@ class ManifestTable:
         # group entries reference the SOURCE's group files by absolute
         # path (like data files) — stats ride with the groups, so the
         # clone prunes exactly as well as the source did, at zero copy
+        # deletion vectors ride the clone like data files: referenced
+        # from the source's _deletes dir by absolute path, so the clone
+        # reads the same live rows (and a clone-side compact materializes
+        # into clone-owned files, detaching from them)
         dest._publish(
             1, "clone", None, groups, [],
-            {"cloned_from": {"root": self.root, "version": version}},
+            {
+                "cloned_from": {"root": self.root, "version": version},
+                **self._dv_extra(self._dv(version)),
+            },
         )
         return dest
 

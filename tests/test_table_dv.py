@@ -245,3 +245,15 @@ def test_dv_mode_rejects_unknown(spark, tmp_path):
     t = _mk(spark, tmp_path, n=10, files=1)
     with pytest.raises(ValueError, match="cow|dv"):
         t.delete_where(spark, F.col("k") == 1, mode="nope")
+
+
+def test_clone_carries_dv_and_detaches_on_compact(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=60, files=2)
+    t.delete_where(spark, F.col("k") < 10, mode="dv")
+    c = t.clone_to(str(tmp_path / "clone"))
+    assert _ks(c.read(spark)) == list(range(10, 60))
+    v = c.compact(spark, target_partitions=1)
+    assert c._dv(v)["files"] == []              # materialized, detached
+    assert _ks(c.read(spark)) == list(range(10, 60))
+    # source untouched
+    assert _ks(t.read(spark)) == list(range(10, 60))
