@@ -2191,10 +2191,20 @@ class ManifestTable:
 
         if not 0 <= v_from < v_to:
             raise ValueError(f"need 0 <= v_from < v_to, got {v_from}..{v_to}")
-        new = self.read(spark, v_to)
+        # schema probes come straight from the file lists (NOT read():
+        # a fully-deleted snapshot is EMPTY but remains a legal feed
+        # endpoint — every prior row surfaces as 'D')
+        to_probe = self._manifest(v_to)["files"]
+        from_probe = [] if v_from == 0 else self._manifest(v_from)["files"]
+        if not (to_probe or from_probe):
+            raise ValueError(
+                f"changefeed v{v_from}..v{v_to} of {self.root}: both "
+                "snapshots are empty — no schema to derive a feed from"
+            )
+        new = spark.read.parquet(*(to_probe or from_probe))
         old = (
-            self.read(spark, v_from)
-            if v_from > 0
+            spark.read.parquet(*from_probe)
+            if from_probe
             else new.where(_F.lit(False))
         )
         # exceptAll positionally matches columns; across additive schema
