@@ -1948,7 +1948,9 @@ def table_wap_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("l_quantity", -F.col("l_quantity")),
     )
     # AUDIT: negative quantities are invalid -> abort, publish never runs
-    assert wap1.read(spark, "lineitem").where(F.col("l_quantity") < 0).count() > 0
+    # (explicit raise, not `assert` — the audit must survive python -O)
+    if wap1.read(spark, "lineitem").where(F.col("l_quantity") < 0).count() == 0:
+        raise AssertionError("WAP audit expected staged negative quantities")
     wap1.abort()
     parts.append(cat_leg("after_failed_wap"))
 

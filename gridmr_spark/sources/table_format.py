@@ -810,11 +810,17 @@ class ManifestTable:
         carried = [f for f in self._manifest(base)["files"] if f not in set(affected)]
         dv = self._compact_dv(spark, self._dv(base), carried)
         if affected:
+            # keep rows where the condition is NOT TRUE (SQL DELETE
+            # semantics): a NULL-valued condition must keep the row, and
+            # plain ~cond would drop it from rewritten files while files
+            # with no TRUE match carry it forward — making the result
+            # depend on physical layout and diverge from DV mode's
+            # where(cond) hit test
             kept = self._apply_dv(
                 spark,
                 spark.read.schema(snap.schema).parquet(*affected),
                 self._dv(base),
-            ).where(~cond)
+            ).where(~_F.coalesce(cond, _F.lit(False)))
             added = self._nonempty(self._write_data(kept, v))
             if added:
                 entry = self._write_group(
@@ -864,6 +870,20 @@ class ManifestTable:
         ]
         new_files = [f for f, n in counted if n > 0]
         n_new = sum(n for _, n in counted)
+        # reclaim zero-row part files (and writer markers) NOW: they are
+        # never referenced by any manifest, so expire()'s dropped-manifest
+        # rule could never reach them and they'd sit until the whole DV
+        # directory dies; a fully-empty write (no matches) leaves no
+        # directory at all
+        for f, n in counted:
+            if n == 0:
+                os.remove(f)
+        for junk in glob.glob(os.path.join(out, "_SUCCESS*")) + glob.glob(
+            os.path.join(out, ".*.crc")
+        ):
+            os.remove(junk)
+        if not new_files:
+            shutil.rmtree(out, ignore_errors=True)
         dv1 = {"files": dv0["files"] + new_files, "rows": dv0["rows"] + n_new}
         self._publish(
             v, "delete_dv", None, self._groups_of(base), [], self._dv_extra(dv1) or None
@@ -1254,6 +1274,7 @@ class ManifestTable:
         own_prefix = _norm(os.path.join(self.root, "data")) + os.sep
         removed: list[str] = []
         dropped_groups: set[str] = set()
+        dropped_dv: set[str] = set()
         for v in drop:
             for f in self._manifest(v)["files"]:
                 nf = _norm(f)
@@ -1267,6 +1288,7 @@ class ManifestTable:
             dropped_groups.update(
                 _norm(g["path"]) for g in self._raw(v).get("groups", [])
             )
+            dropped_dv.update(_norm(p) for p in self._dv(v)["files"])
             os.remove(os.path.join(self._mdir, f"v{v:05d}.json"))
             self._mcache.pop(v, None)
             self._rawcache.pop(v, None)
@@ -1280,10 +1302,15 @@ class ManifestTable:
             if g.startswith(own_groups) and os.path.exists(g):
                 os.remove(g)
                 self._gcache.pop(g, None)
-        # deletion-vector files referenced only by dropped manifests are
-        # garbage too (kept set spans main + branch namespaces; dropped
-        # manifests are gone from _raw by now, so the sweep works off the
-        # survivor set + the ownership guard, mirroring the data rule)
+        # deletion-vector files referenced by DROPPED manifests (and by no
+        # survivor) are garbage too — the kept set spans main + branch
+        # namespaces. The sweep mirrors the data-file rule EXACTLY: only
+        # files a dropped manifest referenced are reclaimed. A dv-* file
+        # on disk but in no manifest may be an IN-FLIGHT delete_where(dv)
+        # / _compact_dv write racing this expire (DV parquet lands before
+        # its manifest publishes); deleting it would let the publish
+        # succeed against missing files. Such orphans are vacuum_orphans'
+        # job, behind its min-age guard.
         kept_dv: set[str] = set()
         for ns in [self] + [ManifestTable(self.root, _branch=b) for b in self.branches()]:
             for v in ns.versions():
@@ -1295,12 +1322,13 @@ class ManifestTable:
                 continue
             # dv-delete versions write DIRECTORIES of parquet parts;
             # compactions write single files — reclaim whichever form,
-            # but only when no surviving manifest references any part
+            # but only when every part was referenced by a dropped
+            # manifest and none by a surviving one
             if os.path.isdir(p):
                 parts = {_norm(x) for x in glob.glob(os.path.join(p, "*.parquet"))}
-                if parts and parts.isdisjoint(kept_dv):
+                if parts and parts.isdisjoint(kept_dv) and parts <= dropped_dv:
                     shutil.rmtree(p)
-            elif np_ not in kept_dv:
+            elif np_ in dropped_dv:
                 os.remove(p)
         return removed
 

@@ -257,3 +257,86 @@ def test_clone_carries_dv_and_detaches_on_compact(spark, tmp_path):
     assert _ks(c.read(spark)) == list(range(10, 60))
     # source untouched
     assert _ks(t.read(spark)) == list(range(10, 60))
+
+
+def test_expire_never_touches_unreferenced_inflight_dv(spark, tmp_path):
+    """expire()'s DV sweep mirrors the data-file rule: only DV files a
+    DROPPED manifest referenced are reclaimed. A dv-* file on disk but in
+    no manifest is indistinguishable from an in-flight delete_where(dv)
+    whose publish hasn't landed yet — deleting it would let that publish
+    succeed against missing files (ADVICE r12)."""
+    import shutil
+
+    t = _mk(spark, tmp_path, n=100, files=2)
+    t.delete_where(spark, F.col("k") == 3, mode="dv")      # v2, real DV
+    t.commit(spark.createDataFrame([(500, "x")], "k long, v string"))  # v3
+    # simulate the in-flight racer: a DV parquet written, manifest not yet
+    # published — copy the real DV's bytes under a fresh dv-* name
+    real_part = t._dv(t.current_version())["files"][0]
+    inflight = os.path.join(t.root, "_deletes", "dv-v99999-inflight")
+    os.makedirs(inflight)
+    shutil.copy(real_part, os.path.join(inflight, "part-00000.parquet"))
+    lone = os.path.join(t.root, "_deletes", "dv-v99998-lonefile")
+    shutil.copy(real_part, lone)
+    t.expire(keep_last=1)
+    # live DV survives, reads stay exact
+    assert _ks(t.read(spark)) == [k for k in range(100) if k != 3] + [500]
+    # the unreferenced (in-flight-shaped) DV artifacts were NOT swept
+    assert os.path.exists(os.path.join(inflight, "part-00000.parquet"))
+    assert os.path.exists(lone)
+
+
+def test_expire_reclaims_dv_referenced_only_by_dropped_manifests(spark, tmp_path):
+    """The positive half of the dropped-manifest rule: once a rewrite
+    materializes the DV set and expire drops every manifest that
+    referenced it, the DV files ARE reclaimed."""
+    t = _mk(spark, tmp_path, n=100, files=2)
+    t.delete_where(spark, F.col("k") == 3, mode="dv")      # v2 references DV
+    dv_parts = set(t._dv(2)["files"])
+    assert dv_parts
+    t.compact(spark, target_partitions=1)                  # v3, DV materialized
+    t.expire(keep_last=1)                                  # drops v1, v2
+    for p in dv_parts:
+        assert not os.path.exists(p)
+    assert _ks(t.read(spark)) == [k for k in range(100) if k != 3]
+
+
+def test_cow_delete_null_condition_keeps_rows_layout_independent(spark, tmp_path):
+    """DELETE ... WHERE cond removes rows where cond is TRUE; a NULL
+    condition keeps the row (SQL three-valued semantics). Before the r13
+    fix, partial COW dropped NULL-cond rows from REWRITTEN files while
+    carrying them forward in untouched files — result depended on
+    physical layout and diverged from DV mode (ADVICE r12)."""
+    rows = [(0, 10), (1, None), (2, 3), (3, None), (4, 20)]
+    cond = F.col("x") < 5  # TRUE for k=2 only; NULL for k=1,3
+
+    t_cow = ManifestTable(str(tmp_path / "cow"))
+    # one file holds the TRUE match AND a NULL row; another holds only NULLs
+    df = spark.createDataFrame(rows, "k long, x long").repartition(2, "k")
+    t_cow.commit(df)
+    t_cow.delete_where(spark, cond, mode="cow")
+    t_dv = ManifestTable(str(tmp_path / "dv"))
+    t_dv.commit(df)
+    t_dv.delete_where(spark, cond, mode="dv")
+
+    expect = [0, 1, 3, 4]  # only k=2 (cond TRUE) deleted
+    assert _ks(t_cow.read(spark)) == expect
+    assert _ks(t_dv.read(spark)) == expect
+
+
+def test_dv_zero_row_parts_reclaimed_at_write(spark, tmp_path):
+    """Zero-row DV part files are never referenced by any manifest, so
+    the dropped-manifest expire rule can't reach them — they must be
+    removed at write time (ADVICE r12); a no-match delete leaves no
+    dv directory at all."""
+    t = _mk(spark, tmp_path, n=200, files=8)
+    t.delete_where(spark, F.col("k") == 7, mode="dv")   # 1 match, 8 partitions
+    on_disk = {
+        os.path.realpath(p)
+        for p in glob.glob(os.path.join(t.root, "_deletes", "dv-*", "*.parquet"))
+    }
+    referenced = {os.path.realpath(p) for p in t._dv(t.current_version())["files"]}
+    assert on_disk == referenced and len(on_disk) >= 1
+    before_dirs = set(glob.glob(os.path.join(t.root, "_deletes", "dv-*")))
+    t.delete_where(spark, F.col("k") == 10_000, mode="dv")  # no match
+    assert set(glob.glob(os.path.join(t.root, "_deletes", "dv-*"))) == before_dirs
