@@ -888,6 +888,107 @@ class ManifestTable:
         self._publish(
             v, "delete_dv", None, self._groups_of(base), [], self._dv_extra(dv1) or None
         )
+        # GROWTH DISCIPLINE (round 13): the DV set is applied at read time
+        # as a broadcast anti-join, so its size is a hard read-path
+        # ceiling. Past `dv_max_rows` live positions, automatically
+        # materialize the heaviest-hit files down to half the ceiling —
+        # read cost stays independent of accumulated delete history, and
+        # a GDPR trickle of small deletes can no longer grow driver/
+        # executor broadcast state until an OOM. The materialize is its
+        # own auditable snapshot (Delta's OPTIMIZE-after-DV shape).
+        if dv1["rows"] > self.dv_max_rows:
+            return self.materialize_dv(spark, self.dv_max_rows // 2) or v
+        return v
+
+    #: Ceiling on live deletion-vector positions before a DV delete
+    #: auto-materializes the heaviest-hit files (down to half this value).
+    #: Sizing: the DV broadcast holds one (file-path string, int64) row
+    #: per deleted row — ~120 B hashed — so the default 1M rows is a
+    #: ~100 MB broadcast, comfortably inside executor memory while far
+    #: above any sane merge-on-read backlog. Per-table override by
+    #: assignment; 0 forces materialize-on-every-DV-delete.
+    dv_max_rows: int = 1_000_000
+
+    def materialize_dv(
+        self,
+        spark: SparkSession,
+        target_rows: int = 0,
+        base_version: int | None = None,
+    ) -> int | None:
+        """Targeted merge-on-read → copy-on-write conversion: rewrite ONLY
+        the files carrying the most deletion-vector positions — greedily,
+        heaviest first — until the surviving DV set holds at most
+        ``target_rows`` live positions, and publish ONE ``overwrite``
+        snapshot in which the rewritten files' DV entries are gone and
+        every other file (including lightly-hit ones, which keep their
+        DVs) carries forward by manifest reference. Write amplification
+        is proportional to the deletes being retired, never to table
+        size; ``compact()`` remains the full-materialize verb.
+
+        Returns the new version, or ``None`` when the DV set is already
+        at or under ``target_rows`` (nothing to do). Called automatically
+        by DV deletes that cross :attr:`dv_max_rows`; also a first-class
+        maintenance verb (run it off-peak at ``target_rows=0`` to clear
+        merge-on-read debt entirely).
+
+        Scale shape: per-file DV counts come from the DV parquet
+        (bounded at ``dv_max_rows`` by this very mechanism); the rewrite
+        reads only the selected files; the surviving DV set is rewritten
+        by :meth:`_compact_dv`. Changefeed/CDC readers see a normal
+        partial rewrite — file-set delta with DV positions excluded —
+        so incremental consumers stay exact across it."""
+        from urllib.parse import unquote, urlparse
+
+        import pyarrow.parquet as pq
+
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"nothing to materialize in {self.root}")
+        base = cur if base_version is None else base_version
+        dv = self._dv(base)
+        target = max(int(target_rows), 0)
+        if not dv["files"] or dv["rows"] <= target:
+            return None
+
+        def to_path(u: str) -> str:
+            return unquote(urlparse(u).path) if u.startswith("file:") else u
+
+        counts: dict[str, int] = {}
+        for path in dv["files"]:
+            col = pq.read_table(path, columns=["file"]).column("file")
+            for u in col.to_pylist():
+                n = _norm(to_path(u))
+                counts[n] = counts.get(n, 0) + 1
+        manifest_files = self._manifest(base)["files"]
+        by_norm = {_norm(f): f for f in manifest_files}
+        remaining = dv["rows"]
+        selected: list[str] = []
+        for n, c in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0])):
+            if remaining <= target:
+                break
+            f = by_norm.get(n)
+            if f is None:
+                continue  # stale spelling; _compact_dv keeps these out
+            selected.append(f)
+            remaining -= c
+        if not selected:
+            return None
+        v = cur + 1
+        kept = self._apply_dv(spark, spark.read.parquet(*selected), dv)
+        added = self._nonempty(self._write_data(kept, v))
+        groups = self._carry_groups(base, set(selected))
+        carried = [f for f in manifest_files if f not in set(selected)]
+        dv1 = self._compact_dv(spark, dv, carried)
+        added_groups: list[str] = []
+        if added:
+            entry = self._write_group(
+                added, self._stats_for(added), rows=self._rows_for(added)
+            )
+            groups.append(entry)
+            added_groups = [entry["path"]]
+        self._publish(
+            v, "overwrite", None, groups, added_groups, self._dv_extra(dv1) or None
+        )
         return v
 
     @staticmethod
@@ -1752,8 +1853,10 @@ class ManifestTable:
         on the scan's own (``_metadata.file_path``, ``_metadata.row_index``)
         provenance — the merge-on-read half of DV deletes. The DV side is
         broadcast (it holds one row per DELETED row, the quantity a DV
-        delete was chosen to keep small; a DV set grown past broadcast
-        size is the signal to materialize via compact()). Entries whose
+        delete was chosen to keep small; growth is ENFORCED bounded — a
+        DV delete that leaves more than :attr:`dv_max_rows` live
+        positions auto-runs :meth:`materialize_dv`, so the broadcast can
+        never silently outgrow executor memory). Entries whose
         file is no longer in the scanned set match nothing — stale
         entries after a partial rewrite are harmless by construction."""
         if not dv or not dv.get("files"):

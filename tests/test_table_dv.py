@@ -340,3 +340,70 @@ def test_dv_zero_row_parts_reclaimed_at_write(spark, tmp_path):
     before_dirs = set(glob.glob(os.path.join(t.root, "_deletes", "dv-*")))
     t.delete_where(spark, F.col("k") == 10_000, mode="dv")  # no match
     assert set(glob.glob(os.path.join(t.root, "_deletes", "dv-*"))) == before_dirs
+
+
+# -- DV growth discipline (round 13): materialize_dv + dv_max_rows ----------
+
+
+def test_materialize_dv_rewrites_only_heaviest_files(spark, tmp_path):
+    """Targeted MOR->COW conversion: greedy heaviest-first selection down
+    to target_rows; lightly-hit files keep their (small) DVs and are NOT
+    rewritten — write amplification tracks the deletes being retired."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    a = spark.range(100).selectExpr("id as k", "concat('v', id) as v").coalesce(1)
+    b = spark.range(100, 200).selectExpr("id as k", "concat('v', id) as v").coalesce(1)
+    t.commit(a)                                            # v1: file A
+    t.commit(b)                                            # v2: files A,B
+    t.delete_where(spark, F.col("k") < 10, mode="dv")      # 10 hits in A
+    t.delete_where(spark, F.col("k") == 150, mode="dv")    # 1 hit in B
+    base = t.current_version()
+    file_a = t._manifest(1)["files"][0]
+    file_b = [f for f in t._manifest(base)["files"] if f != file_a][0]
+    v = t.materialize_dv(spark, target_rows=2)
+    assert v == base + 1
+    files_now = set(t._manifest(v)["files"])
+    assert file_a not in files_now          # heaviest file rewritten
+    assert file_b in files_now              # lightly-hit file carried verbatim
+    assert t._dv(v)["rows"] == 1            # B's single DV entry survives
+    assert t._raw(v)["operation"] == "overwrite"
+    assert _ks(t.read(spark)) == [k for k in range(10, 200) if k != 150]
+    # already under target -> no-op
+    assert t.materialize_dv(spark, target_rows=2) is None
+
+
+def test_dv_delete_auto_materializes_past_ceiling(spark, tmp_path):
+    """A DV delete that leaves more than dv_max_rows live positions
+    auto-materializes down to half the ceiling — the broadcast read path
+    is bounded no matter how many small deletes accumulate."""
+    t = _mk(spark, tmp_path, n=200, files=4)
+    t.dv_max_rows = 10
+    for lo in (0, 20, 40):                    # 3 deletes of 5 rows: 15 > 10
+        t.delete_where(spark, F.col("k").between(lo, lo + 4), mode="dv")
+    v = t.current_version()
+    assert t._dv(v)["rows"] <= 5              # ceiling // 2
+    assert t._raw(v)["operation"] == "overwrite"   # the auto-materialize
+    gone = {k for lo in (0, 20, 40) for k in range(lo, lo + 5)}
+    assert _ks(t.read(spark)) == [k for k in range(200) if k not in gone]
+    # further deletes under the ceiling stay pure metadata
+    v2 = t.delete_where(spark, F.col("k") == 100, mode="dv")
+    assert t._raw(v2)["operation"] == "delete_dv"
+
+
+def test_changefeed_exact_across_materialize_dv(spark, tmp_path):
+    """Incremental readers cross a materialize like any partial rewrite:
+    the feed over a range containing it equals the unbounded
+    snapshot-vs-snapshot compare."""
+    t = _mk(spark, tmp_path, n=120, files=3)
+    t.delete_where(spark, F.col("k") % 5 == 0, mode="dv")   # v2
+    t.materialize_dv(spark, target_rows=0)                  # v3
+    t.commit(spark.createDataFrame([(900, "x")], "k long, v string"))  # v4
+    feed = t.changefeed(spark, 1, 4)
+    got = sorted((r["_op"], r.k, r.v) for r in feed.collect())
+    new, old = t.read(spark, 4), t.read(spark, 1)
+    want = sorted(
+        [("I", r.k, r.v) for r in new.exceptAll(old).collect()]
+        + [("D", r.k, r.v) for r in old.exceptAll(new).collect()]
+    )
+    assert got == want
+    # materialize retired every DV entry
+    assert t._dv(3) == {"files": [], "rows": 0}
