@@ -2072,3 +2072,80 @@ def catalog_txn_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Changefeed across ADDITIVE SCHEMA EVOLUTION (Delta-CDF typed-NULL align)
+# ---------------------------------------------------------------------------
+
+_CHANGEFEED_EVOLVE_ORACLE = f"""
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderstatus
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+v2rows AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 3 = 1
+),
+v3 AS (
+  SELECT * FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2rows)
+  WHERE o_orderkey % 10 <> 1
+),
+ins AS (SELECT * FROM v3 EXCEPT ALL SELECT * FROM v1),
+del AS (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v3)
+SELECT 'I' AS _op, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_SUM_CENTS_SQL} AS sum_cents
+FROM ins GROUP BY o_orderstatus
+UNION ALL
+SELECT 'D' AS _op, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_SUM_CENTS_SQL} AS sum_cents
+FROM del GROUP BY o_orderstatus
+"""
+
+
+@query("table_changefeed_evolve", oracle=_CHANGEFEED_EVOLVE_ORACLE)
+def table_changefeed_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change feed across an ADDITIVE SCHEMA CHANGE
+    (`ManifestTable.changefeed`, sources/table_format.py) — Delta-CDF
+    semantics instead of round-12's refusal: v1 commits orders in the
+    ORIGINAL two-column shape (%3=0), v2 appends the %3=1 rows with a
+    NEW o_orderstatus column (the ALTER TABLE ADD COLUMN a long-lived
+    corpus table hits), v3 partially COW-deletes a narrow band (%10=1)
+    whose matches straddle BOTH shapes — the rewrite itself carries the
+    UNION of its input schemas. `changefeed(1, 3)` aligns the older
+    snapshot with typed NULLs for the added column, so pre-evolution
+    deletes surface as D(key, price, NULL) while post-evolution inserts
+    carry their real status; the per-(_op, status) aggregate
+    hash-matches a from-scratch aligned EXCEPT ALL in SQL.
+
+    Scale shape: the alignment costs ONE footer-union probe over the
+    range's file-set delta (bounded by the feed's own footprint, never
+    the table) and the compare still reads only delta files — a 100-TB
+    table's add-column commit is a metadata event for the feed, not a
+    rescan. Incompatible changes (type change on a shared name) still
+    refuse loudly."""
+    import shutil
+
+    from gridmr_spark.sources.table_format import ManifestTable
+
+    root = _scratch(sf_dir, "cfevolve")
+    shutil.rmtree(root, ignore_errors=True)
+    t = ManifestTable(root)
+    orders = load_table(spark, sf_dir, "orders")
+    t.commit(
+        orders.where(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey", "o_totalprice"
+        )
+    )                                                               # v1 old shape
+    t.commit(
+        orders.where(F.col("o_orderkey") % 3 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        )
+    )                                                               # v2 +column
+    v3 = t.delete_where(spark, F.col("o_orderkey") % 10 == 1)       # v3 both shapes
+    feed = t.changefeed(spark, 1, v3)
+    return (
+        feed.groupBy("_op", "o_orderstatus")
+        .agg(*_cents_agg())
+        .select("_op", "o_orderstatus", "n_rows", "sum_cents")
+    )

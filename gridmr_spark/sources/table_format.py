@@ -582,7 +582,10 @@ class ManifestTable:
         cur = self.current_version()
         if cur is None:
             raise ValueError(f"nothing to compact in {self.root}")
-        snap = self.read(spark, cur)
+        # merge_schema: a full rewrite must carry the UNION of the
+        # snapshot's file schemas (the footer sweep is noise next to the
+        # full data read a compact performs anyway)
+        snap = self.read(spark, cur, merge_schema=True)
         if zorder_by is not None:
             from gridmr_spark.operators.layout import morton_key
 
@@ -712,21 +715,26 @@ class ManifestTable:
         if found is not None:
             return found
         base = cur if base_version is None else base_version
-        current = self.read(spark, base)
         keys = updates.select(key).distinct()
         from pyspark.sql import functions as _F
 
         lo, hi = updates.agg(_F.min(key), _F.max(key)).first()
         affected = self._stats_candidate_files(base, key, lo, hi)
         if affected:
+            # mergeSchema over the AFFECTED set only (bounded by the
+            # merge's footprint): a candidate set straddling an additive
+            # schema change rewrites with the UNION of its columns
+            # instead of silently dropping the added ones; updates align
+            # by NAME with typed-null fill in either direction (Delta's
+            # MERGE WITH SCHEMA EVOLUTION shape)
             kept = self._apply_dv(
                 spark,
-                spark.read.schema(current.schema).parquet(*affected),
+                spark.read.option("mergeSchema", "true").parquet(*affected),
                 self._dv(base),
             ).join(keys, key, "left_anti")
-            merged = kept.unionByName(updates.select(*current.columns))
+            merged = kept.unionByName(updates, allowMissingColumns=True)
         else:
-            merged = updates.select(*current.columns)
+            merged = updates
         v = cur + 1
         added = self._nonempty(self._write_data(merged, v))
         groups = self._carry_groups(base, set(affected))
@@ -791,7 +799,6 @@ class ManifestTable:
             return self._delete_where_dv(spark, cond, base, cur)
         if mode != "cow":
             raise ValueError(f"delete_where: mode must be cow|dv, got {mode!r}")
-        snap = self.read(spark, base)
         # file provenance captured at scan time; DV-subtracted so a row
         # already deleted by a deletion vector can't mark its file
         hit_files = {
@@ -816,9 +823,12 @@ class ManifestTable:
             # with no TRUE match carry it forward — making the result
             # depend on physical layout and diverge from DV mode's
             # where(cond) hit test
+            # mergeSchema over the AFFECTED set only: rewriting files
+            # that straddle an additive schema change must carry the
+            # union of their columns, not one arbitrary file's shape
             kept = self._apply_dv(
                 spark,
-                spark.read.schema(snap.schema).parquet(*affected),
+                spark.read.option("mergeSchema", "true").parquet(*affected),
                 self._dv(base),
             ).where(~_F.coalesce(cond, _F.lit(False)))
             added = self._nonempty(self._write_data(kept, v))
@@ -1001,10 +1011,17 @@ class ManifestTable:
         ``_metadata`` columns are bound at the scan and survive it)."""
         from pyspark.sql import functions as _F
 
-        tagged = spark.read.parquet(*files).select(
-            "*",
-            _F.col("_metadata.file_path").alias("__mt_fp"),
-            _F.col("_metadata.row_index").alias("__mt_ri"),
+        # mergeSchema: the predicate may reference a column added by a
+        # later commit; pre-evolution files null-fill (footer merge cost
+        # is negligible next to the predicate scan that follows)
+        tagged = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*files)
+            .select(
+                "*",
+                _F.col("_metadata.file_path").alias("__mt_fp"),
+                _F.col("_metadata.row_index").alias("__mt_ri"),
+            )
         )
         if dv and dv.get("files"):
             dvdf = spark.read.parquet(*dv["files"]).select(
@@ -2288,7 +2305,9 @@ class ManifestTable:
 
                 return self.read(spark, v_to).where(_F.lit(False))
             raise ValueError(f"no files added in {self.root} v{v_from}..v{v_to}")
-        return spark.read.parquet(*added)
+        # mergeSchema over the DELTA only: appends straddling an additive
+        # schema change surface the union shape with typed-null fill
+        return spark.read.option("mergeSchema", "true").parquet(*added)
 
     def changefeed(self, spark: SparkSession, v_from: int, v_to: int) -> DataFrame:
         """ROW-LEVEL change feed between ANY two snapshots — Delta's CDF /
@@ -2315,60 +2334,66 @@ class ManifestTable:
         degenerates to reading just the delta (``diff``'s fast path, all
         ``_op = 'I'``). Duplicate-row multiplicity is preserved
         (exceptAll, not except), so signed counts stay correct. The
-        delta-file reads are pinned to v_to's resolved schema (legal
-        because the guard above rejects ranges that cross a schema
-        change)."""
+        delta-file reads are pinned to one TARGET schema.
+
+        SCHEMA EVOLUTION (Delta-CDF semantics, round 13): a range that
+        crosses an ADDITIVE schema change (add-column) is aligned, not
+        refused — the target schema is the footer-union of the files the
+        feed actually reads (the file-set delta plus one v_to anchor, so
+        the probe cost is bounded by the feed's own footprint, never the
+        table), every field forced nullable, and rows from files lacking
+        a column surface with typed NULLs. An update that populates a
+        new column therefore reads as its exact retract+insert pair
+        ``D(k, NULL) / I(k, x)``. Only INCOMPATIBLE changes refuse
+        (same-name type change — the footer merge itself fails)."""
         from pyspark.sql import functions as _F
+        from pyspark.sql.types import StructField, StructType
 
         if not 0 <= v_from < v_to:
             raise ValueError(f"need 0 <= v_from < v_to, got {v_from}..{v_to}")
-        # schema probes come straight from the file lists (NOT read():
-        # a fully-deleted snapshot is EMPTY but remains a legal feed
+        # file lists come straight from the manifests (NOT read(): a
+        # fully-deleted snapshot is EMPTY but remains a legal feed
         # endpoint — every prior row surfaces as 'D')
-        to_probe = self._manifest(v_to)["files"]
-        from_probe = [] if v_from == 0 else self._manifest(v_from)["files"]
-        if not (to_probe or from_probe):
+        to_files = self._manifest(v_to)["files"]
+        from_files = [] if v_from == 0 else self._manifest(v_from)["files"]
+        if not (to_files or from_files):
             raise ValueError(
                 f"changefeed v{v_from}..v{v_to} of {self.root}: both "
                 "snapshots are empty — no schema to derive a feed from"
             )
-        new = spark.read.parquet(*(to_probe or from_probe))
-        old = (
-            spark.read.parquet(*from_probe)
-            if from_probe
-            else new.where(_F.lit(False))
-        )
-        # exceptAll positionally matches columns; across additive schema
-        # evolution the two snapshots' shapes differ and the multiset diff
-        # is ill-defined (a row isn't comparable to its widened self) —
-        # fail with the contract spelled out instead of a positional
-        # AnalysisException deep in the plan.
-        if [f.simpleString() for f in old.schema.fields] != [
-            f.simpleString() for f in new.schema.fields
-        ]:
-            raise ValueError(
-                f"changefeed v{v_from}..v{v_to} of {self.root} crosses a "
-                f"schema change ({old.schema.simpleString()} -> "
-                f"{new.schema.simpleString()}): a row-level multiset diff "
-                "across shapes is ill-defined — read the snapshots with "
-                "merge_schema and diff on an explicit key instead"
-            )
-        from_files = [] if v_from == 0 else self._manifest(v_from)["files"]
-        to_files = self._manifest(v_to)["files"]
         fset, tset = set(from_files), set(to_files)
         added = [f for f in to_files if f not in fset]
         removed = [f for f in from_files if f not in tset]
+        # target schema: footer-union over the delta set + a v_to anchor
+        # (the anchor keeps v_to's column order when the delta is empty
+        # or one-sided); bounded by the feed footprint + 1 footer
+        probe = list(dict.fromkeys(to_files[:1] + added + removed)) or from_files[:1]
+        try:
+            merged = (
+                spark.read.option("mergeSchema", "true").parquet(*probe).schema
+            )
+        except Exception as exc:
+            raise ValueError(
+                f"changefeed v{v_from}..v{v_to} of {self.root} crosses an "
+                f"INCOMPATIBLE schema change (footer merge failed: {exc}); "
+                "additive add-column evolution is aligned with typed NULLs, "
+                "but a type change or rename needs a snapshot read"
+            ) from None
+        # nullable throughout: a file missing an added column yields NULLs
+        target = StructType(
+            [StructField(f.name, f.dataType, True) for f in merged.fields]
+        )
         dv_from = self._dv(v_from) if v_from > 0 else {"files": [], "rows": 0}
         dv_to = self._dv(v_to)
-        empty = new.where(_F.lit(False))
+        empty = spark.createDataFrame([], target)
         new_part = (
-            self._apply_dv(spark, spark.read.schema(new.schema).parquet(*added), dv_to)
+            self._apply_dv(spark, spark.read.schema(target).parquet(*added), dv_to)
             if added
             else empty
         )
         old_part = (
             self._apply_dv(
-                spark, spark.read.schema(new.schema).parquet(*removed), dv_from
+                spark, spark.read.schema(target).parquet(*removed), dv_from
             )
             if removed
             else empty
@@ -2388,10 +2413,10 @@ class ManifestTable:
             f_df, t_df = dv_df(dv_from), dv_df(dv_to)
             shared = [f for f in to_files if f in fset]
             old_part = old_part.unionByName(
-                self._rows_at(spark, new.schema, shared, t_df.exceptAll(f_df))
+                self._rows_at(spark, target, shared, t_df.exceptAll(f_df))
             )
             new_part = new_part.unionByName(
-                self._rows_at(spark, new.schema, shared, f_df.exceptAll(t_df))
+                self._rows_at(spark, target, shared, f_df.exceptAll(t_df))
             )
         inserts = new_part.exceptAll(old_part).withColumn("_op", _F.lit("I"))
         deletes = old_part.exceptAll(new_part).withColumn("_op", _F.lit("D"))
@@ -2612,20 +2637,22 @@ def _changelog_classes():
             # stored column.
             want = [n for n in self._names if n != "_op"]
             file_cols = set(pq.read_schema(partition.path).names)
-            missing = [n for n in want if n not in file_cols]
-            if missing:
-                raise ValueError(
-                    f"mtable_changelog: file {partition.path} lacks declared "
-                    f"column(s) {missing}; the changelog stream requires every "
-                    "appended file to carry the stream schema"
-                )
-            tbl = pq.read_table(partition.path, columns=want)
+            # additive schema evolution: a pre-evolution file simply lacks
+            # the added column(s) — null-fill them, exactly like the batch
+            # changefeed's typed-NULL alignment (read only the columns the
+            # file has; missing ones cost zero I/O)
+            present = [n for n in want if n in file_cols]
+            tbl = pq.read_table(partition.path, columns=present)
             if partition.take is not None:
                 tbl = tbl.take(list(partition.take))
             elif partition.skip:
                 skip = set(partition.skip)
                 tbl = tbl.take([i for i in range(tbl.num_rows) if i not in skip])
-            cols = [tbl.column(n).to_pylist() for n in want]
+            nulls = [None] * tbl.num_rows
+            cols = [
+                tbl.column(n).to_pylist() if n in file_cols else list(nulls)
+                for n in want
+            ]
             if "_op" in self._names:
                 cols.append([partition.op] * tbl.num_rows)
             return iter(zip(*cols)) if cols else iter(())
@@ -2641,21 +2668,39 @@ def _changelog_classes():
             return "mtable_changelog"
 
         def schema(self):
+            """Stream schema = the footer-UNION of the current snapshot's
+            files (first-seen column order), so a table that crossed an
+            additive add-column evolution streams its full current shape
+            and pre-evolution files null-fill at read time. One footer
+            sweep at stream DEFINITION only (never per batch); a table
+            whose file count makes even that sweep expensive should pin
+            the shape explicitly via .schema(...) on the readStream."""
             import pyarrow.parquet as pq
 
             t = ManifestTable(self.options["path"])
             cur = t.current_version()
             if cur is None:
                 raise ValueError(f"mtable_changelog: {t.root} has no snapshot yet")
-            sch = pq.read_schema(t._manifest(cur)["files"][0])
-            cols = []
-            for f in sch:
-                ddl = _ARROW_TO_DDL.get(str(f.type))
-                if ddl is None:
-                    raise ValueError(
-                        f"mtable_changelog: unmapped arrow type {f.type} for column {f.name!r}"
-                    )
-                cols.append(f"{f.name} {ddl}")
+            cols: list[str] = []
+            seen: dict[str, str] = {}
+            for path in t._manifest(cur)["files"]:
+                for f in pq.read_schema(path):
+                    ddl = _ARROW_TO_DDL.get(str(f.type))
+                    if ddl is None:
+                        raise ValueError(
+                            f"mtable_changelog: unmapped arrow type {f.type} for column {f.name!r}"
+                        )
+                    if f.name in seen:
+                        if seen[f.name] != ddl:
+                            raise ValueError(
+                                f"mtable_changelog: column {f.name!r} has "
+                                f"incompatible types across files "
+                                f"({seen[f.name]} vs {ddl}) — additive "
+                                "evolution only"
+                            )
+                        continue
+                    seen[f.name] = ddl
+                    cols.append(f"{f.name} {ddl}")
             if self.options.get("on_rewrite") == "cdc":
                 cols.append("_op string")
             return ", ".join(cols)

@@ -74,3 +74,58 @@ def test_empty_document_yields_no_chunks(spark):
     out = cdc_chunks(docs)
     assert out.where(F.col("doc_id") == 1).count() == 0
     assert out.where(F.col("doc_id") == 2).count() >= 1
+
+
+def test_cdc_stream_crosses_additive_schema_evolution(spark, tmp_path):
+    """A long-running changelog consumer survives an ALTER TABLE ADD
+    COLUMN-shaped commit (round 13): the stream schema is the footer
+    UNION of the current snapshot, pre-evolution files null-fill the
+    added column, and the signed fold still reproduces the snapshot."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gridmr_spark.sources.table_format import (
+        ManifestTable,
+        register_changelog_source,
+    )
+
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.range(20).selectExpr("id as k", "concat('v', id) as v").coalesce(1)
+    )                                                                   # v1
+    t.commit(
+        spark.createDataFrame(
+            [(100, "a", 1.5), (101, "b", 2.5)], "k long, v string, w double"
+        )
+    )                                                                   # v2 +col
+    t.delete_where(spark, F.col("k") == 5)                              # v3 cow
+    register_changelog_source(spark)
+    run = str(tmp_path / "run")
+    sink = os.path.join(run, "out")
+    q = (
+        spark.readStream.format("mtable_changelog")
+        .option("path", t.root)
+        .option("on_rewrite", "cdc")
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: df.write.mode("append").parquet(sink))
+        .option("checkpointLocation", os.path.join(run, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(sink)
+    assert set(feed.columns) == {"k", "v", "w", "_op"}
+    folded = (
+        feed.withColumn("s", F.when(F.col("_op") == "I", 1).otherwise(-1))
+        .groupBy("k", "v", "w")
+        .agg(F.sum("s").alias("n"))
+        .where(F.col("n") != 0)
+    )
+    got = sorted((r.k, r.v, r.w, r.n) for r in folded.collect())
+    want = sorted(
+        (r.k, r.v, r.w, 1)
+        for r in t.read(spark, merge_schema=True).collect()
+    )
+    assert got == want

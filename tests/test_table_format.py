@@ -588,15 +588,18 @@ def test_changelog_reads_columns_by_name_across_order_drift(spark, tmp_path):
     assert rows == {("a1", "b1"), ("a2", "b2")}
 
 
-def test_changelog_errors_loudly_on_missing_column(spark, tmp_path):
+def test_changelog_null_fills_missing_columns(spark, tmp_path):
+    """Round 13 (was: errors loudly): a file lacking a declared column is
+    additive evolution, not a fault — the stream schema is the footer
+    UNION of the snapshot and narrower files null-fill, the same typed-
+    NULL alignment as the batch changefeed."""
     t = ManifestTable(str(tmp_path / "tbl"))
     t.commit(spark.createDataFrame([("a1", "b1")], "a string, b string"))
     t.commit(spark.createDataFrame([("a2",)], "a string"))
-    from py4j.protocol import Py4JJavaError
-    from pyspark.errors import StreamingQueryException
-
-    with pytest.raises((StreamingQueryException, Py4JJavaError)):
-        _run_changelog(spark, t, str(tmp_path / "run"))
+    got = sorted(
+        (r.a, r.b) for r in _run_changelog(spark, t, str(tmp_path / "run")).collect()
+    )
+    assert got == [("a1", "b1"), ("a2", None)]
 
 
 # ---------------------------------------------------------------------------

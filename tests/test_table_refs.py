@@ -235,11 +235,34 @@ def test_sql_views_for_tags_and_branches(spark, tmp_path):
         t.sql_view(spark, "x", version=1, tag="rel-1")
 
 
-def test_changefeed_refuses_schema_change(spark, tmp_path):
+def test_changefeed_aligns_additive_schema_change(spark, tmp_path):
+    """Delta-CDF semantics (round 13): a feed crossing an add-column
+    commit aligns the older shape with typed NULLs — the update that
+    populated the new column reads as its exact retract+insert pair."""
     t = ManifestTable(str(tmp_path / "tbl"))
     t.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
     t.replace(spark.createDataFrame([(1, "a", 5.0)], "k long, v string, w double"))
-    with pytest.raises(ValueError, match="schema change"):
+    rows = sorted(
+        (r["_op"], r.k, r.v, r.w) for r in t.changefeed(spark, 1, 2).collect()
+    )
+    assert rows == [("D", 1, "a", None), ("I", 1, "a", 5.0)]
+    # plain append of the widened shape: only the new rows, old-shape
+    # deletes null-fill
+    t.commit(spark.createDataFrame([(2, "b", 7.0)], "k long, v string, w double"))
+    rows = sorted(
+        (r["_op"], r.k, r.v, r.w) for r in t.changefeed(spark, 2, 3).collect()
+    )
+    assert rows == [("I", 2, "b", 7.0)]
+    # whole-range feed equals the unbounded snapshot compare, aligned
+    got = sorted((r["_op"], r.k, r.v, r.w) for r in t.changefeed(spark, 1, 3).collect())
+    assert got == [("D", 1, "a", None), ("I", 1, "a", 5.0), ("I", 2, "b", 7.0)]
+
+
+def test_changefeed_refuses_incompatible_type_change(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, "a")], "k long, v string"))
+    t.replace(spark.createDataFrame([(1, 2.0)], "k long, v double"))
+    with pytest.raises(ValueError, match="INCOMPATIBLE"):
         t.changefeed(spark, 1, 2)
 
 
