@@ -2149,3 +2149,100 @@ def table_changefeed_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*_cents_agg())
         .select("_op", "o_orderstatus", "n_rows", "sum_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# DV-aware metadata stats: MIN/MAX exactness THROUGH a dv-delete history
+# ---------------------------------------------------------------------------
+
+_META_AGG_DV_ORACLE = """
+WITH k AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx FROM orders),
+v2 AS (
+  SELECT o_orderkey FROM orders, k
+  WHERE NOT (o_orderkey % 1000 = 500 AND o_orderkey > k.mn AND o_orderkey < k.mx)
+),
+v3 AS (SELECT * FROM v2 WHERE o_orderkey <> (SELECT MAX(o_orderkey) FROM v2))
+SELECT 'interior_dv' AS label, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       CAST(1 AS INT) AS meta_exact
+FROM v2
+UNION ALL
+SELECT 'extreme_dv', CAST(COUNT(*) AS BIGINT), CAST(MIN(o_orderkey) AS BIGINT),
+       CAST(MAX(o_orderkey) AS BIGINT), CAST(0 AS INT)
+FROM v3
+UNION ALL
+SELECT 'materialized', CAST(COUNT(*) AS BIGINT), CAST(MIN(o_orderkey) AS BIGINT),
+       CAST(MAX(o_orderkey) AS BIGINT), CAST(1 AS INT)
+FROM v3
+"""
+
+
+@query("table_metadata_agg_dv", oracle=_META_AGG_DV_ORACLE)
+def table_metadata_agg_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata MIN/MAX kept EXACT through a deletion-vector history
+    (`ManifestTable.metadata_agg` + dv ``del_env``,
+    sources/table_format.py) — round 12 went conservatively unknown on
+    EVERY dv delete; now the delete's own scan observes the deleted
+    rows' per-column envelope for free, and metadata answers stay exact
+    whenever no deleted row can sit at an extreme. Three legs, with the
+    exactness FLAG inside the hashed result so the driver row fails if
+    the discipline silently degrades (or silently over-claims):
+
+    - ``interior_dv``: a strictly-interior DV delete (%1000=500, never
+      the min/max key) — COUNT and MIN/MAX all straight from metadata,
+      flag 1.
+    - ``extreme_dv``: DV-deleting the live max key — metadata honestly
+      reports the key column UNKNOWN (flag 0); min/max re-derived by a
+      scan so the values still hash-match the oracle.
+    - ``materialized``: ``materialize_dv`` retires the DV set and
+      re-derives file stats — metadata exact again (flag 1) with the
+      post-delete envelope.
+
+    Scale shape: the envelope ride-along costs zero extra I/O (an
+    ``observe`` on the DV delete's existing predicate scan), the check
+    is O(#columns) JSON at answer time, and a GDPR-trickle table keeps
+    millisecond COUNT/MIN/MAX answers instead of degrading to full
+    scans until someone compacts."""
+    import shutil
+
+    from gridmr_spark.sources.table_format import ManifestTable
+
+    root = _scratch(sf_dir, "metadv")
+    shutil.rmtree(root, ignore_errors=True)
+    t = ManifestTable(root)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    t.commit(orders.repartition(8))                                  # v1
+    mn, mx = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    t.delete_where(
+        spark,
+        (F.col("o_orderkey") % 1000 == 500)
+        & (F.col("o_orderkey") > mn)
+        & (F.col("o_orderkey") < mx),
+        mode="dv",
+    )                                                                # v2 interior
+
+    def meta_leg(label: str) -> tuple:
+        agg = t.metadata_agg()
+        cols = agg["columns"]
+        exact = 1 if "o_orderkey" in cols else 0
+        if exact:
+            lo, hi = int(cols["o_orderkey"][0]), int(cols["o_orderkey"][1])
+        else:  # honest fallback: the values come from a scan, flag says so
+            lo, hi = (
+                t.read(spark)
+                .agg(F.min("o_orderkey"), F.max("o_orderkey"))
+                .first()
+            )
+        return (label, int(agg["n_rows"]), int(lo), int(hi), exact)
+
+    rows = [meta_leg("interior_dv")]
+    live_max = int(t.read(spark).agg(F.max("o_orderkey")).first()[0])
+    t.delete_where(spark, F.col("o_orderkey") == live_max, mode="dv")  # v3 extreme
+    rows.append(meta_leg("extreme_dv"))
+    t.materialize_dv(spark, target_rows=0)                             # v4 retire
+    rows.append(meta_leg("materialized"))
+    return spark.createDataFrame(
+        rows,
+        "label string, n_rows long, min_key long, max_key long, meta_exact int",
+    )

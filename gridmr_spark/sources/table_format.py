@@ -857,14 +857,40 @@ class ManifestTable:
         provenance (``_apply_dv``); rewrite verbs compact the DV set to
         surviving files and ``compact()``/``replace()`` materialize it
         away. Iceberg v2 / Delta deletion-vector semantics on this
-        format."""
+        format.
+
+        DV-AWARE STATS (round 13): the SAME scan that writes the DV also
+        observes the DELETED rows' per-column min/max envelope (a free
+        ``observe`` on the write action — zero extra I/O) and stores it
+        in the manifest's dv dict (``del_env``). ``metadata_agg`` then
+        keeps a column's live MIN/MAX EXACT whenever the deleted
+        envelope is strictly inside the table's — i.e. no deleted row
+        can sit at an extreme — instead of going conservatively unknown
+        on every DV delete."""
+        from pyspark.sql import Observation
         from pyspark.sql import functions as _F
 
         dv0 = self._dv(base)
         tagged = self._scan_with_provenance(
             spark, self._manifest(base)["files"], dv0
         )
-        hits = tagged.where(cond).select(
+        env_cols = [
+            f.name
+            for f in tagged.schema.fields
+            if f.name not in ("__mt_fp", "__mt_ri")
+            and f.dataType.simpleString()
+            in ("tinyint", "smallint", "int", "bigint", "float", "double",
+                "string", "boolean")
+        ]
+        obs = Observation()
+        matched = tagged.where(cond)
+        if env_cols:
+            aggs = []
+            for c in env_cols:
+                aggs.append(_F.min(c).alias(f"lo::{c}"))
+                aggs.append(_F.max(c).alias(f"hi::{c}"))
+            matched = matched.observe(obs, *aggs)
+        hits = matched.select(
             _F.col("__mt_fp").alias("file"), _F.col("__mt_ri").alias("pos")
         )
         v = cur + 1
@@ -872,6 +898,7 @@ class ManifestTable:
         os.makedirs(ddir, exist_ok=True)
         out = os.path.join(ddir, f"dv-v{v:05d}-{uuid.uuid4().hex[:8]}")
         hits.write.mode("error").parquet(out)
+        observed = obs.get if env_cols else {}
         new_files = sorted(glob.glob(os.path.join(out, "*.parquet")))
         import pyarrow.parquet as pq
 
@@ -895,6 +922,37 @@ class ManifestTable:
         if not new_files:
             shutil.rmtree(out, ignore_errors=True)
         dv1 = {"files": dv0["files"] + new_files, "rows": dv0["rows"] + n_new}
+        # merge this delete's observed deleted-row envelope into the DV
+        # set's cumulative del_env. Contract per column: [lo, hi] = the
+        # envelope of every DV-deleted row; None = all deleted values
+        # were NULL (harmless for MIN/MAX); ABSENT = unknown (stats stay
+        # conservative). A pre-round-13 DV set has no del_env at all —
+        # every column reads as unknown, the old behavior.
+        if n_new == 0:
+            env1 = dv0.get("del_env") if dv0["files"] else {}
+        else:
+            prior_files = bool(dv0["files"])
+            prior = dv0.get("del_env") or {}
+            env1 = {}
+            for c in env_cols:
+                lo, hi = observed.get(f"lo::{c}"), observed.get(f"hi::{c}")
+                if lo != lo or hi != hi:  # NaN poisons ordering
+                    continue
+                mine = None if lo is None else [lo, hi]
+                if not prior_files:
+                    env1[c] = mine
+                elif c in prior:
+                    p = prior[c]
+                    if p is None:
+                        env1[c] = mine
+                    elif mine is None:
+                        env1[c] = p
+                    else:
+                        env1[c] = [min(p[0], mine[0]), max(p[1], mine[1])]
+                # else: prior deletes exist but their envelope for c is
+                # unknown -> stays unknown (absent)
+        if env1:
+            dv1["del_env"] = env1
         self._publish(
             v, "delete_dv", None, self._groups_of(base), [], self._dv_extra(dv1) or None
         )
@@ -1075,7 +1133,13 @@ class ManifestTable:
                       "pos": pa.array(keep_p, pa.int64())}),
             out,
         )
-        return {"files": [out], "rows": len(keep_f)}
+        compacted = {"files": [out], "rows": len(keep_f)}
+        # carry the cumulative deleted-row envelope (conservative: the
+        # retired entries' contribution could be pruned but never must
+        # be); an emptied DV set above drops it — stats are exact again
+        if dv.get("del_env"):
+            compacted["del_env"] = dv["del_env"]
+        return compacted
 
     def restore(self, version: int) -> int:
         """Roll the table back to ``version`` as a NEW snapshot (Delta's
@@ -2037,13 +2101,31 @@ class ManifestTable:
         if dv["rows"]:
             # deletion vectors: COUNT stays exact (the manifest carries
             # the exact live deleted-row count, maintained by DV
-            # compaction at every rewrite); MIN/MAX become UNKNOWN — the
-            # extreme row may be among the deleted — and exactness is
-            # this method's contract, so the columns are omitted rather
-            # than served stale. compact() materializes and restores them.
+            # compaction at every rewrite). MIN/MAX stay EXACT for any
+            # column whose cumulative DELETED-row envelope (del_env,
+            # observed for free on the delete's own scan) is STRICTLY
+            # inside the table envelope — no deleted row can occupy an
+            # extreme, so the extreme is still attained by a live row.
+            # A column with a deleted value AT an extreme (or with no
+            # recorded envelope) is omitted rather than served stale;
+            # compact()/materialize_dv() restore it.
             if n_rows is not None:
                 n_rows -= dv["rows"]
-            cols = {}
+            de = dv.get("del_env") or {}
+            keep: dict[str, list] = {}
+            for c, (lo, hi) in (cols or {}).items():
+                if c not in de:
+                    continue
+                ent = de[c]
+                if ent is None:  # only NULLs were deleted: harmless
+                    keep[c] = [lo, hi]
+                    continue
+                try:
+                    if ent[0] > lo and ent[1] < hi:
+                        keep[c] = [lo, hi]
+                except TypeError:
+                    pass  # uncomparable encodings: stay conservative
+            cols = keep
         return {"n_rows": n_rows, "columns": cols or {}}
 
     def pruned_files(

@@ -117,12 +117,38 @@ def test_compact_small_applies_and_compacts_dv(spark, tmp_path):
     assert t._dv(v)["rows"] == 1
 
 
-def test_metadata_agg_count_exact_minmax_unknown_under_dv(spark, tmp_path):
+def test_metadata_agg_dv_aware_minmax(spark, tmp_path):
+    """Round 13 (was: blanket unknown): MIN/MAX stay exact per column
+    when the deleted rows' observed envelope is strictly inside the
+    table's; a column whose extreme may have been deleted is omitted."""
     t = _mk(spark, tmp_path)
     t.delete_where(spark, F.col("k") >= 150, mode="dv")
     agg = t.metadata_agg()
     assert agg["n_rows"] == 150
-    assert agg["columns"] == {}  # conservative: the max may be deleted
+    # k's max (199) was deleted -> unknown; v's extremes ("v0"/"v99" by
+    # string order, i.e. k=0 and k=99) are both live -> still exact
+    assert "k" not in agg["columns"]
+    assert agg["columns"]["v"] == ["v0", "v99"]
+
+
+def test_metadata_agg_exact_through_interior_dv_history(spark, tmp_path):
+    """A history of interior DV deletes never degrades MIN/MAX; deleting
+    an extreme degrades exactly that column side's column; materializing
+    restores it."""
+    t = _mk(spark, tmp_path)                               # k in [0,199]
+    t.delete_where(spark, F.col("k").between(50, 59), mode="dv")
+    t.delete_where(spark, F.col("k") == 120, mode="dv")
+    agg = t.metadata_agg()
+    assert agg["n_rows"] == 189
+    assert agg["columns"]["k"] == [0, 199]                 # extremes live
+    t.delete_where(spark, F.col("k") == 0, mode="dv")      # kill the min
+    agg = t.metadata_agg()
+    assert agg["n_rows"] == 188
+    assert "k" not in agg["columns"]
+    t.materialize_dv(spark, target_rows=0)                 # retire the DVs
+    agg = t.metadata_agg()
+    assert agg["n_rows"] == 188
+    assert agg["columns"]["k"] == [1, 199]                 # re-derived exact
 
 
 def test_read_pruned_and_sql_view_apply_dv(spark, tmp_path):
@@ -407,3 +433,24 @@ def test_changefeed_exact_across_materialize_dv(spark, tmp_path):
     assert got == want
     # materialize retired every DV entry
     assert t._dv(3) == {"files": [], "rows": 0}
+
+
+def test_stats_pruning_still_skips_files_through_dv_history(spark, tmp_path):
+    """File-skip counts survive a DV-delete history: per-file min/max
+    stats cover deleted rows too (conservative, never wrong), so
+    stats-pruned reads keep skipping non-matching files while the DV
+    anti-join keeps the kept files' results exact."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    for i in range(4):  # 4 commits, tight disjoint key spans
+        t.commit(
+            spark.range(i * 100, (i + 1) * 100).selectExpr(
+                "id as k", "concat('u', id) as s"
+            ).coalesce(1)
+        )
+    assert len(t.pruned_files("k", 150, 180)) == 1
+    t.delete_where(spark, F.col("k").isin(160, 161, 350), mode="dv")
+    # pruning unchanged: still exactly 1 of 4 files opened
+    kept = t.pruned_files("k", 150, 180)
+    assert len(kept) == 1
+    got = sorted(r.k for r in t.read_pruned(spark, "k", 150, 180).collect())
+    assert got == [k for k in range(150, 181) if k not in (160, 161)]
