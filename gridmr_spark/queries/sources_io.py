@@ -2246,3 +2246,133 @@ def table_metadata_agg_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "label string, n_rows long, min_key long, max_key long, meta_exact int",
     )
+
+
+# ---------------------------------------------------------------------------
+# Catalog-level CDC: the multi-table savepoint as aligned signed streams
+# ---------------------------------------------------------------------------
+
+_CATALOG_CDC_ORACLE = f"""
+WITH o_live AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 10 <> 1
+),
+l_live AS (
+  SELECT l_orderkey, l_quantity FROM lineitem WHERE l_orderkey % 3 IN (0, 1)
+),
+j AS (
+  SELECT o.o_totalprice FROM l_live l JOIN o_live o ON l.l_orderkey = o.o_orderkey
+)
+SELECT 'orders_live' AS label, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_SUM_CENTS_SQL} AS sum_cents
+FROM o_live
+UNION ALL
+SELECT 'lineitem_live', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT)) AS BIGINT)
+FROM l_live
+UNION ALL
+SELECT 'join_state', CAST(COUNT(*) AS BIGINT), {_SUM_CENTS_SQL}
+FROM j
+"""
+
+
+@query("stream_catalog_cdc_feed", oracle=_CATALOG_CDC_ORACLE)
+def stream_catalog_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATALOG-LEVEL CDC (`format('mcatalog_changelog')`,
+    sources/table_format.py; catalog from sources/catalog_txn.py): one
+    signed changelog stream PER TABLE whose offsets are CATALOG
+    versions, so the legs of every table ALIGN on the same multi-table
+    savepoints and the engine's offset checkpoint makes the whole
+    savepoint exactly-once — the round-12 pieces (cross-table pins,
+    per-version file deltas, signed CDC splits) composed into Delta-CDF-
+    for-a-catalog. History: cv1 creates orders+lineitem (the %3=0
+    thirds), cv2 is ONE cross-table transaction appending the %3=1
+    thirds to BOTH, cv3 partially COW-deletes an orders band (%10=1) —
+    lineitem's pin does not move, so its cv3 leg contributes ZERO
+    splits. Both availableNow streams fold under the signed algebra to
+    the published live states; the result returns each folded state's
+    aggregate plus the folded CROSS-TABLE join, all hash-matched against
+    a from-scratch SQL re-derivation.
+
+    Scale shape: each leg costs the table's pin-to-pin FILE delta (an
+    unmoved pin costs nothing); offsets are O(1) catalog JSON reads; no
+    snapshot is ever rescanned. A 100-table catalog streams as 100
+    bounded aligned feeds, not one table-size rescan per flip."""
+    import shutil
+
+    from gridmr_spark.sources.catalog_txn import TableCatalog
+    from gridmr_spark.sources.table_format import (
+        ManifestTable,
+        register_changelog_source,
+    )
+
+    root = _scratch(sf_dir, "catcdc")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    t_o = ManifestTable(os.path.join(root, "orders"))
+    t_l = ManifestTable(os.path.join(root, "lineitem"))
+    t_o.commit(orders.where(F.col("o_orderkey") % 3 == 0))
+    t_l.commit(li.where(F.col("l_orderkey") % 3 == 0))
+    cat = TableCatalog(root)
+    cat.create({"orders": t_o, "lineitem": t_l})                      # cv1
+    txn = cat.begin()
+    txn.commit_table("orders", orders.where(F.col("o_orderkey") % 3 == 1))
+    txn.commit_table("lineitem", li.where(F.col("l_orderkey") % 3 == 1))
+    txn.commit()                                                      # cv2
+    txn = cat.begin()
+    txn.delete_where("orders", spark, F.col("o_orderkey") % 10 == 1)
+    txn.commit()                                                      # cv3
+
+    register_changelog_source(spark)
+
+    def feed(table: str) -> DataFrame:
+        run = os.path.join(root, f"run_{table}")
+        sink = os.path.join(run, "out")
+        q = (
+            spark.readStream.format("mcatalog_changelog")
+            .option("path", root)
+            .option("table", table)
+            .load()
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: df.write.mode("append").parquet(sink))
+            .option("checkpointLocation", os.path.join(run, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink)
+
+    def fold(f: DataFrame, cols: list[str], w: str) -> DataFrame:
+        # net multiplicity per distinct row (lineitem legitimately holds
+        # duplicate (key, quantity) pairs — the Z-set weight preserves them)
+        return (
+            f.withColumn("s", F.when(F.col("_op") == "I", 1).otherwise(-1))
+            .groupBy(*cols)
+            .agg(F.sum("s").cast("long").alias(w))
+            .where(F.col(w) != 0)
+        )
+
+    o_live = fold(feed("orders"), ["o_orderkey", "o_totalprice"], "n_o")
+    l_live = fold(feed("lineitem"), ["l_orderkey", "l_quantity"], "n_l")
+    o_cents = F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
+    l_cents = F.floor(F.col("l_quantity") * F.lit(100.0)).cast("long")
+    o_leg = o_live.agg(
+        F.sum("n_o").cast("long").alias("n_rows"),
+        F.sum(F.col("n_o") * o_cents).cast("long").alias("sum_cents"),
+    ).select(F.lit("orders_live").alias("label"), "n_rows", "sum_cents")
+    l_leg = l_live.agg(
+        F.sum("n_l").cast("long").alias("n_rows"),
+        F.sum(F.col("n_l") * l_cents).cast("long").alias("sum_cents"),
+    ).select(F.lit("lineitem_live").alias("label"), "n_rows", "sum_cents")
+    j_leg = (
+        l_live.join(o_live, l_live["l_orderkey"] == o_live["o_orderkey"])
+        .agg(
+            F.sum(F.col("n_l") * F.col("n_o")).cast("long").alias("n_rows"),
+            F.sum(F.col("n_l") * F.col("n_o") * o_cents)
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        .select(F.lit("join_state").alias("label"), "n_rows", "sum_cents")
+    )
+    return o_leg.unionByName(l_leg).unionByName(j_leg)

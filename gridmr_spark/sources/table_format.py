@@ -2556,6 +2556,28 @@ _ARROW_TO_DDL = {
 }
 
 
+def _stream_dv_map(t: "ManifestTable", version: int) -> dict:
+    """version's DV set as {normalized file path: set(pos)}, loaded
+    driver-side — a DV set is O(rows deleted since the last materialize)
+    by contract (enforced by ``dv_max_rows``)."""
+    from urllib.parse import unquote, urlparse
+
+    dv = t._dv(version) if version > 0 else {"files": [], "rows": 0}
+    if not dv["files"]:
+        return {}
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    for p in dv["files"]:
+        tb = pq.read_table(p)
+        for f, pos in zip(
+            tb.column("file").to_pylist(), tb.column("pos").to_pylist()
+        ):
+            fp = unquote(urlparse(f).path) if f.startswith("file:") else f
+            out.setdefault(_norm(fp), set()).add(pos)
+    return out
+
+
 def _changelog_classes():
     """The DataSource API classes, imported lazily so this module stays
     importable without pyspark.sql.datasource (e.g. doc tooling)."""
@@ -2630,28 +2652,6 @@ def _changelog_classes():
         def latestOffset(self):
             return {"version": ManifestTable(self.root).current_version() or 0}
 
-        @staticmethod
-        def _dv_map(t, version: int) -> dict:
-            """version's DV set as {normalized file path: frozenset(pos)},
-            loaded driver-side — a DV set is O(rows deleted since the
-            last materialize) by contract."""
-            from urllib.parse import unquote, urlparse
-
-            dv = t._dv(version) if version > 0 else {"files": [], "rows": 0}
-            if not dv["files"]:
-                return {}
-            import pyarrow.parquet as pq
-
-            out: dict = {}
-            for p in dv["files"]:
-                tb = pq.read_table(p)
-                for f, pos in zip(
-                    tb.column("file").to_pylist(), tb.column("pos").to_pylist()
-                ):
-                    fp = unquote(urlparse(f).path) if f.startswith("file:") else f
-                    out.setdefault(_norm(fp), set()).add(pos)
-            return out
-
         def partitions(self, start, end):
             lo, hi = int(start["version"]), int(end["version"])
             t = ManifestTable(self.root)
@@ -2679,32 +2679,7 @@ def _changelog_classes():
                 # each side's DV positions excluded) plus its DV-POSITION
                 # delta on shared files — exact for partial-COW rewrites,
                 # delete_dv, and restore alike.
-                prev = set(t._manifest(v - 1)["files"]) if v > 1 else set()
-                now = set(t._manifest(v)["files"])
-                dv_prev = self._dv_map(t, v - 1)
-                dv_now = self._dv_map(t, v)
-                for f in sorted(now - prev):
-                    splits.append(
-                        _FileSplit(f, "I", skip=tuple(dv_now.get(_norm(f), ())))
-                    )
-                for f in sorted(prev - now):
-                    splits.append(
-                        _FileSplit(f, "D", skip=tuple(dv_prev.get(_norm(f), ())))
-                    )
-                if dv_prev or dv_now:
-                    for f in sorted(now & prev):
-                        nf = _norm(f)
-                        was, is_ = dv_prev.get(nf, set()), dv_now.get(nf, set())
-                        newly_deleted = is_ - was
-                        undeleted = was - is_
-                        if newly_deleted:
-                            splits.append(
-                                _FileSplit(f, "D", take=tuple(sorted(newly_deleted)))
-                            )
-                        if undeleted:
-                            splits.append(
-                                _FileSplit(f, "I", take=tuple(sorted(undeleted)))
-                            )
+                splits.extend(_cdc_leg_splits(t, v - 1, t, v))
             return splits or [_FileSplit("")]
 
         def read(self, partition):
@@ -2790,9 +2765,149 @@ def _changelog_classes():
         def streamReader(self, schema):
             return MTableStreamReader(self.options, schema.fieldNames())
 
-    return MTableChangelogSource
+    def _cdc_leg_splits(t_prev, v_prev: int, t_now, v_now: int) -> list:
+        """Signed file splits for the row delta between two snapshots of
+        a table (v 0 = empty): the FILE-SET delta with each side's DV
+        positions excluded, plus DV-POSITION deltas on shared files —
+        exact for appends, partial-COW rewrites, delete_dv, and restore,
+        bounded by the delta's footprint. Shared by the per-version
+        table stream and the pin-to-pin catalog stream (where one leg
+        may span several table versions)."""
+        prev = set(t_prev._manifest(v_prev)["files"]) if v_prev else set()
+        now = set(t_now._manifest(v_now)["files"]) if v_now else set()
+        dv_prev = _stream_dv_map(t_prev, v_prev)
+        dv_now = _stream_dv_map(t_now, v_now)
+        splits: list = []
+        for f in sorted(now - prev):
+            splits.append(_FileSplit(f, "I", skip=tuple(dv_now.get(_norm(f), ()))))
+        for f in sorted(prev - now):
+            splits.append(_FileSplit(f, "D", skip=tuple(dv_prev.get(_norm(f), ()))))
+        if dv_prev or dv_now:
+            for f in sorted(now & prev):
+                nf = _norm(f)
+                was, is_ = dv_prev.get(nf, set()), dv_now.get(nf, set())
+                newly_deleted = is_ - was
+                undeleted = was - is_
+                if newly_deleted:
+                    splits.append(
+                        _FileSplit(f, "D", take=tuple(sorted(newly_deleted)))
+                    )
+                if undeleted:
+                    splits.append(
+                        _FileSplit(f, "I", take=tuple(sorted(undeleted)))
+                    )
+        return splits
+
+    class MCatalogStreamReader(MTableStreamReader):
+        """CATALOG-LEVEL CDC: stream ONE table's signed row deltas with
+        offsets on the CATALOG version log — the multi-table savepoint
+        as a stream. Each catalog version's leg for the table is the
+        delta between its two PINNED table versions (possibly spanning
+        several table commits, or none), so a consumer maintaining
+        cross-table state subscribes to one stream per table and the
+        legs ALIGN: batch N of every stream is the same catalog version,
+        and the engine's offset checkpoint (catalog versions) makes the
+        whole savepoint exactly-once. Cost per leg is the pin-to-pin
+        file delta — a catalog flip that didn't move this table's pin
+        contributes zero splits."""
+
+        def __init__(self, options, field_names):
+            root = options.get("path")
+            if not root:
+                raise ValueError("mcatalog_changelog: option 'path' is required")
+            self.cat_root = root
+            self.table_name = options.get("table")
+            if not self.table_name:
+                raise ValueError("mcatalog_changelog: option 'table' is required")
+            if field_names[-1:] != ["_op"]:
+                raise ValueError(
+                    "mcatalog_changelog: schema must END with `_op string`"
+                )
+            self._names = list(field_names)
+
+        def initialOffset(self):
+            return {"version": 0}
+
+        def latestOffset(self):
+            from gridmr_spark.sources.catalog_txn import TableCatalog
+
+            return {"version": TableCatalog(self.cat_root).current_version() or 0}
+
+        def _pin(self, cat, cv: int) -> tuple:
+            """(ManifestTable, pinned version) at catalog version cv; a
+            version where the table is absent reads as (None, 0)."""
+            if cv < 1:
+                return None, 0
+            pins = cat.pins(cv)
+            p = pins.get(self.table_name)
+            if p is None:
+                return None, 0
+            return ManifestTable(p["root"]), p["version"]
+
+        def partitions(self, start, end):
+            from gridmr_spark.sources.catalog_txn import TableCatalog
+
+            lo, hi = int(start["version"]), int(end["version"])
+            cat = TableCatalog(self.cat_root)
+            splits: list = []
+            for cv in range(lo + 1, hi + 1):
+                t_prev, v_prev = self._pin(cat, cv - 1)
+                t_now, v_now = self._pin(cat, cv)
+                if (t_prev and t_prev.root, v_prev) == (t_now and t_now.root, v_now):
+                    continue  # pin unchanged: zero splits for this table
+                splits.extend(
+                    _cdc_leg_splits(t_prev or t_now, v_prev, t_now or t_prev, v_now)
+                )
+            return splits or [_FileSplit("")]
+
+    class MCatalogChangelogSource(DataSource):
+        """format('mcatalog_changelog').option('path', <catalog root>)
+        .option('table', <name>) — always a signed cdc feed."""
+
+        @classmethod
+        def name(cls):
+            return "mcatalog_changelog"
+
+        def schema(self):
+            import pyarrow.parquet as pq
+
+            from gridmr_spark.sources.catalog_txn import TableCatalog
+
+            cat = TableCatalog(self.options["path"])
+            name = self.options.get("table")
+            if not name:
+                raise ValueError("mcatalog_changelog: option 'table' is required")
+            t, v = cat.table(name)
+            cols: list[str] = []
+            seen: dict[str, str] = {}
+            for path in t._manifest(v)["files"]:
+                for f in pq.read_schema(path):
+                    ddl = _ARROW_TO_DDL.get(str(f.type))
+                    if ddl is None:
+                        raise ValueError(
+                            f"mcatalog_changelog: unmapped arrow type {f.type} "
+                            f"for column {f.name!r}"
+                        )
+                    if f.name in seen:
+                        if seen[f.name] != ddl:
+                            raise ValueError(
+                                f"mcatalog_changelog: column {f.name!r} has "
+                                "incompatible types across files — additive "
+                                "evolution only"
+                            )
+                        continue
+                    seen[f.name] = ddl
+                    cols.append(f"{f.name} {ddl}")
+            return ", ".join(cols + ["_op string"])
+
+        def streamReader(self, schema):
+            return MCatalogStreamReader(self.options, schema.fieldNames())
+
+    return MTableChangelogSource, MCatalogChangelogSource
 
 
 def register_changelog_source(spark: SparkSession) -> None:
-    """Idempotently register format('mtable_changelog') on this session."""
-    spark.dataSource.register(_changelog_classes())
+    """Idempotently register format('mtable_changelog') and the
+    catalog-level format('mcatalog_changelog') on this session."""
+    for cls in _changelog_classes():
+        spark.dataSource.register(cls)

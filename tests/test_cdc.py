@@ -129,3 +129,83 @@ def test_cdc_stream_crosses_additive_schema_evolution(spark, tmp_path):
         for r in t.read(spark, merge_schema=True).collect()
     )
     assert got == want
+
+
+def test_catalog_cdc_stream_aligned_exactly_once(spark, tmp_path):
+    """mcatalog_changelog: offsets are CATALOG versions, each table's leg
+    is its pin-to-pin file delta (an unmoved pin contributes nothing),
+    folds reproduce the published cross-table state, and a restarted
+    stream on the same checkpoint emits only new catalog versions."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gridmr_spark.sources.catalog_txn import TableCatalog
+    from gridmr_spark.sources.table_format import (
+        ManifestTable,
+        register_changelog_source,
+    )
+
+    root = str(tmp_path / "cat")
+    t_o = ManifestTable(os.path.join(root, "o"))
+    t_l = ManifestTable(os.path.join(root, "l"))
+    t_o.commit(spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, p double"))
+    t_l.commit(spark.createDataFrame([(1, 5), (2, 6)], "k long, q long"))
+    cat = TableCatalog(root)
+    cat.create({"o": t_o, "l": t_l})                         # cv1
+    txn = cat.begin()
+    txn.commit_table("o", spark.createDataFrame([(3, 30.0)], "k long, p double"))
+    txn.commit_table("l", spark.createDataFrame([(3, 7)], "k long, q long"))
+    txn.commit()                                             # cv2
+    txn = cat.begin()
+    txn.delete_where("o", spark, F.col("k") == 1)            # o only
+    txn.commit()                                             # cv3
+
+    register_changelog_source(spark)
+
+    def run(table, run_dir):
+        sink = os.path.join(run_dir, "out")
+        q = (
+            spark.readStream.format("mcatalog_changelog")
+            .option("path", root)
+            .option("table", table)
+            .load()
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: df.write.mode("append").parquet(sink))
+            .option("checkpointLocation", os.path.join(run_dir, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink)
+
+    fo = run("o", str(tmp_path / "ro"))
+    fl = run("l", str(tmp_path / "rl"))
+    # lineitem's cv3 leg (unmoved pin) contributed nothing: pure inserts
+    assert sorted((r["_op"], r.k) for r in fl.collect()) == [
+        ("I", 1), ("I", 2), ("I", 3)
+    ]
+    # orders: cv3's partial COW delete shows as the rewrite's D/I footprint
+    def fold(f, cols):
+        return sorted(
+            tuple(r)
+            for r in f.withColumn(
+                "s", F.when(F.col("_op") == "I", 1).otherwise(-1)
+            )
+            .groupBy(*cols)
+            .agg(F.sum("s").alias("n"))
+            .where("n != 0")
+            .select(*cols)
+            .collect()
+        )
+
+    assert fold(fo, ["k", "p"]) == [(2, 20.0), (3, 30.0)]
+    assert fold(fl, ["k", "q"]) == [(1, 5), (2, 6), (3, 7)]
+    # exactly-once restart: a new catalog flip emits ONLY its delta
+    txn = cat.begin()
+    txn.commit_table("o", spark.createDataFrame([(9, 90.0)], "k long, p double"))
+    txn.commit()                                             # cv4
+    before = fo.count()
+    fo2 = run("o", str(tmp_path / "ro"))                     # SAME checkpoint
+    assert fo2.count() == before + 1
+    assert [r.k for r in fo2.where("k = 9").collect()] == [9]
