@@ -50,40 +50,59 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # here explicitly and served first; long-green queries re-verify with
 # whatever budget remains. Update per round as rows come back green.
 _DRIVER_PRIORITY: list[str] = [
-    # --- round-12 priority (driver budget ~50; first rows first) ---
-    # (a) round-12 additions (first driver rows ever).
-    "catalog_sql_read", "table_wap_multi", "table_changefeed_rewrite",
-    "table_compact_small", "stream_table_cdc_feed", "table_delete_vectors",
-    # (b) freshness rotation: the 10 queries whose latest green driver
-    # row is still round 5 — the round-11 budget ran out before reaching
-    # them (VERDICT r11 item 3). wordcount is the flagship.
-    "wordcount", "string_funcs", "string_collation_ci",
-    "subquery_scalar_exists", "text_fingerprint", "text_lang_id",
-    "text_quality", "text_quality_classifier", "text_token_count",
-    "unpivot_status",
-    # (c) queries whose CODE PATH changed this round: the ManifestTable
-    # commit-time bloom/stats build moved executor-side, the atomic
-    # publish went behind a backend seam (tables + refs + catalog), and
-    # changefeed gained file-level lineage for rewrite ranges.
-    "table_bloom_pruned_read", "table_stats_pruned_read",
-    "table_metadata_agg", "table_changefeed_agg", "table_wap_publish",
-    "table_sql_read", "catalog_txn_read", "merge_upsert_cdc",
-    "table_merge_upsert", "table_time_travel", "stream_table_upsert_view",
-    "pipeline_incremental_dedup_table",
-    # (d) second-oldest cohort (latest row r5 in the 40-query rotation
-    # that DID get r11 rows is now fresh; these are the r6-green set) —
-    # re-verify with whatever budget remains, oldest first.
-    "agg_percentiles", "cluster_kmeans_assign", "date_funcs",
-    "dedup_clusters_cc", "dedup_embedding_cosine", "dedup_exact",
-    "dedup_minhash_clusters", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "distinct_rows", "events_variant_props", "graph_degree_distribution",
-    "graph_triangle_count", "join_bloom_runtime", "math_funcs",
-    "multimodal_meta", "multimodal_wav_decode",
-    "pandas_udf_revenue", "pipeline_training_data", "pivot_status",
-    "q4_priority_late_ship", "q5_local_supplier_volume",
-    "sample_stratified_cap", "similarity_near_pairs", "similarity_topk",
-    "source_xml_roundtrip", "sql_pipe_syntax",
-    # r6+-green queries follow in registration order with whatever
+    # --- round-13 priority (driver budget ~50; first rows first) ---
+    # (a) round-13 additions (first driver rows ever): changefeed across
+    # additive schema evolution, DV-aware metadata stats, catalog-level
+    # CDC streams, hidden partitioning.
+    "table_changefeed_evolve", "table_metadata_agg_dv",
+    "stream_catalog_cdc_feed", "table_partition_pruned_read",
+    # (b) freshness rotation (VERDICT r12 item 5): the 43-query cohort
+    # whose latest green driver row is round 6 — oldest first, full set.
+    "agg_groupwise_ols", "agg_salted_skew", "array_funcs",
+    "dedup_duplicate_spans", "dq_k_anonymity", "graph_bfs_distance",
+    "incremental_join_view", "join_lateral_topk", "layout_bucketed_join",
+    "layout_zonemap_skip", "layout_zorder_key", "ml_tree_inference",
+    "multimodal_frame_sample", "multimodal_jpeg_decode",
+    "multimodal_png_decode", "pipeline_observed_metrics",
+    "q10_returned_items", "q12_priority_classes", "q14_promo_revenue",
+    "q18_large_volume", "q22_inactive_customers", "regex_funcs",
+    "sample_train_val_test", "search_bm25_topk", "search_rrf_fusion",
+    "similarity_pq_topk", "sketch_kmv_overlap", "skyline_pareto_front",
+    "source_stream_datasource", "sql_parameterized", "sql_recursive_cte",
+    "sql_scripting_loop", "stream_interval_join_left",
+    "stream_tws_first_seen_live", "stream_tws_sessions",
+    "stream_tws_sessions_live", "text_bigram_lm_score",
+    "text_bpe_tokenize", "text_cdc_chunks", "text_token_drift",
+    "udaf_apply_in_arrow", "url_funcs", "vector_jl_projection",
+    # (c) queries whose CODE PATH changed in round 13: DV growth
+    # discipline + del_env stats (delete/merge/compact/changefeed all
+    # touched), evolution-safe rewrites, the refactored CDC stream
+    # splits, and the WAP audit-assert fix.
+    "table_delete_vectors", "table_changefeed_rewrite",
+    "table_changefeed_agg", "stream_table_cdc_feed", "table_merge_upsert",
+    "table_compact_small", "table_metadata_agg", "table_wap_multi",
+    "merge_upsert_cdc",
+    # (d) next-oldest cohort (latest row r7), alphabetical — re-verify
+    # with whatever budget remains.
+    "agg_collect", "agg_cube", "agg_grouping_sets", "agg_heavy_hitters",
+    "agg_histogram", "agg_hll_mergeable", "agg_quantile_sketch",
+    "agg_robust_mad", "agg_rollup", "agg_winsorize", "array_set_ops",
+    "dq_constraint_check", "dq_orphan_check", "dq_profile_columns",
+    "er_resolve_entities", "events_burst_detection",
+    "events_cohort_retention", "events_funnel", "events_resample_locf",
+    "events_sessionize", "events_subsequence_match",
+    "events_transition_matrix", "filter_project", "fuzzy_blocked_pairs",
+    "fuzzy_levenshtein_pairs", "join_anti", "join_asof",
+    "join_asof_tolerance", "join_range_band", "join_semi",
+    "multimodal_image_ahash_dedup", "q1_pricing_summary",
+    "q3_shipping_priority", "set_ops", "source_csv_roundtrip",
+    "source_json_roundtrip", "source_orc_roundtrip",
+    "source_partition_pruning", "sql_api_revenue", "text_pii_redact",
+    "text_top_token_share", "topk_global", "udaf_apply_in_pandas",
+    "udtf_partitioned_topk", "udtf_tokenize", "window_distribution",
+    "window_frames", "window_ntile_nav", "window_ranks",
+    "window_topk_per_group",
+    # r8+-green queries follow in registration order with whatever
     # budget remains.
 ]
 

@@ -2376,3 +2376,62 @@ def stream_catalog_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("join_state").alias("label"), "n_rows", "sum_cents")
     )
     return o_leg.unionByName(l_leg).unionByName(j_leg)
+
+
+# ---------------------------------------------------------------------------
+# Hidden partitioning: transform-value pruning before any file stat
+# ---------------------------------------------------------------------------
+
+_PARTITION_PRUNED_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, {_SUM_CENTS_SQL} AS sum_cents,
+       CAST(1 AS INT) AS partition_pruned
+FROM orders
+WHERE YEAR(o_orderdate) * 100 + MONTH(o_orderdate) BETWEEN 199606 AND 199608
+"""
+
+
+@query("table_partition_pruned_read", oracle=_PARTITION_PRUNED_ORACLE)
+def table_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN PARTITIONING (`ManifestTable.commit(partition_by=...)`,
+    sources/table_format.py) — Iceberg's partition-spec transform on
+    this format: orders commit with the transform
+    ``year(o_orderdate)*100 + month(o_orderdate)``, which writes one
+    file set per month and records each file's single transform VALUE as
+    a reserved ``__pt`` [v, v] stat in the group manifest. A
+    three-month probe prunes at the GROUP-SUMMARY level before any group
+    manifest or per-file stat is consulted, and the predicate needs NO
+    residual — every row of a kept file shares the file's partition
+    value by construction. Two audits ride INSIDE the hashed result:
+    ``partition_pruned`` proves files were skipped AND that the scan's
+    actual plan-level file list (``df.inputFiles()``) names no file
+    outside the three pruned months.
+
+    Scale shape: the date-partitioned 100-TB fact table's canonical
+    read — a month probe costs O(that month's files) with the partition
+    check done on O(#groups) manifest JSON; source columns stay in the
+    data files, so time travel, changefeed, DV deletes, and SQL views
+    all compose with the layout unchanged."""
+    import shutil
+
+    from gridmr_spark.sources.table_format import ManifestTable, _norm
+
+    root = _scratch(sf_dir, "pttbl")
+    shutil.rmtree(root, ignore_errors=True)
+    t = ManifestTable(root)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    t.commit(
+        orders, partition_by="year(o_orderdate) * 100 + month(o_orderdate)"
+    )
+    lo, hi = 199606, 199608
+    kept = t.pruned_files(preds={"__pt": (lo, hi)})
+    n_total = len(t._manifest(1)["files"])
+    df = t.read_pruned(spark, preds={"__pt": (lo, hi)})
+    scanned = {
+        _norm(p[len("file:"):] if p.startswith("file:") else p)
+        for p in df.inputFiles()
+    }
+    in_bounds = scanned <= {_norm(f) for f in kept}
+    pruned_ok = 1 if (0 < len(kept) < n_total and in_bounds) else 0
+    return df.agg(*_cents_agg()).select(
+        "n_rows", "sum_cents", F.lit(pruned_ok).cast("int").alias("partition_pruned")
+    )

@@ -451,6 +451,7 @@ class ManifestTable:
         enforce_schema: bool = False,
         bloom_cols: list[str] | None = None,
         parent_version: int | None = None,
+        partition_by: str | None = None,
     ) -> int:
         """Append ``df`` as a new snapshot; returns the new version.
 
@@ -490,6 +491,16 @@ class ManifestTable:
         merged schema — the writer-side guard for pipelines where drift
         is a bug; leave False (default) for tables that evolve additively
         and read with ``merge_schema=True``.
+        ``partition_by`` is a SQL TRANSFORM expression (Iceberg hidden
+        partitioning): ``"month(o_orderdate)"``, ``"o_orderkey % 16"``,
+        ``"date_trunc('DAY', ts)"`` — the delta is written one file set
+        per transform VALUE, the value is recorded per file as a
+        ``__pt`` [v, v] stat in the group manifest, and
+        ``pruned_files(preds={"__pt": (lo, hi)})`` /
+        ``read_pruned(...)`` prune partitions at the GROUP-SUMMARY level
+        before any group manifest or file stat is consulted. Source
+        columns stay in the data files (reads never depend on hive
+        discovery), so the residual predicate still applies exactly.
 
         Raises :class:`ConcurrentCommitError` if another writer publishes
         the same version first; the caller re-reads and retries.
@@ -523,7 +534,7 @@ class ManifestTable:
                     f"current {sorted(cur_schema)}"
                 )
         v = (prev or 0) + 1
-        added = self._write_data(df, v, bloom_cols)
+        added = self._write_data(df, v, bloom_cols, partition_by=partition_by)
         if check is not None:
             from pyspark.sql import functions as _F
 
@@ -545,9 +556,14 @@ class ManifestTable:
         entry = self._write_group(added, self._stats_for(added), blooms, self._rows_for(added))
         groups = (self._groups_of(base) if base else []) + [entry]
         dv = self._dv(base) if base else {}
+        extra = self._dv_extra(dv)
+        if partition_by is not None:
+            # record the spec for discoverability/audit; pruning itself
+            # rides the per-file __pt stats, so mixed histories (some
+            # commits partitioned, some not) stay conservative-correct
+            extra["partition_by"] = partition_by
         self._publish(
-            v, "append", idempotency_key, groups, [entry["path"]],
-            self._dv_extra(dv) or None,
+            v, "append", idempotency_key, groups, [entry["path"]], extra or None,
         )
         return v
 
@@ -1646,7 +1662,11 @@ class ManifestTable:
         return removed
 
     def _write_data(
-        self, df: DataFrame, v: int, bloom_cols: list[str] | None = None
+        self,
+        df: DataFrame,
+        v: int,
+        bloom_cols: list[str] | None = None,
+        partition_by: str | None = None,
     ) -> list[str]:
         # Unique suffix per write ATTEMPT: a concurrent writer racing to
         # the same version, or a retry after a torn (crashed) commit, never
@@ -1654,8 +1674,53 @@ class ManifestTable:
         # unreferenced orphans that vacuum_orphans() reclaims.
         token = uuid.uuid4().hex[:8]
         data_dir = os.path.join(self.root, "data", f"v{v:05d}-{token}")
-        df.write.mode("error").parquet(data_dir)
-        files = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
+        pt_values: dict[str, object] = {}
+        if partition_by is None:
+            df.write.mode("error").parquet(data_dir)
+            files = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
+        else:
+            # HIDDEN PARTITIONING (Iceberg's spec-transform shape): the
+            # partition value is the TRANSFORM EXPRESSION's result, hoisted
+            # into the directory layout so every data file holds exactly
+            # one partition value — the source columns stay in the data
+            # (reads never depend on hive discovery; the file list IS the
+            # table). The value is recorded per file as a [v, v] stat under
+            # the reserved __pt column, so partition pruning rides the
+            # SAME two-level group-summary -> file metadata pass as
+            # zone-map pruning, with zero new read-side machinery.
+            from pyspark.sql import functions as _F
+
+            if "__mt_pt" in df.columns:
+                raise ValueError(
+                    "commit(partition_by=...): input column '__mt_pt' "
+                    "collides with the internal partition working column"
+                )
+            pt = _F.expr(partition_by)
+            (
+                df.withColumn("__mt_pt", pt)
+                .repartition(pt)  # one writer task per partition value
+                .write.mode("error")
+                .partitionBy("__mt_pt")
+                .parquet(data_dir)
+            )
+            from urllib.parse import unquote
+
+            files = sorted(
+                glob.glob(os.path.join(data_dir, "__mt_pt=*", "*.parquet"))
+            )
+            for f in files:
+                raw = unquote(os.path.basename(os.path.dirname(f))[len("__mt_pt=") :])
+                if raw == "__HIVE_DEFAULT_PARTITION__":
+                    continue  # NULL partition value: unprunable, no stat
+                val: object = raw
+                try:
+                    val = int(raw)
+                except ValueError:
+                    try:
+                        val = float(raw)
+                    except ValueError:
+                        pass
+                pt_values[f] = val
         # Per-file commit metadata (footer stats, row counts, bloom
         # bitsets) is built EXECUTOR-SIDE in one job — one task per
         # written file — whenever the build must read column data
@@ -1678,6 +1743,8 @@ class ManifestTable:
         self._pending_stats = {f: meta[f]["stats"] for f in files}
         self._pending_rows = {f: meta[f]["rows"] for f in files}
         self._pending_blooms = {f: meta[f]["blooms"] for f in files}
+        for f, val in pt_values.items():
+            self._pending_stats[f]["__pt"] = [val, val]
         return files
 
     def _stats_for(self, added: list[str]) -> dict:
@@ -2257,6 +2324,14 @@ class ManifestTable:
             self._dv(version if version is not None else self.current_version()),
         )
         for c, (p_lo, p_hi) in preds.items():
+            if c == "__pt":
+                # partition-transform predicate: metadata-only (the value
+                # lives in the manifest, not the data) and EXACT by
+                # construction — every row of a kept file shares the
+                # file's single partition value, so there is no residual
+                # to apply (a NULL-partition file is kept conservatively;
+                # the caller's own residual on the SOURCE column governs)
+                continue
             if p_lo is not None:
                 df = df.where(_F.col(c) >= _F.lit(p_lo))
             if p_hi is not None:

@@ -473,8 +473,8 @@ def test_two_writer_race_exactly_one_wins(spark, tmp_path):
     class RacingTable(ManifestTable):
         # Hold both writers after the data write so both have computed the
         # SAME target version before either publishes a manifest.
-        def _write_data(self, df, v, bloom_cols=None):
-            files = super()._write_data(df, v, bloom_cols)
+        def _write_data(self, df, v, bloom_cols=None, **kw):
+            files = super()._write_data(df, v, bloom_cols, **kw)
             barrier.wait(timeout=120)
             return files
 
@@ -1259,3 +1259,76 @@ def test_compact_small_packs_across_additive_schema_change(spark, tmp_path):
     got = t.read(spark, v, merge_schema=True)
     rows = {r.k: (r.v, r.extra) for r in got.collect()}
     assert rows == {1: ("a", None), 2: ("b", 7)}
+
+
+# ---------------------------------------------------------------------------
+# Round 13: hidden partitioning (partition_by transform -> __pt pruning)
+# ---------------------------------------------------------------------------
+
+
+def test_partition_by_prunes_before_any_file_stat(spark, tmp_path):
+    """commit(partition_by=...) records one transform value per file;
+    partition predicates prune at the group/file metadata level and the
+    SCAN's actual file list (df.inputFiles()) never names a file outside
+    the predicate."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    df = spark.range(1000).selectExpr("id as k", "id % 10 as bucket", "concat('v', id) as v")
+    t.commit(df, partition_by="k % 10")
+    all_files = t._manifest(1)["files"]
+    assert len(all_files) == 10  # one file per partition value
+    kept = t.pruned_files(preds={"__pt": (3, 4)})
+    assert len(kept) == 2
+    r = t.read_pruned(spark, preds={"__pt": (3, 4)})
+    # plan-level: the scan lists ONLY in-partition files
+    import os as _os
+
+    scanned = {_os.path.realpath(p.replace("file:", "")) for p in r.inputFiles()}
+    assert scanned == {_os.path.realpath(f) for f in kept}
+    assert sorted(x.k for x in r.collect()) == sorted(
+        k for k in range(1000) if k % 10 in (3, 4)
+    )
+    # reads keep source columns (no hive-discovery dependency)
+    assert set(t.read(spark).columns) == {"k", "bucket", "v"}
+    assert t.read(spark).count() == 1000
+
+
+def test_partition_by_date_transform_and_mixed_history(spark, tmp_path):
+    """A month() transform prunes a date-range probe; a later
+    UNPARTITIONED append stays conservatively unprunable (kept for any
+    partition predicate) and results remain exact."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    df = spark.sql(
+        "SELECT id AS k, date_add(date'2024-01-01', CAST(id % 90 AS INT)) AS d "
+        "FROM range(900)"
+    )
+    t.commit(df, partition_by="month(d)")
+    assert t._raw(1)["partition_by"] == "month(d)"
+    kept = t.pruned_files(preds={"__pt": (2, 2)})   # February only
+    assert 0 < len(kept) < len(t._manifest(1)["files"])
+    got = t.read_pruned(spark, preds={"__pt": (2, 2)}).where(
+        "month(d) = 2"
+    )
+    want = df.where("month(d) = 2")
+    assert got.count() == want.count() > 0
+    # mixed history: an unpartitioned append is kept for every partition pred
+    t.commit(spark.sql("SELECT 9999 AS k, date'2024-02-15' AS d"))
+    kept2 = t.pruned_files(preds={"__pt": (2, 2)})
+    assert len(kept2) == len(kept) + 1
+    assert (
+        t.read_pruned(spark, preds={"__pt": (2, 2)}).where("month(d) = 2").count()
+        == want.count() + 1
+    )
+
+
+def test_partition_by_null_values_unprunable(spark, tmp_path):
+    t = ManifestTable(str(tmp_path / "tbl"))
+    df = spark.sql(
+        "SELECT id AS k, CASE WHEN id < 5 THEN NULL ELSE id % 3 END AS g "
+        "FROM range(30)"
+    )
+    t.commit(df, partition_by="g")
+    # the NULL partition's file has no __pt stat -> kept for any range
+    kept = t.pruned_files(preds={"__pt": (1, 1)})
+    got = sorted(r.k for r in t.read_pruned(spark, preds={"__pt": (1, 1)}).where("g = 1").collect())
+    assert got == sorted(k for k in range(30) if k >= 5 and k % 3 == 1)
+    assert len(kept) == 2  # g=1 file + the null file
