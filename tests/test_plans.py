@@ -348,3 +348,58 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ---------------------------------------------------------------------------
+# Round 13: schema-evolution feed, catalog CDC fold, hidden partitioning
+# ---------------------------------------------------------------------------
+
+
+def test_changefeed_evolve_reads_aligned_union_schema(spark, sf_oracle):
+    """The evolution-crossing feed reads every delta file with ONE aligned
+    nullable union schema (typed-NULL backfill), never a cartesian and
+    never a positional mismatch; the compare stays bounded to the file-set
+    delta (4 scans: added/removed x I/D exceptAll sides)."""
+    from gridmr_spark.plans import audit
+
+    df = REG["table_changefeed_evolve"].fn(spark, sf_oracle)
+    rep = audit(df)
+    assert not rep.has_cartesian
+    # all 4 scans (added/removed x I/D) read the aligned union schema
+    assert sum("o_orderstatus:string" in r for r in rep.read_schemas) == 4
+    assert "CartesianProduct" not in plan_string(df)
+
+
+def test_catalog_cdc_fold_joins_broadcast_with_pushdown(spark, sf_oracle):
+    """The cross-table fold over the catalog feeds: the folded-state join
+    broadcasts, join keys carry IsNotNull pushdown, and the feed parquet
+    scans are column-complete (k/v/_op) with no cartesian anywhere."""
+    plan = _plan(spark, sf_oracle, "stream_catalog_cdc_feed")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "IsNotNull(l_orderkey)" in plan and "IsNotNull(o_orderkey)" in plan
+
+
+def test_partition_pruned_read_single_pruned_scan(spark, sf_oracle):
+    """Hidden partitioning: the month-probe read is ONE scan whose
+    ReadSchema is pruned to the aggregated column only (o_orderdate never
+    decoded — the partition predicate was answered from the manifest, not
+    the data)."""
+    from gridmr_spark.plans import audit
+
+    df = REG["table_partition_pruned_read"].fn(spark, sf_oracle)
+    rep = audit(df)
+    assert rep.n_scans == 1 and rep.joins == []
+    # partition source column never read; only the aggregated measure is
+    assert all("o_orderdate" not in r for r in rep.read_schemas)
+    assert any("o_totalprice:double" in r for r in rep.read_schemas)
+
+
+def test_metadata_agg_dv_result_is_metadata_only(spark, sf_oracle):
+    """The DV-aware metadata query's RESULT plan reads zero files — the
+    answers came from manifest JSON (the legs' audit scans happen
+    in-harness, not in the returned plan)."""
+    from gridmr_spark.plans import audit
+
+    rep = audit(REG["table_metadata_agg_dv"].fn(spark, sf_oracle))
+    assert rep.n_scans == 0 and rep.read_schemas == []
