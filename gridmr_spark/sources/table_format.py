@@ -1626,10 +1626,21 @@ class ManifestTable:
                 referenced_groups.update(
                     _norm(g["path"]) for g in ns._raw(v).get("groups", [])
                 )
-        live_dirs = {os.path.dirname(f) for f in referenced}
+        # every ANCESTOR directory of a referenced file (up to data/) is
+        # live: a hidden-partitioned commit's files sit one level deeper
+        # (data/vNNN-token/__mt_pt=value/part.parquet), and marking only
+        # the immediate parent would let the sweep below rmtree the LIVE
+        # version directory itself
+        data_root = os.path.join(self.root, "data")
+        droot = _norm(data_root)
+        live_dirs: set[str] = set()
+        for f in referenced:
+            d = os.path.dirname(f)
+            while d.startswith(droot + os.sep):
+                live_dirs.add(d)
+                d = os.path.dirname(d)
         cutoff = _time.time() - min_age_seconds
         removed: list[str] = []
-        data_root = os.path.join(self.root, "data")
         if os.path.isdir(data_root):
             for d in sorted(glob.glob(os.path.join(data_root, "*"))):
                 if (
@@ -1637,7 +1648,13 @@ class ManifestTable:
                     and _norm(d) not in live_dirs
                     and os.path.getmtime(d) <= cutoff
                 ):
-                    removed.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+                    removed.extend(
+                        sorted(
+                            glob.glob(
+                                os.path.join(d, "**", "*.parquet"), recursive=True
+                            )
+                        )
+                    )
                     shutil.rmtree(d)
         for ns in namespaces:
             if os.path.isdir(ns._mdir):

@@ -1332,3 +1332,30 @@ def test_partition_by_null_values_unprunable(spark, tmp_path):
     got = sorted(r.k for r in t.read_pruned(spark, preds={"__pt": (1, 1)}).where("g = 1").collect())
     assert got == sorted(k for k in range(30) if k >= 5 and k % 3 == 1)
     assert len(kept) == 2  # g=1 file + the null file
+
+
+def test_vacuum_never_reclaims_live_partitioned_dirs(spark, tmp_path):
+    """A hidden-partitioned commit nests its files one directory deeper;
+    vacuum must mark the ANCESTOR version directory live (round-13 fix),
+    while a torn partitioned write attempt is still reclaimed —
+    recursively, markers and all."""
+    import shutil as _sh
+
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.range(100).selectExpr("id as k", "concat('v', id) as v"),
+        partition_by="k % 4",
+    )
+    live = set(t._manifest(1)["files"])
+    # simulate a torn partitioned write: copy a live version dir to an
+    # unreferenced name (data written, manifest never published)
+    vdir = os.path.dirname(os.path.dirname(next(iter(live))))
+    orphan = os.path.join(os.path.dirname(vdir), "v99999-deadbeef")
+    _sh.copytree(vdir, orphan)
+    removed = t.vacuum_orphans(min_age_seconds=0)
+    # live partitioned data untouched, reads exact
+    assert all(os.path.exists(f) for f in live)
+    assert sorted(r.k for r in t.read(spark).collect()) == list(range(100))
+    # the orphan attempt is gone, its nested parquet files reported
+    assert not os.path.exists(orphan)
+    assert any(orphan in p for p in removed)
