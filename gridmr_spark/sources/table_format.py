@@ -2319,6 +2319,7 @@ class ManifestTable:
         version: int | None = None,
         preds: dict | None = None,
         point: dict | None = None,
+        partition_exact: bool = True,
     ) -> DataFrame:
         """Exactly ``read(version).where(<all range predicates>)``, but
         scanning only the stats-overlapping files: the residual predicates
@@ -2326,12 +2327,46 @@ class ManifestTable:
         every row matching), so results are identical to the unpruned
         read — proven by the driver oracles of ``table_stats_pruned_read``
         and ``table_zorder_pruned`` — while the scan skips
-        non-overlapping files entirely."""
+        non-overlapping files entirely.
+
+        A ``__pt`` (hidden-partitioning) predicate has NO residual — the
+        value lives in the manifest, not the data — so a kept file
+        WITHOUT a ``__pt`` stat (unpartitioned commit in a mixed history,
+        NULL partition value, partial-rewrite output) would leak its
+        out-of-partition rows silently. ``partition_exact=True`` (default)
+        therefore RAISES when any kept file lacks the stat, naming the
+        fix; pass ``partition_exact=False`` to accept the conservative
+        superset and apply your own residual on the source column."""
         from pyspark.sql import functions as _F
 
         if preds is None:
             preds = {col: (lo, hi)} if col is not None else {}
         files = self.pruned_files(version=version, preds=preds, point=point)
+        if "__pt" in preds and partition_exact and files:
+            v = version if version is not None else self.current_version()
+            kept, missing = set(files), 0
+            raw = self._raw(v)
+            for g in raw.get("groups", []):
+                if any(
+                    self._disjoint(g.get("summary", {}).get(c), p_lo, p_hi, c)
+                    for c, (p_lo, p_hi) in preds.items()
+                ):
+                    continue  # pruned_files skipped it too: no kept files
+                grp = self._load_group(g["path"])  # cached by pruned_files
+                missing += sum(
+                    1
+                    for f in grp["files"]
+                    if f in kept and "__pt" not in (grp["stats"].get(f) or {})
+                )
+            if missing:
+                raise ValueError(
+                    f"read_pruned: {missing} kept file(s) of v{v} carry no "
+                    "__pt partition value (unpartitioned commit, NULL "
+                    "partition, or rewrite output) — a partition predicate "
+                    "has no residual, so their rows would leak. Filter on "
+                    "the SOURCE column instead, or pass "
+                    "partition_exact=False to accept the superset"
+                )
         if not files:
             # no file can match: an empty frame with the snapshot's schema
             return self.read(spark, version).where(_F.lit(False))

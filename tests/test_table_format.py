@@ -1305,17 +1305,21 @@ def test_partition_by_date_transform_and_mixed_history(spark, tmp_path):
     assert t._raw(1)["partition_by"] == "month(d)"
     kept = t.pruned_files(preds={"__pt": (2, 2)})   # February only
     assert 0 < len(kept) < len(t._manifest(1)["files"])
-    got = t.read_pruned(spark, preds={"__pt": (2, 2)}).where(
-        "month(d) = 2"
-    )
+    got = t.read_pruned(spark, preds={"__pt": (2, 2)})
     want = df.where("month(d) = 2")
     assert got.count() == want.count() > 0
-    # mixed history: an unpartitioned append is kept for every partition pred
+    # mixed history: an unpartitioned append is kept for every partition
+    # pred; partition_exact (default) now REFUSES the residual-less read,
+    # partition_exact=False returns the superset for caller filtering
     t.commit(spark.sql("SELECT 9999 AS k, date'2024-02-15' AS d"))
     kept2 = t.pruned_files(preds={"__pt": (2, 2)})
     assert len(kept2) == len(kept) + 1
+    with pytest.raises(ValueError, match="partition_exact"):
+        t.read_pruned(spark, preds={"__pt": (2, 2)})
     assert (
-        t.read_pruned(spark, preds={"__pt": (2, 2)}).where("month(d) = 2").count()
+        t.read_pruned(spark, preds={"__pt": (2, 2)}, partition_exact=False)
+        .where("month(d) = 2")
+        .count()
         == want.count() + 1
     )
 
@@ -1327,9 +1331,18 @@ def test_partition_by_null_values_unprunable(spark, tmp_path):
         "FROM range(30)"
     )
     t.commit(df, partition_by="g")
-    # the NULL partition's file has no __pt stat -> kept for any range
+    # the NULL partition's file has no __pt stat -> kept for any range;
+    # the exact read refuses (no residual exists for it), the superset
+    # read + caller residual stays exact
     kept = t.pruned_files(preds={"__pt": (1, 1)})
-    got = sorted(r.k for r in t.read_pruned(spark, preds={"__pt": (1, 1)}).where("g = 1").collect())
+    with pytest.raises(ValueError, match="partition_exact"):
+        t.read_pruned(spark, preds={"__pt": (1, 1)})
+    got = sorted(
+        r.k
+        for r in t.read_pruned(
+            spark, preds={"__pt": (1, 1)}, partition_exact=False
+        ).where("g = 1").collect()
+    )
     assert got == sorted(k for k in range(30) if k >= 5 and k % 3 == 1)
     assert len(kept) == 2  # g=1 file + the null file
 
