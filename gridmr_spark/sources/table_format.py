@@ -573,6 +573,7 @@ class ManifestTable:
         target_partitions: int = 1,
         zorder_by: tuple[str, str] | None = None,
         zorder_bits: int = 10,
+        partition_by: str | None = None,
     ) -> int:
         """Rewrite the CURRENT snapshot into ``target_partitions`` files —
         the small-file maintenance op (same motivation as
@@ -582,6 +583,14 @@ class ManifestTable:
         ``expire``). The manifest records operation='compact' so
         incremental readers know the added files are REWRITES, not new
         rows — ``diff`` refuses to cross it.
+
+        ``partition_by=<SQL transform>`` makes the rewrite establish (or
+        re-establish) a HIDDEN PARTITION SPEC over the whole table — the
+        way an unpartitioned table converts to date-partitioned, or a
+        table whose partial rewrites shed __pt values gets its spec back:
+        the full snapshot rewrites one file set per transform value with
+        per-file __pt stats, in one transactional 'compact' snapshot.
+        Mutually exclusive with zorder_by (different physical layouts).
 
         ``zorder_by=(x, y)`` makes the rewrite an OPTIMIZE ZORDER: rows
         are range-partitioned and sorted on the Morton interleave of the
@@ -602,6 +611,21 @@ class ManifestTable:
         # snapshot's file schemas (the footer sweep is noise next to the
         # full data read a compact performs anyway)
         snap = self.read(spark, cur, merge_schema=True)
+        if partition_by is not None and zorder_by is not None:
+            raise ValueError(
+                "compact: partition_by and zorder_by are mutually exclusive"
+            )
+        if partition_by is not None:
+            v = cur + 1
+            added = self._write_data(snap, v, partition_by=partition_by)
+            entry = self._write_group(
+                added, self._stats_for(added), rows=self._rows_for(added)
+            )
+            self._publish(
+                v, "compact", None, [entry], [entry["path"]],
+                {"partition_by": partition_by},
+            )
+            return v
         if zorder_by is not None:
             from gridmr_spark.operators.layout import morton_key
 

@@ -1372,3 +1372,23 @@ def test_vacuum_never_reclaims_live_partitioned_dirs(spark, tmp_path):
     # the orphan attempt is gone, its nested parquet files reported
     assert not os.path.exists(orphan)
     assert any(orphan in p for p in removed)
+
+
+def test_compact_establishes_partition_spec(spark, tmp_path):
+    """compact(partition_by=...) converts a mixed/unpartitioned table to
+    hidden-partitioned in one transactional snapshot: every file carries a
+    __pt value afterwards, partition reads are exact again (no
+    partition_exact refusal), and DV deletes materialized on the way."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit(spark.range(100).selectExpr("id as k", "id % 5 as g"))
+    t.commit(spark.range(100, 150).selectExpr("id as k", "id % 5 as g"))
+    t.delete_where(spark, F.col("k") == 7, mode="dv")
+    v = t.compact(spark, partition_by="g")
+    assert t._raw(v)["operation"] == "compact"
+    assert t._raw(v)["partition_by"] == "g"
+    assert t._dv(v)["files"] == []            # DV materialized away
+    assert len(t._manifest(v)["files"]) == 5  # one file per partition value
+    got = sorted(
+        r.k for r in t.read_pruned(spark, preds={"__pt": (2, 2)}).collect()
+    )
+    assert got == [k for k in range(150) if k % 5 == 2 and k != 7]
