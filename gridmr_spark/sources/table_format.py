@@ -534,6 +534,12 @@ class ManifestTable:
                     f"current {sorted(cur_schema)}"
                 )
         v = (prev or 0) + 1
+        # table-level spec semantics: None inherits the base snapshot's
+        # spec (a partitioned table STAYS partitioned across plain
+        # appends); pass "" to explicitly write this delta unpartitioned
+        if partition_by is None and base:
+            partition_by = self.partition_spec(base)
+        partition_by = partition_by or None
         added = self._write_data(df, v, bloom_cols, partition_by=partition_by)
         if check is not None:
             from pyspark.sql import functions as _F
@@ -697,13 +703,18 @@ class ManifestTable:
                 spark.read.option("mergeSchema", "true").parquet(*small),
                 self._dv(cur),
             ).repartition(int(nparts))
-            added = self._nonempty(self._write_data(packed, v))
+            added = self._nonempty(
+                self._write_data(packed, v, partition_by=self.partition_spec(cur))
+            )
             if added:
                 entry = self._write_group(
                     added, self._stats_for(added), rows=self._rows_for(added)
                 )
                 groups.append(entry)
-        self._publish(v, "compact", None, groups, [], self._dv_extra(dv) or None)
+        extra = self._dv_extra(dv)
+        if self.partition_spec(cur):
+            extra["partition_by"] = self.partition_spec(cur)
+        self._publish(v, "compact", None, groups, [], extra or None)
         return v
 
     def replace(self, df: DataFrame, idempotency_key: str | None = None) -> int:
@@ -776,7 +787,9 @@ class ManifestTable:
         else:
             merged = updates
         v = cur + 1
-        added = self._nonempty(self._write_data(merged, v))
+        added = self._nonempty(
+            self._write_data(merged, v, partition_by=self.partition_spec(base))
+        )
         groups = self._carry_groups(base, set(affected))
         carried = [f for f in self._manifest(base)["files"] if f not in set(affected)]
         dv = self._compact_dv(spark, self._dv(base), carried)
@@ -787,9 +800,11 @@ class ManifestTable:
             )
             groups.append(entry)
             added_groups = [entry["path"]]
+        extra = self._dv_extra(dv)
+        if self.partition_spec(base):
+            extra["partition_by"] = self.partition_spec(base)
         self._publish(
-            v, "overwrite", idempotency_key, groups, added_groups,
-            self._dv_extra(dv) or None,
+            v, "overwrite", idempotency_key, groups, added_groups, extra or None,
         )
         return v
 
@@ -871,7 +886,9 @@ class ManifestTable:
                 spark.read.option("mergeSchema", "true").parquet(*affected),
                 self._dv(base),
             ).where(~_F.coalesce(cond, _F.lit(False)))
-            added = self._nonempty(self._write_data(kept, v))
+            added = self._nonempty(
+                self._write_data(kept, v, partition_by=self.partition_spec(base))
+            )
             if added:
                 entry = self._write_group(
                     added, self._stats_for(added), rows=self._rows_for(added)
@@ -879,10 +896,13 @@ class ManifestTable:
                 groups.append(entry)
                 self._publish(
                     v, "overwrite", None, groups, [entry["path"]],
-                    self._dv_extra(dv) or None,
+                    self._spec_extra(base, self._dv_extra(dv)) or None,
                 )
                 return v
-        self._publish(v, "overwrite", None, groups, [], self._dv_extra(dv) or None)
+        self._publish(
+            v, "overwrite", None, groups, [],
+            self._spec_extra(base, self._dv_extra(dv)) or None,
+        )
         return v
 
     def _delete_where_dv(self, spark: SparkSession, cond, base: int, cur: int) -> int:
@@ -994,7 +1014,8 @@ class ManifestTable:
         if env1:
             dv1["del_env"] = env1
         self._publish(
-            v, "delete_dv", None, self._groups_of(base), [], self._dv_extra(dv1) or None
+            v, "delete_dv", None, self._groups_of(base), [],
+            self._spec_extra(base, self._dv_extra(dv1)) or None,
         )
         # GROWTH DISCIPLINE (round 13): the DV set is applied at read time
         # as a broadcast anti-join, so its size is a hard read-path
@@ -1083,7 +1104,9 @@ class ManifestTable:
             return None
         v = cur + 1
         kept = self._apply_dv(spark, spark.read.parquet(*selected), dv)
-        added = self._nonempty(self._write_data(kept, v))
+        added = self._nonempty(
+            self._write_data(kept, v, partition_by=self.partition_spec(base))
+        )
         groups = self._carry_groups(base, set(selected))
         carried = [f for f in manifest_files if f not in set(selected)]
         dv1 = self._compact_dv(spark, dv, carried)
@@ -1095,7 +1118,8 @@ class ManifestTable:
             groups.append(entry)
             added_groups = [entry["path"]]
         self._publish(
-            v, "overwrite", None, groups, added_groups, self._dv_extra(dv1) or None
+            v, "overwrite", None, groups, added_groups,
+            self._spec_extra(base, self._dv_extra(dv1)) or None,
         )
         return v
 
@@ -1198,7 +1222,9 @@ class ManifestTable:
         v = (self.current_version() or 0) + 1
         self._publish(
             v, "restore", None, groups, [],
-            {"restored_from": version, **self._dv_extra(self._dv(version))},
+            self._spec_extra(
+                version, {"restored_from": version, **self._dv_extra(self._dv(version))}
+            ),
         )
         return v
 
@@ -1603,7 +1629,7 @@ class ManifestTable:
         v = cur + 1
         self._publish(
             v, "rewrite_manifests", None, entries, [],
-            self._dv_extra(self._dv(cur)) or None,
+            self._spec_extra(cur, self._dv_extra(self._dv(cur))) or None,
         )
         return v
 
@@ -2024,6 +2050,31 @@ class ManifestTable:
         return self._apply_dv(spark, reader.parquet(*files), self._dv(version))
 
     # -- merge-on-read deletion vectors ---------------------------------------
+
+    def _spec_extra(self, base: int, extra: dict) -> dict:
+        """Fold the base snapshot's partition spec into a publish extra —
+        the carry half of table-level spec semantics."""
+        spec = self.partition_spec(base)
+        if spec:
+            extra = dict(extra)
+            extra["partition_by"] = spec
+        return extra
+
+    def partition_spec(self, version: int | None = None) -> str | None:
+        """The snapshot's hidden-partition transform (``partition_by``),
+        or None for an unpartitioned snapshot. Table-level semantics:
+        once established (by a partitioned commit or
+        ``compact(partition_by=...)``), every write verb INHERITS it —
+        appends, partial-COW deletes, merges, bin-packing, DV
+        materialization — so the layout survives maintenance, exactly as
+        an Iceberg spec does. Dropped by plain ``compact()``/``replace``
+        (full rewrites to an explicit layout) or by committing with
+        ``partition_by=""``."""
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                return None
+        return self._raw(version).get("partition_by") or None
 
     def _dv(self, version: int) -> dict:
         """The snapshot's active DELETION-VECTOR set: ``{"files": [dv

@@ -1308,10 +1308,11 @@ def test_partition_by_date_transform_and_mixed_history(spark, tmp_path):
     got = t.read_pruned(spark, preds={"__pt": (2, 2)})
     want = df.where("month(d) = 2")
     assert got.count() == want.count() > 0
-    # mixed history: an unpartitioned append is kept for every partition
-    # pred; partition_exact (default) now REFUSES the residual-less read,
-    # partition_exact=False returns the superset for caller filtering
-    t.commit(spark.sql("SELECT 9999 AS k, date'2024-02-15' AS d"))
+    # mixed history: an EXPLICITLY unpartitioned append (partition_by="",
+    # since plain appends inherit the table spec) is kept for every
+    # partition pred; partition_exact (default) now REFUSES the
+    # residual-less read, partition_exact=False returns the superset
+    t.commit(spark.sql("SELECT 9999 AS k, date'2024-02-15' AS d"), partition_by="")
     kept2 = t.pruned_files(preds={"__pt": (2, 2)})
     assert len(kept2) == len(kept) + 1
     with pytest.raises(ValueError, match="partition_exact"):
@@ -1392,3 +1393,41 @@ def test_compact_establishes_partition_spec(spark, tmp_path):
         r.k for r in t.read_pruned(spark, preds={"__pt": (2, 2)}).collect()
     )
     assert got == [k for k in range(150) if k % 5 == 2 and k != 7]
+
+
+def test_partition_spec_inherited_by_writes_and_rewrites(spark, tmp_path):
+    """Table-level spec semantics (Iceberg): once established, plain
+    appends AND partial rewrites (cow delete, merge, bin-packing, DV
+    materialize) write WITHIN the spec — partition reads stay exact
+    through the table's whole maintenance life; compact() without a spec
+    drops it (full rewrite to an explicit layout)."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.range(100).selectExpr("id as k", "id % 4 as g"), partition_by="g"
+    )
+    assert t.partition_spec() == "g"
+    # plain append inherits: new files carry __pt, reads stay exact
+    t.commit(spark.range(100, 140).selectExpr("id as k", "id % 4 as g"))
+    assert t.partition_spec() == "g"
+    got = sorted(r.k for r in t.read_pruned(spark, preds={"__pt": (1, 1)}).collect())
+    assert got == [k for k in range(140) if k % 4 == 1]
+    # partial COW delete rewrites within the spec
+    t.delete_where(spark, F.col("k") == 5)
+    assert t.partition_spec() == "g"
+    got = sorted(r.k for r in t.read_pruned(spark, preds={"__pt": (1, 1)}).collect())
+    assert got == [k for k in range(140) if k % 4 == 1 and k != 5]
+    # merge rewrites within the spec
+    t.merge_by_key(spark, spark.createDataFrame([(9, 1), (500, 0)], "k long, g long"), "k")
+    assert t.partition_spec() == "g"
+    got = sorted(r.k for r in t.read_pruned(spark, preds={"__pt": (0, 0)}).collect())
+    assert 500 in got
+    # dv delete (metadata-only) + materialize keep the spec
+    t.delete_where(spark, F.col("k") == 8, mode="dv")
+    assert t.partition_spec() == "g"
+    t.materialize_dv(spark, target_rows=0)
+    assert t.partition_spec() == "g"
+    got = sorted(r.k for r in t.read_pruned(spark, preds={"__pt": (0, 0)}).collect())
+    assert 8 not in got and 500 in got
+    # plain compact drops the spec (documented full-rewrite layout verb)
+    t.compact(spark, target_partitions=2)
+    assert t.partition_spec() is None
