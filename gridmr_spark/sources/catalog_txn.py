@@ -104,6 +104,23 @@ class TableCatalog:
                 raise ValueError(f"catalog {self.root} has no committed version")
         return dict(self._raw(at)["tables"])
 
+    def version_at(self, ts: float) -> int:
+        """The catalog version current at wall-clock ``ts`` — TIMESTAMP AS
+        OF for the WHOLE savepoint: every table then resolves to the pins
+        that were visible TOGETHER at that instant (the cross-table
+        analogue of ``ManifestTable.version_at``). Version order is
+        authoritative under clock skew, same as the table rule."""
+        best = None
+        for v in self.versions():
+            t = self._raw(v).get("ts")
+            if t is not None and t <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"catalog {self.root} has no version at or before ts={ts}"
+            )
+        return best
+
     def table(self, name: str, at: int | None = None) -> tuple[ManifestTable, int]:
         pins = self.pins(at)
         if name not in pins:

@@ -201,3 +201,33 @@ def test_catalog_wap_conflict_guards(spark, tmp_path):
     with pytest.raises(ConcurrentCommitError, match="advanced"):
         wap.publish()
     wap.abort()
+
+
+def test_catalog_timestamp_as_of_travels_the_savepoint(spark, tmp_path):
+    """version_at resolves the catalog version current at a wall-clock
+    instant; reads at that version see every table's pins TOGETHER."""
+    import os
+    import time
+
+    from gridmr_spark.sources.catalog_txn import TableCatalog
+    from gridmr_spark.sources.table_format import ManifestTable
+
+    root = str(tmp_path / "cat")
+    t_a = ManifestTable(os.path.join(root, "a"))
+    t_a.commit(spark.createDataFrame([(1,)], "k long"))
+    cat = TableCatalog(root)
+    cat.create({"a": t_a})                                  # cv1
+    mid = time.time()
+    time.sleep(0.05)
+    txn = cat.begin()
+    txn.commit_table("a", spark.createDataFrame([(2,)], "k long"))
+    txn.commit()                                            # cv2
+    assert cat.version_at(mid) == 1
+    assert cat.version_at(time.time()) == 2
+    assert sorted(
+        r.k for r in cat.read(spark, "a", at=cat.version_at(mid)).collect()
+    ) == [1]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no version"):
+        cat.version_at(mid - 10_000)
