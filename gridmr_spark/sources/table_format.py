@@ -452,6 +452,7 @@ class ManifestTable:
         bloom_cols: list[str] | None = None,
         parent_version: int | None = None,
         partition_by: str | None = None,
+        partition_splits: int = 1,
     ) -> int:
         """Append ``df`` as a new snapshot; returns the new version.
 
@@ -501,6 +502,10 @@ class ManifestTable:
         before any group manifest or file stat is consulted. Source
         columns stay in the data files (reads never depend on hive
         discovery), so the residual predicate still applies exactly.
+        ``partition_splits=K`` splits each partition value across K files
+        (deterministic row-hash salt) — size K ~= value_bytes /
+        target_file_bytes so a 100-TB month never becomes one multi-TB
+        file; pruning is unaffected (every split carries the same __pt).
 
         Raises :class:`ConcurrentCommitError` if another writer publishes
         the same version first; the caller re-reads and retries.
@@ -540,7 +545,10 @@ class ManifestTable:
         if partition_by is None and base:
             partition_by = self.partition_spec(base)
         partition_by = partition_by or None
-        added = self._write_data(df, v, bloom_cols, partition_by=partition_by)
+        added = self._write_data(
+            df, v, bloom_cols,
+            partition_by=partition_by, partition_splits=partition_splits,
+        )
         if check is not None:
             from pyspark.sql import functions as _F
 
@@ -580,6 +588,7 @@ class ManifestTable:
         zorder_by: tuple[str, str] | None = None,
         zorder_bits: int = 10,
         partition_by: str | None = None,
+        partition_splits: int = 1,
     ) -> int:
         """Rewrite the CURRENT snapshot into ``target_partitions`` files —
         the small-file maintenance op (same motivation as
@@ -623,7 +632,10 @@ class ManifestTable:
             )
         if partition_by is not None:
             v = cur + 1
-            added = self._write_data(snap, v, partition_by=partition_by)
+            added = self._write_data(
+                snap, v,
+                partition_by=partition_by, partition_splits=partition_splits,
+            )
             entry = self._write_group(
                 added, self._stats_for(added), rows=self._rows_for(added)
             )
@@ -1734,6 +1746,7 @@ class ManifestTable:
         v: int,
         bloom_cols: list[str] | None = None,
         partition_by: str | None = None,
+        partition_splits: int = 1,
     ) -> list[str]:
         # Unique suffix per write ATTEMPT: a concurrent writer racing to
         # the same version, or a retry after a torn (crashed) commit, never
@@ -1763,10 +1776,39 @@ class ManifestTable:
                     "collides with the internal partition working column"
                 )
             pt = _F.expr(partition_by)
+            staged = df.withColumn("__mt_pt", pt)
+            if partition_splits > 1:
+                # WITHIN-VALUE file splitting: one file per partition
+                # value is a multi-TB file on a 100-TB month — salt the
+                # distribution so each value lands in `partition_splits`
+                # writer tasks (deterministic: row-hash mod splits).
+                # Size splits ~= value_bytes / target_file_bytes.
+                hashable = [
+                    f.name
+                    for f in df.schema.fields
+                    # xxhash64 rejects MapType columns
+                    if not f.dataType.simpleString().startswith("map<")
+                ] or None
+                salt = (
+                    _F.pmod(
+                        _F.xxhash64(*[_F.col(c) for c in hashable]),
+                        _F.lit(partition_splits),
+                    )
+                    if hashable
+                    else _F.spark_partition_id() % partition_splits
+                )
+                # explicit partition count: AQE would otherwise coalesce
+                # the salted shuffle back into one task per value. Hash
+                # collisions of (value, salt) combos can only MERGE
+                # splits, never exceed them: files per value is in
+                # [1, partition_splits].
+                staged = staged.repartition(
+                    max(64, partition_splits * 16), _F.col("__mt_pt"), salt
+                )
+            else:
+                staged = staged.repartition(pt)  # one task per value
             (
-                df.withColumn("__mt_pt", pt)
-                .repartition(pt)  # one writer task per partition value
-                .write.mode("error")
+                staged.write.mode("error")
                 .partitionBy("__mt_pt")
                 .parquet(data_dir)
             )

@@ -1431,3 +1431,29 @@ def test_partition_spec_inherited_by_writes_and_rewrites(spark, tmp_path):
     # plain compact drops the spec (documented full-rewrite layout verb)
     t.compact(spark, target_partitions=2)
     assert t.partition_spec() is None
+
+
+def test_partition_splits_bound_file_size_within_values(spark, tmp_path):
+    """partition_splits=K writes K files per partition value (the
+    target-file-size dial: one file per value is a multi-TB file on a
+    100-TB month); every split carries the same __pt, pruning and reads
+    stay exact."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.range(600).selectExpr("id as k", "id % 2 as g"),
+        partition_by="g",
+        partition_splits=3,
+    )
+    files = t._manifest(1)["files"]
+    stats = t.snapshot_stats(1)
+    by_pt = {}
+    for f in files:
+        v = stats[f]["__pt"][0]
+        by_pt.setdefault(v, []).append(f)
+    # hash collisions can merge splits but never exceed them
+    assert sorted(by_pt) == [0, 1]
+    assert all(2 <= len(v) <= 3 for v in by_pt.values())
+    kept = t.pruned_files(preds={"__pt": (1, 1)})
+    assert set(kept) == set(by_pt[1])
+    got = sorted(r.k for r in t.read_pruned(spark, preds={"__pt": (1, 1)}).collect())
+    assert got == [k for k in range(600) if k % 2 == 1]
