@@ -1,7 +1,8 @@
 """Model-based randomized check of the manifest table's verb algebra:
 apply a random sequence of verbs (append, COW delete, DV delete, merge,
-restore, compact, compact_small, rewrite_manifests) to a real
-ManifestTable AND to an in-memory key->value model; after every step the
+restore, compact, compact_small, rewrite_manifests, materialize_dv,
+repartition-by-spec — round 13) to a real ManifestTable AND to an
+in-memory key->value model; after every step the
 table read must equal the model, and at the end the changefeed from v1
 folds to the model diff. One generator exercises the interplay matrix
 (DV x partial-COW x restore x compaction) far beyond what example-based
@@ -27,6 +28,8 @@ _op = st.one_of(
     st.tuples(st.just("compact"), st.just(None)),
     st.tuples(st.just("compact_small"), st.just(None)),
     st.tuples(st.just("rewrite_manifests"), st.just(None)),
+    st.tuples(st.just("materialize_dv"), st.integers(min_value=0, max_value=3)),
+    st.tuples(st.just("repartition_spec"), st.just(None)),
 )
 
 
@@ -84,6 +87,14 @@ def test_random_verb_sequences_match_model(spark, tmp_path_factory, ops):
             t.compact_small(spark, small_mb=0.002)
         elif op == "rewrite_manifests":
             t.rewrite_manifests()
+        elif op == "materialize_dv":
+            # metadata no-op when the DV set is already at/below target
+            t.materialize_dv(spark, target_rows=arg)
+        elif op == "repartition_spec":
+            # establish a hidden partition spec; later appends/rewrites
+            # inherit it, exercising partitioned-layout interplay with
+            # every other verb in the sequence
+            t.compact(spark, partition_by="k % 3")
         snapshots[t.current_version()] = dict(model)
 
         got = {(r.k, r.v) for r in t.read(spark).collect()} if model else set()
