@@ -155,6 +155,17 @@ def _exclusive_publish_json(dirpath: str, final_name: str, payload: dict, on_exi
         on_exists()
 
 
+def _uri_to_path(u: str) -> str:
+    """A scan-provenance file URI (possibly file:// + percent-encoded)
+    back to a filesystem path — the single normalizer every DV/provenance
+    consumer shares (materialize_dv, _compact_dv, _match_manifest_files,
+    _stream_dv_map); keep in sync with how _metadata.file_path spells
+    paths."""
+    from urllib.parse import unquote, urlparse
+
+    return unquote(urlparse(u).path) if u.startswith("file:") else u
+
+
 def _norm(p: str) -> str:
     """Canonical spelling for path liveness tests: manifests record paths
     as they were spelled at commit time (absolute, but possibly through a
@@ -866,6 +877,10 @@ class ManifestTable:
             return self._delete_where_dv(spark, cond, base, cur)
         if mode != "cow":
             raise ValueError(f"delete_where: mode must be cow|dv, got {mode!r}")
+        if not self._manifest(base)["files"]:
+            raise ValueError(
+                f"snapshot v{base} of {self.root} is empty — nothing to delete"
+            )
         # file provenance captured at scan time; DV-subtracted so a row
         # already deleted by a deletion vector can't mark its file
         hit_files = {
@@ -942,6 +957,10 @@ class ManifestTable:
         from pyspark.sql import Observation
         from pyspark.sql import functions as _F
 
+        if not self._manifest(base)["files"]:
+            raise ValueError(
+                f"snapshot v{base} of {self.root} is empty — nothing to delete"
+            )
         dv0 = self._dv(base)
         tagged = self._scan_with_provenance(
             spark, self._manifest(base)["files"], dv0
@@ -1078,8 +1097,6 @@ class ManifestTable:
         by :meth:`_compact_dv`. Changefeed/CDC readers see a normal
         partial rewrite — file-set delta with DV positions excluded —
         so incremental consumers stay exact across it."""
-        from urllib.parse import unquote, urlparse
-
         import pyarrow.parquet as pq
 
         cur = self.current_version()
@@ -1090,15 +1107,11 @@ class ManifestTable:
         target = max(int(target_rows), 0)
         if not dv["files"] or dv["rows"] <= target:
             return None
-
-        def to_path(u: str) -> str:
-            return unquote(urlparse(u).path) if u.startswith("file:") else u
-
         counts: dict[str, int] = {}
         for path in dv["files"]:
             col = pq.read_table(path, columns=["file"]).column("file")
             for u in col.to_pylist():
-                n = _norm(to_path(u))
+                n = _norm(_uri_to_path(u))
                 counts[n] = counts.get(n, 0) + 1
         manifest_files = self._manifest(base)["files"]
         by_norm = {_norm(f): f for f in manifest_files}
@@ -1115,7 +1128,14 @@ class ManifestTable:
         if not selected:
             return None
         v = cur + 1
-        kept = self._apply_dv(spark, spark.read.parquet(*selected), dv)
+        # mergeSchema over the SELECTED set: a rewrite straddling an
+        # additive schema change must carry the union of its columns
+        # (same rule as every other rewrite verb)
+        kept = self._apply_dv(
+            spark,
+            spark.read.option("mergeSchema", "true").parquet(*selected),
+            dv,
+        )
         added = self._nonempty(
             self._write_data(kept, v, partition_by=self.partition_spec(base))
         )
@@ -1180,16 +1200,13 @@ class ManifestTable:
         precedent, `_build_file_meta`)."""
         if not dv or not dv["files"]:
             return {"files": [], "rows": 0}
-        from urllib.parse import unquote, urlparse
-
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         carried_norm = {_norm(f) for f in carried}
 
         def live(u: str) -> bool:
-            p = unquote(urlparse(u).path) if u.startswith("file:") else u
-            return _norm(p) in carried_norm
+            return _norm(_uri_to_path(u)) in carried_norm
 
         keep_f: list[str] = []
         keep_p: list[int] = []
@@ -1724,6 +1741,27 @@ class ManifestTable:
                     if os.path.getmtime(f) <= cutoff:
                         os.remove(f)
                         removed.append(f)
+        # orphan DELETION-VECTOR artifacts: a delete_where(mode='dv') or
+        # _compact_dv that crashed (or lost the publish race) leaves its
+        # dv-* parquet referenced by no manifest; expire() deliberately
+        # refuses them (they are indistinguishable from an IN-FLIGHT
+        # write), so this age-guarded sweep is their only reclaimer —
+        # mirroring the data-directory rule exactly.
+        kept_dv: set[str] = set()
+        for ns in namespaces:
+            for v in ns.versions():
+                kept_dv.update(_norm(x) for x in ns._dv(v)["files"])
+        for p in sorted(glob.glob(os.path.join(self.root, "_deletes", "dv-*"))):
+            if os.path.getmtime(p) > cutoff:
+                continue
+            if os.path.isdir(p):
+                parts = {_norm(x) for x in glob.glob(os.path.join(p, "*.parquet"))}
+                if parts.isdisjoint(kept_dv):
+                    removed.extend(sorted(parts))
+                    shutil.rmtree(p)
+            elif _norm(p) not in kept_dv:
+                os.remove(p)
+                removed.append(p)
         # orphan GROUP manifests: written by commits that crashed or lost
         # the OCC race before their snapshot publish (plus stale group
         # tmp files). Same retention window: an in-flight commit has
@@ -1817,19 +1855,26 @@ class ManifestTable:
             files = sorted(
                 glob.glob(os.path.join(data_dir, "__mt_pt=*", "*.parquet"))
             )
+            # parse directory values by the TRANSFORM'S OWN Spark type —
+            # never by guessing from the text: a STRING transform value
+            # "1" must stay the string "1" (coercing it to int 1 would
+            # collide with value "01" and leak rows through the
+            # residual-less partition read), while an int transform's "7"
+            # must become int 7 so range predicates order numerically
+            pt_type = staged.schema["__mt_pt"].dataType.simpleString()
+            if pt_type in ("tinyint", "smallint", "int", "bigint"):
+                parse = int
+            elif pt_type in ("float", "double"):
+                parse = float
+            elif pt_type == "boolean":
+                parse = lambda r: r == "true"  # noqa: E731
+            else:  # string / date / timestamp: ISO text orders correctly
+                parse = lambda r: r  # noqa: E731
             for f in files:
                 raw = unquote(os.path.basename(os.path.dirname(f))[len("__mt_pt=") :])
                 if raw == "__HIVE_DEFAULT_PARTITION__":
                     continue  # NULL partition value: unprunable, no stat
-                val: object = raw
-                try:
-                    val = int(raw)
-                except ValueError:
-                    try:
-                        val = float(raw)
-                    except ValueError:
-                        pass
-                pt_values[f] = val
+                pt_values[f] = parse(raw)
         # Per-file commit metadata (footer stats, row counts, bloom
         # bitsets) is built EXECUTOR-SIDE in one job — one task per
         # written file — whenever the build must read column data
@@ -1927,12 +1972,7 @@ class ManifestTable:
         snapshot ``version`` — the join between a scan's provenance and
         the manifest, used by the partial-COW verbs to pick their rewrite
         set. Manifest order is preserved."""
-        from urllib.parse import unquote, urlparse
-
-        def to_path(u: str) -> str:
-            return unquote(urlparse(u).path) if u.startswith("file:") else u
-
-        norm_hits = {_norm(to_path(u)) for u in uris}
+        norm_hits = {_norm(_uri_to_path(u)) for u in uris}
         return [
             f for f in self._manifest(version)["files"] if _norm(f) in norm_hits
         ]
@@ -2463,6 +2503,12 @@ class ManifestTable:
             v = version if version is not None else self.current_version()
             kept, missing = set(files), 0
             raw = self._raw(v)
+            if "groups" not in raw:
+                # format-1 snapshot: stats are inline, check them directly
+                st = self.snapshot_stats(v)
+                missing = sum(
+                    1 for f in kept if "__pt" not in (st.get(f) or {})
+                )
             for g in raw.get("groups", []):
                 if any(
                     self._disjoint(g.get("summary", {}).get(c), p_lo, p_hi, c)
@@ -2692,8 +2738,26 @@ class ManifestTable:
         removed = [f for f in from_files if f not in tset]
         # target schema: footer-union over the delta set + a v_to anchor
         # (the anchor keeps v_to's column order when the delta is empty
-        # or one-sided); bounded by the feed footprint + 1 footer
-        probe = list(dict.fromkeys(to_files[:1] + added + removed)) or from_files[:1]
+        # or one-sided) + any SHARED files the DV-position deltas name
+        # (a DV-only change on a post-evolution file must not be read
+        # with a pre-evolution anchor schema); bounded by the feed
+        # footprint + 1 footer + the (dv_max_rows-capped) DV file sets
+        dv_named: list[str] = []
+        dv_from_probe = self._dv(v_from) if v_from > 0 else {"files": []}
+        dv_to_probe = self._dv(v_to)
+        if dv_from_probe.get("files") or dv_to_probe.get("files"):
+            import pyarrow.parquet as _pq
+
+            named_norm: set[str] = set()
+            for p_ in dv_from_probe.get("files", []) + dv_to_probe.get("files", []):
+                for u in _pq.read_table(p_, columns=["file"]).column("file").to_pylist():
+                    named_norm.add(_norm(_uri_to_path(u)))
+            shared_set = tset & fset
+            dv_named = [f for f in to_files if f in shared_set and _norm(f) in named_norm]
+        probe = (
+            list(dict.fromkeys(to_files[:1] + added + removed + dv_named))
+            or from_files[:1]
+        )
         try:
             merged = (
                 spark.read.option("mergeSchema", "true").parquet(*probe).schema
@@ -2943,6 +3007,12 @@ def _changelog_classes():
             # changefeed's typed-NULL alignment (read only the columns the
             # file has; missing ones cost zero I/O)
             present = [n for n in want if n in file_cols]
+            if want and not present:
+                raise ValueError(
+                    f"mtable_changelog: file {partition.path} shares NO "
+                    f"column with the declared stream schema {want} — a "
+                    "misdeclared schema, not additive evolution"
+                )
             tbl = pq.read_table(partition.path, columns=present)
             if partition.take is not None:
                 tbl = tbl.take(list(partition.take))
@@ -2961,6 +3031,34 @@ def _changelog_classes():
         def commit(self, end):
             pass  # manifests are immutable; nothing to clean up
 
+    def _footer_union_ddl(files: list, label: str) -> list:
+        """Footer-UNION stream schema columns (first-seen order) for a
+        snapshot's files: additive evolution surfaces every column,
+        same-name type conflicts refuse loudly. Shared by the table and
+        catalog changelog sources."""
+        import pyarrow.parquet as pq
+
+        cols: list = []
+        seen: dict = {}
+        for path in files:
+            for f in pq.read_schema(path):
+                ddl = _ARROW_TO_DDL.get(str(f.type))
+                if ddl is None:
+                    raise ValueError(
+                        f"{label}: unmapped arrow type {f.type} for column {f.name!r}"
+                    )
+                if f.name in seen:
+                    if seen[f.name] != ddl:
+                        raise ValueError(
+                            f"{label}: column {f.name!r} has incompatible "
+                            f"types across files ({seen[f.name]} vs {ddl}) "
+                            "— additive evolution only"
+                        )
+                    continue
+                seen[f.name] = ddl
+                cols.append(f"{f.name} {ddl}")
+        return cols
+
     class MTableChangelogSource(DataSource):
         """format('mtable_changelog').option('path', <table root>)"""
 
@@ -2976,32 +3074,11 @@ def _changelog_classes():
             sweep at stream DEFINITION only (never per batch); a table
             whose file count makes even that sweep expensive should pin
             the shape explicitly via .schema(...) on the readStream."""
-            import pyarrow.parquet as pq
-
             t = ManifestTable(self.options["path"])
             cur = t.current_version()
             if cur is None:
                 raise ValueError(f"mtable_changelog: {t.root} has no snapshot yet")
-            cols: list[str] = []
-            seen: dict[str, str] = {}
-            for path in t._manifest(cur)["files"]:
-                for f in pq.read_schema(path):
-                    ddl = _ARROW_TO_DDL.get(str(f.type))
-                    if ddl is None:
-                        raise ValueError(
-                            f"mtable_changelog: unmapped arrow type {f.type} for column {f.name!r}"
-                        )
-                    if f.name in seen:
-                        if seen[f.name] != ddl:
-                            raise ValueError(
-                                f"mtable_changelog: column {f.name!r} has "
-                                f"incompatible types across files "
-                                f"({seen[f.name]} vs {ddl}) — additive "
-                                "evolution only"
-                            )
-                        continue
-                    seen[f.name] = ddl
-                    cols.append(f"{f.name} {ddl}")
+            cols = _footer_union_ddl(t._manifest(cur)["files"], "mtable_changelog")
             if self.options.get("on_rewrite") == "cdc":
                 cols.append("_op string")
             return ", ".join(cols)
@@ -3113,8 +3190,6 @@ def _changelog_classes():
             return "mcatalog_changelog"
 
         def schema(self):
-            import pyarrow.parquet as pq
-
             from gridmr_spark.sources.catalog_txn import TableCatalog
 
             cat = TableCatalog(self.options["path"])
@@ -3122,26 +3197,7 @@ def _changelog_classes():
             if not name:
                 raise ValueError("mcatalog_changelog: option 'table' is required")
             t, v = cat.table(name)
-            cols: list[str] = []
-            seen: dict[str, str] = {}
-            for path in t._manifest(v)["files"]:
-                for f in pq.read_schema(path):
-                    ddl = _ARROW_TO_DDL.get(str(f.type))
-                    if ddl is None:
-                        raise ValueError(
-                            f"mcatalog_changelog: unmapped arrow type {f.type} "
-                            f"for column {f.name!r}"
-                        )
-                    if f.name in seen:
-                        if seen[f.name] != ddl:
-                            raise ValueError(
-                                f"mcatalog_changelog: column {f.name!r} has "
-                                "incompatible types across files — additive "
-                                "evolution only"
-                            )
-                        continue
-                    seen[f.name] = ddl
-                    cols.append(f"{f.name} {ddl}")
+            cols = _footer_union_ddl(t._manifest(v)["files"], "mcatalog_changelog")
             return ", ".join(cols + ["_op string"])
 
         def streamReader(self, schema):

@@ -454,3 +454,79 @@ def test_stats_pruning_still_skips_files_through_dv_history(spark, tmp_path):
     assert len(kept) == 1
     got = sorted(r.k for r in t.read_pruned(spark, "k", 150, 180).collect())
     assert got == [k for k in range(150, 181) if k not in (160, 161)]
+
+
+# -- round-13 review fixes ---------------------------------------------------
+
+
+def test_materialize_dv_carries_union_schema_across_evolution(spark, tmp_path):
+    """materialize_dv on a schema-evolved table must rewrite with the
+    UNION of its input schemas — before the fix a pre-evolution footer
+    could win inference and permanently drop the added column."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").coalesce(1))
+    t.commit(
+        spark.createDataFrame([(3, "c", 30.0)], "k long, v string, w double").coalesce(1)
+    )
+    t.delete_where(spark, F.col("k").isin(1, 3), mode="dv")
+    t.materialize_dv(spark, target_rows=0)
+    got = sorted(
+        (r.k, r.v, r.w) for r in t.read(spark, merge_schema=True).collect()
+    )
+    assert got == [(2, "b", None)]
+    # and with only the evolved row surviving, w must persist
+    t2 = ManifestTable(str(tmp_path / "tbl2"))
+    t2.commit(spark.createDataFrame([(1, "a")], "k long, v string").coalesce(1))
+    t2.commit(
+        spark.createDataFrame([(3, "c", 30.0)], "k long, v string, w double").coalesce(1)
+    )
+    t2.delete_where(spark, F.col("k") == 1, mode="dv")
+    t2.materialize_dv(spark, target_rows=0)
+    got = sorted((r.k, r.v, r.w) for r in t2.read(spark, merge_schema=True).collect())
+    assert got == [(3, "c", 30.0)]
+
+
+def test_changefeed_dv_only_delta_keeps_evolved_columns(spark, tmp_path):
+    """A DV-only feed range whose delta rows live in a POST-evolution
+    shared file must surface the added column (the probe includes
+    DV-named shared files, not just the v_to anchor)."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, "a")], "k long, v string").coalesce(1))  # v1 anchor shape
+    t.commit(
+        spark.createDataFrame([(3, "c", 30.0)], "k long, v string, w double").coalesce(1)
+    )                                                                     # v2 evolved
+    t.delete_where(spark, F.col("k") == 3, mode="dv")                     # v3 DV-only
+    rows = sorted(
+        (r["_op"], r.k, r.v, r.w) for r in t.changefeed(spark, 2, 3).collect()
+    )
+    assert rows == [("D", 3, "c", 30.0)]
+
+
+def test_vacuum_reclaims_orphaned_dv_artifacts(spark, tmp_path):
+    """expire() refuses DV files no dropped manifest references (they are
+    indistinguishable from in-flight writes); the age-guarded vacuum is
+    their reclaimer — and never touches referenced DV files."""
+    import shutil as _sh
+
+    t = _mk(spark, tmp_path, n=50, files=1)
+    t.delete_where(spark, F.col("k") == 3, mode="dv")
+    live = t._dv(t.current_version())["files"][0]
+    orphan_dir = os.path.join(t.root, "_deletes", "dv-v99999-torn")
+    os.makedirs(orphan_dir)
+    _sh.copy(live, os.path.join(orphan_dir, "part-00000.parquet"))
+    lone = os.path.join(t.root, "_deletes", "dv-corphan.parquet")
+    _sh.copy(live, lone)
+    removed = t.vacuum_orphans(min_age_seconds=0)
+    assert not os.path.exists(orphan_dir) and not os.path.exists(lone)
+    assert os.path.exists(live)
+    assert any("dv-" in p for p in removed)
+    assert _ks(t.read(spark)) == [k for k in range(50) if k != 3]
+
+
+def test_delete_on_emptied_table_raises_cleanly(spark, tmp_path):
+    t = _mk(spark, tmp_path, n=10, files=1)
+    t.delete_where(spark, F.lit(True))              # empties the table
+    with pytest.raises(ValueError, match="empty"):
+        t.delete_where(spark, F.col("k") == 1)
+    with pytest.raises(ValueError, match="empty"):
+        t.delete_where(spark, F.col("k") == 1, mode="dv")

@@ -1457,3 +1457,21 @@ def test_partition_splits_bound_file_size_within_values(spark, tmp_path):
     assert set(kept) == set(by_pt[1])
     got = sorted(r.k for r in t.read_pruned(spark, preds={"__pt": (1, 1)}).collect())
     assert got == [k for k in range(600) if k % 2 == 1]
+
+
+def test_string_partition_values_never_collapse_numerically(spark, tmp_path):
+    """Round-trip-safe __pt coercion: string values '1' and '01' are
+    distinct partitions; collapsing both onto int 1 would leak rows
+    through the residual-less partition read."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [(1, "1"), (2, "01"), (3, "2"), (4, "x")], "k long, s string"
+    )
+    t.commit(df, partition_by="s")
+    stats = t.snapshot_stats(1)
+    vals = sorted(str(st["__pt"][0]) for st in stats.values())
+    assert vals == ["01", "1", "2", "x"]
+    got = sorted(
+        r.k for r in t.read_pruned(spark, preds={"__pt": ("1", "1")}).collect()
+    )
+    assert got == [1]  # '01' stays out
