@@ -237,6 +237,42 @@ class CatalogTransaction:
         self._staged[name] = v
         return v
 
+    def create_table(self, name: str, table: ManifestTable) -> int:
+        """ADD a table to the catalog in this transaction (CREATE TABLE's
+        catalog half): the pin lands atomically WITH every other staged
+        write at commit(), so readers either see the whole new state —
+        new table included — or none of it. The table needs a committed
+        snapshot (its v-current is what gets pinned). The catalog CDC
+        stream emits the new table's pinned files as the 'I' leg of the
+        publishing catalog version."""
+        if name in self._pins:
+            raise ValueError(
+                f"table {name!r} already exists in catalog {self.cat.root}"
+            )
+        cur = table.current_version()
+        if cur is None:
+            raise ValueError(f"table {name!r} has no committed snapshot")
+        self._pins[name] = {"root": table.root, "version": cur}
+        self._staged[name] = cur
+        return cur
+
+    def drop_table(self, name: str) -> None:
+        """DROP a table from the catalog in this transaction — METADATA
+        ONLY: the pin disappears from the published pin set (readers of
+        older catalog versions still time-travel to it), while the
+        table's own directory, manifests, and data are untouched (its
+        maintenance verbs keep working; physical deletion stays the
+        table's own expire/vacuum story). The catalog CDC stream emits
+        the dropped pin's files as the 'D' leg of the publishing catalog
+        version."""
+        if name not in self._pins:
+            raise ValueError(f"no table {name!r} in catalog {self.cat.root}")
+        del self._pins[name]
+        self._staged.pop(name, None)
+        # a pure drop is a legal transaction: mark the txn dirty
+        self._dropped = getattr(self, "_dropped", set())
+        self._dropped.add(name)
+
     def commit(self) -> int:
         """Publish every staged table version in ONE catalog snapshot.
 
@@ -245,7 +281,7 @@ class CatalogTransaction:
         :class:`ConcurrentCommitError` even when the table sets are
         disjoint (serialized catalog history keeps ``at=`` time travel
         meaningful; retry is cheap — re-begin and re-stage)."""
-        if not self._staged:
+        if not self._staged and not getattr(self, "_dropped", None):
             raise ValueError("transaction staged no table writes")
         cur = self.cat.current_version()
         if cur != self.base:

@@ -3196,7 +3196,20 @@ def _changelog_classes():
             name = self.options.get("table")
             if not name:
                 raise ValueError("mcatalog_changelog: option 'table' is required")
-            t, v = cat.table(name)
+            # resolve at the LATEST catalog version that pins the table: a
+            # table dropped from the catalog still has a valid feed (its
+            # final leg is the drop's 'D' rows)
+            t = v = None
+            for cv in reversed(cat.versions()):
+                p = cat.pins(cv).get(name)
+                if p is not None:
+                    t, v = ManifestTable(p["root"]), p["version"]
+                    break
+            if t is None:
+                raise ValueError(
+                    f"mcatalog_changelog: no catalog version of "
+                    f"{cat.root} ever pinned table {name!r}"
+                )
             cols = _footer_union_ddl(t._manifest(v)["files"], "mcatalog_changelog")
             return ", ".join(cols + ["_op string"])
 

@@ -231,3 +231,63 @@ def test_catalog_timestamp_as_of_travels_the_savepoint(spark, tmp_path):
 
     with _pt.raises(ValueError, match="no version"):
         cat.version_at(mid - 10_000)
+
+
+def test_catalog_create_and_drop_table_transactional(spark, tmp_path):
+    """CREATE/DROP TABLE at the catalog level: the pin change lands
+    atomically with every other staged write; older catalog versions
+    still time-travel to the dropped table; the catalog CDC stream emits
+    the add as 'I' rows and the drop as 'D' rows on the right legs."""
+    import os
+
+    import pytest as _pt
+
+    from gridmr_spark.sources.catalog_txn import TableCatalog
+    from gridmr_spark.sources.table_format import (
+        ManifestTable,
+        register_changelog_source,
+    )
+
+    root = str(tmp_path / "cat")
+    t_a = ManifestTable(os.path.join(root, "a"))
+    t_a.commit(spark.createDataFrame([(1, "a1")], "k long, v string"))
+    cat = TableCatalog(root)
+    cat.create({"a": t_a})                                     # cv1
+    # add table b + append to a, atomically
+    t_b = ManifestTable(os.path.join(root, "b"))
+    t_b.commit(spark.createDataFrame([(10, "b10")], "k long, v string"))
+    txn = cat.begin()
+    txn.create_table("b", t_b)
+    txn.commit_table("a", spark.createDataFrame([(2, "a2")], "k long, v string"))
+    cv2 = txn.commit()
+    assert sorted(cat.pins(cv2)) == ["a", "b"]
+    assert sorted(r.k for r in cat.read(spark, "b").collect()) == [10]
+    with _pt.raises(ValueError, match="already exists"):
+        cat.begin().create_table("b", t_b)
+    # drop b: metadata only; older versions still read it
+    txn = cat.begin()
+    txn.drop_table("b")
+    cv3 = txn.commit()
+    assert sorted(cat.pins(cv3)) == ["a"]
+    with _pt.raises(ValueError, match="no table"):
+        cat.read(spark, "b")
+    assert sorted(r.k for r in cat.read(spark, "b", at=cv2).collect()) == [10]
+    assert t_b.current_version() == 1          # table data untouched
+    # CDC stream over b: I leg at cv2 (added), D leg at cv3 (dropped)
+    register_changelog_source(spark)
+    run = str(tmp_path / "run")
+    sink = os.path.join(run, "out")
+    q = (
+        spark.readStream.format("mcatalog_changelog")
+        .option("path", root)
+        .option("table", "b")
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: df.write.mode("append").parquet(sink))
+        .option("checkpointLocation", os.path.join(run, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(sink)
+    assert sorted((r["_op"], r.k) for r in feed.collect()) == [("D", 10), ("I", 10)]
