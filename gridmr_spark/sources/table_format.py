@@ -3078,7 +3078,21 @@ def _changelog_classes():
             cur = t.current_version()
             if cur is None:
                 raise ValueError(f"mtable_changelog: {t.root} has no snapshot yet")
-            cols = _footer_union_ddl(t._manifest(cur)["files"], "mtable_changelog")
+            # a fully-deleted CURRENT snapshot has no files to derive a
+            # shape from, but the feed is still meaningful (its history
+            # emitted rows) — walk back to the latest files-bearing
+            # snapshot
+            files: list = []
+            for v in range(cur, 0, -1):
+                files = t._manifest(v)["files"]
+                if files:
+                    break
+            if not files:
+                raise ValueError(
+                    f"mtable_changelog: no snapshot of {t.root} has data "
+                    "files — no schema to derive a stream from"
+                )
+            cols = _footer_union_ddl(files, "mtable_changelog")
             if self.options.get("on_rewrite") == "cdc":
                 cols.append("_op string")
             return ", ".join(cols)
@@ -3196,21 +3210,32 @@ def _changelog_classes():
             name = self.options.get("table")
             if not name:
                 raise ValueError("mcatalog_changelog: option 'table' is required")
-            # resolve at the LATEST catalog version that pins the table: a
-            # table dropped from the catalog still has a valid feed (its
-            # final leg is the drop's 'D' rows)
-            t = v = None
+            # resolve at the LATEST catalog version whose pin of the
+            # table has data files: a dropped table still has a valid
+            # feed (its final leg is the drop's 'D' rows), and a pin
+            # whose snapshot is fully-deleted carries no shape — the feed
+            # history before it does
+            files: list = []
+            seen_pin = False
             for cv in reversed(cat.versions()):
                 p = cat.pins(cv).get(name)
-                if p is not None:
-                    t, v = ManifestTable(p["root"]), p["version"]
+                if p is None:
+                    continue
+                seen_pin = True
+                files = ManifestTable(p["root"])._manifest(p["version"])["files"]
+                if files:
                     break
-            if t is None:
+            if not seen_pin:
                 raise ValueError(
                     f"mcatalog_changelog: no catalog version of "
                     f"{cat.root} ever pinned table {name!r}"
                 )
-            cols = _footer_union_ddl(t._manifest(v)["files"], "mcatalog_changelog")
+            if not files:
+                raise ValueError(
+                    f"mcatalog_changelog: no pinned snapshot of {name!r} "
+                    "has data files — no schema to derive a stream from"
+                )
+            cols = _footer_union_ddl(files, "mcatalog_changelog")
             return ", ".join(cols + ["_op string"])
 
         def streamReader(self, schema):

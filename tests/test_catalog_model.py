@@ -30,6 +30,7 @@ _op = st.one_of(
     st.tuples(st.just("txn_delete"), st.tuples(KEYS, KEYS)),
     st.tuples(st.just("wap_publish"), st.lists(KEYS, min_size=1, max_size=3, unique=True)),
     st.tuples(st.just("wap_abort"), st.lists(KEYS, min_size=1, max_size=3, unique=True)),
+    st.tuples(st.just("drop_then_recreate"), st.lists(KEYS, min_size=1, max_size=3, unique=True)),
 )
 
 
@@ -60,6 +61,17 @@ def test_random_catalog_sequences_match_model(spark, tmp_path_factory, ops):
     history = {cat.current_version(): {n: dict(m) for n, m in model.items()}}
     stamp = 0
 
+    def read_set(name, at=None):
+        """Catalog read as a set; a missing pin or fully-deleted pinned
+        snapshot reads as empty (the model's spelling of both)."""
+        pins = cat.pins(at)
+        if name not in pins:
+            return set()
+        t2, v2 = cat.table(name, at)
+        if not t2._manifest(v2)["files"]:
+            return set()
+        return {(r.k, r.v) for r in t2.read(spark, v2).collect()}
+
     for op, arg in ops:
         stamp += 1
         if op == "txn_both":
@@ -77,6 +89,8 @@ def test_random_catalog_sequences_match_model(spark, tmp_path_factory, ops):
             txn.commit()
             model["a"].update(pairs)
         elif op == "txn_delete":
+            if not model["b"]:
+                continue  # deleting from an emptied table raises by contract
             lo, hi = sorted(arg)
             txn = cat.begin()
             txn.delete_where("b", spark, (F.col("k") % 20 >= lo) & (F.col("k") % 20 <= hi))
@@ -102,18 +116,33 @@ def test_random_catalog_sequences_match_model(spark, tmp_path_factory, ops):
                 model["b"].update(pairs)
             else:
                 wap.abort()
+        elif op == "drop_then_recreate":
+            # DROP b (metadata-only, atomic), then CREATE it back from a
+            # fresh table root in a second transaction — the CDC fold at
+            # the end must net the D leg against the re-created I leg
+            txn = cat.begin()
+            txn.drop_table("b")
+            txn.commit()
+            history[cat.current_version()] = {
+                "a": dict(model["a"]), "b": {}
+            }
+            pairs = [(k + 100 * stamp, f"r{stamp}.{k}") for k in arg]
+            t_new = ManifestTable(os.path.join(root, f"b{stamp}"))
+            t_new.commit(df_of(pairs))
+            txn = cat.begin()
+            txn.create_table("b", t_new)
+            txn.commit()
+            model["b"] = dict(pairs)
         history[cat.current_version()] = {n: dict(m) for n, m in model.items()}
 
         for name in ("a", "b"):
-            got = {(r.k, r.v) for r in cat.read(spark, name).collect()}
-            assert got == set(model[name].items()), f"after {op} ({name})"
+            assert read_set(name) == set(model[name].items()), f"after {op} ({name})"
 
     # cross-table snapshot isolation: every historical catalog version
     # still reads as the savepoint it was
     for cv, snap in history.items():
         for name in ("a", "b"):
-            got = {(r.k, r.v) for r in cat.read(spark, name, at=cv).collect()}
-            assert got == set(snap[name].items()), f"v{cv} ({name})"
+            assert read_set(name, at=cv) == set(snap[name].items()), f"v{cv} ({name})"
 
     # each table's catalog-offset CDC stream folds to the model state
     register_changelog_source(spark)
