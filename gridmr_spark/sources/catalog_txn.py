@@ -162,6 +162,28 @@ class TableCatalog:
 
     # -- writes ----------------------------------------------------------------
 
+    def expire(self, keep_last: int = 1) -> list[int]:
+        """Drop all but the last ``keep_last`` CATALOG versions — the
+        maintenance verb that keeps the version log O(recent) on a
+        long-lived catalog (one transaction a minute is half a million
+        version files a year; every ``versions()`` listing pays for
+        them). Returns the dropped version numbers.
+
+        Contract mirrors the table's ``expire``: time travel (and
+        ``version_at``) to dropped versions stops working by design; a
+        catalog-offset CDC stream whose checkpoint predates the retained
+        range fails on restart (re-seed it), exactly like a table stream
+        across expired history. PIN-ONLY: this deletes catalog JSON —
+        never a table, never a manifest, never data; per-table retention
+        stays each table's own ``expire``/``vacuum_orphans`` story."""
+        vs = self.versions()
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        drop = vs[:-keep_last]
+        for v in drop:
+            os.remove(os.path.join(self._cdir, f"v{v:05d}.json"))
+        return drop
+
     def begin(self) -> "CatalogTransaction":
         return CatalogTransaction(self)
 

@@ -291,3 +291,33 @@ def test_catalog_create_and_drop_table_transactional(spark, tmp_path):
     q.awaitTermination()
     feed = spark.read.parquet(sink)
     assert sorted((r["_op"], r.k) for r in feed.collect()) == [("D", 10), ("I", 10)]
+
+
+def test_catalog_expire_drops_old_versions_only(spark, tmp_path):
+    """Catalog expire reclaims version JSON only — tables, manifests, and
+    data untouched; retained versions still time-travel, dropped ones
+    refuse loudly."""
+    import os
+
+    import pytest as _pt
+
+    from gridmr_spark.sources.catalog_txn import TableCatalog
+    from gridmr_spark.sources.table_format import ManifestTable
+
+    root = str(tmp_path / "cat")
+    t_a = ManifestTable(os.path.join(root, "a"))
+    t_a.commit(spark.createDataFrame([(1,)], "k long"))
+    cat = TableCatalog(root)
+    cat.create({"a": t_a})                                   # cv1
+    for i in range(3):
+        txn = cat.begin()
+        txn.commit_table("a", spark.createDataFrame([(10 + i,)], "k long"))
+        txn.commit()                                         # cv2..cv4
+    dropped = cat.expire(keep_last=2)
+    assert dropped == [1, 2]
+    assert cat.versions() == [3, 4]
+    # retained savepoints still read; table history fully intact
+    assert sorted(r.k for r in cat.read(spark, "a", at=3).collect()) == [1, 10, 11]
+    assert t_a.versions() == [1, 2, 3, 4]
+    with _pt.raises(ValueError, match="no such catalog version"):
+        cat.read(spark, "a", at=1)
