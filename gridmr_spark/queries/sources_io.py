@@ -2152,6 +2152,99 @@ def table_changefeed_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TYPE-WIDENING schema evolution (Iceberg promotion matrix, round 14)
+# ---------------------------------------------------------------------------
+
+_SCHEMA_WIDENING_ORACLE = """
+WITH v1 AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS price,
+         CAST(CAST(o_totalprice AS DECIMAL(9,2)) AS DECIMAL(15,2)) AS d
+  FROM orders WHERE o_orderkey % 3 = 0
+),
+v2 AS (
+  SELECT o_orderkey + 3000000000 AS k,
+         o_totalprice AS price,
+         CAST(o_totalprice AS DECIMAL(15,2)) AS d
+  FROM orders WHERE o_orderkey % 3 = 1
+),
+v3 AS (
+  SELECT * FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+  WHERE k % 10 <> 1
+)
+SELECT CAST(k % 7 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(price * 100.0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(SUM(CAST(d * 100 AS BIGINT)) AS BIGINT) AS sum_d_cents,
+       CAST(MIN(k) AS BIGINT) AS min_k,
+       CAST(MAX(k) AS BIGINT) AS max_k
+FROM v3 GROUP BY 1
+"""
+
+
+@query("table_schema_widening", oracle=_SCHEMA_WIDENING_ORACLE)
+def table_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE-WIDENING schema evolution on the manifest table
+    (`_widened_struct` / `_merged_read`, sources/table_format.py, round
+    14) — Iceberg's safe-promotion matrix instead of additive-only: v1
+    commits orders (%3=0) in a NARROW shape (int key, float price,
+    decimal(9,2)), v2 appends %3=1 rows in the WIDENED shape (bigint keys
+    pushed past int range by +3e9 — the promotion a table does because it
+    must — double price, decimal(15,2)), and v3 partially COW-deletes a
+    band (k%10=1) whose matches straddle BOTH cohorts, so the rewrite
+    itself runs under the widened union schema. The merged read serves
+    every row at the widest type with the narrow cohort up-cast AT THE
+    SCAN (no rewrite of old files); the per-bucket aggregate (counts,
+    exact cents, exact decimal cents, min/max across both cohorts)
+    hash-matches DuckDB running the same widening with explicit CASTs.
+
+    Scale shape: the widening is a METADATA event — old files are never
+    rewritten; the widened read is still ONE parquet scan (Spark 4's
+    readers up-cast int->long / float->double / decimal precision in
+    place, SPARK-40876), and the fallback schema probe costs a footer
+    sweep only on the set actually read, only when the distributed
+    footer merge refuses. Genuinely incompatible changes (int->string,
+    decimal scale change) still refuse loudly."""
+    import shutil
+
+    from gridmr_spark.sources.table_format import ManifestTable
+
+    root = _scratch(sf_dir, "widen")
+    shutil.rmtree(root, ignore_errors=True)
+    t = ManifestTable(root)
+    orders = load_table(spark, sf_dir, "orders")
+    t.commit(
+        orders.where(F.col("o_orderkey") % 3 == 0).select(
+            F.col("o_orderkey").cast("int").alias("k"),
+            F.col("o_totalprice").cast("float").alias("price"),
+            F.col("o_totalprice").cast("decimal(9,2)").alias("d"),
+        )
+    )                                                   # v1 narrow cohort
+    t.commit(
+        orders.where(F.col("o_orderkey") % 3 == 1).select(
+            (F.col("o_orderkey") + F.lit(3_000_000_000)).alias("k"),
+            F.col("o_totalprice").alias("price"),
+            F.col("o_totalprice").cast("decimal(15,2)").alias("d"),
+        )
+    )                                                   # v2 widened cohort
+    t.delete_where(spark, F.col("k") % 10 == 1)         # v3 straddling COW
+    df = t.read(spark, merge_schema=True)
+    return (
+        df.groupBy((F.col("k") % 7).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.floor(F.col("price") * F.lit(100.0)).cast("long"))
+            .cast("long")
+            .alias("sum_price_cents"),
+            F.sum((F.col("d") * 100).cast("long")).cast("long").alias("sum_d_cents"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .select("bucket", "n_rows", "sum_price_cents", "sum_d_cents", "min_k", "max_k")
+    )
+
+
+# ---------------------------------------------------------------------------
 # DV-aware metadata stats: MIN/MAX exactness THROUGH a dv-delete history
 # ---------------------------------------------------------------------------
 

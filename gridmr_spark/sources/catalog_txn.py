@@ -172,8 +172,11 @@ class TableCatalog:
         Contract mirrors the table's ``expire``: time travel (and
         ``version_at``) to dropped versions stops working by design; a
         catalog-offset CDC stream whose checkpoint predates the retained
-        range fails on restart (re-seed it), exactly like a table stream
-        across expired history. PIN-ONLY: this deletes catalog JSON —
+        range fails on restart with a re-seed error, while a FRESH stream
+        auto-seeds at the oldest retained version (its first batch is the
+        retained savepoint's full state as 'I' rows — see
+        ``MCatalogStreamReader.initialOffset``). PIN-ONLY: this deletes
+        catalog JSON —
         never a table, never a manifest, never data; per-table retention
         stays each table's own ``expire``/``vacuum_orphans`` story."""
         vs = self.versions()

@@ -68,6 +68,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -204,8 +205,14 @@ def _file_column_stats(path: str) -> dict:
             if st is None or not st.has_min_max:
                 ok = False
                 break
-            mins.append(st.min)
-            maxs.append(st.max)
+            try:
+                # pyarrow can't decode min/max for some physical types
+                # (e.g. decimals) — "unknown", hence unprunable, NOT fatal
+                mins.append(st.min)
+                maxs.append(st.max)
+            except Exception:
+                ok = False
+                break
         if not (ok and mins):
             continue
         lo, hi = min(mins), max(maxs)
@@ -717,13 +724,14 @@ class ManifestTable:
         if small:
             total = sum(sizes[f] for f in small)
             nparts = max(1, -(-total // int(target_mb * (1 << 20))))
-            # mergeSchema: micro-batch slivers may straddle an additive
-            # schema change; packing must carry the UNION of their
-            # columns (footer reads of the small set only — cheap).
+            # union schema: micro-batch slivers may straddle an additive
+            # OR widening schema change; packing must carry the UNION of
+            # their columns at the WIDEST type (footer reads of the small
+            # set only — cheap).
             # DV-applied: packing materializes the packed files' deletes.
             packed = self._apply_dv(
                 spark,
-                spark.read.option("mergeSchema", "true").parquet(*small),
+                _merged_read(spark, small),
                 self._dv(cur),
             ).repartition(int(nparts))
             added = self._nonempty(
@@ -781,7 +789,15 @@ class ManifestTable:
         amplification to the merge's true footprint with ZERO planning
         scan; on an unclustered key the candidate set degenerates to
         every file and the verb costs exactly the old single full
-        read+write. Schemas must match (column-by-name union)."""
+        read+write.
+
+        Schema contract: ``updates`` aligns by NAME and must cover every
+        column of the rewritten candidate set; NEW columns in ``updates``
+        are allowed (additive evolution — Delta's MERGE WITH SCHEMA
+        EVOLUTION), with typed-null backfill for the kept rows. An
+        ``updates`` frame MISSING a table column raises instead of
+        silently nulling that column on every updated/inserted row (the
+        old failure mode of a misspelled column)."""
         cur = self.current_version()
         if cur is None:
             raise ValueError(f"nothing to merge into in {self.root}")
@@ -803,9 +819,22 @@ class ManifestTable:
             # MERGE WITH SCHEMA EVOLUTION shape)
             kept = self._apply_dv(
                 spark,
-                spark.read.option("mergeSchema", "true").parquet(*affected),
+                _merged_read(spark, affected),
                 self._dv(base),
             ).join(keys, key, "left_anti")
+            # additive-only guard: updates may ADD columns (kept rows get
+            # typed nulls), but a table column absent from updates means
+            # every updated AND inserted row would silently null it —
+            # almost always a misspelling, so fail loudly instead
+            missing = [c for c in kept.columns if c not in set(updates.columns)]
+            if missing:
+                raise ValueError(
+                    f"merge_by_key: updates frame is missing table column(s) "
+                    f"{missing} — MERGE replaces whole rows, so an absent "
+                    "column would be null-filled on every updated/inserted "
+                    "row; select the full row (extras beyond the table "
+                    "schema are allowed and backfill as typed nulls)"
+                )
             merged = kept.unionByName(updates, allowMissingColumns=True)
         else:
             merged = updates
@@ -905,12 +934,12 @@ class ManifestTable:
             # with no TRUE match carry it forward — making the result
             # depend on physical layout and diverge from DV mode's
             # where(cond) hit test
-            # mergeSchema over the AFFECTED set only: rewriting files
-            # that straddle an additive schema change must carry the
-            # union of their columns, not one arbitrary file's shape
+            # union schema over the AFFECTED set only: rewriting files
+            # that straddle an additive/widening schema change must carry
+            # the union of their columns, not one arbitrary file's shape
             kept = self._apply_dv(
                 spark,
-                spark.read.option("mergeSchema", "true").parquet(*affected),
+                _merged_read(spark, affected),
                 self._dv(base),
             ).where(~_F.coalesce(cond, _F.lit(False)))
             added = self._nonempty(
@@ -1128,12 +1157,12 @@ class ManifestTable:
         if not selected:
             return None
         v = cur + 1
-        # mergeSchema over the SELECTED set: a rewrite straddling an
-        # additive schema change must carry the union of its columns
-        # (same rule as every other rewrite verb)
+        # union schema over the SELECTED set: a rewrite straddling an
+        # additive/widening schema change must carry the union of its
+        # columns (same rule as every other rewrite verb)
         kept = self._apply_dv(
             spark,
-            spark.read.option("mergeSchema", "true").parquet(*selected),
+            _merged_read(spark, selected),
             dv,
         )
         added = self._nonempty(
@@ -1165,12 +1194,12 @@ class ManifestTable:
         ``_metadata`` columns are bound at the scan and survive it)."""
         from pyspark.sql import functions as _F
 
-        # mergeSchema: the predicate may reference a column added by a
-        # later commit; pre-evolution files null-fill (footer merge cost
+        # union schema: the predicate may reference a column added by a
+        # later commit; pre-evolution files null-fill, and a widening
+        # commit in the set reads at the widest type (footer merge cost
         # is negligible next to the predicate scan that follows)
         tagged = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*files)
+            _merged_read(spark, files)
             .select(
                 "*",
                 _F.col("_metadata.file_path").alias("__mt_fp"),
@@ -1294,10 +1323,14 @@ class ManifestTable:
         # into clone-owned files, detaching from them)
         dest._publish(
             1, "clone", None, groups, [],
-            {
+            # the SOURCE snapshot's partition spec rides the clone (it is
+            # the layout the cloned files actually carry) — without it the
+            # clone's partitioned reads break and its own appends would
+            # silently write unpartitioned
+            self._spec_extra(version, {
                 "cloned_from": {"root": self.root, "version": version},
                 **self._dv_extra(self._dv(version)),
-            },
+            }),
         )
         return dest
 
@@ -1371,7 +1404,13 @@ class ManifestTable:
         b = ManifestTable(self.root, _branch=name)
         b._publish(
             1, "branch", None, groups, [],
-            {"branched_from": version, **self._dv_extra(self._dv(version))},
+            # inherit the fork version's partition spec so branch commits
+            # keep writing __pt stats — a WAP cycle must not silently drop
+            # the table's layout (the spec is table-level by contract)
+            self._spec_extra(
+                version,
+                {"branched_from": version, **self._dv_extra(self._dv(version))},
+            ),
         )
         return b
 
@@ -1436,10 +1475,13 @@ class ManifestTable:
             None,
             b._groups_of(bv),
             added,
-            {
+            # the published snapshot carries the BRANCH HEAD's spec — the
+            # audited state includes its layout, and main's next appends
+            # must keep writing __pt stats after a WAP cycle
+            b._spec_extra(bv, {
                 "published_from": {"branch": name, "version": bv, "base": base},
                 **self._dv_extra(b._dv(bv)),
-            },
+            }),
         )
         return (cur or 0) + 1
 
@@ -1824,8 +1866,11 @@ class ManifestTable:
                 hashable = [
                     f.name
                     for f in df.schema.fields
-                    # xxhash64 rejects MapType columns
-                    if not f.dataType.simpleString().startswith("map<")
+                    # xxhash64 rejects MapType anywhere in the type tree —
+                    # a map nested inside a struct/array fails at analysis
+                    # time just like a top-level one, so check the whole
+                    # simpleString, not only its prefix
+                    if "map<" not in f.dataType.simpleString()
                 ] or None
                 salt = (
                     _F.pmod(
@@ -2115,10 +2160,14 @@ class ManifestTable:
     ) -> DataFrame:
         """The snapshot as of ``version`` (default: latest).
 
-        ``merge_schema=True`` unions the schemas of all snapshot files
-        (columns added by later commits surface with NULL backfill for
-        older files — the `source_schema_evolution` semantics applied to
-        the versioned table). Off by default: schema merging reads every
+        ``merge_schema=True`` unions the schemas of all snapshot files:
+        columns added by later commits surface with NULL backfill for
+        older files (the `source_schema_evolution` semantics applied to
+        the versioned table), and a SAFE TYPE WIDENING across commits
+        (int->long, float->double, decimal precision increase — the
+        Iceberg promotion matrix) reads at the widest type with narrower
+        cohorts up-cast in place at the scan (round 14,
+        `_widened_struct`). Off by default: schema merging reads every
         footer up front, which a 100 TB table pays in listing latency.
         """
         if version is None:
@@ -2128,8 +2177,12 @@ class ManifestTable:
         files = self._manifest(version)["files"]
         if not files:
             raise ValueError(f"snapshot v{version} of {self.root} is empty")
-        reader = spark.read.option("mergeSchema", "true") if merge_schema else spark.read
-        return self._apply_dv(spark, reader.parquet(*files), self._dv(version))
+        df = (
+            _merged_read(spark, files)
+            if merge_schema
+            else spark.read.parquet(*files)
+        )
+        return self._apply_dv(spark, df, self._dv(version))
 
     # -- merge-on-read deletion vectors ---------------------------------------
 
@@ -2677,9 +2730,10 @@ class ManifestTable:
 
                 return self.read(spark, v_to).where(_F.lit(False))
             raise ValueError(f"no files added in {self.root} v{v_from}..v{v_to}")
-        # mergeSchema over the DELTA only: appends straddling an additive
-        # schema change surface the union shape with typed-null fill
-        return spark.read.option("mergeSchema", "true").parquet(*added)
+        # union schema over the DELTA only: appends straddling an additive
+        # (or widening) schema change surface the union shape with
+        # typed-null fill / widest-type up-cast
+        return _merged_read(spark, added)
 
     def changefeed(self, spark: SparkSession, v_from: int, v_to: int) -> DataFrame:
         """ROW-LEVEL change feed between ANY two snapshots — Delta's CDF /
@@ -2716,8 +2770,12 @@ class ManifestTable:
         table), every field forced nullable, and rows from files lacking
         a column surface with typed NULLs. An update that populates a
         new column therefore reads as its exact retract+insert pair
-        ``D(k, NULL) / I(k, x)``. Only INCOMPATIBLE changes refuse
-        (same-name type change — the footer merge itself fails)."""
+        ``D(k, NULL) / I(k, x)``. A SAFE TYPE WIDENING (int->long,
+        float->double, decimal precision increase — Iceberg's promotion
+        matrix, round 14) is likewise aligned: the target schema carries
+        the widest type and narrower cohorts up-cast at the scan
+        (`_widened_struct`). Only genuinely incompatible changes refuse
+        (int vs string, decimal scale change, nested shape change)."""
         from pyspark.sql import functions as _F
         from pyspark.sql.types import StructField, StructType
 
@@ -2759,15 +2817,14 @@ class ManifestTable:
             or from_files[:1]
         )
         try:
-            merged = (
-                spark.read.option("mergeSchema", "true").parquet(*probe).schema
-            )
-        except Exception as exc:
+            merged = _merged_read(spark, probe).schema
+        except ValueError as exc:
             raise ValueError(
                 f"changefeed v{v_from}..v{v_to} of {self.root} crosses an "
-                f"INCOMPATIBLE schema change (footer merge failed: {exc}); "
-                "additive add-column evolution is aligned with typed NULLs, "
-                "but a type change or rename needs a snapshot read"
+                f"INCOMPATIBLE schema change ({exc}); additive add-column "
+                "evolution aligns with typed NULLs and safe type widening "
+                "up-casts, but an unsafe type change or rename needs a "
+                "snapshot read"
             ) from None
         # nullable throughout: a file missing an added column yields NULLs
         target = StructType(
@@ -2846,6 +2903,114 @@ class ManifestTable:
             )
             .drop("__mt_fp", "__mt_ri")
         )
+
+
+# ---------------------------------------------------------------------------
+# Type-widening schema evolution (Iceberg's safe-promotion matrix)
+# ---------------------------------------------------------------------------
+# A long-lived table's schema changes are not all additive: int columns
+# outgrow into long, float into double, decimal precision widens. Iceberg
+# and Delta treat these as COMPATIBLE promotions readable without a
+# rewrite; Spark 4's parquet readers support exactly that (SPARK-40876:
+# an explicit wider read schema up-casts narrower file columns in place),
+# but `mergeSchema` still refuses the footer merge. These helpers fold
+# per-file schemas under the promotion matrix so every read/rewrite seam
+# that used mergeSchema survives a widening commit with ONE scan.
+
+_INT_CHAIN = ("tinyint", "smallint", "int", "bigint")
+
+
+def _widen_type(a, b):
+    """The wider of two Spark DataTypes under the safe-promotion matrix
+    (integral chain, float->double, decimal precision increase at equal
+    scale); None when the pair is genuinely incompatible. Complex types
+    must match exactly (compared shape-wise, ignoring nullability)."""
+    from pyspark.sql.types import (
+        ByteType, DecimalType, DoubleType, FloatType, IntegerType, LongType,
+        ShortType,
+    )
+
+    if a.simpleString() == b.simpleString():
+        return a
+    ints = (ByteType, ShortType, IntegerType, LongType)
+    if isinstance(a, ints) and isinstance(b, ints):
+        return a if ints.index(type(a)) >= ints.index(type(b)) else b
+    floats = (FloatType, DoubleType)
+    if isinstance(a, floats) and isinstance(b, floats):
+        return DoubleType()
+    if (
+        isinstance(a, DecimalType)
+        and isinstance(b, DecimalType)
+        and a.scale == b.scale
+    ):
+        return a if a.precision >= b.precision else b
+    return None
+
+
+def _widen_ddl(a: str, b: str) -> str | None:
+    """`_widen_type` on DDL type strings — the stream-schema variant."""
+    if a == b:
+        return a
+    if a in _INT_CHAIN and b in _INT_CHAIN:
+        return a if _INT_CHAIN.index(a) >= _INT_CHAIN.index(b) else b
+    if {a, b} <= {"float", "double"}:
+        return "double"
+    ma = re.fullmatch(r"decimal\((\d+),(\d+)\)", a)
+    mb = re.fullmatch(r"decimal\((\d+),(\d+)\)", b)
+    if ma and mb and ma.group(2) == mb.group(2):
+        return a if int(ma.group(1)) >= int(mb.group(1)) else b
+    return None
+
+
+def _widened_struct(spark: SparkSession, files: list):
+    """Target read schema for a file set that crossed a TYPE-WIDENING
+    evolution: per-cohort footer schemas folded under the promotion
+    matrix, every field nullable (additive columns null-fill), column
+    order first-seen. Cohort discovery is one pyarrow footer sweep —
+    driver-side O(#files) METADATA, the same cost class as the
+    distributed footer merge that just refused, and only paid on that
+    refusal — then ONE Spark footer inference per DISTINCT schema.
+    Raises ValueError on a genuinely incompatible conflict (int vs
+    string, decimal scale change, nested shape change)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import StructField, StructType
+
+    anchors: dict = {}  # footer-schema fingerprint -> one anchor file
+    for f in files:
+        anchors.setdefault(str(pq.read_schema(f)), f)
+    types: dict = {}
+    order: list = []
+    for anchor in anchors.values():
+        for fld in spark.read.parquet(anchor).schema.fields:
+            if fld.name not in types:
+                types[fld.name] = fld.dataType
+                order.append(fld.name)
+                continue
+            w = _widen_type(types[fld.name], fld.dataType)
+            if w is None:
+                raise ValueError(
+                    f"column {fld.name!r} has incompatible types across "
+                    f"files ({types[fld.name].simpleString()} vs "
+                    f"{fld.dataType.simpleString()}) — safe promotions are "
+                    "int-chain widening, float->double, and decimal "
+                    "precision increase at equal scale"
+                )
+            types[fld.name] = w
+    return StructType([StructField(n, types[n], True) for n in order])
+
+
+def _merged_read(spark: SparkSession, files: list) -> DataFrame:
+    """Read ``files`` under their UNION schema across both evolution
+    kinds: Spark's distributed `mergeSchema` handles the additive case;
+    when it refuses (a widening commit in the set), fall back to an
+    explicit `_widened_struct` schema — Spark 4's parquet readers up-cast
+    the narrower cohorts in place, so the result is still one scan.
+    Every read/rewrite seam that must survive schema evolution goes
+    through here."""
+    try:
+        return spark.read.option("mergeSchema", "true").parquet(*files)
+    except Exception:
+        return spark.read.schema(_widened_struct(spark, files)).parquet(*files)
 
 
 # ---------------------------------------------------------------------------
@@ -3033,31 +3198,40 @@ def _changelog_classes():
 
     def _footer_union_ddl(files: list, label: str) -> list:
         """Footer-UNION stream schema columns (first-seen order) for a
-        snapshot's files: additive evolution surfaces every column,
-        same-name type conflicts refuse loudly. Shared by the table and
-        catalog changelog sources."""
+        snapshot's files: additive evolution surfaces every column, safe
+        type conflicts resolve to the WIDER type (the `_widen_ddl`
+        promotion matrix — pre-widening files' values up-convert
+        losslessly at the reader), genuinely incompatible conflicts
+        refuse loudly. Shared by the table and catalog changelog
+        sources."""
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        cols: list = []
         seen: dict = {}
+        order: list = []
         for path in files:
             for f in pq.read_schema(path):
                 ddl = _ARROW_TO_DDL.get(str(f.type))
+                if ddl is None and pa.types.is_decimal(f.type):
+                    ddl = f"decimal({f.type.precision},{f.type.scale})"
                 if ddl is None:
                     raise ValueError(
                         f"{label}: unmapped arrow type {f.type} for column {f.name!r}"
                     )
-                if f.name in seen:
-                    if seen[f.name] != ddl:
+                if f.name not in seen:
+                    seen[f.name] = ddl
+                    order.append(f.name)
+                    continue
+                if seen[f.name] != ddl:
+                    wide = _widen_ddl(seen[f.name], ddl)
+                    if wide is None:
                         raise ValueError(
                             f"{label}: column {f.name!r} has incompatible "
                             f"types across files ({seen[f.name]} vs {ddl}) "
-                            "— additive evolution only"
+                            "— additive evolution and safe widening only"
                         )
-                    continue
-                seen[f.name] = ddl
-                cols.append(f"{f.name} {ddl}")
-        return cols
+                    seen[f.name] = wide
+        return [f"{n} {seen[n]}" for n in order]
 
     class MTableChangelogSource(DataSource):
         """format('mtable_changelog').option('path', <table root>)"""
@@ -3159,9 +3333,25 @@ def _changelog_classes():
                     "mcatalog_changelog: schema must END with `_op string`"
                 )
             self._names = list(field_names)
+            self._starting = options.get("startingversion") or options.get(
+                "startingVersion"
+            )
 
         def initialOffset(self):
-            return {"version": 0}
+            """A FRESH stream starts at the oldest RETAINED catalog
+            version minus one — not the hardcoded v0, which after
+            ``expire()`` dropped v1..vK no longer exists and would brick
+            every new stream. The first batch is then the oldest retained
+            savepoint's FULL pinned state as 'I' rows (the retained-range
+            snapshot), after which legs are ordinary pin-to-pin deltas.
+            ``option('startingVersion', N)`` overrides — e.g. the current
+            catalog version to stream only FUTURE flips."""
+            if self._starting is not None:
+                return {"version": int(self._starting)}
+            from gridmr_spark.sources.catalog_txn import TableCatalog
+
+            vs = TableCatalog(self.cat_root).versions()
+            return {"version": vs[0] - 1 if vs else 0}
 
         def latestOffset(self):
             from gridmr_spark.sources.catalog_txn import TableCatalog
@@ -3170,10 +3360,27 @@ def _changelog_classes():
 
         def _pin(self, cat, cv: int) -> tuple:
             """(ManifestTable, pinned version) at catalog version cv; a
-            version where the table is absent reads as (None, 0)."""
+            version where the table is absent reads as (None, 0). The
+            fresh-stream SEED boundary (oldest retained version - 1,
+            expired or v0) also reads as (None, 0) — its leg is the
+            retained snapshot's full 'I' emission; any OTHER expired
+            version means the checkpoint predates retention and fails
+            loudly (re-emitting a snapshot mid-stream would duplicate
+            rows a signed consumer already folded)."""
             if cv < 1:
                 return None, 0
-            pins = cat.pins(cv)
+            try:
+                pins = cat.pins(cv)
+            except ValueError:
+                vs = cat.versions()
+                if vs and cv == vs[0] - 1:
+                    return None, 0  # seed boundary: full-snapshot 'I' leg
+                raise ValueError(
+                    f"mcatalog_changelog: catalog version {cv} of "
+                    f"{self.cat_root} was expired — this checkpoint "
+                    "predates the retained range; re-seed the stream (a "
+                    "fresh stream starts at the oldest retained version)"
+                ) from None
             p = pins.get(self.table_name)
             if p is None:
                 return None, 0

@@ -209,3 +209,95 @@ def test_catalog_cdc_stream_aligned_exactly_once(spark, tmp_path):
     fo2 = run("o", str(tmp_path / "ro"))                     # SAME checkpoint
     assert fo2.count() == before + 1
     assert [r.k for r in fo2.where("k = 9").collect()] == [9]
+
+
+def test_catalog_cdc_fresh_stream_after_expire(spark, tmp_path):
+    """After TableCatalog.expire dropped v1..vK, a FRESH mcatalog stream
+    must still start: initialOffset is the oldest RETAINED catalog
+    version minus one, so the first batch is the retained savepoint's
+    full pinned state as 'I' rows, then ordinary pin-to-pin legs
+    (round-14 ADVICE — the old hardcoded v0 bricked every new stream).
+    A checkpoint that predates the retained range still fails loudly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gridmr_spark.sources.catalog_txn import TableCatalog
+    from gridmr_spark.sources.table_format import (
+        ManifestTable,
+        register_changelog_source,
+    )
+
+    root = str(tmp_path / "cat")
+    t_o = ManifestTable(os.path.join(root, "o"))
+    t_o.commit(spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, p double"))
+    cat = TableCatalog(root)
+    cat.create({"o": t_o})                                    # cv1
+    txn = cat.begin()
+    txn.commit_table("o", spark.createDataFrame([(3, 30.0)], "k long, p double"))
+    txn.commit()                                              # cv2
+    txn = cat.begin()
+    txn.delete_where("o", spark, F.col("k") == 1)
+    txn.commit()                                              # cv3
+    assert cat.expire(keep_last=2) == [1]                     # retained: cv2, cv3
+
+    register_changelog_source(spark)
+
+    def run(run_dir):
+        sink = os.path.join(run_dir, "out")
+        q = (
+            spark.readStream.format("mcatalog_changelog")
+            .option("path", root)
+            .option("table", "o")
+            .load()
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: df.write.mode("append").parquet(sink))
+            .option("checkpointLocation", os.path.join(run_dir, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink)
+
+    feed = run(str(tmp_path / "r1"))
+    # first leg = cv2's full pinned state as 'I'; cv3's leg = the COW delete
+    folded = sorted(
+        (r.k, r.p)
+        for r in feed.withColumn("s", F.when(F.col("_op") == "I", 1).otherwise(-1))
+        .groupBy("k", "p").agg(F.sum("s").alias("n")).where("n != 0")
+        .select("k", "p").collect()
+    )
+    assert folded == [(2.0, 20.0), (3.0, 30.0)] or folded == [(2, 20.0), (3, 30.0)]
+    # startingVersion override: stream only FUTURE flips
+    txn = cat.begin()
+    txn.commit_table("o", spark.createDataFrame([(9, 90.0)], "k long, p double"))
+    txn.commit()                                              # cv4
+    sink2 = str(tmp_path / "r2" / "out")
+    q = (
+        spark.readStream.format("mcatalog_changelog")
+        .option("path", root)
+        .option("table", "o")
+        .option("startingVersion", "3")
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: df.write.mode("append").parquet(sink2))
+        .option("checkpointLocation", str(tmp_path / "r2" / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted((r["_op"], r.k) for r in spark.read.parquet(sink2).collect())
+    assert got == [("I", 9)]
+    # a checkpoint strictly inside the expired range fails with the
+    # re-seed error, not a silent snapshot re-emit
+    import pytest as _pytest
+
+    from gridmr_spark.sources.table_format import _changelog_classes
+
+    _, CatSrc = _changelog_classes()
+    rdr = CatSrc(
+        {"path": root, "table": "o"}
+    ).streamReader(spark.read.parquet(sink2).schema)
+    cat.expire(keep_last=2)                                   # retained: cv3, cv4
+    with _pytest.raises(ValueError, match="predates the retained range"):
+        rdr.partitions({"version": 0}, {"version": 4})

@@ -1475,3 +1475,53 @@ def test_string_partition_values_never_collapse_numerically(spark, tmp_path):
         r.k for r in t.read_pruned(spark, preds={"__pt": ("1", "1")}).collect()
     )
     assert got == [1]  # '01' stays out
+
+
+def test_merge_refuses_updates_missing_a_table_column(spark, tmp_path):
+    """MERGE replaces whole rows, so an updates frame MISSING a table
+    column (the misspelled-column failure) must raise instead of silently
+    null-filling it on every updated/inserted row; EXTRA columns remain
+    allowed (additive evolution, typed-null backfill on kept rows)."""
+    import pytest as _pytest
+
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit(spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "k long, v string, n long"))
+    with _pytest.raises(ValueError, match="missing table column"):
+        t.merge_by_key(
+            spark, spark.createDataFrame([(1, "A")], "k long, v string"), "k"
+        )
+    # nothing was committed by the refused merge
+    assert t.current_version() == 1
+    # additive extras still work: new column null-backfills kept rows
+    v = t.merge_by_key(
+        spark,
+        spark.createDataFrame(
+            [(2, "B", 21, 0.5)], "k long, v string, n long, w double"
+        ),
+        "k",
+    )
+    got = sorted(
+        (r.k, r.v, r.n, r.w) for r in t.read(spark, v, merge_schema=True).collect()
+    )
+    assert got == [(1, "a", 10, None), (2, "B", 21, 0.5)]
+
+
+def test_partition_splits_salt_skips_nested_map_columns(spark, tmp_path):
+    """xxhash64 rejects MapType anywhere in the type tree: a map nested
+    inside a struct must be excluded from the split salt just like a
+    top-level map, or a partitioned partition_splits>1 commit crashes at
+    analysis time (round-14 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    t = ManifestTable(str(tmp_path / "tbl"))
+    df = spark.range(40).selectExpr(
+        "id as k",
+        "id % 2 as g",
+        "named_struct('m', map('a', id), 'x', id) as s",
+    )
+    v = t.commit(df, partition_by="g", partition_splits=2)
+    got = sorted(r.k for r in t.read_pruned(spark, preds={"__pt": (1, 1)}).collect())
+    assert got == [k for k in range(40) if k % 2 == 1]
+    # round-trip: the nested struct (map included) survives the write
+    row = t.read(spark, v).where(F.col("k") == 3).first()
+    assert row.s.m == {"a": 3} and row.s.x == 3

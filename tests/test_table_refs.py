@@ -362,3 +362,40 @@ def test_changefeed_scan_bounded_by_rewrite_footprint(spark, tmp_path):
     untouched = set(t._added_files(1)) | set(t._added_files(3))
     assert scanned and not (scanned & untouched), (scanned, untouched)
     assert len(scanned) < len(set(t._manifest(3)["files"]) | set(t._manifest(4)["files"]))
+
+
+def test_partition_spec_survives_branch_wap_and_clone(spark, tmp_path):
+    """The hidden-partition spec is TABLE-LEVEL — a WAP cycle (branch ->
+    commit -> publish) and a shallow clone must carry it, or branch
+    commits silently write files without __pt stats and the published
+    main loses the layout (round-14 ADVICE, table_format.py branch/WAP/
+    clone extras)."""
+    t = ManifestTable(str(tmp_path / "tbl"))
+    t.commit(
+        spark.range(40).selectExpr("id as k", "id % 4 as g"), partition_by="g"
+    )
+    # branch v1 inherits the fork version's spec; branch commits write __pt
+    b = t.create_branch("wap")
+    assert b.partition_spec() == "g"
+    b.commit(spark.createDataFrame([(100, 1), (101, 2)], "k long, g long"))
+    bstats = b.snapshot_stats(2)
+    for f in b._added_files(2):
+        assert "__pt" in bstats[f], f
+    # the published main snapshot keeps the spec and partitioned reads work
+    v = t.publish_branch("wap")
+    assert t.partition_spec(v) == "g"
+    got = sorted(r.k for r in t.read_pruned(spark, preds={"__pt": (1, 1)}).collect())
+    assert got == [k for k in range(40) if k % 4 == 1] + [100]
+    # a plain append AFTER the publish still inherits (the regression mode:
+    # post-WAP appends silently writing unpartitioned)
+    t.commit(spark.createDataFrame([(200, 1)], "k long, g long"))
+    got = sorted(r.k for r in t.read_pruned(spark, preds={"__pt": (1, 1)}).collect())
+    assert got == [k for k in range(40) if k % 4 == 1] + [100, 200]
+    # shallow clone: the cloned snapshot's spec rides along
+    c = t.clone_to(str(tmp_path / "clone"))
+    assert c.partition_spec() == "g"
+    got = sorted(r.k for r in c.read_pruned(spark, preds={"__pt": (2, 2)}).collect())
+    assert got == [k for k in range(40) if k % 4 == 2] + [101]
+    c.commit(spark.createDataFrame([(300, 2)], "k long, g long"))
+    got = sorted(r.k for r in c.read_pruned(spark, preds={"__pt": (2, 2)}).collect())
+    assert got == [k for k in range(40) if k % 4 == 2] + [101, 300]
