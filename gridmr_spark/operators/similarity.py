@@ -359,12 +359,35 @@ class IVFIndex:
         cells can differ in the last ulp between BLAS calls — then the
         global window merge ranks with the (cosine desc, cid asc) tiebreak,
         identical to the exact GEMM paths."""
+        return self.topk_for_queries(df, df, id_col, vec_col, k)
+
+    def topk_for_queries(
+        self,
+        queries: DataFrame,
+        df: DataFrame,
+        id_col: str,
+        vec_col: str,
+        k: int = 5,
+    ) -> DataFrame:
+        """Top-k of ``df`` for a SEPARATE query frame (same id/vec column
+        names) — the bounded-query search shape, and the EXACT-REGIME
+        entry point: with ``nprobe == self.k`` every query probes every
+        cell, so each (query, base) pair shares at least one cell and the
+        selection is provably identical to brute force — the cogrouped
+        GEMM, cross-cell dedupe, and tiebreak machinery runs under a full
+        equality oracle (`similarity_ivf_exact_regime`), while production
+        settings (nprobe << k) keep the measured-recall contract. Queries
+        never join base rows outside their probed cells, so cost is
+        candidate volume, not n²... except in the exact regime, where
+        probing all cells IS the n·|queries| scan, by design."""
         centroids = self.fit_centroids(df, vec_col)
         base = self.assign_multi(
-            df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")), "cvec", centroids
+            df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")),
+            "cvec", centroids,
         ).select("cell", "cid", "cvec")
         qside = self.probe_cells(
-            df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")), "qvec", centroids
+            queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")),
+            "qvec", centroids,
         ).select("cell", "qid", "qvec")
         return self._cogroup_topk(qside, base, k)
 

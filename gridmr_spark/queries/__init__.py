@@ -50,40 +50,16 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # here explicitly and served first; long-green queries re-verify with
 # whatever budget remains. Update per round as rows come back green.
 _DRIVER_PRIORITY: list[str] = [
-    # --- round-13 priority (driver budget ~50; first rows first) ---
-    # (a) round-13 additions (first driver rows ever): changefeed across
-    # additive schema evolution, DV-aware metadata stats, catalog-level
-    # CDC streams, hidden partitioning.
-    "table_changefeed_evolve", "table_metadata_agg_dv",
-    "stream_catalog_cdc_feed", "table_partition_pruned_read",
-    # (b) freshness rotation (VERDICT r12 item 5): the 43-query cohort
-    # whose latest green driver row is round 6 — oldest first, full set.
-    "agg_groupwise_ols", "agg_salted_skew", "array_funcs",
-    "dedup_duplicate_spans", "dq_k_anonymity", "graph_bfs_distance",
-    "incremental_join_view", "join_lateral_topk", "layout_bucketed_join",
-    "layout_zonemap_skip", "layout_zorder_key", "ml_tree_inference",
-    "multimodal_frame_sample", "multimodal_jpeg_decode",
-    "multimodal_png_decode", "pipeline_observed_metrics",
-    "q10_returned_items", "q12_priority_classes", "q14_promo_revenue",
-    "q18_large_volume", "q22_inactive_customers", "regex_funcs",
-    "sample_train_val_test", "search_bm25_topk", "search_rrf_fusion",
-    "similarity_pq_topk", "sketch_kmv_overlap", "skyline_pareto_front",
-    "source_stream_datasource", "sql_parameterized", "sql_recursive_cte",
-    "sql_scripting_loop", "stream_interval_join_left",
-    "stream_tws_first_seen_live", "stream_tws_sessions",
-    "stream_tws_sessions_live", "text_bigram_lm_score",
-    "text_bpe_tokenize", "text_cdc_chunks", "text_token_drift",
-    "udaf_apply_in_arrow", "url_funcs", "vector_jl_projection",
-    # (c) queries whose CODE PATH changed in round 13: DV growth
-    # discipline + del_env stats (delete/merge/compact/changefeed all
-    # touched), evolution-safe rewrites, the refactored CDC stream
-    # splits, and the WAP audit-assert fix.
-    "table_delete_vectors", "table_changefeed_rewrite",
-    "table_changefeed_agg", "stream_table_cdc_feed", "table_merge_upsert",
-    "table_compact_small", "table_metadata_agg", "table_wap_multi",
-    "merge_upsert_cdc",
-    # (d) next-oldest cohort (latest row r7), alphabetical — re-verify
-    # with whatever budget remains.
+    # --- round-14 priority (driver budget ~50; first rows first) ---
+    # (a) round-14 additions (first driver rows ever): type-widening
+    # schema evolution, partition-spec evolution without rewrite, and
+    # the exact-regime IVF row that puts the ANN machinery under a full
+    # hash oracle.
+    "table_schema_widening", "table_partition_spec_evolution",
+    "similarity_ivf_exact_regime",
+    # (b) freshness rotation (VERDICT r13 item 1): the 50-query cohort
+    # whose latest green driver row is round 7 — the oldest rows in the
+    # record; with (a) taking 3 slots the stragglers roll to round 15.
     "agg_collect", "agg_cube", "agg_grouping_sets", "agg_heavy_hitters",
     "agg_histogram", "agg_hll_mergeable", "agg_quantile_sketch",
     "agg_robust_mad", "agg_rollup", "agg_winsorize", "array_set_ops",
@@ -102,6 +78,16 @@ _DRIVER_PRIORITY: list[str] = [
     "udtf_partitioned_topk", "udtf_tokenize", "window_distribution",
     "window_frames", "window_ntile_nav", "window_ranks",
     "window_topk_per_group",
+    # (c) queries whose CODE PATH changed in round 14: every read/rewrite
+    # seam now goes through _merged_read (widening), read_pruned grew the
+    # per-cohort spec split, and the changelog/catalog streams learned
+    # widened schemas + expire re-seeding.
+    "table_partition_pruned_read", "table_changefeed_evolve",
+    "table_changefeed_rewrite", "table_changefeed_agg",
+    "stream_catalog_cdc_feed", "stream_table_cdc_feed",
+    "table_delete_vectors", "table_merge_upsert", "table_compact_small",
+    "table_stats_pruned_read", "table_zorder_pruned", "table_wap_multi",
+    "table_time_travel", "table_metadata_agg", "table_metadata_agg_dv",
     # r8+-green queries follow in registration order with whatever
     # budget remains.
 ]

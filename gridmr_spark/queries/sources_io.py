@@ -2245,6 +2245,71 @@ def table_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PARTITION-SPEC evolution without rewrite (round 14)
+# ---------------------------------------------------------------------------
+
+_SPEC_EVOLUTION_ORACLE = f"""
+SELECT CAST(month(o_orderdate) AS BIGINT) AS mon,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_SUM_CENTS_SQL} AS sum_cents
+FROM orders
+WHERE month(o_orderdate) BETWEEN 4 AND 6
+GROUP BY 1
+"""
+
+
+@query("table_partition_spec_evolution", oracle=_SPEC_EVOLUTION_ORACLE)
+def table_partition_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION at O(new data) — Iceberg's spec evolution
+    on the manifest table (group ``spec`` stamps + per-cohort pruning,
+    sources/table_format.py, round 14): v1 commits half of orders
+    partitioned by month(o_orderdate); v2 commits the other half under a
+    CHANGED spec, quarter(o_orderdate) — a metadata event that rewrites
+    ZERO old files (tests/test_spec_evolution.py pins the v1 file set
+    carried verbatim). The read probes ONE logical interval expressed per
+    spec — months 4..6 == quarter 2 — via
+    ``pt_preds={{month: (4,6), quarter: (2,2)}}``, so EACH cohort prunes
+    at the group-summary level under its own transform (the scan-set
+    test proves both cohorts prune), and the per-month aggregate
+    hash-matches DuckDB filtering the raw table.
+
+    Scale shape: spec change on a 100-TB table costs O(new data): old
+    cohorts keep their files, stats, and stamped spec; reads stay
+    metadata-exact (no residual row filter when every cohort is covered
+    by pt_preds); compact(partition_by=...) remains the explicit
+    full-rewrite verb that retires old cohorts."""
+    import shutil
+
+    from gridmr_spark.sources.table_format import ManifestTable
+
+    root = _scratch(sf_dir, "specevo")
+    shutil.rmtree(root, ignore_errors=True)
+    t = ManifestTable(root)
+    orders = load_table(spark, sf_dir, "orders")
+    t.commit(
+        orders.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_orderdate", "o_totalprice"
+        ),
+        partition_by="month(o_orderdate)",
+    )                                                   # v1: old spec
+    t.commit(
+        orders.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_orderdate", "o_totalprice"
+        ),
+        partition_by="quarter(o_orderdate)",
+    )                                                   # v2: spec CHANGE, new data only
+    df = t.read_pruned(
+        spark,
+        pt_preds={"month(o_orderdate)": (4, 6), "quarter(o_orderdate)": (2, 2)},
+    )
+    return (
+        df.groupBy(F.month("o_orderdate").cast("long").alias("mon"))
+        .agg(*_cents_agg())
+        .select("mon", "n_rows", "sum_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
 # DV-aware metadata stats: MIN/MAX exactness THROUGH a dv-delete history
 # ---------------------------------------------------------------------------
 

@@ -310,6 +310,40 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf.topk(emb, "vec_id", "embedding", k=5)
 
 
+@query("similarity_ivf_exact_regime", oracle=_GEMM_ORACLE)
+def similarity_ivf_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search in its EXACT PARAMETER REGIME (round 14): nprobe =
+    k_cells means every query probes every cell, so each (query, base)
+    pair shares at least one cell and `IVFIndex.topk_for_queries`
+    (operators/similarity.py) is provably identical to brute force —
+    which puts the whole IVF machinery (seeded Lloyd fit, assign_n=2
+    cell-overlap layout, cogrouped per-cell GEMM, cross-cell max-cosine
+    dedupe, (cosine desc, cid asc) tiebreak) under the SAME full DuckDB
+    hash oracle as the exact GEMM paths, instead of only a recall floor.
+    Selection comes from the IVF cells; reported cosines re-attach via
+    the sequential fold (_fold_rerank, k+3 slack) exactly like
+    similarity_topk_gemm. The production regime (nprobe << k, measured
+    recall 0.94 floor 0.8) stays registered as similarity_ivf_topk.
+
+    Query side bounded (vec_id < 1000, the cosine_topk_gemm contract):
+    the exact regime is deliberately a full scan per query — this row
+    buys gate coverage of the machinery, not a scale claim; the scale
+    claim is the approximate row's job."""
+    import math
+
+    from gridmr_spark.catalog import table_rows
+    from gridmr_spark.operators.similarity import IVFIndex
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = table_rows(sf_dir, "embeddings")
+    k_cells = max(4, math.ceil(math.sqrt(max(n, 1))))
+    ivf = IVFIndex(k=k_cells, nprobe=k_cells, iters=4, seed=42, assign_n=2)
+    sel = ivf.topk_for_queries(
+        emb.where(F.col("vec_id") < 1000), emb, "vec_id", "embedding", k=8
+    ).select(F.col("qid").alias("q_id"), F.col("cid").alias("c_id"))
+    return _fold_rerank(sel, emb, k=5)
+
+
 @query("similarity_topk_gemm_blocked", oracle=_GEMM_FULL_ORACLE)
 def similarity_topk_gemm_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-matrix GEMM exact top-5 over the FULL query side — the shape

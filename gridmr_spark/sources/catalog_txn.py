@@ -187,6 +187,60 @@ class TableCatalog:
             os.remove(os.path.join(self._cdir, f"v{v:05d}.json"))
         return drop
 
+    def vacuum_dropped(self, min_age_seconds: float = 3600.0) -> list[str]:
+        """Reclaim the storage of DROPPED tables — the missing second half
+        of ``drop_table`` + ``expire``: once the last catalog version
+        pinning a table is expired, its data/manifest tree is unreachable
+        through the catalog AND invisible to every per-table vacuum
+        (nothing lists it). This verb closes the loop: any table directory
+        under the CATALOG ROOT that no RETAINED catalog version pins is
+        deleted wholesale. Returns the removed roots.
+
+        Safety contract mirrors ``ManifestTable.vacuum_orphans``:
+
+        - scope — only immediate children of the catalog root that LOOK
+          like table roots (carry a ``_manifests`` dir); anything else
+          (including table roots living elsewhere, which this catalog may
+          not own) is never touched;
+        - liveness — a root pinned by ANY retained catalog version (any
+          table name, any version) is live: time travel to it must keep
+          working until ``expire`` says otherwise;
+        - age guard — a root with write activity newer than
+          ``min_age_seconds`` survives even when unpinned: an in-flight
+          ``create_table`` transaction has committed the table but not yet
+          published the pin. Pass 0 only when no writer can be active."""
+        import shutil
+        import time as _time
+
+        now = _time.time()
+        live: set[str] = set()
+        for v in self.versions():
+            for p in self._raw(v)["tables"].values():
+                live.add(os.path.realpath(p["root"]))
+        removed: list[str] = []
+        for name in sorted(os.listdir(self.root)):
+            d = os.path.join(self.root, name)
+            if name == "_catalog" or not os.path.isdir(d):
+                continue
+            if not os.path.isdir(os.path.join(d, "_manifests")):
+                continue  # not a table root this catalog could own
+            if os.path.realpath(d) in live:
+                continue
+            # newest shallow mtime: the root itself, its top-level entries,
+            # and the manifest files (every commit touches _manifests, so
+            # any in-flight writer shows up here)
+            newest = os.path.getmtime(d)
+            for sub in os.listdir(d):
+                newest = max(newest, os.path.getmtime(os.path.join(d, sub)))
+            mdir = os.path.join(d, "_manifests")
+            for sub in os.listdir(mdir):
+                newest = max(newest, os.path.getmtime(os.path.join(mdir, sub)))
+            if now - newest < min_age_seconds:
+                continue
+            shutil.rmtree(d)
+            removed.append(d)
+        return removed
+
     def begin(self) -> "CatalogTransaction":
         return CatalogTransaction(self)
 

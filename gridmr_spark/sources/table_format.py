@@ -585,7 +585,10 @@ class ManifestTable:
         if bloom_cols:
             pending = getattr(self, "_pending_blooms", {})
             blooms = {f: pending.get(f, {}) for f in added}
-        entry = self._write_group(added, self._stats_for(added), blooms, self._rows_for(added))
+        entry = self._write_group(
+            added, self._stats_for(added), blooms, self._rows_for(added),
+            spec=partition_by,
+        )
         groups = (self._groups_of(base) if base else []) + [entry]
         dv = self._dv(base) if base else {}
         extra = self._dv_extra(dv)
@@ -655,7 +658,8 @@ class ManifestTable:
                 partition_by=partition_by, partition_splits=partition_splits,
             )
             entry = self._write_group(
-                added, self._stats_for(added), rows=self._rows_for(added)
+                added, self._stats_for(added), rows=self._rows_for(added),
+                spec=partition_by,
             )
             self._publish(
                 v, "compact", None, [entry], [entry["path"]],
@@ -739,7 +743,8 @@ class ManifestTable:
             )
             if added:
                 entry = self._write_group(
-                    added, self._stats_for(added), rows=self._rows_for(added)
+                    added, self._stats_for(added), rows=self._rows_for(added),
+                    spec=self.partition_spec(cur),
                 )
                 groups.append(entry)
         extra = self._dv_extra(dv)
@@ -848,7 +853,8 @@ class ManifestTable:
         added_groups: list[str] = []
         if added:
             entry = self._write_group(
-                added, self._stats_for(added), rows=self._rows_for(added)
+                added, self._stats_for(added), rows=self._rows_for(added),
+                spec=self.partition_spec(base),
             )
             groups.append(entry)
             added_groups = [entry["path"]]
@@ -947,7 +953,8 @@ class ManifestTable:
             )
             if added:
                 entry = self._write_group(
-                    added, self._stats_for(added), rows=self._rows_for(added)
+                    added, self._stats_for(added), rows=self._rows_for(added),
+                    spec=self.partition_spec(base),
                 )
                 groups.append(entry)
                 self._publish(
@@ -1174,7 +1181,8 @@ class ManifestTable:
         added_groups: list[str] = []
         if added:
             entry = self._write_group(
-                added, self._stats_for(added), rows=self._rows_for(added)
+                added, self._stats_for(added), rows=self._rows_for(added),
+                spec=self.partition_spec(base),
             )
             groups.append(entry)
             added_groups = [entry["path"]]
@@ -1312,7 +1320,10 @@ class ManifestTable:
             # manifest references would be reclaimed by the source's
             # routine vacuum_orphans, silently bricking the clone
             groups = [
-                dest._write_group(raw["files"], self.snapshot_stats(version))
+                dest._write_group(
+                    raw["files"], self.snapshot_stats(version),
+                    spec=self.partition_spec(version),
+                )
             ]
         # group entries reference the SOURCE's group files by absolute
         # path (like data files) — stats ride with the groups, so the
@@ -1669,32 +1680,43 @@ class ManifestTable:
         compact/overwrite/restore, whose files are rewrites) — ``diff``
         and the changelog stream treat it as contributing zero rows.
 
-        File order is preserved (cumulative commit order), so resolved
-        ``files`` lists stay byte-stable across the rewrite."""
+        File order is preserved within each SPEC COHORT (groups are
+        repacked per partition-spec stamp — mixing cohorts would destroy
+        per-cohort pruning after a spec evolution); on a single-spec
+        table, the common case, that degenerates to cumulative commit
+        order and resolved ``files`` lists stay byte-stable."""
         cur = self.current_version()
         if cur is None:
             raise ValueError(f"nothing to rewrite in {self.root}")
         if target_groups < 1:
             raise ValueError("target_groups must be >= 1")
-        files: list[str] = []
+        # regroup PER SPEC COHORT: a group's spec stamp is what lets each
+        # cohort prune under its own partition transform after a spec
+        # evolution, so packing two cohorts into one group would destroy
+        # that. Cohorts in first-seen order; file order preserved within.
+        by_spec: dict = {}
         stats: dict[str, dict] = {}
         blooms: dict[str, dict] = {}
         rows: dict[str, int] = {}
+        total = 0
         for g in self._groups_of(cur):
             grp = self._load_group(g["path"])
-            files.extend(grp["files"])
+            by_spec.setdefault(g.get("spec"), []).extend(grp["files"])
+            total += len(grp["files"])
             stats.update(grp["stats"])
             blooms.update(grp.get("blooms", {}))
             rows.update(grp.get("rows", {}))
-        if not files:
+        if not total:
             raise ValueError(
                 f"snapshot v{cur} of {self.root} is empty — nothing to rewrite"
             )
-        per = -(-len(files) // target_groups)
+        per = -(-total // target_groups)
         entries = [
             self._write_group(
-                files[i : i + per], stats, blooms or None, rows or None
+                files[i : i + per], stats, blooms or None, rows or None,
+                spec=spec,
             )
+            for spec, files in by_spec.items()
             for i in range(0, len(files), per)
         ]
         v = cur + 1
@@ -2042,6 +2064,9 @@ class ManifestTable:
                         g.get("stats", {}),
                         g.get("blooms"),
                         g.get("rows"),
+                        # surviving files keep their original __pt values,
+                        # so the subset group keeps the cohort's spec
+                        spec=entry.get("spec"),
                     )
                 )
         return out
@@ -2052,12 +2077,23 @@ class ManifestTable:
         stats: dict,
         blooms: dict | None = None,
         rows: dict | None = None,
+        spec: str | None = None,
     ) -> dict:
         """Write an immutable file-group manifest and return its snapshot
-        entry ``{path, n_files, summary}``. Unique name per write attempt
-        (same reasoning as data dirs): a group whose snapshot publish
-        loses the OCC race or crashes is an orphan ``vacuum_orphans``
-        reclaims — group files need no OCC of their own."""
+        entry ``{path, n_files, summary[, spec]}``. Unique name per write
+        attempt (same reasoning as data dirs): a group whose snapshot
+        publish loses the OCC race or crashes is an orphan
+        ``vacuum_orphans`` reclaims — group files need no OCC of their own.
+
+        ``spec`` records the PARTITION SPEC the group's files were written
+        under (their ``__pt`` values' transform) — the per-cohort half of
+        Iceberg-style partition-spec evolution: when ``commit(partition_by=
+        new)`` changes the table spec, old cohorts keep pruning under their
+        own stamped spec while new data prunes under the new one
+        (``pruned_files(pt_preds=...)``), at O(new data) cost instead of a
+        full rewrite. Groups without a stamp (pre-evolution history) read
+        as the snapshot-level spec, which is exactly what they were
+        written under when spec changes were impossible."""
         os.makedirs(self._gdir, exist_ok=True)
         path = os.path.join(self._gdir, f"g-{uuid.uuid4().hex[:12]}.json")
         tmp = os.path.join(self._gdir, f".{os.path.basename(path)}.tmp")
@@ -2074,6 +2110,8 @@ class ManifestTable:
             "n_files": len(files),
             "summary": self._summarize(files, stats),
         }
+        if spec:
+            entry["spec"] = spec
         # entry-level row total only when EVERY member file's count is
         # known — a partial sum would read as an exact answer
         if rows and all(f2 in rows for f2 in files):
@@ -2090,7 +2128,12 @@ class ManifestTable:
         if "groups" in raw:
             return list(raw["groups"])
         files = raw["files"]
-        return [self._write_group(files, self.snapshot_stats(version))]
+        return [
+            self._write_group(
+                files, self.snapshot_stats(version),
+                spec=self.partition_spec(version),
+            )
+        ]
 
     def _publish(
         self,
@@ -2430,7 +2473,9 @@ class ManifestTable:
         version: int | None = None,
         preds: dict | None = None,
         point: dict | None = None,
-    ) -> list[str]:
+        pt_preds: dict | None = None,
+        _split: bool = False,
+    ):
         """The snapshot's files whose [min, max] INTERSECTS every range
         predicate — files with no stats for a column are conservatively
         kept for that predicate. Single-column form: ``(col, lo, hi)``;
@@ -2455,7 +2500,26 @@ class ManifestTable:
         GROUP's summary envelope first, and only intersecting groups'
         manifests are opened for per-file checks — a selective probe on a
         clustered table reads O(matching groups) metadata no matter how
-        many files the table holds (``group_opens`` counts it)."""
+        many files the table holds (``group_opens`` counts it).
+
+        PARTITION-SPEC EVOLUTION (round 14): a ``__pt`` entry in ``preds``
+        is interpreted under the SNAPSHOT's current spec, and applies only
+        to cohorts stamped with (or defaulting to) that spec. The general
+        form is ``pt_preds={spec_string: (lo, hi), ...}`` — each cohort
+        prunes under ITS OWN stamped spec's range (Iceberg's per-spec file
+        pruning), and cohorts whose spec has no entry are conservatively
+        KEPT (``read_pruned`` applies the spec residual to exactly those).
+        All ``pt_preds`` entries must describe the SAME logical row
+        predicate in their own transform space (e.g. months 4..6 and
+        quarter 2..2 of one date interval) — they select files, and
+        every kept file's rows flow into one result.
+
+        ``_split=True`` returns ``(exact_files, residual_files)`` instead
+        of one list: residual files are kept files whose partition
+        qualification is NOT proven by metadata (uncovered spec, no
+        stamp + no snapshot spec match, or a missing __pt stat such as a
+        NULL-partition file) — the set ``read_pruned`` must filter
+        row-wise."""
         if preds is None:
             preds = {col: (lo, hi)} if col is not None else {}
         preds = dict(preds)
@@ -2466,14 +2530,35 @@ class ManifestTable:
             version = self.current_version()
             if version is None:
                 raise ValueError(f"table {self.root} has no committed snapshot")
+        snap_spec = self.partition_spec(version)
+        ptp = dict(pt_preds or {})
+        if "__pt" in preds:
+            # sugar: a bare __pt range means "under the snapshot's spec".
+            # On a snapshot with NO current spec (dropped by an explicit
+            # unpartitioned write), it keys None: the pre-evolution
+            # "blind" semantics — the range applies to every cohort's
+            # __pt stats, the caller asserting a single-spec history.
+            ptp.setdefault(snap_spec, preds.pop("__pt"))
+        blind = ptp.get(None)
         raw = self._raw(version)
         keep: list[str] = []
+        resid: list[str] = []
         if "groups" in raw:
             for g in raw["groups"]:
+                # unstamped groups were written under the snapshot-level
+                # spec (stamps postdate spec evolution; before it, specs
+                # could not differ within a snapshot)
+                g_spec = g.get("spec") or snap_spec
+                gpreds = dict(preds)
+                covered = ptp and g_spec is not None and g_spec in ptp
+                if covered:
+                    gpreds["__pt"] = ptp[g_spec]
+                elif blind is not None:
+                    gpreds["__pt"] = blind
                 summary = g.get("summary", {})
                 if any(
                     self._disjoint(summary.get(c), p_lo, p_hi, c)
-                    for c, (p_lo, p_hi) in preds.items()
+                    for c, (p_lo, p_hi) in gpreds.items()
                 ):
                     continue  # whole group out of range: manifest never opened
                 grp = self._load_group(g["path"])
@@ -2481,7 +2566,7 @@ class ManifestTable:
                     st = grp["stats"].get(f, {})
                     if any(
                         self._disjoint(st.get(c), p_lo, p_hi, c)
-                        for c, (p_lo, p_hi) in preds.items()
+                        for c, (p_lo, p_hi) in gpreds.items()
                     ):
                         continue
                     if point:
@@ -2491,15 +2576,31 @@ class ManifestTable:
                             for c, v in point.items()
                         ):
                             continue
-                    keep.append(f)
-            return keep
+                    if ptp and not (
+                        (covered or blind is not None) and "__pt" in st
+                    ):
+                        resid.append(f)
+                    else:
+                        keep.append(f)
+            return (keep, resid) if _split else keep + resid
         for f, st in self.snapshot_stats(version).items():
+            gpreds = dict(preds)
+            covered = ptp and snap_spec is not None and snap_spec in ptp
+            if covered:
+                gpreds["__pt"] = ptp[snap_spec]
+            elif blind is not None:
+                gpreds["__pt"] = blind
             if not any(
                 self._disjoint(st.get(c), p_lo, p_hi, c)
-                for c, (p_lo, p_hi) in preds.items()
+                for c, (p_lo, p_hi) in gpreds.items()
             ):
-                keep.append(f)
-        return keep
+                if ptp and not (
+                    (covered or blind is not None) and "__pt" in st
+                ):
+                    resid.append(f)
+                else:
+                    keep.append(f)
+        return (keep, resid) if _split else keep + resid
 
     @staticmethod
     def _disjoint(mm, p_lo, p_hi, c: str) -> bool:
@@ -2530,6 +2631,7 @@ class ManifestTable:
         preds: dict | None = None,
         point: dict | None = None,
         partition_exact: bool = True,
+        pt_preds: dict | None = None,
     ) -> DataFrame:
         """Exactly ``read(version).where(<all range predicates>)``, but
         scanning only the stats-overlapping files: the residual predicates
@@ -2539,67 +2641,80 @@ class ManifestTable:
         and ``table_zorder_pruned`` — while the scan skips
         non-overlapping files entirely.
 
-        A ``__pt`` (hidden-partitioning) predicate has NO residual — the
-        value lives in the manifest, not the data — so a kept file
-        WITHOUT a ``__pt`` stat (unpartitioned commit in a mixed history,
-        NULL partition value, partial-rewrite output) would leak its
-        out-of-partition rows silently. ``partition_exact=True`` (default)
-        therefore RAISES when any kept file lacks the stat, naming the
-        fix; pass ``partition_exact=False`` to accept the conservative
-        superset and apply your own residual on the source column."""
+        PARTITION PREDICATES. A ``__pt`` entry in ``preds`` filters on the
+        snapshot's current partition transform; the general form
+        ``pt_preds={spec: (lo, hi), ...}`` gives each spec cohort its OWN
+        range (partition-spec evolution — see ``pruned_files``). Files
+        whose qualification is proven by metadata (stamped spec covered by
+        ``pt_preds`` + a ``__pt`` stat) are read with NO residual — exact
+        by construction. Files kept conservatively (uncovered spec,
+        unpartitioned commit in a mixed history, NULL partition value)
+        get, under ``partition_exact=True`` (default), the COMPUTED
+        residual — every ``pt_preds`` transform expression evaluated over
+        their rows and range-checked — so the result is exact even across
+        spec changes and NULL partitions (a NULL transform value is not in
+        any range, per partition-predicate semantics). If a residual
+        cannot be built (no spec anywhere to evaluate), it raises.
+        ``partition_exact=False`` keeps those files wholesale with NO
+        residual: the conservative superset, caller's own filter
+        governs."""
         from pyspark.sql import functions as _F
 
         if preds is None:
             preds = {col: (lo, hi)} if col is not None else {}
-        files = self.pruned_files(version=version, preds=preds, point=point)
-        if "__pt" in preds and partition_exact and files:
-            v = version if version is not None else self.current_version()
-            kept, missing = set(files), 0
-            raw = self._raw(v)
-            if "groups" not in raw:
-                # format-1 snapshot: stats are inline, check them directly
-                st = self.snapshot_stats(v)
-                missing = sum(
-                    1 for f in kept if "__pt" not in (st.get(f) or {})
-                )
-            for g in raw.get("groups", []):
-                if any(
-                    self._disjoint(g.get("summary", {}).get(c), p_lo, p_hi, c)
-                    for c, (p_lo, p_hi) in preds.items()
-                ):
-                    continue  # pruned_files skipped it too: no kept files
-                grp = self._load_group(g["path"])  # cached by pruned_files
-                missing += sum(
-                    1
-                    for f in grp["files"]
-                    if f in kept and "__pt" not in (grp["stats"].get(f) or {})
-                )
-            if missing:
-                raise ValueError(
-                    f"read_pruned: {missing} kept file(s) of v{v} carry no "
-                    "__pt partition value (unpartitioned commit, NULL "
-                    "partition, or rewrite output) — a partition predicate "
-                    "has no residual, so their rows would leak. Filter on "
-                    "the SOURCE column instead, or pass "
-                    "partition_exact=False to accept the superset"
-                )
-        if not files:
+        preds = dict(preds)
+        v = version if version is not None else self.current_version()
+        exact_files, resid_files = self.pruned_files(
+            version=version, preds=preds, point=point, pt_preds=pt_preds,
+            _split=True,
+        )
+        ptp = dict(pt_preds or {})
+        if "__pt" in preds:
+            ptp.setdefault(self.partition_spec(v), preds.pop("__pt"))
+        if not (exact_files or resid_files):
             # no file can match: an empty frame with the snapshot's schema
             return self.read(spark, version).where(_F.lit(False))
-        df = self._apply_dv(
-            spark,
-            spark.read.parquet(*files),
-            self._dv(version if version is not None else self.current_version()),
-        )
+        dv = self._dv(v)
+        if resid_files and ptp and partition_exact:
+            residual = None
+            for spec, (p_lo, p_hi) in ptp.items():
+                if spec is None:
+                    raise ValueError(
+                        "read_pruned: kept file(s) need a partition "
+                        "residual but the predicate's spec is None (bare "
+                        "__pt on a snapshot with no current spec) — pass "
+                        "pt_preds={<spec>: (lo, hi)} or "
+                        "partition_exact=False for the superset"
+                    )
+                term = _F.lit(True)
+                if p_lo is not None:
+                    term = term & (_F.expr(spec) >= _F.lit(p_lo))
+                if p_hi is not None:
+                    term = term & (_F.expr(spec) <= _F.lit(p_hi))
+                residual = term if residual is None else (residual & term)
+            parts = []
+            if exact_files:
+                parts.append(
+                    self._apply_dv(spark, spark.read.parquet(*exact_files), dv)
+                )
+            resid_df = self._apply_dv(
+                spark, spark.read.parquet(*resid_files), dv
+            )
+            if residual is not None:
+                resid_df = resid_df.where(residual)
+            parts.append(resid_df)
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p, allowMissingColumns=True)
+        else:
+            df = self._apply_dv(
+                spark,
+                spark.read.parquet(*(exact_files + resid_files)),
+                dv,
+            )
+        # __pt was folded into ptp above; what remains are ordinary
+        # source-column ranges, whose residuals re-apply row-wise
         for c, (p_lo, p_hi) in preds.items():
-            if c == "__pt":
-                # partition-transform predicate: metadata-only (the value
-                # lives in the manifest, not the data) and EXACT by
-                # construction — every row of a kept file shares the
-                # file's single partition value, so there is no residual
-                # to apply (a NULL-partition file is kept conservatively;
-                # the caller's own residual on the SOURCE column governs)
-                continue
             if p_lo is not None:
                 df = df.where(_F.col(c) >= _F.lit(p_lo))
             if p_hi is not None:

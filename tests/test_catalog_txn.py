@@ -321,3 +321,51 @@ def test_catalog_expire_drops_old_versions_only(spark, tmp_path):
     assert t_a.versions() == [1, 2, 3, 4]
     with _pt.raises(ValueError, match="no such catalog version"):
         cat.read(spark, "a", at=1)
+
+
+def test_vacuum_dropped_reclaims_unpinned_tables(spark, tmp_path):
+    """drop_table -> expire -> vacuum_dropped reclaims the dropped
+    table's whole tree (round 14); a still-pinned table, a non-table
+    directory, and an in-flight create inside the age window all
+    survive."""
+    import os
+    import time
+
+    root = str(tmp_path / "cat")
+    t_a = ManifestTable(os.path.join(root, "a"))
+    t_b = ManifestTable(os.path.join(root, "b"))
+    t_a.commit(spark.createDataFrame([(1, "x")], "k long, v string"))
+    t_b.commit(spark.createDataFrame([(2, "y")], "k long, v string"))
+    cat = TableCatalog(root)
+    cat.create({"a": t_a, "b": t_b})                 # cv1 pins both
+    txn = cat.begin()
+    txn.drop_table("b")
+    txn.commit()                                     # cv2: b dropped
+    os.makedirs(os.path.join(root, "notatable"))     # never touched
+    # b is still pinned by retained cv1: vacuum must keep it
+    assert cat.vacuum_dropped(min_age_seconds=0) == []
+    cat.expire(keep_last=1)                          # cv1 gone -> b unpinned
+    # age window: a fresh (just-written) unpinned table survives
+    assert cat.vacuum_dropped(min_age_seconds=3600) == []
+    assert os.path.isdir(t_b.root)
+    # in-flight create: committed table, pin not yet published
+    t_c = ManifestTable(os.path.join(root, "c"))
+    t_c.commit(spark.createDataFrame([(3, "z")], "k long, v string"))
+    # age the dropped table's tree past the (tiny) window; c stays fresh
+    old = time.time() - 10
+    for dirpath, dirnames, filenames in os.walk(t_b.root):
+        os.utime(dirpath, (old, old))
+        for f in filenames:
+            os.utime(os.path.join(dirpath, f), (old, old))
+    removed = cat.vacuum_dropped(min_age_seconds=5)
+    assert removed == [t_b.root]
+    assert not os.path.exists(t_b.root)
+    assert os.path.isdir(t_c.root) and os.path.isdir(t_a.root)
+    assert os.path.isdir(os.path.join(root, "notatable"))
+    # the surviving pinned table still reads
+    assert cat.read(spark, "a").count() == 1
+    # publish c's pin: it is live from then on
+    txn = cat.begin()
+    txn.create_table("c", t_c)
+    txn.commit()
+    assert cat.vacuum_dropped(min_age_seconds=0) == []

@@ -1308,10 +1308,12 @@ def test_partition_by_date_transform_and_mixed_history(spark, tmp_path):
     got = t.read_pruned(spark, preds={"__pt": (2, 2)})
     want = df.where("month(d) = 2")
     assert got.count() == want.count() > 0
-    # mixed history: an EXPLICITLY unpartitioned append (partition_by="",
-    # since plain appends inherit the table spec) is kept for every
-    # partition pred; partition_exact (default) now REFUSES the
-    # residual-less read, partition_exact=False returns the superset
+    # mixed history: an EXPLICITLY unpartitioned append (partition_by="")
+    # DROPS the table-level spec, so a bare __pt predicate has no spec to
+    # build a residual from — the exact read refuses, naming the fix
+    # (pt_preds), and partition_exact=False returns the superset. (With
+    # the spec RETAINED, unstamped files get the computed residual
+    # instead — test_partition_by_null_values_unprunable.)
     t.commit(spark.sql("SELECT 9999 AS k, date'2024-02-15' AS d"), partition_by="")
     kept2 = t.pruned_files(preds={"__pt": (2, 2)})
     assert len(kept2) == len(kept) + 1
@@ -1323,6 +1325,10 @@ def test_partition_by_date_transform_and_mixed_history(spark, tmp_path):
         .count()
         == want.count() + 1
     )
+    # the explicit per-spec form rebuilds the residual and reads EXACT
+    got2 = t.read_pruned(spark, pt_preds={"month(d)": (2, 2)})
+    assert got2.count() == want.count() + 1
+    assert got2.where("k = 9999").count() == 1
 
 
 def test_partition_by_null_values_unprunable(spark, tmp_path):
@@ -1333,18 +1339,15 @@ def test_partition_by_null_values_unprunable(spark, tmp_path):
     )
     t.commit(df, partition_by="g")
     # the NULL partition's file has no __pt stat -> kept for any range;
-    # the exact read refuses (no residual exists for it), the superset
-    # read + caller residual stays exact
+    # the exact read (round 14) applies the computed residual over it, so
+    # NULL-partition rows are excluded (a NULL transform value is not in
+    # any range) and the result is exact without a caller-side filter
     kept = t.pruned_files(preds={"__pt": (1, 1)})
-    with pytest.raises(ValueError, match="partition_exact"):
-        t.read_pruned(spark, preds={"__pt": (1, 1)})
-    got = sorted(
-        r.k
-        for r in t.read_pruned(
-            spark, preds={"__pt": (1, 1)}, partition_exact=False
-        ).where("g = 1").collect()
-    )
+    got = sorted(r.k for r in t.read_pruned(spark, preds={"__pt": (1, 1)}).collect())
     assert got == sorted(k for k in range(30) if k >= 5 and k % 3 == 1)
+    # the superset read still keeps the NULL file's rows for the caller
+    sup = t.read_pruned(spark, preds={"__pt": (1, 1)}, partition_exact=False)
+    assert sup.where("g IS NULL").count() == 5
     assert len(kept) == 2  # g=1 file + the null file
 
 
