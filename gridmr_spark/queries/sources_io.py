@@ -2310,6 +2310,86 @@ def table_partition_spec_evolution(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ---------------------------------------------------------------------------
+# Column RENAME via stable field IDs (round 14 stretch)
+# ---------------------------------------------------------------------------
+
+_RENAME_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice AS price,
+         CASE WHEN o_orderkey % 3 = 1 THEN o_orderstatus END AS o_orderstatus
+  FROM orders WHERE o_orderkey % 3 IN (0, 1)
+),
+v AS (SELECT * FROM base WHERE NOT (price < 20000))
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(price * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM v GROUP BY 1
+"""
+
+
+@query("table_rename_column", oracle=_RENAME_ORACLE)
+def table_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN RENAME as a metadata operation (`rename_column` + stable
+    field IDs, sources/table_format.py, round 14): v1 commits a third of
+    orders on a FIELD-IDS table (every written column carries its
+    ``PARQUET:field_id``), v2 renames o_totalprice -> price touching
+    ZERO data files, v3 appends more rows under the NEW name plus an
+    ADDED column (o_orderstatus), and v4 partially COW-deletes on the
+    renamed column with matches in BOTH cohorts — the rewrite scans
+    pre-rename files by ID under the current names. The merged read
+    serves one schema (current names, typed-NULL backfill for the added
+    column) and the per-status aggregate hash-matches DuckDB computing
+    the same pipeline on the raw table with the rename applied as SQL
+    aliases.
+
+    Scale shape: rename is O(1) metadata at any table size (Iceberg's
+    field-id contract; Spark's fieldId readers up-cast/re-name in the
+    scan itself — one pass, no rewrite). Retired names are never
+    recycled, so pre-rename column stats can never mis-prune; stats
+    pruning on a renamed column degrades to conservative for old
+    cohorts until a compact, which tests/test_rename_fieldids.py pins
+    exact either way."""
+    import shutil
+
+    from gridmr_spark.sources.table_format import ManifestTable
+
+    root = _scratch(sf_dir, "rename")
+    shutil.rmtree(root, ignore_errors=True)
+    t = ManifestTable(root)
+    orders = load_table(spark, sf_dir, "orders")
+    t.commit(
+        orders.where(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ),
+        field_ids=True,
+    )                                                   # v1: old name
+    t.rename_column("o_totalprice", "price")            # v2: metadata-only
+    t.commit(
+        orders.where(F.col("o_orderkey") % 3 == 1).select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            "o_orderstatus",
+        )
+    )                                                   # v3: new name + added col
+    t.delete_where(spark, F.col("price") < 20000)       # v4: COW on the NEW name
+    df = t.read(spark, merge_schema=True)
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.floor(F.col("price") * F.lit(100.0)).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        .select("o_orderstatus", "n_rows", "sum_cents", "min_key", "max_key")
+    )
+
+
+# ---------------------------------------------------------------------------
 # DV-aware metadata stats: MIN/MAX exactness THROUGH a dv-delete history
 # ---------------------------------------------------------------------------
 

@@ -471,8 +471,17 @@ class ManifestTable:
         parent_version: int | None = None,
         partition_by: str | None = None,
         partition_splits: int = 1,
+        field_ids: bool = False,
     ) -> int:
         """Append ``df`` as a new snapshot; returns the new version.
+
+        ``field_ids=True`` (FIRST commit only) makes this a FIELD-IDS
+        table: every written column carries a stable ``PARQUET:field_id``
+        and the manifest tracks the id<->name mapping, which is what
+        turns :meth:`rename_column` into a metadata operation. Later
+        commits continue automatically (new columns get fresh ids);
+        enabling after the first commit raises — earlier files would lack
+        ids and a rename could never resolve them.
 
         Data first, manifest last, manifest publish atomic+exclusive: a reader
         resolving the table at ANY instant sees either the old complete
@@ -532,6 +541,14 @@ class ManifestTable:
         if found is not None:
             return found
         prev = self.current_version()
+        if field_ids:
+            if prev is not None and self.column_ids(prev) is None:
+                raise ValueError(
+                    f"commit to {self.root}: field_ids=True is a FIRST-"
+                    "commit choice — earlier snapshots' files carry no "
+                    "field ids, so renames could never resolve them"
+                )
+            self._enable_field_ids = True
         # parent_version: append onto a PINNED snapshot instead of the
         # head — the cross-table transaction's staging contract
         # (catalog_txn.py): a staged-but-never-published version left by
@@ -735,7 +752,7 @@ class ManifestTable:
             # DV-applied: packing materializes the packed files' deletes.
             packed = self._apply_dv(
                 spark,
-                _merged_read(spark, small),
+                self._union_read(spark, small, cur),
                 self._dv(cur),
             ).repartition(int(nparts))
             added = self._nonempty(
@@ -824,7 +841,7 @@ class ManifestTable:
             # MERGE WITH SCHEMA EVOLUTION shape)
             kept = self._apply_dv(
                 spark,
-                _merged_read(spark, affected),
+                self._union_read(spark, affected, base),
                 self._dv(base),
             ).join(keys, key, "left_anti")
             # additive-only guard: updates may ADD columns (kept rows get
@@ -921,7 +938,7 @@ class ManifestTable:
         hit_files = {
             r[0]
             for r in self._scan_with_provenance(
-                spark, self._manifest(base)["files"], self._dv(base)
+                spark, self._manifest(base)["files"], self._dv(base), base
             )
             .where(cond)
             .select("__mt_fp")
@@ -945,7 +962,7 @@ class ManifestTable:
             # the union of their columns, not one arbitrary file's shape
             kept = self._apply_dv(
                 spark,
-                _merged_read(spark, affected),
+                self._union_read(spark, affected, base),
                 self._dv(base),
             ).where(~_F.coalesce(cond, _F.lit(False)))
             added = self._nonempty(
@@ -999,7 +1016,7 @@ class ManifestTable:
             )
         dv0 = self._dv(base)
         tagged = self._scan_with_provenance(
-            spark, self._manifest(base)["files"], dv0
+            spark, self._manifest(base)["files"], dv0, base
         )
         env_cols = [
             f.name
@@ -1169,7 +1186,7 @@ class ManifestTable:
         # columns (same rule as every other rewrite verb)
         kept = self._apply_dv(
             spark,
-            _merged_read(spark, selected),
+            self._union_read(spark, selected, base),
             dv,
         )
         added = self._nonempty(
@@ -1192,8 +1209,13 @@ class ManifestTable:
         )
         return v
 
-    @staticmethod
-    def _scan_with_provenance(spark: SparkSession, files: list[str], dv: dict) -> DataFrame:
+    def _scan_with_provenance(
+        self,
+        spark: SparkSession,
+        files: list[str],
+        dv: dict,
+        version: int | None = None,
+    ) -> DataFrame:
         """Raw scan of ``files`` with scan-time provenance retained as
         ``__mt_fp``/``__mt_ri`` columns and the DV set already
         subtracted — the shared front half of the DV delete and the
@@ -1203,11 +1225,12 @@ class ManifestTable:
         from pyspark.sql import functions as _F
 
         # union schema: the predicate may reference a column added by a
-        # later commit; pre-evolution files null-fill, and a widening
-        # commit in the set reads at the widest type (footer merge cost
-        # is negligible next to the predicate scan that follows)
+        # later commit; pre-evolution files null-fill, a widening commit
+        # reads at the widest type, and a renamed table resolves by field
+        # id (footer merge cost is negligible next to the predicate scan
+        # that follows)
         tagged = (
-            _merged_read(spark, files)
+            self._union_read(spark, files, version)
             .select(
                 "*",
                 _F.col("_metadata.file_path").alias("__mt_fp"),
@@ -1850,6 +1873,49 @@ class ManifestTable:
         partition_by: str | None = None,
         partition_splits: int = 1,
     ) -> list[str]:
+        # FIELD IDS: on a field-ids table every written column carries
+        # its stable ``PARQUET:field_id`` (new names extend the mapping
+        # with fresh ids; the extended mapping is stashed for _publish).
+        # This is what later makes RENAME metadata-only — see
+        # ``rename_column``. Enabled at table birth via
+        # commit(field_ids=True); retired names are never reassigned.
+        # Pop first: a PRIOR aborted attempt (CHECK violation between
+        # write and publish) must not leak its extension into this one.
+        self.__dict__.pop("_pending_columns", None)
+        cur = self.current_version()
+        ids = self.column_ids(cur) if cur else None
+        if ids is None and getattr(self, "_enable_field_ids", False):
+            ids = {}
+        if ids is not None:
+            from pyspark.sql import functions as _F
+
+            retired = set(
+                (self._raw(cur).get("retired_columns", []) if cur else [])
+            )
+            clash = [c for c in df.columns if c in retired]
+            if clash:
+                raise ValueError(
+                    f"commit to {self.root}: column name(s) {clash} are "
+                    "RETIRED (used before a rename) — recycled names could "
+                    "match stale pre-rename stats; pick different names"
+                )
+            nxt = max(ids.values(), default=0) + 1
+            for c in df.columns:
+                if c not in ids:
+                    ids[c] = nxt
+                    nxt += 1
+            self._pending_columns = [
+                {"id": i, "name": n} for n, i in ids.items()
+            ]
+            df.sparkSession.conf.set(
+                "spark.sql.parquet.fieldId.write.enabled", "true"
+            )
+            df = df.select(
+                *[
+                    _F.col(c).alias(c, metadata={"parquet.field.id": ids[c]})
+                    for c in df.columns
+                ]
+            )
         # Unique suffix per write ATTEMPT: a concurrent writer racing to
         # the same version, or a retry after a torn (crashed) commit, never
         # collides with leftover data directories — losers/leftovers are
@@ -2156,6 +2222,22 @@ class ManifestTable:
         }
         if extra:
             manifest.update(extra)
+        # column-id mapping rides EVERY snapshot of a field-ids table:
+        # a write that extended it stashes the new mapping
+        # (_pending_columns, set by _write_data); anything else inherits
+        # the previous version's verbatim — renames stay versioned, so
+        # time travel reads pre-rename names.
+        pending = self.__dict__.pop("_pending_columns", None)
+        if pending is not None and "columns" not in manifest:
+            manifest["columns"] = pending
+        if version > 1:
+            try:
+                prev = self._raw(version - 1)
+            except ValueError:
+                prev = {}
+            for k in ("columns", "retired_columns", "renamed_ever"):
+                if k in prev and k not in manifest:
+                    manifest[k] = prev[k]
         self._write_manifest(manifest)
 
     def _write_manifest(self, manifest: dict) -> None:
@@ -2220,22 +2302,61 @@ class ManifestTable:
         files = self._manifest(version)["files"]
         if not files:
             raise ValueError(f"snapshot v{version} of {self.root} is empty")
-        df = (
-            _merged_read(spark, files)
-            if merge_schema
-            else spark.read.parquet(*files)
-        )
+        if self._raw(version).get("renamed_ever"):
+            # a renamed table's cohorts may disagree on NAMES; only the
+            # by-ID union read is correct, for plain and merged reads alike
+            df = self._union_read(spark, files, version)
+        elif merge_schema:
+            df = _merged_read(spark, files)
+        else:
+            df = spark.read.parquet(*files)
         return self._apply_dv(spark, df, self._dv(version))
+
+    def _union_read(
+        self,
+        spark: SparkSession,
+        files: list,
+        version: int | None,
+        merged: bool = True,
+    ) -> DataFrame:
+        """Scan ``files`` under the snapshot's UNION schema across every
+        evolution kind this format supports: additive null-fill, safe
+        type widening, and — on a table that has RENAMED — by-field-ID
+        column resolution under the current names. Tables that never
+        renamed take `_merged_read`'s distributed mergeSchema fast path;
+        renamed tables pay one footer sweep over the files actually read
+        (the by-ID target schema) and still scan ONCE — Spark's fieldId
+        readers up-cast and re-name in place. Every verb that reads data
+        files of a possibly-evolved snapshot routes through here."""
+        if version is None:
+            version = self.current_version()
+        raw = self._raw(version) if version else {}
+        ids = self.column_ids(version) if version else None
+        if ids and raw.get("renamed_ever"):
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+            target = _widened_struct(spark, files, id_names=ids)
+            return spark.read.schema(target).parquet(*files)
+        # `merged=False`: the caller wants the historical plain-scan plan
+        # (e.g. read_pruned, whose kept sets are single-schema in the
+        # common case) — only a renamed table forces the union machinery
+        return _merged_read(spark, files) if merged else spark.read.parquet(*files)
 
     # -- merge-on-read deletion vectors ---------------------------------------
 
     def _spec_extra(self, base: int, extra: dict) -> dict:
-        """Fold the base snapshot's partition spec into a publish extra —
-        the carry half of table-level spec semantics."""
+        """Fold the base snapshot's partition spec AND column-id mapping
+        into a publish extra — the carry half of table-level spec/schema
+        semantics for the flows (_publish can't inherit across: branch
+        v1, publish, clone, restore). setdefault: a verb that already
+        changed the mapping (rename) wins."""
         spec = self.partition_spec(base)
+        extra = dict(extra)
         if spec:
-            extra = dict(extra)
-            extra["partition_by"] = spec
+            extra.setdefault("partition_by", spec)
+        braw = self._raw(base)
+        for k in ("columns", "retired_columns", "renamed_ever"):
+            if k in braw:
+                extra.setdefault(k, braw[k])
         return extra
 
     def partition_spec(self, version: int | None = None) -> str | None:
@@ -2253,6 +2374,99 @@ class ManifestTable:
             if version is None:
                 return None
         return self._raw(version).get("partition_by") or None
+
+    # -- field-id schema (column rename as metadata) --------------------------
+
+    def column_ids(self, version: int | None = None) -> dict | None:
+        """The snapshot's column-id mapping as an ORDERED ``{name: id}``
+        dict (insertion order = canonical column order), or None for a
+        table without field IDs. Stable IDs are what make RENAME a
+        metadata operation: data files carry ``PARQUET:field_id`` per
+        column, so a read under the current names resolves every cohort
+        by ID regardless of what the column was called when the file was
+        written (Iceberg's name-mapping contract, via Spark's
+        ``spark.sql.parquet.fieldId.read.enabled`` readers)."""
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                return None
+        cols = self._raw(version).get("columns")
+        if not cols:
+            return None
+        return {c["name"]: c["id"] for c in cols}
+
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME a column — METADATA-ONLY, zero data movement at any
+        table size: publishes one ``rename_column`` snapshot whose
+        column-id mapping carries the same IDs under the new name. Data
+        files are untouched; reads resolve old cohorts by field ID.
+        History stays honest: time travel to a pre-rename version reads
+        the OLD name.
+
+        Requires a field-ids table (first commit made with
+        ``field_ids=True`` — every data file must carry IDs, which only
+        birth-time enablement guarantees). Refuses:
+
+        - renaming a column the current PARTITION SPEC references (later
+          partitioned writes would evaluate a stale transform);
+        - reusing a RETIRED name (``old`` joins the retired set forever:
+          a recycled name could match a pre-rename cohort's stale column
+          stats and silently mis-prune);
+        - internal names (``__pt``/``__mt_*``).
+
+        Incremental readers may CROSS a rename (zero rows, like
+        ``rewrite_manifests``); the changelog stream keeps emitting under
+        its DECLARED schema, resolving each file by ID. Known trade:
+        column STATS are keyed by as-written names, so stats-pruning on a
+        renamed column degrades to conservative (kept, never skipped) for
+        pre-rename cohorts until a compact rewrites them."""
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"nothing to rename in {self.root}")
+        raw = self._raw(cur)
+        cols = raw.get("columns")
+        if not cols:
+            raise ValueError(
+                f"rename_column: {self.root} is not a field-ids table — "
+                "renames need per-file field IDs, enabled by the FIRST "
+                "commit (commit(df, field_ids=True))"
+            )
+        names = [c["name"] for c in cols]
+        retired = list(raw.get("retired_columns", []))
+        if old not in names:
+            raise ValueError(f"rename_column: no column {old!r} (have {names})")
+        if new in names or new in retired:
+            raise ValueError(
+                f"rename_column: name {new!r} is already "
+                f"{'in use' if new in names else 'RETIRED'} — names are "
+                "never recycled (a recycled name could match a pre-rename "
+                "cohort's stale stats and mis-prune)"
+            )
+        if new.startswith("__mt_") or new == "__pt":
+            raise ValueError(f"rename_column: {new!r} is a reserved internal name")
+        spec = self.partition_spec(cur)
+        if spec and re.search(rf"\b{re.escape(old)}\b", spec):
+            raise ValueError(
+                f"rename_column: column {old!r} is referenced by the "
+                f"current partition spec {spec!r} — re-establish the spec "
+                "first (compact(partition_by=...) with the new name)"
+            )
+        newcols = [
+            {"id": c["id"], "name": new if c["name"] == old else c["name"]}
+            for c in cols
+        ]
+        v = cur + 1
+        self._publish(
+            v, "rename_column", None, self._groups_of(cur), [],
+            self._spec_extra(cur, {
+                "columns": newcols,
+                "retired_columns": retired + [old],
+                "renamed_ever": True,
+                "renamed": {"from": old, "to": new},
+                **self._dv_extra(self._dv(cur)),
+            }),
+        )
+        return v
 
     def _dv(self, version: int) -> dict:
         """The snapshot's active DELETION-VECTOR set: ``{"files": [dv
@@ -2695,10 +2909,12 @@ class ManifestTable:
             parts = []
             if exact_files:
                 parts.append(
-                    self._apply_dv(spark, spark.read.parquet(*exact_files), dv)
+                    self._apply_dv(
+                        spark, self._union_read(spark, exact_files, v, merged=False), dv
+                    )
                 )
             resid_df = self._apply_dv(
-                spark, spark.read.parquet(*resid_files), dv
+                spark, self._union_read(spark, resid_files, v, merged=False), dv
             )
             if residual is not None:
                 resid_df = resid_df.where(residual)
@@ -2709,7 +2925,7 @@ class ManifestTable:
         else:
             df = self._apply_dv(
                 spark,
-                spark.read.parquet(*(exact_files + resid_files)),
+                self._union_read(spark, exact_files + resid_files, v, merged=False),
                 dv,
             )
         # __pt was folded into ptp above; what remains are ordinary
@@ -2827,9 +3043,11 @@ class ManifestTable:
             # metadata-only snapshot is skipped without resolving the
             # table's full file list; appends load only their DELTA groups
             op = self._raw(v).get("operation", "append")
-            if op == "rewrite_manifests":
+            if op in ("rewrite_manifests", "rename_column"):
+                # metadata-only: identical rows, zero new files — a rename
+                # is crossable; the delta reads under v_to's names by id
                 crossed_rewrite = True
-                continue  # metadata-only: identical file set, zero new rows
+                continue
             if op != "append":
                 raise ValueError(
                     f"incremental read v{v_from}..v{v_to} crosses a "
@@ -2848,7 +3066,7 @@ class ManifestTable:
         # union schema over the DELTA only: appends straddling an additive
         # (or widening) schema change surface the union shape with
         # typed-null fill / widest-type up-cast
-        return _merged_read(spark, added)
+        return self._union_read(spark, added, v_to)
 
     def changefeed(self, spark: SparkSession, v_from: int, v_to: int) -> DataFrame:
         """ROW-LEVEL change feed between ANY two snapshots — Delta's CDF /
@@ -2932,7 +3150,7 @@ class ManifestTable:
             or from_files[:1]
         )
         try:
-            merged = _merged_read(spark, probe).schema
+            merged = self._union_read(spark, probe, v_to).schema
         except ValueError as exc:
             raise ValueError(
                 f"changefeed v{v_from}..v{v_to} of {self.root} crosses an "
@@ -2942,8 +3160,10 @@ class ManifestTable:
                 "snapshot read"
             ) from None
         # nullable throughout: a file missing an added column yields NULLs
+        # (field metadata KEPT: parquet.field.id stamps are what resolve a
+        # renamed table's old cohorts by id)
         target = StructType(
-            [StructField(f.name, f.dataType, True) for f in merged.fields]
+            [StructField(f.name, f.dataType, True, f.metadata) for f in merged.fields]
         )
         dv_from = self._dv(v_from) if v_from > 0 else {"files": [], "rows": 0}
         dv_to = self._dv(v_to)
@@ -3077,7 +3297,7 @@ def _widen_ddl(a: str, b: str) -> str | None:
     return None
 
 
-def _widened_struct(spark: SparkSession, files: list):
+def _widened_struct(spark: SparkSession, files: list, id_names: dict | None = None):
     """Target read schema for a file set that crossed a TYPE-WIDENING
     evolution: per-cohort footer schemas folded under the promotion
     matrix, every field nullable (additive columns null-fill), column
@@ -3086,32 +3306,66 @@ def _widened_struct(spark: SparkSession, files: list):
     distributed footer merge that just refused, and only paid on that
     refusal — then ONE Spark footer inference per DISTINCT schema.
     Raises ValueError on a genuinely incompatible conflict (int vs
-    string, decimal scale change, nested shape change)."""
+    string, decimal scale change, nested shape change).
+
+    ``id_names`` ({current name: field id}, insertion-ordered) switches
+    to BY-ID resolution — the rename half of schema evolution: columns
+    whose footers carry ``PARQUET:field_id`` fold by ID regardless of
+    their as-written name, and surface under the CURRENT name (fields
+    stamped with the id metadata so Spark's fieldId readers match old
+    cohorts by ID). ID-less columns in the same files fold by name as
+    usual."""
     import pyarrow.parquet as pq
     from pyspark.sql.types import StructField, StructType
 
     anchors: dict = {}  # footer-schema fingerprint -> one anchor file
     for f in files:
         anchors.setdefault(str(pq.read_schema(f)), f)
-    types: dict = {}
+    types: dict = {}   # key -> folded DataType; key = field id | ("n", name)
     order: list = []
     for anchor in anchors.values():
-        for fld in spark.read.parquet(anchor).schema.fields:
-            if fld.name not in types:
-                types[fld.name] = fld.dataType
-                order.append(fld.name)
+        pa_fields = list(pq.read_schema(anchor))
+        sp_fields = spark.read.parquet(anchor).schema.fields
+        for pa_f, sp_f in zip(pa_fields, sp_fields):
+            key = None
+            if id_names is not None:
+                fid = (pa_f.metadata or {}).get(b"PARQUET:field_id")
+                if fid is not None:
+                    key = int(fid)
+            if key is None:
+                key = ("n", sp_f.name)
+            if key not in types:
+                types[key] = sp_f.dataType
+                order.append(key)
                 continue
-            w = _widen_type(types[fld.name], fld.dataType)
+            w = _widen_type(types[key], sp_f.dataType)
             if w is None:
                 raise ValueError(
-                    f"column {fld.name!r} has incompatible types across "
-                    f"files ({types[fld.name].simpleString()} vs "
-                    f"{fld.dataType.simpleString()}) — safe promotions are "
+                    f"column {sp_f.name!r} has incompatible types across "
+                    f"files ({types[key].simpleString()} vs "
+                    f"{sp_f.dataType.simpleString()}) — safe promotions are "
                     "int-chain widening, float->double, and decimal "
                     "precision increase at equal scale"
                 )
-            types[fld.name] = w
-    return StructType([StructField(n, types[n], True) for n in order])
+            types[key] = w
+    if id_names is None:
+        return StructType([StructField(k[1], types[k], True) for k in order])
+    known = set(id_names.values())
+    stray = [k for k in order if not isinstance(k, tuple) and k not in known]
+    if stray:
+        raise ValueError(
+            f"files carry field id(s) {stray} absent from the table's "
+            "column mapping — manifest/file mismatch (corruption?)"
+        )
+    fields = [
+        StructField(n, types[i], True, {"parquet.field.id": i})
+        for n, i in id_names.items()
+        if i in types
+    ]
+    fields += [
+        StructField(k[1], types[k], True) for k in order if isinstance(k, tuple)
+    ]
+    return StructType(fields)
 
 
 def _merged_read(spark: SparkSession, files: list) -> DataFrame:
@@ -3233,6 +3487,16 @@ def _changelog_classes():
             # store the same columns in a different physical order, and a
             # positional zip would silently misassign same-typed columns.
             self._names = list(field_names)
+            # RENAMED tables: pre-rename files store columns under their
+            # as-written names; read() resolves each declared name to the
+            # file's column by FIELD ID through this mapping.
+            t = ManifestTable(self.root)
+            cur = t.current_version()
+            self._ids = (
+                t.column_ids(cur)
+                if cur and t._raw(cur).get("renamed_ever")
+                else None
+            )
 
         def initialOffset(self):
             return {"version": 0}
@@ -3248,7 +3512,7 @@ def _changelog_classes():
                 # raw operation first (O(1)): a metadata-only snapshot
                 # must not cost a full file-list resolve to skip
                 op = t._raw(v).get("operation", "append")
-                if op == "rewrite_manifests":
+                if op in ("rewrite_manifests", "rename_column"):
                     continue  # metadata-only: identical rows at any setting
                 if op == "append":
                     # appends carry the prior DV set unchanged and new
@@ -3281,19 +3545,34 @@ def _changelog_classes():
             # mode the trailing _op column is the split's own sign, not a
             # stored column.
             want = [n for n in self._names if n != "_op"]
-            file_cols = set(pq.read_schema(partition.path).names)
-            # additive schema evolution: a pre-evolution file simply lacks
-            # the added column(s) — null-fill them, exactly like the batch
-            # changefeed's typed-NULL alignment (read only the columns the
-            # file has; missing ones cost zero I/O)
-            present = [n for n in want if n in file_cols]
+            sch = pq.read_schema(partition.path)
+            # declared name -> the FILE's column name: identity for
+            # name-stable tables; by FIELD ID on a renamed table, so a
+            # pre-rename file's old-named column feeds the new-named
+            # declared field (additive null-fill unchanged: a file
+            # lacking the column/id reads as typed NULLs at zero I/O)
+            colmap = {n: n for n in want if n in set(sch.names)}
+            if self._ids:
+                id_to_file = {}
+                for fl in sch:
+                    fid = (fl.metadata or {}).get(b"PARQUET:field_id")
+                    if fid is not None:
+                        id_to_file[int(fid)] = fl.name
+                colmap = {
+                    n: id_to_file[self._ids[n]]
+                    for n in want
+                    if n in self._ids and self._ids[n] in id_to_file
+                }
+            present = [n for n in want if n in colmap]
             if want and not present:
                 raise ValueError(
                     f"mtable_changelog: file {partition.path} shares NO "
                     f"column with the declared stream schema {want} — a "
                     "misdeclared schema, not additive evolution"
                 )
-            tbl = pq.read_table(partition.path, columns=present)
+            tbl = pq.read_table(
+                partition.path, columns=[colmap[n] for n in present]
+            )
             if partition.take is not None:
                 tbl = tbl.take(list(partition.take))
             elif partition.skip:
@@ -3301,7 +3580,7 @@ def _changelog_classes():
                 tbl = tbl.take([i for i in range(tbl.num_rows) if i not in skip])
             nulls = [None] * tbl.num_rows
             cols = [
-                tbl.column(n).to_pylist() if n in file_cols else list(nulls)
+                tbl.column(colmap[n]).to_pylist() if n in colmap else list(nulls)
                 for n in want
             ]
             if "_op" in self._names:
@@ -3311,19 +3590,23 @@ def _changelog_classes():
         def commit(self, end):
             pass  # manifests are immutable; nothing to clean up
 
-    def _footer_union_ddl(files: list, label: str) -> list:
+    def _footer_union_ddl(
+        files: list, label: str, id_names: dict | None = None
+    ) -> list:
         """Footer-UNION stream schema columns (first-seen order) for a
         snapshot's files: additive evolution surfaces every column, safe
         type conflicts resolve to the WIDER type (the `_widen_ddl`
         promotion matrix — pre-widening files' values up-convert
         losslessly at the reader), genuinely incompatible conflicts
-        refuse loudly. Shared by the table and catalog changelog
-        sources."""
+        refuse loudly. ``id_names`` ({current name: field id}) switches
+        to BY-ID folding with CURRENT names declared, for renamed tables.
+        Shared by the table and catalog changelog sources."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        seen: dict = {}
+        seen: dict = {}   # key -> ddl; key = field id | name
         order: list = []
+        by_id = {i: n for n, i in (id_names or {}).items()}
         for path in files:
             for f in pq.read_schema(path):
                 ddl = _ARROW_TO_DDL.get(str(f.type))
@@ -3333,20 +3616,25 @@ def _changelog_classes():
                     raise ValueError(
                         f"{label}: unmapped arrow type {f.type} for column {f.name!r}"
                     )
-                if f.name not in seen:
-                    seen[f.name] = ddl
-                    order.append(f.name)
+                key = f.name
+                if id_names is not None:
+                    fid = (f.metadata or {}).get(b"PARQUET:field_id")
+                    if fid is not None and int(fid) in by_id:
+                        key = int(fid)
+                if key not in seen:
+                    seen[key] = ddl
+                    order.append(key)
                     continue
-                if seen[f.name] != ddl:
-                    wide = _widen_ddl(seen[f.name], ddl)
+                if seen[key] != ddl:
+                    wide = _widen_ddl(seen[key], ddl)
                     if wide is None:
                         raise ValueError(
                             f"{label}: column {f.name!r} has incompatible "
-                            f"types across files ({seen[f.name]} vs {ddl}) "
+                            f"types across files ({seen[key]} vs {ddl}) "
                             "— additive evolution and safe widening only"
                         )
-                    seen[f.name] = wide
-        return [f"{n} {seen[n]}" for n in order]
+                    seen[key] = wide
+        return [f"{by_id.get(k, k)} {seen[k]}" for k in order]
 
     class MTableChangelogSource(DataSource):
         """format('mtable_changelog').option('path', <table root>)"""
@@ -3359,10 +3647,13 @@ def _changelog_classes():
             """Stream schema = the footer-UNION of the current snapshot's
             files (first-seen column order), so a table that crossed an
             additive add-column evolution streams its full current shape
-            and pre-evolution files null-fill at read time. One footer
-            sweep at stream DEFINITION only (never per batch); a table
-            whose file count makes even that sweep expensive should pin
-            the shape explicitly via .schema(...) on the readStream."""
+            and pre-evolution files null-fill at read time; on a RENAMED
+            table the union folds by FIELD ID and declares the CURRENT
+            names (pre-rename files' old-named columns feed the new names
+            at the reader). One footer sweep at stream DEFINITION only
+            (never per batch); a table whose file count makes even that
+            sweep expensive should pin the shape explicitly via
+            .schema(...) on the readStream."""
             t = ManifestTable(self.options["path"])
             cur = t.current_version()
             if cur is None:
@@ -3381,7 +3672,12 @@ def _changelog_classes():
                     f"mtable_changelog: no snapshot of {t.root} has data "
                     "files — no schema to derive a stream from"
                 )
-            cols = _footer_union_ddl(files, "mtable_changelog")
+            ids = (
+                t.column_ids(cur)
+                if t._raw(cur).get("renamed_ever")
+                else None
+            )
+            cols = _footer_union_ddl(files, "mtable_changelog", id_names=ids)
             if self.options.get("on_rewrite") == "cdc":
                 cols.append("_op string")
             return ", ".join(cols)
@@ -3448,6 +3744,7 @@ def _changelog_classes():
                     "mcatalog_changelog: schema must END with `_op string`"
                 )
             self._names = list(field_names)
+            self._ids = None  # renamed tables: unsupported at catalog level
             self._starting = options.get("startingversion") or options.get(
                 "startingVersion"
             )
@@ -3544,7 +3841,15 @@ def _changelog_classes():
                 if p is None:
                     continue
                 seen_pin = True
-                files = ManifestTable(p["root"])._manifest(p["version"])["files"]
+                mt = ManifestTable(p["root"])
+                if mt._raw(p["version"]).get("renamed_ever"):
+                    raise ValueError(
+                        f"mcatalog_changelog: table {name!r} has RENAMED "
+                        "columns — catalog-level CDC over renamed tables is "
+                        "not supported (pre-rename files would misalign); "
+                        "use the table-level mtable_changelog stream"
+                    )
+                files = mt._manifest(p["version"])["files"]
                 if files:
                     break
             if not seen_pin:
