@@ -2390,6 +2390,76 @@ def table_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Column DROP via field IDs (round 14 stretch, completes ALTER TABLE)
+# ---------------------------------------------------------------------------
+
+_DROP_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice,
+         CASE WHEN o_orderkey % 3 = 1 THEN o_orderpriority END AS o_orderpriority
+  FROM orders WHERE o_orderkey % 3 IN (0, 1)
+),
+v AS (SELECT * FROM base WHERE o_orderkey % 10 <> 4)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM v GROUP BY 1
+"""
+
+
+@query("table_drop_column", oracle=_DROP_ORACLE)
+def table_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN DROP as a metadata operation (`drop_column`,
+    sources/table_format.py, round 14 — with add/widen/rename this
+    completes the ALTER TABLE surface): v1 commits a field-ids table
+    WITH o_orderstatus, v2 DROPS it touching zero files (the bytes stay
+    in v1's files; reads stop projecting them by field id), v3 appends
+    rows that never had it plus a NEW column (o_orderpriority — proving
+    fresh ids never reuse the dropped id), v4 partially COW-deletes
+    across both cohorts. The merged read serves the final shape — no
+    dropped column anywhere, typed NULLs for the new column on old rows
+    — and the aggregate hash-matches DuckDB computing the same pipeline
+    with the drop applied as a projection.
+
+    Scale shape: drop is O(1) metadata at any size; physical erasure of
+    the dropped bytes remains the explicit compact + expire + vacuum
+    two-step (same discipline as row deletes)."""
+    import shutil
+
+    from gridmr_spark.sources.table_format import ManifestTable
+
+    root = _scratch(sf_dir, "dropcol")
+    shutil.rmtree(root, ignore_errors=True)
+    t = ManifestTable(root)
+    orders = load_table(spark, sf_dir, "orders")
+    t.commit(
+        orders.where(F.col("o_orderkey") % 3 == 0).select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        ),
+        field_ids=True,
+    )                                                   # v1: has o_orderstatus
+    t.drop_column("o_orderstatus")                      # v2: metadata-only
+    t.commit(
+        orders.where(F.col("o_orderkey") % 3 == 1).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        )
+    )                                                   # v3: new col, fresh id
+    t.delete_where(spark, F.col("o_orderkey") % 10 == 4)  # v4: both cohorts
+    df = t.read(spark, merge_schema=True)
+    assert "o_orderstatus" not in df.columns
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+        )
+        .select("o_orderpriority", "n_rows", "sum_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
 # DV-aware metadata stats: MIN/MAX exactness THROUGH a dv-delete history
 # ---------------------------------------------------------------------------
 

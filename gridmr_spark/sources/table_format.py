@@ -1889,17 +1889,20 @@ class ManifestTable:
         if ids is not None:
             from pyspark.sql import functions as _F
 
-            retired = set(
-                (self._raw(cur).get("retired_columns", []) if cur else [])
-            )
+            raw_cur = self._raw(cur) if cur else {}
+            retired = set(raw_cur.get("retired_columns", []))
             clash = [c for c in df.columns if c in retired]
             if clash:
                 raise ValueError(
                     f"commit to {self.root}: column name(s) {clash} are "
-                    "RETIRED (used before a rename) — recycled names could "
-                    "match stale pre-rename stats; pick different names"
+                    "RETIRED (used before a rename/drop) — recycled names "
+                    "could match stale pre-rename stats; pick different names"
                 )
-            nxt = max(ids.values(), default=0) + 1
+            # fresh ids must clear DROPPED ids too: reusing a dropped id
+            # would resolve old files' dropped column as the new one
+            nxt = max(
+                [*ids.values(), *raw_cur.get("dropped_ids", [])], default=0
+            ) + 1
             for c in df.columns:
                 if c not in ids:
                     ids[c] = nxt
@@ -2235,7 +2238,7 @@ class ManifestTable:
                 prev = self._raw(version - 1)
             except ValueError:
                 prev = {}
-            for k in ("columns", "retired_columns", "renamed_ever"):
+            for k in ("columns", "retired_columns", "renamed_ever", "dropped_ids"):
                 if k in prev and k not in manifest:
                     manifest[k] = prev[k]
         self._write_manifest(manifest)
@@ -2334,7 +2337,10 @@ class ManifestTable:
         ids = self.column_ids(version) if version else None
         if ids and raw.get("renamed_ever"):
             spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-            target = _widened_struct(spark, files, id_names=ids)
+            target = _widened_struct(
+                spark, files, id_names=ids,
+                dropped_ids=set(raw.get("dropped_ids", [])),
+            )
             return spark.read.schema(target).parquet(*files)
         # `merged=False`: the caller wants the historical plain-scan plan
         # (e.g. read_pruned, whose kept sets are single-schema in the
@@ -2354,7 +2360,7 @@ class ManifestTable:
         if spec:
             extra.setdefault("partition_by", spec)
         braw = self._raw(base)
-        for k in ("columns", "retired_columns", "renamed_ever"):
+        for k in ("columns", "retired_columns", "renamed_ever", "dropped_ids"):
             if k in braw:
                 extra.setdefault(k, braw[k])
         return extra
@@ -2463,6 +2469,62 @@ class ManifestTable:
                 "retired_columns": retired + [old],
                 "renamed_ever": True,
                 "renamed": {"from": old, "to": new},
+                **self._dv_extra(self._dv(cur)),
+            }),
+        )
+        return v
+
+    def drop_column(self, name: str) -> int:
+        """DROP a column — METADATA-ONLY, zero data movement: publishes
+        one ``drop_column`` snapshot whose mapping no longer carries the
+        name; the column's FIELD ID joins the dropped set, so every read
+        (which resolves field-ids tables by ID) simply stops projecting
+        it — the bytes stay in existing files until a rewrite touches
+        them, exactly Iceberg's DROP COLUMN semantics. Time travel to a
+        pre-drop version still reads the column. The name is RETIRED
+        (never recycled — same discipline as rename, and for the same
+        stats reason). Refuses: non-field-ids tables, the last remaining
+        column, and a column the current partition spec references.
+
+        Incremental readers may CROSS a drop (zero rows of its own);
+        subsequent feed/stream rows simply lack the column. GDPR note:
+        the drop is LOGICAL — physical erasure is ``compact()`` (rewrites
+        every file without the column) followed by ``expire``+``vacuum``,
+        the same two-step as row deletes."""
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"nothing to drop in {self.root}")
+        raw = self._raw(cur)
+        cols = raw.get("columns")
+        if not cols:
+            raise ValueError(
+                f"drop_column: {self.root} is not a field-ids table — "
+                "metadata drops need per-file field IDs (commit(df, "
+                "field_ids=True) on the first commit)"
+            )
+        names = [c["name"] for c in cols]
+        if name not in names:
+            raise ValueError(f"drop_column: no column {name!r} (have {names})")
+        if len(cols) == 1:
+            raise ValueError("drop_column: cannot drop the last column")
+        spec = self.partition_spec(cur)
+        if spec and re.search(rf"\b{re.escape(name)}\b", spec):
+            raise ValueError(
+                f"drop_column: column {name!r} is referenced by the "
+                f"current partition spec {spec!r} — change the spec first"
+            )
+        dropped_id = next(c["id"] for c in cols if c["name"] == name)
+        v = cur + 1
+        self._publish(
+            v, "drop_column", None, self._groups_of(cur), [],
+            self._spec_extra(cur, {
+                "columns": [c for c in cols if c["name"] != name],
+                "retired_columns": list(raw.get("retired_columns", [])) + [name],
+                "dropped_ids": list(raw.get("dropped_ids", [])) + [dropped_id],
+                # reads must resolve by id from here on (pre-drop files
+                # still carry the column) — same trigger as rename
+                "renamed_ever": True,
+                "dropped": {"name": name, "id": dropped_id},
                 **self._dv_extra(self._dv(cur)),
             }),
         )
@@ -3043,9 +3105,9 @@ class ManifestTable:
             # metadata-only snapshot is skipped without resolving the
             # table's full file list; appends load only their DELTA groups
             op = self._raw(v).get("operation", "append")
-            if op in ("rewrite_manifests", "rename_column"):
+            if op in ("rewrite_manifests", "rename_column", "drop_column"):
                 # metadata-only: identical rows, zero new files — a rename
-                # is crossable; the delta reads under v_to's names by id
+                # or drop is crossable; the delta reads under v_to's shape
                 crossed_rewrite = True
                 continue
             if op != "append":
@@ -3297,7 +3359,12 @@ def _widen_ddl(a: str, b: str) -> str | None:
     return None
 
 
-def _widened_struct(spark: SparkSession, files: list, id_names: dict | None = None):
+def _widened_struct(
+    spark: SparkSession,
+    files: list,
+    id_names: dict | None = None,
+    dropped_ids: set | None = None,
+):
     """Target read schema for a file set that crossed a TYPE-WIDENING
     evolution: per-cohort footer schemas folded under the promotion
     matrix, every field nullable (additive columns null-fill), column
@@ -3350,7 +3417,7 @@ def _widened_struct(spark: SparkSession, files: list, id_names: dict | None = No
             types[key] = w
     if id_names is None:
         return StructType([StructField(k[1], types[k], True) for k in order])
-    known = set(id_names.values())
+    known = set(id_names.values()) | set(dropped_ids or ())
     stray = [k for k in order if not isinstance(k, tuple) and k not in known]
     if stray:
         raise ValueError(
@@ -3512,7 +3579,7 @@ def _changelog_classes():
                 # raw operation first (O(1)): a metadata-only snapshot
                 # must not cost a full file-list resolve to skip
                 op = t._raw(v).get("operation", "append")
-                if op in ("rewrite_manifests", "rename_column"):
+                if op in ("rewrite_manifests", "rename_column", "drop_column"):
                     continue  # metadata-only: identical rows at any setting
                 if op == "append":
                     # appends carry the prior DV set unchanged and new
@@ -3619,7 +3686,9 @@ def _changelog_classes():
                 key = f.name
                 if id_names is not None:
                     fid = (f.metadata or {}).get(b"PARQUET:field_id")
-                    if fid is not None and int(fid) in by_id:
+                    if fid is not None:
+                        if int(fid) not in by_id:
+                            continue  # dropped column: not in the stream shape
                         key = int(fid)
                 if key not in seen:
                     seen[key] = ddl

@@ -202,3 +202,91 @@ def test_refs_and_clone_carry_the_mapping(spark, tmp_path):
     assert sorted(r.title for r in c.read(spark).collect()) == ["a", "b", "c", "g"]
     rv = t.restore(2)  # the rename snapshot's content, current names
     assert sorted(r.title for r in t.read(spark, rv).collect()) == ["a", "b", "c"]
+
+
+def test_drop_column_is_metadata_only(spark, tmp_path):
+    """DROP COLUMN: one metadata snapshot, zero data movement; reads stop
+    projecting it, time travel still shows it, a new column never reuses
+    the dropped field id, and the dropped NAME is retired."""
+    t = _mk(spark, tmp_path)
+    files_before = list(t._manifest(1)["files"])
+    v = t.drop_column("name")
+    assert t._manifest(v)["files"] == files_before
+    assert list(t.column_ids()) == ["k", "n"]
+    got = sorted((r.k, r.n) for r in t.read(spark).collect())
+    assert got == [(1, 10), (2, 20), (3, 30)]
+    assert "name" not in t.read(spark).columns
+    assert t.read(spark, 1).columns == ["k", "name", "n"]  # time travel
+    # new column takes a FRESH id (dropped id 2 never reused)
+    t.commit(spark.createDataFrame([(4, 40, 0.5)], "k int, n int, w double"))
+    assert t.column_ids()["w"] == 4
+    df = t.read(spark, merge_schema=True)
+    got = sorted((r.k, r.n, r.w) for r in df.collect())
+    assert got == [(1, 10, None), (2, 20, None), (3, 30, None), (4, 40, 0.5)]
+    # retired name never recycles; guards
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="RETIRED"):
+        t.commit(spark.createDataFrame([(9, 9, 0.1, "x")], "k int, n int, w double, name string"))
+    with _pytest.raises(ValueError, match="no column"):
+        t.drop_column("name")
+    plain = ManifestTable(str(tmp_path / "plain"))
+    plain.commit(spark.createDataFrame([(1, "a")], "k int, v string"))
+    with _pytest.raises(ValueError, match="field-ids"):
+        plain.drop_column("v")
+
+
+def test_drop_then_rename_compose_and_verbs_work(spark, tmp_path):
+    """drop + rename in one history: rewrite verbs, changefeed, diff and
+    the stream all operate under the final shape."""
+    t = _mk(spark, tmp_path)
+    t.drop_column("n")                                   # v2
+    t.rename_column("name", "title")                     # v3
+    t.commit(spark.createDataFrame([(4, "d")], "k int, title string"))  # v4
+    t.delete_where(spark, F.col("title") == "a")         # v5 COW across all
+    got = sorted((r.k, r.title) for r in t.read(spark).collect())
+    assert got == [(2, "b"), (3, "c"), (4, "d")]
+    feed = t.changefeed(spark, 1, t.current_version())
+    rows = sorted((r["_op"], r.k, r.title) for r in feed.collect())
+    assert rows == [("D", 1, "a"), ("I", 4, "d")]
+    d = t.diff(spark, 3, 4)  # crosses nothing; plain append under new shape
+    assert [(r.k, r.title) for r in d.collect()] == [(4, "d")]
+    # the last-column and spec guards
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="last column"):
+        t.drop_column("title"), t.drop_column("k")
+    pt = ManifestTable(str(tmp_path / "pt"))
+    pt.commit(
+        spark.range(10).selectExpr("id as k", "id % 2 as g"),
+        field_ids=True, partition_by="g",
+    )
+    with _pytest.raises(ValueError, match="partition spec"):
+        pt.drop_column("g")
+
+
+def test_stream_across_drop(spark, tmp_path):
+    """The changelog stream's declared shape excludes the dropped column;
+    pre-drop files' extra bytes are never decoded; fold == snapshot."""
+    t = _mk(spark, tmp_path)
+    t.drop_column("name")
+    t.commit(spark.createDataFrame([(4, 40)], "k int, n int"))
+    register_changelog_source(spark)
+    run = str(tmp_path / "run")
+    sink = os.path.join(run, "out")
+    q = (
+        spark.readStream.format("mtable_changelog")
+        .option("path", t.root)
+        .option("on_rewrite", "cdc")
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: df.write.mode("append").parquet(sink))
+        .option("checkpointLocation", os.path.join(run, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    feed = spark.read.parquet(sink)
+    assert set(feed.columns) == {"k", "n", "_op"}
+    got = sorted((r.k, r.n) for r in feed.where("_op = 'I'").collect())
+    assert got == [(1, 10), (2, 20), (3, 30), (4, 40)]
