@@ -680,7 +680,7 @@ class ManifestTable:
             )
             self._publish(
                 v, "compact", None, [entry], [entry["path"]],
-                {"partition_by": partition_by},
+                {"partition_by": partition_by, **self._rewrite_reset(cur)},
             )
             return v
         if zorder_by is not None:
@@ -711,7 +711,10 @@ class ManifestTable:
         v = cur + 1
         added = self._write_data(snap, v)
         entry = self._write_group(added, self._stats_for(added), rows=self._rows_for(added))
-        self._publish(v, "compact", None, [entry], [entry["path"]])
+        self._publish(
+            v, "compact", None, [entry], [entry["path"]],
+            self._rewrite_reset(cur) or None,
+        )
         return v
 
     def compact_small(
@@ -782,7 +785,10 @@ class ManifestTable:
         v = (self.current_version() or 0) + 1
         added = self._write_data(df, v)
         entry = self._write_group(added, self._stats_for(added), rows=self._rows_for(added))
-        self._publish(v, "overwrite", idempotency_key, [entry], [entry["path"]])
+        self._publish(
+            v, "overwrite", idempotency_key, [entry], [entry["path"]],
+            self._rewrite_reset(v - 1) or None,
+        )
         return v
 
     def merge_by_key(
@@ -2348,6 +2354,17 @@ class ManifestTable:
         return _merged_read(spark, files) if merged else spark.read.parquet(*files)
 
     # -- merge-on-read deletion vectors ---------------------------------------
+
+    def _rewrite_reset(self, base: int | None) -> dict:
+        """Publish extras for a FULL rewrite (compact/replace): every
+        surviving file was just written under the CURRENT names, so the
+        by-ID read path (``renamed_ever``) can switch back off — plain
+        scans are correct again and skip the footer sweep. The retired
+        names and dropped ids stay carried (the never-recycle discipline
+        outlives the files that motivated it)."""
+        if base and self._raw(base).get("renamed_ever"):
+            return {"renamed_ever": False}
+        return {}
 
     def _spec_extra(self, base: int, extra: dict) -> dict:
         """Fold the base snapshot's partition spec AND column-id mapping

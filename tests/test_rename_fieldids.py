@@ -290,3 +290,25 @@ def test_stream_across_drop(spark, tmp_path):
     assert set(feed.columns) == {"k", "n", "_op"}
     got = sorted((r.k, r.n) for r in feed.where("_op = 'I'").collect())
     assert got == [(1, 10), (2, 20), (3, 30), (4, 40)]
+
+
+def test_full_rewrite_restores_plain_read_path(spark, tmp_path):
+    """compact()/replace() rewrite every file under the current names, so
+    the by-ID read flag clears — plain scans are correct again — while
+    retired names and dropped ids stay protected."""
+    t = _mk(spark, tmp_path)
+    t.rename_column("name", "title")
+    t.drop_column("n")
+    v = t.compact(spark)
+    raw = t._raw(v)
+    assert raw.get("renamed_ever") is False
+    assert "name" in raw.get("retired_columns", [])
+    got = sorted((r.k, r.title) for r in t.read(spark).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]
+    # retired/dropped discipline outlives the rewrite
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="RETIRED"):
+        t.commit(spark.createDataFrame([(9, "x", "y")], "k int, title string, name string"))
+    t.commit(spark.createDataFrame([(4, "d", 1.0)], "k int, title string, w double"))
+    assert t.column_ids()["w"] == 4  # dropped id 3 still never reused
