@@ -1352,6 +1352,7 @@ class ManifestTable:
                 dest._write_group(
                     raw["files"], self.snapshot_stats(version),
                     spec=self.partition_spec(version),
+                    cols=self.column_ids(version),
                 )
             ]
         # group entries reference the SOURCE's group files by absolute
@@ -1719,18 +1720,24 @@ class ManifestTable:
             raise ValueError(f"nothing to rewrite in {self.root}")
         if target_groups < 1:
             raise ValueError("target_groups must be >= 1")
-        # regroup PER SPEC COHORT: a group's spec stamp is what lets each
+        # regroup PER COHORT: a group's spec stamp is what lets each
         # cohort prune under its own partition transform after a spec
-        # evolution, so packing two cohorts into one group would destroy
-        # that. Cohorts in first-seen order; file order preserved within.
-        by_spec: dict = {}
+        # evolution, and its cols stamp is what translates renamed-column
+        # predicates to write-time stats keys — packing cohorts with
+        # different stamps into one group would destroy both. Cohorts in
+        # first-seen order; file order preserved within.
+        by_cohort: dict = {}
+        stamps: dict = {}
         stats: dict[str, dict] = {}
         blooms: dict[str, dict] = {}
         rows: dict[str, int] = {}
         total = 0
         for g in self._groups_of(cur):
             grp = self._load_group(g["path"])
-            by_spec.setdefault(g.get("spec"), []).extend(grp["files"])
+            gcols = g.get("cols")
+            key = (g.get("spec"), tuple(sorted(gcols.items())) if gcols else None)
+            by_cohort.setdefault(key, []).extend(grp["files"])
+            stamps[key] = (g.get("spec"), gcols)
             total += len(grp["files"])
             stats.update(grp["stats"])
             blooms.update(grp.get("blooms", {}))
@@ -1743,9 +1750,9 @@ class ManifestTable:
         entries = [
             self._write_group(
                 files[i : i + per], stats, blooms or None, rows or None,
-                spec=spec,
+                spec=stamps[key][0], cols=stamps[key][1],
             )
-            for spec, files in by_spec.items()
+            for key, files in by_cohort.items()
             for i in range(0, len(files), per)
         ]
         v = cur + 1
@@ -2139,12 +2146,16 @@ class ManifestTable:
                         g.get("stats", {}),
                         g.get("blooms"),
                         g.get("rows"),
-                        # surviving files keep their original __pt values,
-                        # so the subset group keeps the cohort's spec
+                        # surviving files keep their original __pt values
+                        # and write-time names, so the subset group keeps
+                        # the cohort's spec AND cols stamps
                         spec=entry.get("spec"),
+                        cols=entry.get("cols"),
                     )
                 )
         return out
+
+    _COLS_AUTO = object()  # sentinel: derive the group's cols stamp
 
     def _write_group(
         self,
@@ -2153,6 +2164,7 @@ class ManifestTable:
         blooms: dict | None = None,
         rows: dict | None = None,
         spec: str | None = None,
+        cols=_COLS_AUTO,
     ) -> dict:
         """Write an immutable file-group manifest and return its snapshot
         entry ``{path, n_files, summary[, spec]}``. Unique name per write
@@ -2168,7 +2180,20 @@ class ManifestTable:
         (``pruned_files(pt_preds=...)``), at O(new data) cost instead of a
         full rewrite. Groups without a stamp (pre-evolution history) read
         as the snapshot-level spec, which is exactly what they were
-        written under when spec changes were impossible."""
+        written under when spec changes were impossible.
+
+        ``cols`` records the WRITE-TIME {name: field id} mapping of a
+        field-ids table's group — the translation key that keeps STATS
+        PRUNING exact across renames: a predicate on the current name
+        resolves, per group, to the name the column was WRITTEN under
+        (same id), so pre-rename cohorts keep skipping files instead of
+        degrading to conservative. Default (the sentinel) derives it
+        from the write that just ran (``_pending_columns``); callers
+        carrying an EXISTING group's files pass that group's own stamp
+        (or None for unstamped legacy groups) explicitly."""
+        if cols is ManifestTable._COLS_AUTO:
+            pend = self.__dict__.get("_pending_columns")
+            cols = {c["name"]: c["id"] for c in pend} if pend else None
         os.makedirs(self._gdir, exist_ok=True)
         path = os.path.join(self._gdir, f"g-{uuid.uuid4().hex[:12]}.json")
         tmp = os.path.join(self._gdir, f".{os.path.basename(path)}.tmp")
@@ -2187,6 +2212,8 @@ class ManifestTable:
         }
         if spec:
             entry["spec"] = spec
+        if cols:
+            entry["cols"] = cols
         # entry-level row total only when EVERY member file's count is
         # known — a partial sum would read as an exact answer
         if rows and all(f2 in rows for f2 in files):
@@ -2207,6 +2234,7 @@ class ManifestTable:
             self._write_group(
                 files, self.snapshot_stats(version),
                 spec=self.partition_spec(version),
+                cols=self.column_ids(version),
             )
         ]
 
@@ -2439,10 +2467,12 @@ class ManifestTable:
 
         Incremental readers may CROSS a rename (zero rows, like
         ``rewrite_manifests``); the changelog stream keeps emitting under
-        its DECLARED schema, resolving each file by ID. Known trade:
-        column STATS are keyed by as-written names, so stats-pruning on a
-        renamed column degrades to conservative (kept, never skipped) for
-        pre-rename cohorts until a compact rewrites them."""
+        its DECLARED schema, resolving each file by ID. STATS stay
+        first-class: group manifests stamp their write-time name<->id
+        mapping (``cols``), so pruning and ``metadata_agg`` translate a
+        current-name predicate to each cohort's as-written stats key —
+        pre-rename cohorts keep SKIPPING files exactly (the never-recycle
+        rule is what makes the translation collision-free)."""
         cur = self.current_version()
         if cur is None:
             raise ValueError(f"nothing to rename in {self.root}")
@@ -2710,6 +2740,8 @@ class ManifestTable:
                 "upgrades it"
             )
         groups = raw["groups"]
+        cur_ids = self.column_ids(version)
+        id_to_cur = {i: n for n, i in (cur_ids or {}).items()}
         n_rows: int | None = 0
         cols: dict[str, list] | None = None
         for g in groups:
@@ -2718,6 +2750,16 @@ class ManifestTable:
             else:
                 n_rows = None
             summary = g.get("summary", {})
+            # rename translation: surface each group's envelope under the
+            # CURRENT names (shared field id), so a renamed column keeps
+            # its exact metadata MIN/MAX; dropped/unknown ids keep their
+            # write-time key and fall out of the cross-group intersection
+            gcols = g.get("cols")
+            if gcols and id_to_cur:
+                summary = {
+                    id_to_cur.get(gcols[c], c) if c in gcols else c: v
+                    for c, v in summary.items()
+                }
             if cols is None:
                 cols = {c: list(v) for c, v in summary.items()}
             else:
@@ -2834,6 +2876,7 @@ class ManifestTable:
             ptp.setdefault(snap_spec, preds.pop("__pt"))
         blind = ptp.get(None)
         raw = self._raw(version)
+        cur_ids = self.column_ids(version)
         keep: list[str] = []
         resid: list[str] = []
         if "groups" in raw:
@@ -2848,9 +2891,25 @@ class ManifestTable:
                     gpreds["__pt"] = ptp[g_spec]
                 elif blind is not None:
                     gpreds["__pt"] = blind
+                # RENAME translation: this group's stats are keyed by its
+                # WRITE-TIME names; a predicate on the current name
+                # resolves through the shared field id to that name, so
+                # pre-rename cohorts keep pruning exactly (never-recycled
+                # names make a same-name different-id collision impossible)
+                gcols = g.get("cols")
+                if gcols and cur_ids:
+                    by_id = {i: n for n, i in gcols.items()}
+
+                    def _k(c, _b=by_id, _cur=cur_ids):
+                        if c == "__pt" or c not in _cur:
+                            return c
+                        return _b.get(_cur[c], c)
+                else:
+                    def _k(c):
+                        return c
                 summary = g.get("summary", {})
                 if any(
-                    self._disjoint(summary.get(c), p_lo, p_hi, c)
+                    self._disjoint(summary.get(_k(c)), p_lo, p_hi, c)
                     for c, (p_lo, p_hi) in gpreds.items()
                 ):
                     continue  # whole group out of range: manifest never opened
@@ -2858,14 +2917,15 @@ class ManifestTable:
                 for f in grp["files"]:
                     st = grp["stats"].get(f, {})
                     if any(
-                        self._disjoint(st.get(c), p_lo, p_hi, c)
+                        self._disjoint(st.get(_k(c)), p_lo, p_hi, c)
                         for c, (p_lo, p_hi) in gpreds.items()
                     ):
                         continue
                     if point:
                         fb = grp.get("blooms", {}).get(f, {})
                         if any(
-                            c in fb and not _bloom_may_contain(fb[c], v)
+                            _k(c) in fb
+                            and not _bloom_may_contain(fb[_k(c)], v)
                             for c, v in point.items()
                         ):
                             continue

@@ -128,23 +128,38 @@ def test_rename_guards(spark, tmp_path):
 
 
 def test_pruned_read_after_rename_is_exact(spark, tmp_path):
-    """Stats of pre-rename cohorts are keyed by the as-written name, so
-    pruning on the renamed column degrades to conservative for them —
-    but the RESULT stays exact (residual reapplies on the renamed
-    frame), and post-rename cohorts prune normally."""
+    """Stats of pre-rename cohorts are keyed by the as-written name;
+    group `cols` stamps translate a current-name predicate to that key
+    through the shared field id — so BOTH cohorts prune (skip-count
+    asserted), and the result is exact. metadata_agg translates the
+    same way, keeping MIN/MAX exact across the rename."""
     t = ManifestTable(str(tmp_path / "tbl"))
     t.commit(
-        spark.range(100).selectExpr("CAST(id AS INT) k", "id * 2 n").coalesce(2),
+        spark.range(100)
+        .selectExpr("CAST(id AS INT) k", "id * 2 n")
+        .repartitionByRange(4, "n"),
         field_ids=True,
     )
     t.rename_column("n", "metric")
     t.commit(
-        spark.range(100, 200).selectExpr("CAST(id AS INT) k", "id * 2 metric")
+        spark.range(100, 200)
+        .selectExpr("CAST(id AS INT) k", "id * 2 metric")
+        .repartitionByRange(4, "metric")
     )
+    all_files = t._manifest(t.current_version())["files"]
+    old_files = set(t._manifest(1)["files"])
+    kept = set(t.pruned_files("metric", 100, 240))
+    # BOTH cohorts pruned: strictly fewer files kept on each side
+    assert 0 < len(kept & old_files) < len(old_files)
+    assert 0 < len(kept - old_files) < len(set(all_files) - old_files)
     got = sorted(
         r.k for r in t.read_pruned(spark, "metric", 100, 240).collect()
     )
     assert got == list(range(50, 121))
+    # metadata MIN/MAX exact across the rename (translated per cohort)
+    meta = t.metadata_agg()
+    assert meta["columns"]["metric"] == [0, 398]
+    assert meta["n_rows"] == 200
 
 
 def test_changelog_stream_across_rename(spark, tmp_path):
