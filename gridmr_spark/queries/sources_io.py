@@ -2346,11 +2346,12 @@ def table_rename_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: rename is O(1) metadata at any table size (Iceberg's
     field-id contract; Spark's fieldId readers up-cast/re-name in the
-    scan itself — one pass, no rewrite). Retired names are never
-    recycled, so pre-rename column stats can never mis-prune; stats
-    pruning on a renamed column degrades to conservative for old
-    cohorts until a compact, which tests/test_rename_fieldids.py pins
-    exact either way."""
+    scan itself — one pass, no rewrite). Stats stay first-class: group
+    manifests stamp their write-time name<->id map, so pruning and
+    metadata_agg translate current-name predicates to each cohort's
+    as-written stats key — old cohorts keep SKIPPING files (skip-count
+    pinned in tests/test_rename_fieldids.py); never-recycled names make
+    the translation collision-free."""
     import shutil
 
     from gridmr_spark.sources.table_format import ManifestTable
