@@ -57,7 +57,7 @@ _DRIVER_PRIORITY: list[str] = [
     # hash oracle.
     "table_schema_widening", "table_partition_spec_evolution",
     "similarity_ivf_exact_regime", "table_rename_column",
-    "table_drop_column",
+    "table_drop_column", "table_add_files",
     # (b) freshness rotation (VERDICT r13 item 1): the 50-query cohort
     # whose latest green driver row is round 7 — the oldest rows in the
     # record; with (a) taking 3 slots the stragglers roll to round 15.

@@ -2461,6 +2461,67 @@ def table_drop_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# add_files: zero-copy adoption of external parquet (round 14)
+# ---------------------------------------------------------------------------
+
+_ADD_FILES_ORACLE = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {_SUM_CENTS_SQL} AS sum_cents,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+FROM orders GROUP BY 1
+"""
+
+
+@query("table_add_files", oracle=_ADD_FILES_ORACLE)
+def table_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-COPY ADOPTION of external parquet (`ManifestTable.add_files`,
+    sources/table_format.py, round 14 — Iceberg's add_files/migrate): v1
+    commits half of orders normally; an EXTERNAL directory holds the
+    other half as plain parquet written by another system, and v2 adopts
+    those files BY REFERENCE — one footer-metadata pass per file
+    (executor-side for large adopts), no data copied, the external paths
+    land verbatim in the group manifest with stats and row counts. The
+    snapshot read over both cohorts hash-matches DuckDB over the raw
+    table; the maintenance ownership guard (only <root>/data is ever
+    deleted) keeps the adopted files the caller's property.
+
+    Scale shape: migrating a 100-TB parquet lake into the table format
+    costs O(#files) FOOTER reads — not a byte of data movement; stats
+    pruning, metadata aggregates, incremental reads and every rewrite
+    verb work on the adopted cohort immediately, and a later compact()
+    completes ownership migration at the caller's pace."""
+    import glob as _glob
+    import shutil
+
+    from gridmr_spark.sources.table_format import ManifestTable
+
+    root = _scratch(sf_dir, "adopt")
+    shutil.rmtree(root, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    ext_dir = os.path.join(root, "external_lake")
+    orders.where(F.col("o_orderkey") % 2 == 1).write.parquet(ext_dir)
+    t = ManifestTable(os.path.join(root, "tbl"))
+    t.commit(orders.where(F.col("o_orderkey") % 2 == 0))        # v1 owned half
+    ext = sorted(_glob.glob(os.path.join(ext_dir, "*.parquet")))
+    v = t.add_files(spark, ext)                                 # v2 adopted half
+    assert set(ext) <= set(t._manifest(v)["files"])             # by reference
+    return (
+        t.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            *_cents_agg(),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+        .select("o_orderstatus", "n_rows", "sum_cents", "min_key", "max_key")
+    )
+
+
+# ---------------------------------------------------------------------------
 # DV-aware metadata stats: MIN/MAX exactness THROUGH a dv-delete history
 # ---------------------------------------------------------------------------
 

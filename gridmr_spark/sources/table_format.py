@@ -773,6 +773,85 @@ class ManifestTable:
         self._publish(v, "compact", None, groups, [], extra or None)
         return v
 
+    def add_files(
+        self,
+        spark: SparkSession,
+        paths: list[str],
+        idempotency_key: str | None = None,
+    ) -> int:
+        """ADOPT existing parquet files into the table BY REFERENCE —
+        Iceberg's ``add_files``/migrate path: ZERO COPY at any size, one
+        'append' snapshot whose group manifest references the external
+        paths with footer-derived stats and row counts (one metadata
+        read per file, executor-side for large adopts — the same build
+        as a commit, minus the data write). Incremental readers see the
+        adopted rows as an ordinary append; time travel, pruning, and
+        every rewrite verb treat the files like any other.
+
+        OWNERSHIP: adopted files stay EXTERNAL. The maintenance
+        ownership guard (``expire``/``vacuum_orphans`` only ever delete
+        under ``<root>/data`` — the shallow-clone contract) means the
+        table will never reclaim them; their lifecycle remains the
+        caller's. A later ``compact()`` rewrites their rows into
+        table-owned files, completing a migration.
+
+        Guards: refuses paths already referenced by the current snapshot
+        (double-adoption would duplicate rows), unreadable/non-parquet
+        files (the footer probe raises), and FIELD-IDS tables (external
+        footers carry no — or worse, foreign — field ids; a rename could
+        then mis-resolve them). On a partitioned table the adopted files
+        carry no ``__pt``: partition reads stay EXACT through the
+        computed residual; schema differences align through the same
+        additive/widening union as any evolved cohort."""
+        found = self._find_idempotent(idempotency_key)
+        if found is not None:
+            return found
+        if not paths:
+            raise ValueError("add_files: no paths given")
+        cur = self.current_version()
+        if cur and self.column_ids(cur) is not None:
+            raise ValueError(
+                f"add_files into {self.root}: field-ids tables cannot "
+                "adopt external files (their footers carry no — or "
+                "foreign — PARQUET:field_id values, which a later rename "
+                "would mis-resolve); copy the data in with commit()"
+            )
+        paths = [os.path.abspath(p) for p in paths]
+        if len(set(map(_norm, paths))) != len(paths):
+            raise ValueError("add_files: duplicate paths in the adopt set")
+        if cur:
+            live = {_norm(f) for f in self._manifest(cur)["files"]}
+            clash = [p for p in paths if _norm(p) in live]
+            if clash:
+                raise ValueError(
+                    f"add_files: {len(clash)} path(s) already referenced "
+                    f"by v{cur} (e.g. {clash[0]}) — double adoption would "
+                    "duplicate their rows"
+                )
+        # footer metadata build: same executor-side fan-out rule as a
+        # commit's (_write_data) — driver fast path for small adopts
+        small = sum(os.path.getsize(p) for p in paths) < (256 << 20)
+        if small:
+            meta = dict(_build_file_meta((p, [])) for p in paths)
+        else:
+            sc = spark.sparkContext
+            tasks = [(p, []) for p in paths]
+            meta = dict(
+                sc.parallelize(tasks, len(tasks)).map(_build_file_meta).collect()
+            )
+        stats = {p: meta[p]["stats"] for p in paths}
+        rows = {p: meta[p]["rows"] for p in paths if meta[p].get("rows") is not None}
+        v = (cur or 0) + 1
+        entry = self._write_group(stats=stats, files=paths, rows=rows or None, cols=None)
+        groups = (self._groups_of(cur) if cur else []) + [entry]
+        extra = self._dv_extra(self._dv(cur)) if cur else {}
+        if cur:
+            extra = self._spec_extra(cur, extra)
+        self._publish(
+            v, "append", idempotency_key, groups, [entry["path"]], extra or None,
+        )
+        return v
+
     def replace(self, df: DataFrame, idempotency_key: str | None = None) -> int:
         """Replace the table's ENTIRE logical content with ``df`` in one
         'overwrite' snapshot — the write mode a streaming materialized view
