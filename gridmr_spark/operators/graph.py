@@ -63,14 +63,25 @@ def connected_components(
 
     for _ in range(max_iter):
         # Neighbor messages: each edge forwards the src's current label to dst.
+        # Self rows are tagged so the round's aggregate can carry the OLD
+        # label through for free: min(component) is the propagated label,
+        # min(component) over self rows is the previous one — the change
+        # flag then rides the checkpointed frame and the convergence probe
+        # becomes a filter+limit over already-materialized blocks instead
+        # of a second shuffle join per round (guide §2.4: the old probe was
+        # an Exchange+join whose only output was one boolean).
         msgs = (
             e.join(labels, e["_s"] == labels["id"])
-            .select(F.col("_d").alias("id"), "component")
+            .select(F.col("_d").alias("id"), "component", F.lit(False).alias("_self"))
         )
         prop = (
-            labels.union(msgs)
+            labels.select("id", "component", F.lit(True).alias("_self"))
+            .union(msgs)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("_self"), F.col("component"))).alias("_old"),
+            )
         )
         # Pointer jump: component <- label(component). Labels only take
         # vertex-id values, so the lookup is an equi-join against prop
@@ -82,20 +93,23 @@ def connected_components(
         )
         new_labels = (
             prop.join(mapping, "component")
-            .select("id", F.col("_jump").alias("component"))
+            .select(
+                "id",
+                F.col("_jump").alias("component"),
+                # Labels are monotonically nonincreasing, so < is change.
+                # An id absent from the prior labels (edge endpoint outside
+                # the vertex set) has NULL _old: the flag is NULL, counted
+                # as unchanged — identical to the old inner-join probe,
+                # which dropped such rows.
+                (F.col("_jump") < F.col("_old")).alias("_chg"),
+            )
             .localCheckpoint()  # cut lineage: plan must not grow per round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") < F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where("_chg").limit(1).count()
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
-    return labels
+    return labels.select("id", "component")
 
 
 def incremental_components(

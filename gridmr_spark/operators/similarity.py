@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from gridmr_spark.functions.vectors import cosine_similarity
+from gridmr_spark.functions.vectors import cosine_similarity, fold_cosine
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -55,22 +55,79 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector.
 
-    Broadcast the query side: each candidate partition scans its rows once
-    against all queries — no shuffle of the (huge) candidate table. Ranking
-    ties break on candidate id for determinism.
+    The query side is small by contract (the "find neighbors of these N
+    items" shape) and is collected to a driver matrix shipped in the
+    function closure — the ``cosine_topk_gemm`` layout — so the candidate
+    table streams once through ONE ``mapInPandas`` and only (qid, cid,
+    cosine) survivors come back; nothing per-pair ever crosses the Python
+    boundary (guide §8: move decisions over small rows, not payloads; the
+    earlier crossJoin shipped BOTH 64-dim vectors per pair — ~0.5 KB ×
+    |Q|·|C| rows — which at the 1-NN eval shape cost more than the fold
+    it replaced). Unlike the BLAS GEMM twin, scores here keep the exact
+    sequential-fold IEEE operation order (dimension-major loop, each
+    multiply/add/sqrt/divide individually rounded), so the output is
+    bit-identical to the JVM fold and to DuckDB's list_reduce — the
+    family's hash-oracle contract. Per-batch top-k with the family
+    tiebreak (cosine desc, cid asc) makes the union a superset of the
+    global top-k; the final window merge is therefore exact. Ranking ties
+    break on candidate id for determinism.
     """
-    q = with_norm(queries, q_vec, "_qv", "_qn")
-    c = with_norm(candidates, c_vec, "_cv", "_cn")
-    joined = c.crossJoin(F.broadcast(q))
-    if exclude_self:
-        joined = joined.where(F.col(q_id) != F.col(c_id))
-    sims = joined.select(
-        q_id,
-        c_id,
-        (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cosine"),
+    qpdf = queries.select(q_id, q_vec).toPandas()
+    spark = candidates.sparkSession
+    if len(qpdf) == 0:
+        return spark.createDataFrame(
+            [], f"{q_id} long, {c_id} long, cosine double, rnk int"
+        )
+    q_ids = qpdf[q_id].to_numpy()
+    Q = np.stack(qpdf[q_vec].to_numpy()).astype("float64")
+    qq = np.zeros(len(Q))
+    for d in range(Q.shape[1]):  # fold-order |q|^2: acc + x*x per dim
+        qd = Q[:, d]
+        qq = qq + qd * qd
+    qn = np.sqrt(qq)
+    out_schema = f"{q_id} long, {c_id} long, cosine double"
+
+    def fold_topk_batches(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf[c_vec].to_numpy()).astype("float64")
+            cids = pdf[c_id].to_numpy()
+            nc, dim = C.shape
+            dot = np.zeros((nc, len(Q)))
+            cc = np.zeros(nc)
+            for d in range(dim):  # dimension-major: the fold's order
+                cd = C[:, d]
+                dot = dot + cd[:, None] * Q[:, d][None, :]
+                cc = cc + cd * cd
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = dot / (qn[None, :] * np.sqrt(cc)[:, None])
+            if exclude_self:
+                S[cids[:, None] == q_ids[None, :]] = -np.inf
+            # Per-batch top-k, family tiebreak (cosine desc, cid asc).
+            # NaN cosines (zero-norm vectors) sort LARGEST — matching
+            # Spark's and DuckDB's NaN-greatest ordering in the merge.
+            key = -S
+            key[np.isnan(S)] = -np.inf
+            kk = min(k, nc)
+            order = np.lexsort(
+                (np.broadcast_to(cids[:, None], S.shape), key), axis=0
+            )
+            top = order[:kk]
+            out = pd.DataFrame(
+                {
+                    q_id: np.repeat(q_ids, kk),
+                    c_id: cids[top].T.ravel(),
+                    "cosine": np.take_along_axis(S, top, axis=0).T.ravel(),
+                }
+            )
+            yield out[out["cosine"] != -np.inf]
+
+    per_batch = candidates.select(c_id, c_vec).mapInPandas(
+        fold_topk_batches, schema=out_schema
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("cosine"), F.asc(c_id))
-    return sims.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+    return per_batch.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
 
 
 def cosine_topk_gemm(
@@ -270,40 +327,43 @@ class IVFIndex:
 
     def fit_centroids(self, df: DataFrame, vec_col: str) -> list[list[float]]:
         """Seeded deterministic init (orderBy xxhash64 sample) + Lloyd steps
-        computed with groupBy avg per dimension (posexplode -> mean)."""
+        refined DRIVER-SIDE in numpy over the collected sample."""
         # Lloyd refinement runs over a deterministic hash-sample, not the
         # full table: at 100 TB a k-means fit is a sample-side estimation
         # problem (centroids from fit_sample >> k rows are statistically
-        # indistinguishable from full-data centroids), and each iteration
-        # becomes one tiny job instead of iters full scan+shuffle waves.
-        # orderBy(h).limit(N) plans as TakeOrdered — no full sort shuffle.
-        sample = (
+        # indistinguishable from full-data centroids). The sample is
+        # driver-bounded by construction (fit_sample x dim floats — the
+        # SAME boundedness contract ProductQuantizer.fit already collects
+        # under), so the refinement loop belongs on the driver: each
+        # iteration was previously ~2 scheduled job waves (pandas-UDF
+        # assign + posexplode shuffle + collect) over data the driver
+        # already held — iters x that overhead bought nothing (guide
+        # §1.2: fix the algorithm's job structure first). One collect,
+        # zero per-iteration jobs. orderBy(h).limit(N) plans as
+        # TakeOrdered — no full sort shuffle.
+        rows = (
             df.select(
                 F.col(vec_col).alias("v"),
                 F.xxhash64(F.col(vec_col).cast("array<float>").cast("string")).alias("h"),
             )
             .orderBy("h")
             .limit(max(self.k, self.fit_sample))
-            .localCheckpoint(eager=True)
+            .collect()
         )
-        centroids = [
-            [float(x) for x in r.v]
-            for r in sample.orderBy("h").limit(self.k).select("v").collect()
-        ]
+        X = np.stack([np.asarray(r.v, dtype="float64") for r in rows])
+        C = X[: self.k].copy()  # h-order head: the same seeded init
         for _ in range(self.iters):
-            assigned = self.assign(sample.select("v"), "v", centroids)
-            new = (
-                assigned.select("cell", F.posexplode(F.col("v")).alias("dim", "x"))
-                .groupBy("cell", "dim")
-                .agg(F.avg("x").alias("m"))
-                .groupBy("cell")
-                .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dims"))
-                .select("cell", F.transform("dims", lambda s: s.m).alias("c"))
-                .collect()
-            )
-            by_cell = {r.cell: [float(x) for x in r.c] for r in new}
-            centroids = [by_cell.get(i, centroids[i]) for i in range(self.k)]
-        return centroids
+            # ||x-c||^2 up to the rank-constant |x|^2, (n, k) memory only
+            d = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+            a = d.argmin(axis=1)  # first-index tiebreak, like the stable
+            # argsort the distributed assign used
+            for j in range(self.k):
+                members = X[a == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+                # empty cell: keep the previous centroid (same rule as the
+                # by_cell.get fallback the distributed fit applied)
+        return [[float(x) for x in c] for c in C]
 
     def _nearest_cells_udf(self, centroids: list[list[float]], n: int):
         """Arrow-vectorized n-nearest-centroid computation: one numpy
@@ -568,19 +628,16 @@ class RandomHyperplaneLSH:
             .select("qid", "cid")
             .distinct()
         )
-        qvecs = with_norm(
-            df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")), "qvec", "_qv", "_qn"
-        ).select("qid", "_qv", "_qn")
-        cvecs = with_norm(
-            df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")), "cvec", "_cv", "_cn"
-        ).select("cid", "_cv", "_cn")
+        qvecs = df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+        cvecs = df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
         sims = (
             cand.join(qvecs, "qid")
             .join(cvecs, "cid")
             .select(
                 "qid",
                 "cid",
-                (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias("cosine"),
+                # vectorized fold twin — bit-identical to the HOF fold
+                fold_cosine("qvec", "cvec").alias("cosine"),
             )
         )
         w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))

@@ -303,10 +303,14 @@ def _near_dup_components(
     eligible = docs.where(F.size(normalize_tokens("text")) >= 3)
     digests = eligible.select("doc_id", F.md5("text").alias("_digest"))
     reps = digests.groupBy("_digest").agg(F.min("doc_id").alias("rep_id"))
+    # copies feeds TWO consumers (the rep_docs anti-join and the star
+    # edges) — materialize once so the tokenize+digest aggregation runs a
+    # single time instead of per consumer. Tiny frame (dup docs only).
     copies = (
         digests.join(reps, "_digest")
         .where(F.col("doc_id") != F.col("rep_id"))
         .select("doc_id", "rep_id")
+        .localCheckpoint(eager=True)
     )
     rep_docs = docs.join(copies.select("doc_id"), "doc_id", "left_anti")
     pairs = setsim.prefix_filter_pairs(

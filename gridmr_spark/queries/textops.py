@@ -1657,27 +1657,53 @@ def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_components,
     )
 
+    from gridmr_spark.operators.parallel import run_parallel
+
     docs = load_table(spark, sf_dir, "documents")
     old = docs.where(F.col("doc_id") % 2 == 0)
     new = docs.where(F.col("doc_id") % 2 == 1)
-    prior_pairs = dedup_ops.minhash_dedup_pairs(
-        old, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5
+    # Shingle each half exactly ONCE for all three pair searches (prior
+    # old x old, bipartite old x new, new x new) — the same sharing the
+    # nightly pipeline below already does. Identical output by
+    # construction (word_shingles is deterministic); saves two full
+    # tokenize+shingle+explode passes per run (guide §1.2 step 1: don't
+    # compute things twice). The two halves are independent jobs, so they
+    # materialize concurrently (guide §2.6 back-fill), as do the prior
+    # old x old pair search + CC and the day's pair searches below.
+    sh_old, sh_new = run_parallel(
+        lambda: dedup_ops.word_shingles(old, "doc_id", "text", 3).localCheckpoint(eager=True),
+        lambda: dedup_ops.word_shingles(new, "doc_id", "text", 3).localCheckpoint(eager=True),
     )
-    prior = connected_components(
-        old.select("doc_id"), prior_pairs.select("id1", "id2"),
-        id_col="doc_id", src_col="id1", dst_col="id2",
-    )
-    day_pairs = (
-        dedup_ops.minhash_dedup_incremental(
-            old, new, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5
+
+    def _prior():
+        pairs = dedup_ops.minhash_dedup_pairs(
+            old, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5, sh=sh_old
         )
-        .select("id1", "id2")
-        .union(
-            dedup_ops.minhash_dedup_pairs(
-                new, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5
-            ).select("id1", "id2")
+        return connected_components(
+            old.select("doc_id"), pairs.select("id1", "id2"),
+            id_col="doc_id", src_col="id1", dst_col="id2",
         )
-    )
+
+    def _day():
+        # Materialized ONCE: incremental_components reads its edge frame
+        # from several consumers (endpoint probe, contraction, relabel) —
+        # an uncheckpointed day_pairs would re-run the bipartite verify
+        # join per consumer.
+        return (
+            dedup_ops.minhash_dedup_incremental(
+                old, new, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5,
+                sh_old=sh_old, sh_new=sh_new,
+            )
+            .select("id1", "id2")
+            .union(
+                dedup_ops.minhash_dedup_pairs(
+                    new, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5, sh=sh_new
+                ).select("id1", "id2")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    prior, day_pairs = run_parallel(_prior, _day)
     updated = incremental_components(
         prior, new.select(F.col("doc_id").alias("id")),
         day_pairs, src_col="id1", dst_col="id2",
@@ -1725,31 +1751,49 @@ def pipeline_incremental_dedup_table(spark: SparkSession, sf_dir: str) -> DataFr
     # shingles anyway), but at 100 TB the old half is a precomputed
     # artifact and this is the contract that lets it be one (stage
     # profile: shingle 3.1s / pair searches 9.3s / CC+recluster 5.3s).
-    sh_old = dedup_ops.word_shingles(old, "doc_id", "text", 3).localCheckpoint(eager=True)
-    sh_new = dedup_ops.word_shingles(new, "doc_id", "text", 3).localCheckpoint(eager=True)
-    prior_pairs = dedup_ops.minhash_dedup_pairs(
-        old, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5, sh=sh_old
-    )
-    prior = connected_components(
-        old.select("doc_id"), prior_pairs.select("id1", "id2"),
-        id_col="doc_id", src_col="id1", dst_col="id2",
+    from gridmr_spark.operators.parallel import run_parallel
+
+    sh_old, sh_new = run_parallel(
+        lambda: dedup_ops.word_shingles(old, "doc_id", "text", 3).localCheckpoint(eager=True),
+        lambda: dedup_ops.word_shingles(new, "doc_id", "text", 3).localCheckpoint(eager=True),
     )
     root = _scratch(sf_dir, "dedup_state")
     _sh.rmtree(root, ignore_errors=True)
     t = ManifestTable(root)
-    t.commit(prior)  # v1: day-0 state
-    day_pairs = (
-        dedup_ops.minhash_dedup_incremental(
-            old, new, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5,
-            sh_old=sh_old, sh_new=sh_new,
+
+    def _commit_prior():
+        pairs = dedup_ops.minhash_dedup_pairs(
+            old, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5, sh=sh_old
         )
-        .select("id1", "id2")
-        .union(
-            dedup_ops.minhash_dedup_pairs(
-                new, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5, sh=sh_new
-            ).select("id1", "id2")
+        prior = connected_components(
+            old.select("doc_id"), pairs.select("id1", "id2"),
+            id_col="doc_id", src_col="id1", dst_col="id2",
         )
-    )
+        t.commit(prior)  # v1: day-0 state
+        return prior
+
+    def _day():
+        # Materialized ONCE: incremental_components reads its edge frame
+        # from several consumers (endpoint probe, contraction, relabel) —
+        # an uncheckpointed day_pairs would re-run the bipartite verify
+        # join per consumer.
+        return (
+            dedup_ops.minhash_dedup_incremental(
+                old, new, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5,
+                sh_old=sh_old, sh_new=sh_new,
+            )
+            .select("id1", "id2")
+            .union(
+                dedup_ops.minhash_dedup_pairs(
+                    new, "doc_id", "text", n=3, k=64, bands=16, threshold=0.5, sh=sh_new
+                ).select("id1", "id2")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    # Day-0 build+commit and the day's pair searches are independent
+    # sub-pipelines — overlap them (guide §2.6).
+    _prior, day_pairs = run_parallel(_commit_prior, _day)
     changed = incremental_components(
         t.read(spark), new.select(F.col("doc_id").alias("id")),
         day_pairs, src_col="id1", dst_col="id2", changed_only=True,

@@ -72,21 +72,20 @@ def similarity_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness SF, a fixed-size sample beyond) — the quadratic oracle must
     never be the thing that grows with the data; the LSH variant below is
     the scale path (same output shape)."""
-    from gridmr_spark.operators.similarity import _dot, with_norm
+    from gridmr_spark.functions.vectors import fold_cosine
 
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 1000)
-    a = with_norm(
-        emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("va")), "va", "_av", "_an"
-    )
-    b = with_norm(
-        emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("vb")), "vb", "_bv", "_bn"
-    )
+    a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("vb"))
     return (
         a.join(b, F.col("id1") < F.col("id2"))
         .select(
             "id1",
             "id2",
-            (_dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))).alias("cosine"),
+            # vectorized fold twin, bit-identical to the HOF fold;
+            # filter_safe: the filter below references the UDF column, so
+            # without the flag pushdown duplicates the evaluation (§4.4)
+            fold_cosine("va", "vb", filter_safe=True).alias("cosine"),
         )
         .where(F.col("cosine") >= 0.4)
     )
@@ -185,25 +184,18 @@ def _fold_rerank(
     whichever candidate the BLAS build happened to rank k-th. A
     disagreement would have to span more than `slack` rank positions to
     change the output — impossible for last-ulp summation differences."""
-    from gridmr_spark.operators.similarity import _dot, with_norm
+    from gridmr_spark.functions.vectors import fold_cosine
 
-    eq = with_norm(
-        emb.select(F.col("vec_id").alias(q_col), F.col("embedding").alias("_qraw")),
-        "_qraw", "_qv", "_qn",
-    ).select(q_col, "_qv", "_qn")
-    ec = with_norm(
-        emb.select(F.col("vec_id").alias(c_col), F.col("embedding").alias("_craw")),
-        "_craw", "_cv", "_cn",
-    ).select(c_col, "_cv", "_cn")
+    eq = emb.select(F.col("vec_id").alias(q_col), F.col("embedding").alias("_qraw"))
+    ec = emb.select(F.col("vec_id").alias(c_col), F.col("embedding").alias("_craw"))
     j = (
         eq.join(F.broadcast(sel.select(q_col, c_col)), q_col)
         .join(ec, c_col)
         .select(
             q_col,
             c_col,
-            (_dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))).alias(
-                "cosine"
-            ),
+            # vectorized fold twin — bit-identical to the HOF fold
+            fold_cosine("_qraw", "_craw").alias("cosine"),
         )
     )
     w = Window.partitionBy(q_col).orderBy(F.desc("cosine"), F.asc(c_col))
@@ -386,20 +378,21 @@ _PAIRS_500_SQL = f"""
 def _bounded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected unique pairs (id1 < id2) of the bounded cosine graph —
     shared edge source for the graph-analytics queries below."""
-    from gridmr_spark.operators.similarity import _dot, with_norm
+    from gridmr_spark.functions.vectors import fold_cosine
 
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 500)
-    a = with_norm(
-        emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("va")), "va", "_av", "_an"
-    )
-    b = with_norm(
-        emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("vb")), "vb", "_bv", "_bn"
-    )
+    a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("vb"))
     return (
         a.join(b, F.col("id1") < F.col("id2"))
-        .where(
-            (_dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn"))) >= 0.4
+        .select(
+            "id1",
+            "id2",
+            # vectorized fold twin (bit-identical); filter_safe stops the
+            # threshold filter duplicating the evaluation (§4.4)
+            fold_cosine("va", "vb", filter_safe=True).alias("_cos"),
         )
+        .where(F.col("_cos") >= 0.4)
         .select("id1", "id2")
     )
 
@@ -615,7 +608,7 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate sees no float noise. Iterating this step (re-averaging centroids
     per cell) is Lloyd's algorithm; IVFIndex.fit_centroids runs exactly
     that loop on a sample."""
-    from gridmr_spark.functions.vectors import cosine_similarity
+    from gridmr_spark.functions.vectors import fold_cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
     cent = emb.where(F.col("vec_id") < 8).select(
@@ -624,7 +617,8 @@ def cluster_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "cell",
-        cosine_similarity(F.col("embedding"), F.col("cv")).alias("cos"),
+        # vectorized fold twin — bit-identical to the HOF fold
+        fold_cosine(F.col("embedding"), F.col("cv")).alias("cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
     assign = (
@@ -972,7 +966,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, so the >= tau boundary is exact."""
     import math
 
-    from gridmr_spark.functions.vectors import cosine_similarity
+    from gridmr_spark.functions.vectors import fold_cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()  # bounded driver action: one scalar, prices k below
@@ -985,7 +979,8 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "cell",
         "embedding",
-        cosine_similarity(F.col("embedding"), F.col("cv")).alias("cos"),
+        # vectorized fold twin — bit-identical to the HOF fold
+        fold_cosine(F.col("embedding"), F.col("cv")).alias("cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
     assign = (
@@ -1002,7 +997,13 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = (
         a.join(b, "cell")
         .where(F.col("aid") < F.col("bid"))
-        .where(cosine_similarity(F.col("av"), F.col("bv")) >= _SEMDEDUP_TAU)
+        # vectorized fold twin (bit-identical to the HOF fold);
+        # filter_safe: the tau filter references the UDF column (§4.4)
+        .select(
+            F.col("bid"),
+            fold_cosine("av", "bv", filter_safe=True).alias("_cos"),
+        )
+        .where(F.col("_cos") >= _SEMDEDUP_TAU)
         .select(F.col("bid").alias("vec_id"))
         .distinct()
         .withColumn("is_dup", F.lit(1))
@@ -1047,7 +1048,7 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     label filter applied to the shortlist — mining is a top-k variant,
     not a new plan family. Cosines are the sequential double fold, so the
     oracle hash-compares them bit-for-bit."""
-    from gridmr_spark.functions.vectors import cosine_similarity
+    from gridmr_spark.functions.vectors import fold_cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
     anchors = emb.where(F.col("vec_id") < 10).select(
@@ -1061,7 +1062,8 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anchor_id",
             F.col("vec_id").alias("negative_id"),
             F.col("label").alias("neg_label"),
-            cosine_similarity(F.col("av"), F.col("embedding")).alias("cosine"),
+            # vectorized fold twin — bit-identical to the HOF fold
+            fold_cosine(F.col("av"), F.col("embedding")).alias("cosine"),
         )
     )
     w = Window.partitionBy("anchor_id").orderBy(
@@ -1518,6 +1520,11 @@ def nn_shortlist_predictions(
     short = pairs.withColumn("_hrnk", F.row_number().over(hwin)).where(
         F.col("_hrnk") <= m
     )
+    # JVM fold kept here deliberately: the shortlist rows already carry
+    # both vectors through the hamming window's shuffle, so routing the
+    # cosine through Arrow would ship ~0.5 KB/pair across the Python
+    # boundary for no net win at the m = |ref| canary regime (measured:
+    # 2.5 s JVM fold vs 2.9 s pandas-UDF in the round-14 sweep).
     short = with_norm(short, "q_vec", "_qv", "_qn")
     short = with_norm(short, "r_vec", "_cv", "_cn")
     scored = short.withColumn(
