@@ -38,6 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gridmr_spark.functions.localdata import local_df
 from gridmr_spark.operators.similarity import IVFIndex, ProductQuantizer
 
 
@@ -85,7 +86,8 @@ class PersistedIVF:
         idx = self.idx
         if centroids is None:
             centroids = idx.fit_centroids(df, vec_col)
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
             "cell int, cvec array<double>",
         ).coalesce(1).write.mode("overwrite").parquet(_p(path, "centroids.parquet"))
@@ -282,7 +284,7 @@ class PersistedPQ:
             for s in range(m)
             for j in range(ksub)
         ]
-        spark.createDataFrame(rows, "s int, j int, cvec array<double>").coalesce(
+        local_df(spark, rows, "s int, j int, cvec array<double>").coalesce(
             1
         ).write.mode("overwrite").parquet(_p(path, "codebooks.parquet"))
         self._encode_df(df, id_col, vec_col, books).write.mode("overwrite").parquet(

@@ -159,7 +159,10 @@ def encode_bpe(
 
 def save_bpe(spark, merges: list[tuple[str, str]], path: str) -> None:
     """Persist the merge table as parquet (rank, left, right)."""
-    spark.createDataFrame(
+    from gridmr_spark.functions.localdata import local_df
+
+    local_df(
+        spark,
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank int, left string, right string",
     ).coalesce(1).write.mode("overwrite").parquet(path)

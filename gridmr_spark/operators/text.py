@@ -78,8 +78,10 @@ def lang_dictionary_df(spark) -> DataFrame:
     """The default lexicon as a DataFrame — the broadcast side of
     lang_id_join. Callers substitute their own (token, lang, weight) table
     for real deployments."""
-    return spark.createDataFrame(
-        list(DEFAULT_LANG_DICTIONARY), schema="token string, lang string, weight int"
+    from gridmr_spark.functions.localdata import local_df
+
+    return local_df(
+        spark, list(DEFAULT_LANG_DICTIONARY), "token string, lang string, weight int"
     )
 
 

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gridmr_spark.catalog import load_table
+from gridmr_spark.functions.localdata import local_df
 from gridmr_spark.functions.numeric import davg, dmoney, dsum
 from gridmr_spark.queries import query
 
@@ -210,7 +211,8 @@ def join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     Broadcast nested-loop with 3 rows on the build side — O(n·3) scans, no
     shuffle; the scalable pattern for interval dimension tables."""
     orders = load_table(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(
+    bands = local_df(
+        spark,
         [("small", 0.0, 100000.0), ("medium", 100000.0, 250000.0), ("large", 250000.0, 1e9)],
         "band string, lo double, hi double",
     )

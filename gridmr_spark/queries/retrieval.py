@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gridmr_spark.catalog import load_table
+from gridmr_spark.functions.localdata import local_df
 from gridmr_spark.queries import query
 
 # ---------------------------------------------------------------------------
@@ -149,7 +150,7 @@ def _bm25_agg(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         F.count(F.lit(1)).alias("n"),
         (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
     )
-    q = spark.createDataFrame(_BM25_QUERIES, "qid long, qtext string").select(
+    q = local_df(spark, _BM25_QUERIES, "qid long, qtext string").select(
         "qid", F.explode(F.filter(F.split("qtext", " "), lambda w: w != "")).alias("tok")
     )
     tfd = F.col("tf").cast("double")

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from gridmr_spark import sources
 from gridmr_spark.catalog import load_table
+from gridmr_spark.functions.localdata import local_df
 from gridmr_spark.queries import query
 
 
@@ -1569,7 +1570,8 @@ def table_metadata_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(cols["o_totalprice"][0]),
         float(cols["o_totalprice"][1]),
     )
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [row],
         "n_rows long, min_key long, max_key long, min_price double, max_price double",
     )
@@ -2612,7 +2614,8 @@ def table_metadata_agg_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows.append(meta_leg("extreme_dv"))
     t.materialize_dv(spark, target_rows=0)                             # v4 retire
     rows.append(meta_leg("materialized"))
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         rows,
         "label string, n_rows long, min_key long, max_key long, meta_exact int",
     )

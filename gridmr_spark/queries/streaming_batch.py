@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gridmr_spark.catalog import load_table
+from gridmr_spark.functions.localdata import local_df
 from gridmr_spark.queries import query
 from gridmr_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
 
@@ -280,7 +281,8 @@ def _run_tws_live(spark, sf_dir: str, tag: str, sentinel_row, build_stream):
     src = os.path.join(base, "src")
     run = os.path.join(base, f"run-{uuid.uuid4().hex[:8]}")
     ck, sink = os.path.join(run, "ck"), os.path.join(run, "out")
-    sentinel = spark.createDataFrame(
+    sentinel = local_df(
+        spark,
         [sentinel_row],
         "event_id long, user_id long, ts timestamp, value double, event_type string",
     )

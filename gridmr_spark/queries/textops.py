@@ -2061,7 +2061,10 @@ def pipeline_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # metrics ride on it. count() stands in for the production write.
     observed.where(F.col("n_tok") >= 8).count()
     m = obs.get
-    return spark.createDataFrame(
+    from gridmr_spark.functions.localdata import local_df
+
+    return local_df(
+        spark,
         [(int(m["n_total"]), int(m["n_short"]), int(m["n_kept"]), int(m["tok_kept"]))],
         "n_total long, n_short long, n_kept long, tok_kept long",
     )

@@ -74,6 +74,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from gridmr_spark.functions.localdata import local_df
+
 
 class PublishBackend:
     """Storage-backend seam for the format's ONE publish discipline
@@ -2755,7 +2757,8 @@ class ManifestTable:
                     n_added,
                 )
             )
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows,
             "version long, operation string, ts double, "
             "idempotency_key string, n_files long, n_added long",
@@ -3243,8 +3246,8 @@ class ManifestTable:
         out.append(f"{name}_history")
         stats = self.snapshot_stats()
         files_rows = [(f, json.dumps(st, sort_keys=True)) for f, st in stats.items()]
-        spark.createDataFrame(
-            files_rows, "file_path string, column_stats string"
+        local_df(
+            spark, files_rows, "file_path string, column_stats string"
         ).createOrReplaceTempView(f"{name}_files")
         out.append(f"{name}_files")
         return out
