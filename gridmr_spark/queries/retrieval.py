@@ -139,11 +139,19 @@ def _bm25_agg(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             lambda w: w != "",
         ).alias("t"),
     ).where(F.size("t") > 0)
-    d = toks.select("doc_id", F.size("t").cast("long").alias("dl"), "t")
+    # Catalyst has no common-subtree reuse across join inputs: without
+    # materialization the tokenize pipeline runs once PER REFERENCE (tf
+    # feeds scored + df, d feeds tf + dl + stats — 3-4 full re-tokenizes
+    # in one plan). Two eager checkpoints make each stage run once
+    # (guide §1.2 step 1: don't compute things twice).
+    d = toks.select(
+        "doc_id", F.size("t").cast("long").alias("dl"), "t"
+    ).localCheckpoint(eager=True)
     tf = (
         d.select("doc_id", F.explode("t").alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
     df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     stats = d.agg(

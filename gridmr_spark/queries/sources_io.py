@@ -2683,10 +2683,16 @@ def stream_catalog_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    from gridmr_spark.operators.parallel import run_parallel
+
     t_o = ManifestTable(os.path.join(root, "orders"))
     t_l = ManifestTable(os.path.join(root, "lineitem"))
-    t_o.commit(orders.where(F.col("o_orderkey") % 3 == 0))
-    t_l.commit(li.where(F.col("l_orderkey") % 3 == 0))
+    # The two tables' seed commits are independent jobs — overlap them
+    # (guide §2.6 back-fill), as are the two availableNow feeds below.
+    run_parallel(
+        lambda: t_o.commit(orders.where(F.col("o_orderkey") % 3 == 0)),
+        lambda: t_l.commit(li.where(F.col("l_orderkey") % 3 == 0)),
+    )
     cat = TableCatalog(root)
     cat.create({"orders": t_o, "lineitem": t_l})                      # cv1
     txn = cat.begin()
@@ -2726,8 +2732,9 @@ def stream_catalog_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col(w) != 0)
         )
 
-    o_live = fold(feed("orders"), ["o_orderkey", "o_totalprice"], "n_o")
-    l_live = fold(feed("lineitem"), ["l_orderkey", "l_quantity"], "n_l")
+    f_o, f_l = run_parallel(lambda: feed("orders"), lambda: feed("lineitem"))
+    o_live = fold(f_o, ["o_orderkey", "o_totalprice"], "n_o")
+    l_live = fold(f_l, ["l_orderkey", "l_quantity"], "n_l")
     o_cents = F.floor(F.col("o_totalprice") * F.lit(100.0)).cast("long")
     l_cents = F.floor(F.col("l_quantity") * F.lit(100.0)).cast("long")
     o_leg = o_live.agg(
