@@ -268,7 +268,7 @@ def pagerank(
     outdeg = e.groupBy("_s").agg(F.count("*").alias("_deg"))
 
     ranks = v.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint()
-    for _ in range(iters):
+    for it in range(iters):
         contrib_src = (
             ranks.join(outdeg, ranks["id"] == outdeg["_s"], "left")
             .select("id", "rank", "_deg")
@@ -289,15 +289,18 @@ def pagerank(
             F.lit((1.0 - damping) / n)
             + F.lit(damping) * F.col("_dm") / F.lit(float(n))
         )
-        ranks = (
-            v.join(msgs, "id", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "id",
-                (base + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))).alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = v.join(msgs, "id", "left").crossJoin(F.broadcast(dangling)).select(
+            "id",
+            (base + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))).alias("rank"),
         )
+        # Checkpoint every OTHER round (and always the last): each eager
+        # materialization is a scheduled job, and at |V| rows per round the
+        # job overhead dwarfs the compute — letting two rounds fuse into
+        # one plan halves the job count while still bounding plan growth.
+        # Identical numbers: the computation is unchanged, only where the
+        # pipeline breaks.
+        if it % 2 == 1 or it == iters - 1:
+            ranks = ranks.localCheckpoint()
     return ranks
 
 

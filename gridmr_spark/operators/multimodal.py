@@ -93,37 +93,33 @@ def png_encode_gray(arr, filters=None) -> bytes:
     h, w = arr.shape
     if h < 1 or w < 1:
         raise ValueError("png_encode_gray needs a non-empty array")
-    rows = []
-    prior = np.zeros(w, dtype=np.int32)
-    for y in range(h):
-        f = (y % 5) if filters is None else int(filters[y])
-        cur = arr[y].astype(np.int32)
-        left = np.concatenate(([0], cur[:-1]))
-        if f == 0:
-            filt = cur
-        elif f == 1:
-            filt = cur - left
-        elif f == 2:
-            filt = cur - prior
-        elif f == 3:
-            filt = cur - ((left + prior) >> 1)
-        elif f == 4:
-            # Encoder-side Paeth has no reconstruction dependency (left/
-            # prior/ul come from the ORIGINAL arrays), so the predictor
-            # vectorizes: pick a, b, or c by the standard tie-broken
-            # distance rule with np.where instead of a per-pixel loop.
-            ul = np.concatenate(([0], prior[:-1]))
-            p = left + prior - ul
-            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
-            pred = np.where(
-                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
-            )
-            filt = cur - pred
-        else:
-            raise ValueError(f"unknown PNG filter {f}")
-        rows.append(bytes([f]) + (filt % 256).astype(np.uint8).tobytes())
-        prior = cur
-    raw = b"".join(rows)
+    # No ENCODER-side filter has a reconstruction dependency (left/prior/ul
+    # all come from the ORIGINAL pixel array), so every scanline's filtered
+    # bytes compute in one whole-image numpy pass: build the five filter
+    # variants as (h, w) arrays and pick per row. Byte-identical to the
+    # per-scanline loop this replaces (same int arithmetic, same mod 256).
+    cur = arr.astype(np.int32)
+    left = np.zeros_like(cur)
+    left[:, 1:] = cur[:, :-1]
+    prior = np.zeros_like(cur)
+    prior[1:, :] = cur[:-1, :]
+    ul = np.zeros_like(cur)
+    ul[:, 1:] = prior[:, :-1]
+    p = left + prior - ul
+    pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+    pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul))
+    variants = np.stack(
+        [cur, cur - left, cur - prior, cur - ((left + prior) >> 1), cur - pred]
+    )  # (5, h, w)
+    fidx = (
+        (np.arange(h) % 5) if filters is None else np.asarray(filters, dtype=np.int64)
+    )
+    if fidx.min() < 0 or fidx.max() > 4:
+        raise ValueError(f"unknown PNG filter {int(fidx.min()) if fidx.min() < 0 else int(fidx.max())}")
+    lines = np.empty((h, w + 1), dtype=np.uint8)
+    lines[:, 0] = fidx
+    lines[:, 1:] = (variants[fidx, np.arange(h), :] % 256).astype(np.uint8)
+    raw = lines.tobytes()
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         c = tag + data
@@ -179,17 +175,22 @@ def png_decode_gray(data: bytes):
         elif f == 2:
             rec = (line + prior) % 256
         elif f == 3:
-            rec = np.empty(w, dtype=np.int64)
+            # Sequential reconstruction (left depends on the previous
+            # pixel) — run the scan over PYTHON ints: per-element numpy
+            # scalar indexing/arithmetic is ~10x slower than int ops.
+            ln, pr, out_row = line.tolist(), prior.tolist(), []
             left = 0
             for x in range(w):
-                left = (line[x] + ((left + int(prior[x])) >> 1)) % 256
-                rec[x] = left
+                left = (ln[x] + ((left + pr[x]) >> 1)) % 256
+                out_row.append(left)
+            rec = np.asarray(out_row, dtype=np.int64)
         elif f == 4:
-            rec = np.empty(w, dtype=np.int64)
+            ln, pr, out_row = line.tolist(), prior.tolist(), []
             left = 0
             for x in range(w):
-                left = (line[x] + _paeth(left, int(prior[x]), int(prior[x - 1]) if x else 0)) % 256
-                rec[x] = left
+                left = (ln[x] + _paeth(left, pr[x], pr[x - 1] if x else 0)) % 256
+                out_row.append(left)
+            rec = np.asarray(out_row, dtype=np.int64)
         else:
             raise ValueError(f"unknown PNG filter {f}")
         out[y] = rec.astype(np.uint8)
@@ -776,8 +777,9 @@ def image_ahash(media: DataFrame) -> DataFrame:
                 cnts = np.bincount(idx, minlength=64).astype(np.int64)
                 tsum, tcnt = int(flat.sum()), int(flat.size)
                 bits = (sums * tcnt) > (tsum * cnts)
-                hi = sum(1 << (j - 32) for j in range(32, 64) if bits[j])
-                lo = sum(1 << j for j in range(32) if bits[j])
+                pw = np.int64(1) << np.arange(32, dtype=np.int64)
+                hi = int(bits[32:64].astype(np.int64) @ pw)
+                lo = int(bits[:32].astype(np.int64) @ pw)
                 ids.append(doc_id)
                 his.append(hi)
                 los.append(lo)

@@ -416,9 +416,14 @@ def symdelete_fuzzy_pairs(
     # where AQE broadcasts the keyed side and no shuffle exists, the hash
     # costs more than it saves (3.9s vs 3.6s). Apply the hash when the
     # keyed side outgrows broadcast.
-    keyed = s.select(
-        "id", "name", F.explode(F.array_distinct(variants)).alias("v")
-    )
+    # Keys travel WITHOUT the name payload: a string shares many deletion
+    # keys with its neighbors, so the collision stream is many times the
+    # input and carrying both names through it (and through the distinct)
+    # multiplies the shuffled bytes ~4x. Decide with small rows — distinct
+    # the bare (id1, id2) pairs — and re-attach names afterwards with two
+    # joins against the input (guide §8; broadcast-sized for dims, a keyed
+    # join at fact scale).
+    keyed = s.select("id", F.explode(F.array_distinct(variants)).alias("v"))
     if max_block_df is not None:
         hot = (
             keyed.groupBy("v")
@@ -427,13 +432,18 @@ def symdelete_fuzzy_pairs(
             .select("v")
         )
         keyed = keyed.join(hot, "v", "left_anti")
-    a = keyed.select(F.col("id").alias("id1"), F.col("name").alias("n1"), "v")
-    b = keyed.select(F.col("id").alias("id2"), F.col("name").alias("n2"), "v")
-    return (
+    a = keyed.select(F.col("id").alias("id1"), "v")
+    b = keyed.select(F.col("id").alias("id2"), "v")
+    pairs = (
         a.join(b, "v")
         .where(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "n1", "n2")
+        .select("id1", "id2")
         .distinct()
+    )
+    names = s.select("id", "name")
+    return (
+        pairs.join(names.select(F.col("id").alias("id1"), F.col("name").alias("n1")), "id1")
+        .join(names.select(F.col("id").alias("id2"), F.col("name").alias("n2")), "id2")
         .select("id1", "id2", F.levenshtein("n1", "n2").alias("dist"))
         .where(F.col("dist") <= max_dist)
     )
