@@ -57,9 +57,28 @@ def connected_components(
     rev = edges.select(F.col(dst_col).alias("_s"), F.col(src_col).alias("_d"))
     e = fwd.union(rev).distinct().localCheckpoint()
 
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("component")
+    # ISOLATED vertices (no incident edge) can never receive a message and
+    # never change label, yet the old loop shuffled, aggregated and
+    # checkpointed them every round. For dedup graphs they are the vast
+    # majority (most documents are not near-duplicates), so the iteration
+    # runs over EDGE-ENDPOINT vertices only and singletons rejoin at the
+    # end with component = id — identical output (a singleton's label is
+    # its own id by definition of min-label propagation), but every round's
+    # join/agg/checkpoint is sized by the dup graph, not the corpus.
+    # Endpoints absent from `vertices` still enter through the message
+    # aggregate exactly as before (they are never seeded with a self label).
+    # ONE materialization serves both slices: the active/isolated split is
+    # a single left join tagged into the seed checkpoint, so neither the
+    # loop seed nor the final singleton union re-derives the vertex frame.
+    v = vertices.select(F.col(id_col).alias("id"))
+    ep = e.select(F.col("_s").alias("id")).distinct()  # symmetrized: every endpoint
+    tagged = v.join(
+        ep.select("id", F.lit(True).alias("_act")), "id", "left"
     ).localCheckpoint()
+    labels = tagged.where("_act").select("id", F.col("id").alias("component"))
+    isolated = tagged.where(F.col("_act").isNull()).select(
+        "id", F.col("id").alias("component")
+    )
 
     for _ in range(max_iter):
         # Neighbor messages: each edge forwards the src's current label to dst.
@@ -109,7 +128,7 @@ def connected_components(
         labels = new_labels.select("id", "component")
         if changed == 0:
             break
-    return labels.select("id", "component")
+    return labels.select("id", "component").unionByName(isolated)
 
 
 def incremental_components(

@@ -187,26 +187,27 @@ def keep_best_survivorship(
 
 
 def _rank_survivors(docs: DataFrame, comp: DataFrame) -> DataFrame:
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    ranked = (
-        comp.join(docs, comp["id"] == docs["doc_id"])
-        .select(F.col("component").alias("cluster_id"), "doc_id",
-                F.length("text").cast("long").alias("n_chars"))
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("cluster_id").orderBy(
-                    F.desc("n_chars"), F.asc("doc_id")
-                )
-            ),
-        )
+    members = comp.join(docs, comp["id"] == docs["doc_id"]).select(
+        F.col("component").alias("cluster_id"),
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
     )
-    return ranked.groupBy("cluster_id").agg(
+    # The keep rule (longest text, ties to the smallest doc_id) is an
+    # argmax, so ONE hash aggregate with max_by replaces the old
+    # window-rank + re-aggregate: same shuffle key, but partial map-side
+    # aggregation instead of a full per-partition sort, and no second agg.
+    # (n_chars, -doc_id) is a unique ordering per cluster, so max_by is
+    # deterministic and picks exactly the old rnk = 1 row.
+    best = F.max_by(
+        F.struct("doc_id", "n_chars"),
+        F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("_nd")),
+    )
+    return members.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
-        F.min(F.when(F.col("rnk") == 1, F.col("doc_id"))).cast("long").alias("kept_doc_id"),
-        F.min(F.when(F.col("rnk") == 1, F.col("n_chars"))).cast("long").alias("kept_chars"),
+        best.getField("doc_id").cast("long").alias("kept_doc_id"),
+        best.getField("n_chars").cast("long").alias("kept_chars"),
     )
 
 
