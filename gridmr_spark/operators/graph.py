@@ -80,7 +80,7 @@ def connected_components(
         "id", F.col("id").alias("component")
     )
 
-    for _ in range(max_iter):
+    def _round(lbl: DataFrame) -> DataFrame:
         # Neighbor messages: each edge forwards the src's current label to dst.
         # Self rows are tagged so the round's aggregate can carry the OLD
         # label through for free: min(component) is the propagated label,
@@ -90,11 +90,11 @@ def connected_components(
         # of a second shuffle join per round (guide §2.4: the old probe was
         # an Exchange+join whose only output was one boolean).
         msgs = (
-            e.join(labels, e["_s"] == labels["id"])
+            e.join(lbl, e["_s"] == lbl["id"])
             .select(F.col("_d").alias("id"), "component", F.lit(False).alias("_self"))
         )
         prop = (
-            labels.select("id", "component", F.lit(True).alias("_self"))
+            lbl.select("id", "component", F.lit(True).alias("_self"))
             .union(msgs)
             .groupBy("id")
             .agg(
@@ -110,20 +110,24 @@ def connected_components(
         mapping = prop.select(
             F.col("id").alias("component"), F.col("component").alias("_jump")
         )
-        new_labels = (
-            prop.join(mapping, "component")
-            .select(
-                "id",
-                F.col("_jump").alias("component"),
-                # Labels are monotonically nonincreasing, so < is change.
-                # An id absent from the prior labels (edge endpoint outside
-                # the vertex set) has NULL _old: the flag is NULL, counted
-                # as unchanged — identical to the old inner-join probe,
-                # which dropped such rows.
-                (F.col("_jump") < F.col("_old")).alias("_chg"),
-            )
-            .localCheckpoint()  # cut lineage: plan must not grow per round
+        return prop.join(mapping, "component").select(
+            "id",
+            F.col("_jump").alias("component"),
+            # Labels are monotonically nonincreasing, so < is change.
+            # An id absent from the prior labels (edge endpoint outside
+            # the vertex set) has NULL _old: the flag is NULL, counted
+            # as unchanged — identical to the old inner-join probe,
+            # which dropped such rows.
+            (F.col("_jump") < F.col("_old")).alias("_chg"),
         )
+
+    # One materialization + probe per round. NOT fused two-rounds-per-
+    # checkpoint like pagerank: a CC round references its input twice
+    # (self rows + messages), so fusing would re-compute the unmaterialized
+    # prior round unless exchange reuse happens to fire — measured ~neutral
+    # locally and a 2x-per-round-work risk at scale.
+    for _ in range(max_iter):
+        new_labels = _round(labels).localCheckpoint()  # cut lineage per round
         changed = new_labels.where("_chg").limit(1).count()
         labels = new_labels.select("id", "component")
         if changed == 0:

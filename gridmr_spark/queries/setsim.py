@@ -298,24 +298,37 @@ def _near_dup_components(
     there would merge what the quadratic oracle keeps separate."""
     from pyspark.sql import functions as F
 
-    from gridmr_spark.operators.dedup import normalize_tokens
+    from gridmr_spark.operators.dedup import word_shingles
     from gridmr_spark.operators.graph import connected_components
 
-    eligible = docs.where(F.size(normalize_tokens("text")) >= 3)
-    digests = eligible.select("doc_id", F.md5("text").alias("_digest"))
+    # ONE tokenize+shingle pass over all docs serves the whole composition:
+    # eligibility (a doc has >= 1 shingle <=> >= n tokens, so the old
+    # size(normalize_tokens) >= n re-tokenization is a distinct over this
+    # table), the digest pre-collapse (md5 needs no tokens at all — and a
+    # digest group is homogeneous in eligibility, identical text having
+    # identical token counts, so semi-joining the groups against shingle-
+    # bearing ids yields exactly the old eligible-docs collapse), and the
+    # pair search (postings = this table minus the collapsed copies, which
+    # is precisely word_shingles(rep_docs) since shingling is per-doc).
+    sh_all = word_shingles(docs, "doc_id", "text", 3).localCheckpoint(eager=True)
+    eligible_ids = sh_all.select(F.col("id").alias("doc_id")).distinct()
+    digests = docs.select("doc_id", F.md5("text").alias("_digest")).join(
+        eligible_ids, "doc_id", "left_semi"
+    )
     reps = digests.groupBy("_digest").agg(F.min("doc_id").alias("rep_id"))
-    # copies feeds TWO consumers (the rep_docs anti-join and the star
-    # edges) — materialize once so the tokenize+digest aggregation runs a
-    # single time instead of per consumer. Tiny frame (dup docs only).
+    # copies feeds TWO consumers (the postings anti-join and the star
+    # edges) — materialize once. Tiny frame (dup docs only).
     copies = (
         digests.join(reps, "_digest")
         .where(F.col("doc_id") != F.col("rep_id"))
         .select("doc_id", "rep_id")
         .localCheckpoint(eager=True)
     )
-    rep_docs = docs.join(copies.select("doc_id"), "doc_id", "left_anti")
+    rep_sh = sh_all.join(
+        copies.select(F.col("doc_id").alias("id")), "id", "left_anti"
+    )
     pairs = setsim.prefix_filter_pairs(
-        rep_docs, "doc_id", "text", n=3, tau_num=tau_num, tau_den=tau_den
+        docs, "doc_id", "text", n=3, tau_num=tau_num, tau_den=tau_den, sh=rep_sh
     )
     star = copies.select(
         F.col("rep_id").alias("src"), F.col("doc_id").alias("dst")
