@@ -237,6 +237,16 @@ def minhash_dedup_incremental(
     # hold the (id, shingle) tables pass them via sh_old/sh_new (MUST be
     # materialized) so a composition like the nightly pipeline shingles
     # each half exactly once across all its stages.
+    if sh_old is None and sh_new is None:
+        # The two halves are independent jobs — materialize them
+        # concurrently so the second's tasks back-fill the first's
+        # straggler tail (same overlap the nightly pipelines use).
+        from gridmr_spark.operators.parallel import run_parallel
+
+        sh_old, sh_new = run_parallel(
+            lambda: word_shingles(old, id_col, text_col, n).localCheckpoint(eager=True),
+            lambda: word_shingles(new, id_col, text_col, n).localCheckpoint(eager=True),
+        )
     if sh_old is None:
         sh_old = word_shingles(old, id_col, text_col, n).localCheckpoint(eager=True)
     if sh_new is None:
