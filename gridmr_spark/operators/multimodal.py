@@ -355,14 +355,24 @@ def decode_image_features(media: DataFrame, batch_size: int = 256, fake: bool = 
         for pdf in batches:
             payloads = pdf["payload"]
             if not fake:
-                # Real path: the codec call is per-image (PNG via the
-                # stdlib decoder, anything else via PIL when present), but
-                # ALL pixel math is numpy over the decoded array — the same
-                # stats as the fake path, computed on pixels instead of raw
-                # payload bytes.
+                # Real path: JPEG payloads decode as ONE lockstep batch
+                # (jpeg_decode_gray_many — the bit-serial Huffman walk is
+                # vectorized ACROSS the images of the Arrow batch); PNG and
+                # PIL formats stay per-image. ALL pixel math is numpy over
+                # the decoded array — the same stats as the fake path,
+                # computed on pixels instead of raw payload bytes.
+                payload_bytes = [bytes(b) for b in payloads]
+                arrays: list = [None] * len(payload_bytes)
+                jpg = [i for i, b in enumerate(payload_bytes) if b.startswith(b"\xff\xd8")]
+                if jpg:
+                    from gridmr_spark.operators.jpeg import jpeg_decode_gray_many
+
+                    for i, arr in zip(jpg, jpeg_decode_gray_many([payload_bytes[i] for i in jpg])):
+                        arrays[i] = arr
                 widths, heights, means, feats = [], [], [], []
-                for b in payloads:
-                    arr = _decode_gray_any(b, pil)
+                for b, arr in zip(payload_bytes, arrays):
+                    if arr is None:
+                        arr = _decode_gray_any(b, pil)
                     heights.append(arr.shape[0])
                     widths.append(arr.shape[1])
                     flat = arr.ravel()

@@ -30,6 +30,17 @@ def get_spark(app_name: str = "gridmr_spark", cpus: int | None = None) -> SparkS
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    # BLAS thread discipline for Python workers (guide §4): every worker
+    # process inherits this env via the JVM. Without it, N concurrent
+    # pandas-UDF tasks each spin an ncpus-wide OpenBLAS pool (N*ncpus
+    # threads) and small batched GEMMs spend more time in thread handoff
+    # than math — measured 0.1 s vs up to 4.3 s run-to-run for the same
+    # (94k, 64) @ (64, 64) IDCT under oversubscription. Task-level
+    # parallelism comes from Spark; per-task math stays single-threaded.
+    # setdefault so an operator explicitly tuned for threaded BLAS (or a
+    # cluster deployment) can still override from the outside.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     # Before the JVM starts: make a protobuf runtime importable (current
     # process + future Python workers via PYTHONPATH) so the
     # transformWithStateInPandas state server can run. No-op when protobuf
