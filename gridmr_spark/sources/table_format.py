@@ -1985,7 +1985,13 @@ class ManifestTable:
 
             raw_cur = self._raw(cur) if cur else {}
             retired = set(raw_cur.get("retired_columns", []))
-            clash = [c for c in df.columns if c in retired]
+            # A retired name that is LIVE in the current mapping is not a
+            # recycled name: RESTORE to a pre-rename/pre-drop snapshot
+            # resurrects the column under its ORIGINAL field id (the
+            # restored manifest carries that snapshot's columns mapping),
+            # so its stats translate correctly. Only a retired name that
+            # would be assigned a FRESH id is the stale-stats hazard.
+            clash = [c for c in df.columns if c in retired and c not in ids]
             if clash:
                 raise ValueError(
                     f"commit to {self.root}: column name(s) {clash} are "

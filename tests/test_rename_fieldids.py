@@ -327,3 +327,31 @@ def test_full_rewrite_restores_plain_read_path(spark, tmp_path):
         t.commit(spark.createDataFrame([(9, "x", "y")], "k int, title string, name string"))
     t.commit(spark.createDataFrame([(4, "d", 1.0)], "k int, title string, w double"))
     assert t.column_ids()["w"] == 4  # dropped id 3 still never reused
+
+
+def test_restore_resurrects_renamed_name_and_verbs_work(spark, tmp_path):
+    """RESTORE to a pre-rename snapshot brings the old column name back
+    under its ORIGINAL field id (the restored manifest carries that
+    snapshot's columns mapping), so later writes under that name are NOT
+    recycled-name hazards and must be accepted — the Hypothesis model
+    test's rename -> restore -> compact falsifying sequence. A retired
+    name that is NOT live keeps being refused."""
+    import pytest as _pytest
+
+    t = _mk(spark, tmp_path)
+    id_before = t.column_ids()["name"]
+    t.rename_column("name", "title")
+    t.restore(1)
+    assert t.column_ids()["name"] == id_before  # same stable id, live again
+    # the full-rewrite verb re-commits the restored names: must succeed
+    t.compact(spark, target_partitions=2)
+    got = sorted((r.k, r.name, r.n) for r in t.read(spark).collect())
+    assert got == [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+    # appends under the resurrected name also work, same id
+    t.commit(spark.createDataFrame([(4, "d", 40)], "k int, name string, n int"))
+    assert t.column_ids()["name"] == id_before
+    # a retired name that is NOT live stays refused: rename again, then
+    # try to append under the now-dead 'name' without restoring
+    t.rename_column("name", "title2")
+    with _pytest.raises(ValueError, match="RETIRED"):
+        t.commit(spark.createDataFrame([(9, "x", 1)], "k int, name string, n int"))
