@@ -374,7 +374,14 @@ def simhash64(df: DataFrame, id_col: str, text_col: str, n_bits: int = 64, hash_
         F.col(id_col).alias("id"), F.explode(normalize_tokens(text_col)).alias("tok")
     )
     weighted = toks.groupBy("id", "tok").agg(F.count("*").alias("w"))
-    h = F.xxhash64("tok") if hash_col is None else hash_col
+    h_expr = F.xxhash64("tok") if hash_col is None else hash_col
+    # Project the token hash ONCE per (id, tok) row: referencing the raw
+    # expression inside all n_bits aggregates plants n_bits copies in both
+    # the partial and final agg (audited: 240 md5/conv sites in the plan
+    # at n_bits=60 with the portable md5 hash) and each row pays the hash
+    # n_bits times.
+    weighted = weighted.select("id", "w", h_expr.alias("_h"))
+    h = F.col("_h")
     bit_aggs = [
         F.sum(
             F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(-F.col("w"))
