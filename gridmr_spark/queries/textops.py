@@ -2242,16 +2242,20 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles the way max_shingle_df does; the interval union is one
     window over each doc's duplicated positions only."""
     docs = load_table(spark, sf_dir, "documents")
+    # Materialize the two shared frames, same as text_remove_duplicate_spans:
+    # toks feeds the shingle build AND the final size join, sh feeds the
+    # corpus count AND the duplicated-position join — unmaterialized, the
+    # tokenizer and the shingler each run once per consumer.
     toks = docs.select(
         "doc_id",
         F.filter(text_ops.tokenize("text"), lambda w: w != "").alias("t"),
-    )
+    ).localCheckpoint(eager=True)
     sh = toks.where(F.size("t") >= 10).select(
         "doc_id",
         F.posexplode(
             F.expr("transform(sequence(0, size(t) - 10), i -> array_join(slice(t, i + 1, 10), ' '))")
         ).alias("pos", "shingle"),
-    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "shingle")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "shingle").localCheckpoint(eager=True)
 
     cnt = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("c"))
     dup = sh.join(cnt.where(F.col("c") > 1), "shingle").select("doc_id", "pos")
