@@ -597,10 +597,15 @@ class RandomHyperplaneLSH:
         sf0.1 — unchanged — and the sf0.1→sf1 scaling exponent fell from
         1.26 to 0.88, SCALING.md §Measured)."""
         # Bucket tables carry only (id, bucket) — vectors do NOT ride the
-        # candidate-generation shuffle.
-        base = self._tabled(
+        # candidate-generation shuffle. The projection GEMM runs ONCE and is
+        # materialized: base and qside are the same (id, tbl, bucket) frame
+        # under different aliases, and without the checkpoint each side
+        # re-runs the Arrow-batched projection over every vector — the stage
+        # the class docstring identifies as dominating this operator.
+        tabled = self._tabled(
             df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")), "cid", "cvec"
-        ).select("cid", "tbl", "bucket")
+        ).select("cid", "tbl", "bucket").localCheckpoint(eager=True)
+        base = tabled
         if max_bucket_members is not None:
             wb = Window.partitionBy("tbl", "bucket").orderBy(
                 F.xxhash64("cid", "tbl"), F.asc("cid")
@@ -610,9 +615,7 @@ class RandomHyperplaneLSH:
                 .where(F.col("_r") <= max_bucket_members)
                 .drop("_r")
             )
-        qside = self._tabled(
-            df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")), "qid", "qvec"
-        ).select("qid", "tbl", "bucket")
+        qside = tabled.select(F.col("cid").alias("qid"), "tbl", "bucket")
         if multiprobe:
             probes = F.array(
                 F.col("bucket"),
