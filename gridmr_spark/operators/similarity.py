@@ -16,6 +16,7 @@ DuckDB, which is what makes the exact path oracle-checkable.
 
 from __future__ import annotations
 
+import os
 import random
 
 import numpy as np
@@ -72,7 +73,20 @@ def cosine_topk(
     global top-k; the final window merge is therefore exact. Ranking ties
     break on candidate id for determinism.
     """
-    qpdf = queries.select(q_id, q_vec).toPandas()
+    # Driver-collect guard (guide §5): the query side is small BY CONTRACT,
+    # but nothing used to enforce it — a misuse with a large query frame
+    # OOM'd the driver silently. limit(cap+1) bounds the collect ITSELF
+    # (never more than cap+1 rows cross to the driver, no extra job), and
+    # row cap+1 arriving proves the contract was violated, so fail loudly.
+    cap = int(os.environ.get("SPARK_GRAFT_TOPK_MAX_QUERIES", "65536"))
+    qpdf = queries.select(q_id, q_vec).limit(cap + 1).toPandas()
+    if len(qpdf) > cap:
+        raise ValueError(
+            f"cosine_topk: query side exceeds {cap} rows — this operator "
+            "collects the query set to the driver and is only correct for a "
+            "bounded query frame; use cosine_topk_gemm_blocked (neither side "
+            "collected) or raise SPARK_GRAFT_TOPK_MAX_QUERIES deliberately"
+        )
     spark = candidates.sparkSession
     if len(qpdf) == 0:
         return spark.createDataFrame(
@@ -604,7 +618,10 @@ class RandomHyperplaneLSH:
         # the class docstring identifies as dominating this operator.
         tabled = self._tabled(
             df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")), "cid", "cvec"
-        ).select("cid", "tbl", "bucket").localCheckpoint(eager=True)
+        ).select("cid", "tbl", "bucket")
+        ckpt = os.environ.get("SPARK_GRAFT_LSH_CKPT", "eager")
+        if ckpt != "off":
+            tabled = tabled.localCheckpoint(eager=(ckpt == "eager"))
         base = tabled
         if max_bucket_members is not None:
             wb = Window.partitionBy("tbl", "bucket").orderBy(

@@ -58,11 +58,26 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     division each, engine-deterministic. Unpartitioned window: fine for a
     dimension table; partition it for facts."""
     supp = load_table(spark, sf_dir, "supplier")
-    w = Window.orderBy(F.asc("s_acctbal"), F.asc("s_suppkey"))
-    return supp.select(
+    # Previously an unpartitioned WindowExec (single-partition sort of the
+    # table, guide §2). Under a UNIQUE total order (the s_suppkey tiebreak)
+    # rank == row_number and cume_dist's "rows <= current" == row_number,
+    # so both reduce to the same integer divisions on a two-level global
+    # row number — bit-identical doubles, computed on parallel range
+    # partitions.
+    from gridmr_spark.functions.ranking import global_row_number
+
+    numbered, n = global_row_number(
+        supp, [F.asc("s_acctbal"), F.asc("s_suppkey")], out="_rn"
+    )
+    pct = (
+        (F.col("_rn") - 1).cast("double") / F.lit(float(n - 1))
+        if n > 1
+        else F.lit(0.0)
+    )
+    return numbered.select(
         "s_suppkey",
-        F.percent_rank().over(w).alias("bal_pct_rank"),
-        F.cume_dist().over(w).alias("bal_cume_dist"),
+        pct.alias("bal_pct_rank"),
+        (F.col("_rn").cast("double") / F.lit(float(n))).alias("bal_cume_dist"),
     )
 
 

@@ -243,10 +243,12 @@ def dq_skew_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").cast("long").alias("n_rows"),
         F.count(F.lit(1)).cast("long").alias("n_keys"),
     )
-    w = Window.orderBy(F.desc("cnt"), F.asc("key"))
+    # Global top-10 via TakeOrderedAndProject + a 10-row ranking window —
+    # never an unpartitioned WindowExec over the key dictionary (guide §2).
+    from gridmr_spark.functions.ranking import ranked_topk
+
     return (
-        per_key.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 10)
+        ranked_topk(per_key, [F.desc("cnt"), F.asc("key")], 10, out="rk")
         .crossJoin(F.broadcast(tot))
         .select(
             "key",

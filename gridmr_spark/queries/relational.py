@@ -1180,10 +1180,25 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut points + a width_bucket-style assignment; the report shape stays."""
     from gridmr_spark.functions.numeric import dsum
 
+    # The global sort no longer lands in ONE task: the previous
+    # Window.orderBy(no partition) ntile moved every order row to a single
+    # partition (guide §2's scale-killer — this was the one flagged site
+    # on a FACT table). The two-level global row number sorts range
+    # partitions in parallel and ntile is a pure function of
+    # (row_number, n, buckets) under the same unique total order, so the
+    # deciles are row-identical.
+    from gridmr_spark.functions.ranking import global_row_number, ntile_from_rn
+
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    numbered, n = global_row_number(
+        orders.select("o_totalprice", "o_orderkey"),
+        [F.asc("o_totalprice"), F.asc("o_orderkey")],
+        out="_rn",
+    )
     return (
-        orders.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        numbered.select(
+            "o_totalprice", ntile_from_rn(F.col("_rn"), n, 10).alias("decile")
+        )
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

@@ -228,11 +228,21 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a global sort of doc STATISTICS (two window columns), not content,
     and fusing is an equi-join on doc_id. This is the retrieval stack's
     answer-merging layer — BM25 + ANN rankings fuse identically."""
+    from gridmr_spark.functions.ranking import global_row_number
+
     agg, d = _bm25_agg(spark, sf_dir)
     w_bm = Window.partitionBy("qid").orderBy(F.desc("score_q"), F.asc("doc_id"))
     bm = agg.select("qid", "doc_id", F.row_number().over(w_bm).alias("r1"))
-    w_pr = Window.orderBy(F.desc("dl"), F.asc("doc_id"))
-    prior = d.select("doc_id", F.row_number().over(w_pr).alias("r2"))
+    # The prior is a rank over EVERY document — previously a
+    # Window.orderBy with no partition, i.e. a single-partition sort of
+    # the whole doc-stats table (the WindowExec all-to-one warning, guide
+    # §2). The two-level global_row_number keeps the identical total
+    # order ((dl desc, doc_id) is unique) while sorting range partitions
+    # in parallel.
+    numbered, _n = global_row_number(
+        d, [F.desc("dl"), F.asc("doc_id")], out="r2"
+    )
+    prior = numbered.select("doc_id", "r2")
     fused = bm.join(prior, "doc_id").select(
         "qid", "doc_id", "r1", "r2",
         F.floor(
@@ -331,12 +341,13 @@ def text_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("diff_q"),
     )
-    w = Window.orderBy(F.abs(F.col("diff_q")).desc(), F.asc("tok"))
-    return (
-        s.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= _DRIFT_TOPK)
-        .select("tok", "na", "nb", "diff_q", "rk")
-    )
+    # Global top-k via TakeOrderedAndProject + a k-row ranking window —
+    # never an unpartitioned WindowExec over the vocabulary (guide §2).
+    from gridmr_spark.functions.ranking import ranked_topk
+
+    return ranked_topk(
+        s, [F.abs(F.col("diff_q")).desc(), F.asc("tok")], _DRIFT_TOPK, out="rk"
+    ).select("tok", "na", "nb", "diff_q", "rk")
 
 
 # ---------------------------------------------------------------------------
@@ -498,10 +509,29 @@ def skyline_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pareto_front(df: DataFrame, maximize: str, minimize: str) -> DataFrame:
     """Skyline of ``df`` on (maximize ↑, minimize ↓) via the grouped-
     threshold plan described in skyline_pareto_front (ties on both axes
-    all survive — dominance requires strict improvement on one axis)."""
+    all survive — dominance requires strict improvement on one axis).
+
+    The running min over strictly-larger ``maximize`` groups is computed
+    DRIVER-SIDE: the grouped table is bounded by the distinct-value count
+    of ``maximize`` and the very next step broadcasts it — anything small
+    enough to broadcast to every executor is small enough to prefix-scan
+    on the driver — so the unpartitioned running-min window (a
+    single-partition WindowExec, guide §2) is gone and the threshold
+    build costs one collect instead of an extra exchange+sort."""
+    from pyspark.sql.types import StructField, StructType
+
     g = df.groupBy(maximize).agg(F.min(minimize).alias("gmin"))
-    w = Window.orderBy(F.desc(maximize)).rowsBetween(Window.unboundedPreceding, -1)
-    thresholds = g.withColumn("run_min", F.min("gmin").over(w))
+    rows = g.collect()
+    rows.sort(key=lambda r: r[maximize], reverse=True)
+    out_rows, run = [], None
+    for r in rows:
+        out_rows.append((r[maximize], r["gmin"], run))
+        run = r["gmin"] if run is None else min(run, r["gmin"])
+    schema = StructType(
+        list(g.schema.fields)
+        + [StructField("run_min", g.schema["gmin"].dataType, True)]
+    )
+    thresholds = df.sparkSession.createDataFrame(out_rows, schema)
     joined = df.join(F.broadcast(thresholds), maximize)
     dominated = (
         F.col("run_min").isNotNull() & (F.col("run_min") <= F.col(minimize))

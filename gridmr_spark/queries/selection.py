@@ -97,12 +97,13 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     implements."""
     docs = load_table(spark, sf_dir, "documents")
     scored = dsir_scores(docs.withColumn("is_target", F.length("source") == 4))
-    w = Window.orderBy(F.desc("score_q"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= _DSIR_TOPK)
-        .select("doc_id", "n_tok", "score_q", "rk")
-    )
+    # Global top-k via TakeOrderedAndProject + a k-row ranking window —
+    # never an unpartitioned WindowExec over the corpus (guide §2).
+    from gridmr_spark.functions.ranking import ranked_topk
+
+    return ranked_topk(
+        scored, [F.desc("score_q"), F.asc("doc_id")], _DSIR_TOPK, out="rk"
+    ).select("doc_id", "n_tok", "score_q", "rk")
 
 
 def dsir_scores(docs: DataFrame, n_buckets: int = _DSIR_BUCKETS) -> DataFrame:
@@ -279,9 +280,11 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("key_q"),
     )
-    w = Window.orderBy(F.desc("key_q"), F.asc("doc_id"))
-    return (
-        keyed.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= _RESERVOIR_K)
-        .select("doc_id", "key_q", "rk")
-    )
+    # Global top-k via TakeOrderedAndProject + a k-row ranking window —
+    # the per-partition-top-k-then-merge formulation the docstring
+    # describes, now explicit in the plan (guide §2).
+    from gridmr_spark.functions.ranking import ranked_topk
+
+    return ranked_topk(
+        keyed, [F.desc("key_q"), F.asc("doc_id")], _RESERVOIR_K, out="rk"
+    ).select("doc_id", "key_q", "rk")

@@ -287,15 +287,48 @@ def _run_tws_live(spark, sf_dir: str, tag: str, sentinel_row, build_stream):
         "event_id long, user_id long, ts timestamp, value double, event_type string",
     )
     ev.unionByName(sentinel).write.mode("overwrite").parquet(src)
-    q = (
-        build_stream(spark.readStream.schema(ev.schema).parquet(src))
-        .writeStream.outputMode("append")
-        .foreachBatch(lambda df, bid: df.write.mode("append").parquet(sink))
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
+    # Size the stream's STATE partitions to state volume, not to cores
+    # (guide §2/§5). Structured Streaming pins the state-store partition
+    # count to spark.sql.shuffle.partitions at the FIRST start of a
+    # checkpoint; the session default (ncpus) therefore creates ncpus
+    # RocksDB store instances per micro-batch, and for KBs of session
+    # state the per-store open/snapshot/commit overhead (measured ~24 s
+    # summed across 32 stores per batch in the r14 phase instrumentation)
+    # dwarfs the state work itself — the stream ran SLOWER at 32 cores
+    # than at 8 (PERF_r14 scaling 0.51). Checkpoints here are fresh per
+    # run (run-{uuid}), so nothing pins the count and it can derive from
+    # the state's actual driver: the number of DISTINCT KEYS (state per
+    # key is O(sessions inside one watermark delay) — bounded), at a
+    # target keys-per-store, clamped to [1, session shuffle partitions].
+    # Too few partitions serializes the per-key Python processor work
+    # (measured 30.6 s at ONE partition — the pandas-per-key cost needs
+    # parallelism); too many pays per-store commit overhead for
+    # near-empty stores (14.4 s at 32 in PERF_r14). The key count comes
+    # from one column-pruned approx_count_distinct over the just-staged
+    # parquet — trivial next to the staging write itself. At 100 TB the
+    # same rule saturates the clamp (the cluster's configured
+    # parallelism), so this is scale-adaptive sizing, not a local tune.
+    n_keys = int(
+        spark.read.parquet(src)
+        .agg(F.approx_count_distinct("user_id").alias("k"))
+        .first()["k"]
     )
-    q.awaitTermination()
+    keys_per_store = int(os.environ.get("SPARK_GRAFT_STATE_KEYS_PER_STORE", "128"))
+    sess_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_state = max(1, min(sess_parts, -(-n_keys // keys_per_store)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
+    try:
+        q = (
+            build_stream(spark.readStream.schema(ev.schema).parquet(src))
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda df, bid: df.write.mode("append").parquet(sink))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(sess_parts))
     out = spark.read.parquet(sink).where(F.col("user_id") >= 0).localCheckpoint(eager=True)
     shutil.rmtree(run, ignore_errors=True)  # sink is materialized above
     return out

@@ -208,10 +208,20 @@ def ds_customer_ltv_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dmoney("o_totalprice", 2)).cast("double").alias("ltv"),
         F.date_trunc("month", F.min("o_orderdate")).alias("first_month"),
     )
-    w = Window.orderBy(F.desc("ltv"), F.asc("c_custkey"))
-    return ltv.select(
+    # NTILE over every customer was an unpartitioned WindowExec — a
+    # single-partition sort of the whole aggregate (guide §2). The
+    # two-level global row number under the identical total order plus
+    # the SQL-standard ntile split formula is row-identical (ntile is a
+    # pure function of (row_number, n, buckets)) and sorts range
+    # partitions in parallel.
+    from gridmr_spark.functions.ranking import global_row_number, ntile_from_rn
+
+    numbered, n = global_row_number(
+        ltv, [F.desc("ltv"), F.asc("c_custkey")], out="_rn"
+    )
+    return numbered.select(
         "c_custkey", "n_orders", "ltv", "first_month",
-        F.ntile(4).over(w).alias("segment"),
+        ntile_from_rn(F.col("_rn"), n, 4).alias("segment"),
     )
 
 

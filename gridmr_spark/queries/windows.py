@@ -183,14 +183,31 @@ def window_ntile_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROW, which silently turns last_value into current-row-value — the
     classic window-frame trap, pinned here identically on both engines."""
     supp = load_table(spark, sf_dir, "supplier")
-    w = Window.orderBy(F.asc("s_acctbal"), F.asc("s_suppkey"))
-    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return supp.select(
+    # Previously one unpartitioned WindowExec (single-partition sort of
+    # the table, guide §2). Under the UNIQUE total order every navigation
+    # value here is a CONSTANT of the ordered sequence — first_value over
+    # the running frame is always row 1, last/nth over the full frame are
+    # rows n and 3 — and ntile is a pure function of (row_number, n, 4);
+    # so the query reduces to a two-level global row number (parallel
+    # range-partition sort) plus three driver-collected scalar rows.
+    from gridmr_spark.functions.ranking import global_row_number, ntile_from_rn
+
+    numbered, n = global_row_number(
+        supp, [F.asc("s_acctbal"), F.asc("s_suppkey")], out="_rn"
+    )
+    nav = {
+        int(r["_rn"]): r["s_suppkey"]
+        for r in numbered.where(F.col("_rn").isin(1, 3, n))
+        .select("_rn", "s_suppkey")
+        .collect()
+    }
+    key_t = supp.schema["s_suppkey"].dataType.simpleString()
+    return numbered.select(
         "s_suppkey",
-        F.ntile(4).over(w).alias("bal_quartile"),
-        F.first("s_suppkey").over(w).alias("poorest_key"),
-        F.last("s_suppkey").over(wfull).alias("richest_key"),
-        F.nth_value("s_suppkey", 3).over(wfull).alias("third_key"),
+        ntile_from_rn(F.col("_rn"), n, 4).alias("bal_quartile"),
+        F.lit(nav.get(1)).cast(key_t).alias("poorest_key"),
+        F.lit(nav.get(n)).cast(key_t).alias("richest_key"),
+        F.lit(nav.get(3)).cast(key_t).alias("third_key"),
     )
 
 

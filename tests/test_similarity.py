@@ -442,3 +442,22 @@ def test_shortlisted_1nn_canary_and_recall(spark):
         for (t, p, n) in brute
     )
     assert n_agree >= 0.9 * n_total
+
+
+def test_cosine_topk_query_cap_guard(spark, sf_oracle, monkeypatch):
+    """The driver-collect guard: a query side larger than the configured
+    ceiling must raise instead of silently collecting it to the driver
+    (guide §5 — the operator's 'small by contract' query side now has an
+    enforced contract). The collect itself is bounded by limit(cap+1), so
+    even the failing path never materializes more than cap+1 rows."""
+    import pytest
+
+    emb = spark.read.parquet(f"{sf_oracle}/embeddings.parquet")
+    q = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_vec"))
+    monkeypatch.setenv("SPARK_GRAFT_TOPK_MAX_QUERIES", "10")
+    with pytest.raises(ValueError, match="query side exceeds 10 rows"):
+        cosine_topk(q, c, k=2)
+    # Under the cap the operator behaves exactly as before the guard.
+    out = cosine_topk(q.where("q_id < 5"), c, k=2)
+    assert out.count() == 5 * 2
