@@ -99,10 +99,34 @@ class PersistedIVF:
         base.repartition("cell").write.mode("overwrite").parquet(
             _p(path, "postings.parquet")
         )
+        # Per-cell occupancy statistics, persisted WITH the index: `append`'s
+        # drift guard needs full-index cell counts, and recomputing them
+        # there meant re-scanning the ENTIRE postings table on every
+        # nightly append (guide §1.2 — don't re-derive what an artifact can
+        # carry). One column-pruned pass over the just-written postings at
+        # build time (O(build), which already wrote them) makes every
+        # append O(k + |new|) instead of O(index).
+        self._write_stats(
+            spark,
+            path,
+            {
+                int(r["cell"]): int(r["n"])
+                for r in spark.read.parquet(_p(path, "postings.parquet"))
+                .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+            },
+        )
         _write_meta(
             spark, path, kind="ivf", k=idx.k, nprobe=idx.nprobe,
             assign_n=idx.assign_n, refit_skew=float(refit_skew),
         )
+
+    @staticmethod
+    def _write_stats(spark: SparkSession, path: str, counts: dict[int, int]) -> None:
+        local_df(
+            spark,
+            [(c, n) for c, n in sorted(counts.items())],
+            "cell int, n long",
+        ).coalesce(1).write.mode("overwrite").parquet(_p(path, "stats.parquet"))
 
     def _stored_centroids(self, spark: SparkSession, path: str) -> list[list[float]]:
         crows = spark.read.parquet(_p(path, "centroids.parquet")).collect()
@@ -143,22 +167,44 @@ class PersistedIVF:
             "cvec",
             centroids,
         ).select("cell", "cid", "cvec").localCheckpoint(eager=True)
-        # localCheckpoint: the assignment runs ONCE, feeding both the count
-        # and the append write (an uncached plan would execute it twice)
-        added = new_posts.count()
+        # localCheckpoint: the assignment runs ONCE, feeding both the
+        # delta's per-cell counts and the append write (an uncached plan
+        # would execute it twice). The counts double as `added` (their
+        # sum), so the old separate count() job is gone.
+        new_counts = {
+            int(r["cell"]): int(r["n"])
+            for r in new_posts.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        added = sum(new_counts.values())
         new_posts.repartition("cell").write.mode("append").parquet(
             _p(path, "postings.parquet")
         )
-        occ = (
-            spark.read.parquet(_p(path, "postings.parquet"))
-            .groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
-            .agg(
-                F.max("n").cast("double").alias("mx"),
-                F.avg("n").alias("mean"),
-            )
-            .collect()[0]
+        # Drift guard from the persisted per-cell stats + the delta — an
+        # O(k) merge instead of the former full re-scan of the postings
+        # table (O(index) per nightly append). Indexes written before the
+        # stats artifact existed fall back to the scan once; the updated
+        # stats are persisted either way, so the fallback self-heals.
+        import os as _os
+
+        if _os.path.isdir(_p(path, "stats.parquet")):
+            counts = {
+                int(r["cell"]): int(r["n"])
+                for r in spark.read.parquet(_p(path, "stats.parquet")).collect()
+            }
+            for c, n in new_counts.items():
+                counts[c] = counts.get(c, 0) + n
+        else:  # post-append scan: already includes the delta
+            counts = {
+                int(r["cell"]): int(r["n"])
+                for r in spark.read.parquet(_p(path, "postings.parquet"))
+                .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+        self._write_stats(spark, path, counts)
+        skew = float(max(counts.values())) / max(
+            float(sum(counts.values())) / len(counts), 1e-300
         )
-        skew = float(occ.mx) / max(float(occ.mean), 1e-300)
         stored = meta.get("refit_skew")
         threshold = 4.0 if stored is None else float(stored)
         return {

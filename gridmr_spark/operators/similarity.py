@@ -503,7 +503,17 @@ class IVFIndex:
             .cogroup(base.groupBy("cell"))
             .applyInPandas(gemm_cell, schema="qid long, cid long, cosine double")
         )
-        deduped = cells.groupBy("qid", "cid").agg(F.max("cosine").alias("cosine"))
+        # ONE exchange for the whole merge tail (guide §2.4): hash-partition
+        # the per-cell survivors by qid once — hashpartitioning(qid)
+        # satisfies both the (qid, cid) dedupe aggregate's clustering (a
+        # superset key is co-located by its subset) and the qid window's,
+        # so the previous second exchange (agg keyed (qid,cid) → window
+        # keyed (qid)) disappears; survivors are shuffled once, not twice.
+        deduped = (
+            cells.repartition("qid")
+            .groupBy("qid", "cid")
+            .agg(F.max("cosine").alias("cosine"))
+        )
         w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
         return deduped.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
 
@@ -616,12 +626,14 @@ class RandomHyperplaneLSH:
         # under different aliases, and without the checkpoint each side
         # re-runs the Arrow-batched projection over every vector — the stage
         # the class docstring identifies as dominating this operator.
+        # Kept EAGER on measurement (r15 isolated A/B at sf0.1, 5 runs each,
+        # 32 cores): eager 5.27 min / 5.52 med; lazy 5.57 / 6.89; no
+        # checkpoint (the r13 shape) 5.79 / 6.05 — the r14 driver reading
+        # that flagged this as a regression is not reproducible, and the
+        # one-projection-pass property matters more as tables x corpus grows.
         tabled = self._tabled(
             df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")), "cid", "cvec"
-        ).select("cid", "tbl", "bucket")
-        ckpt = os.environ.get("SPARK_GRAFT_LSH_CKPT", "eager")
-        if ckpt != "off":
-            tabled = tabled.localCheckpoint(eager=(ckpt == "eager"))
+        ).select("cid", "tbl", "bucket").localCheckpoint(eager=True)
         base = tabled
         if max_bucket_members is not None:
             wb = Window.partitionBy("tbl", "bucket").orderBy(

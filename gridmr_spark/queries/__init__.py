@@ -50,7 +50,41 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # here explicitly and served first; long-green queries re-verify with
 # whatever budget remains. Update per round as rows come back green.
 _DRIVER_PRIORITY: list[str] = [
-    # --- round-14 priority (driver budget ~50; first rows first) ---
+    # --- round-15 priority (driver budget ~50) ---
+    # (a) queries whose CODE PATH changed this round, riskiest first:
+    # the single-partition-window rewrites (two-level global ranks,
+    # TakeOrdered top-ks, driver-side pareto prefix scan), the TWS-live
+    # state-partition sizing, the IVF stats-artifact + one-exchange merge
+    # tail, and the cosine_topk collect-guard's consumers.
+    "agg_equidepth_histogram", "ds_customer_ltv_window",
+    "window_distribution", "window_ntile_nav", "search_rrf_fusion",
+    "text_token_drift", "dq_skew_detector", "sample_dsir_importance",
+    "sample_weighted_reservoir", "skyline_pareto_front",
+    "stream_tws_sessions_live", "stream_tws_first_seen_live",
+    "similarity_ivf_append", "similarity_ivf_persisted",
+    "similarity_ivf_exact_regime", "similarity_topk_gemm",
+    "eval_1nn_f1", "eval_1nn_confusion", "eval_1nn_shortlist",
+    # (b) the r14 perf-regressed rows (VERDICT r14 item 10): fresh oracle
+    # rows alongside this round's perf work on them.
+    "dedup_binary_hamming_pairs", "search_eval_ndcg",
+    "table_metadata_agg_dv", "dedup_clusters_cc", "graph_pagerank",
+    "similarity_pq_persisted", "stream_countmin_merge",
+    "dedup_ngram_jaccard", "stream_dedup_minhash",
+    "stream_table_cdc_feed", "stream_table_changelog",
+    "source_stream_datasource",
+    # (c) the rest of the streaming family (the r14 drift cohort).
+    "stream_catalog_cdc_feed", "stream_tumbling_1h",
+    "stream_sliding_1h_30m", "stream_session_10m", "stream_dedup_exact",
+    "stream_static_enrich", "stream_tws_sessions",
+    # (d) perf-suspect rows (incl. rows-only ANN paths) with what
+    # remains of the budget.
+    "similarity_pq_topk", "similarity_lsh_topk", "dedup_setsim_prefix",
+    "dedup_minhash_lsh", "similarity_near_pairs", "dedup_keep_best",
+    "pipeline_incremental_dedup_table", "dedup_incremental_clusters",
+    "pipeline_leakage_safe_split", "dedup_simhash", "table_wap_multi",
+    "dedup_minhash_clusters", "er_resolve_entities",
+    # --- round-14 priority (kept below for registration-order stability
+    # of whatever budget remains) ---
     # (a) round-14 additions (first driver rows ever): type-widening
     # schema evolution, partition-spec evolution without rewrite, and
     # the exact-regime IVF row that puts the ANN machinery under a full

@@ -7,7 +7,7 @@ profiling pass costs the same as any full-table agg, not a per-rule scan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gridmr_spark.catalog import load_table

@@ -10,6 +10,8 @@ tests/test_catalog_txn.py's example-based coverage."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from hypothesis import HealthCheck, given, settings
@@ -40,6 +42,7 @@ _op = st.one_of(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=st.lists(_op, min_size=2, max_size=5))
+@pytest.mark.slow
 def test_random_catalog_sequences_match_model(spark, tmp_path_factory, ops):
     tmp = tmp_path_factory.mktemp("catmodel")
     root = str(tmp / "cat")

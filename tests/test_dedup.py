@@ -68,6 +68,7 @@ def _simhash_reference(text: str) -> set[int]:
     return Counter(toks)
 
 
+@pytest.mark.slow
 def test_simhash_properties(spark, planted_docs):
     sig = {r.id: r.simhash for r in dedup.simhash64(planted_docs, "doc_id", "text").collect()}
     assert sig[1] == sig[2]  # identical text -> identical signature

@@ -6,6 +6,8 @@ value still matches."""
 
 from __future__ import annotations
 
+import pytest
+
 import re
 
 from gridmr_spark.queries import load_all
@@ -95,6 +97,7 @@ def test_bucketed_join_plans_zero_exchange(spark, sf_oracle):
     assert "Exchange" not in below_join, below_join
 
 
+@pytest.mark.slow
 def test_queries_avoid_cartesian_products(spark, sf_oracle):
     """No registered query may plan a CartesianProduct — the instant
     scale-killer. (Intentional cross joins must be broadcast-side.)"""

@@ -56,6 +56,7 @@ def test_reference_binaries_via_pipe_job(spark, sf_oracle, ref_binaries):
 
 
 @needs_ref
+@pytest.mark.slow
 def test_submit_cli_end_to_end(tmp_path, sf_oracle):
     """Drive the CLI exactly as a reference user would (their .cc sources,
     --compile), in a subprocess, over a text input file."""

@@ -121,6 +121,7 @@ def connect_server():
             proc.kill()
 
 
+@pytest.mark.slow
 def test_live_wordcount_submit_roundtrip(connect_server, tmp_path):
     port = connect_server
     # synthetic proto tree: empty parents + symlink to pyspark's generated

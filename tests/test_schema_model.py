@@ -10,6 +10,8 @@ in tests/test_rename_fieldids.py."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -37,6 +39,7 @@ _op = st.one_of(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=st.lists(_op, min_size=3, max_size=7))
+@pytest.mark.slow
 def test_random_schema_evolution_matches_model(spark, tmp_path_factory, ops):
     tmp = tmp_path_factory.mktemp("schema_model")
     t = ManifestTable(str(tmp / "tbl"))

@@ -70,6 +70,7 @@ def test_stateless_bands_match_aggregate_signatures(spark, sf_smoke):
 
 
 @pytest.mark.skipif(not has_protobuf(), reason="transformWithState state server needs google.protobuf")
+@pytest.mark.slow
 def test_stream_candidates_equal_batch(spark, tmp_path, sf_smoke):
     """Two availableNow runs over a growing directory: the streaming band
     state carries bucket membership across restarts, and the distinct

@@ -39,6 +39,7 @@ _op = st.one_of(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=st.lists(_op, min_size=3, max_size=7))
+@pytest.mark.slow
 def test_random_verb_sequences_match_model(spark, tmp_path_factory, ops):
     tmp = tmp_path_factory.mktemp("model")
     t = ManifestTable(str(tmp / "tbl"))
