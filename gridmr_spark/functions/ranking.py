@@ -41,13 +41,21 @@ def ranked_topk(
     Replaces ``row_number().over(Window.orderBy(...)) ... WHERE rk <= k``:
     ``orderBy().limit(k)`` plans as TakeOrderedAndProject (each partition
     keeps its local top-k, one merge of k-row heaps — nothing global is
-    sorted), and the ranking window then sees at most k rows. The window's
-    constant partition key keeps the planner from requesting an
-    all-tuples-to-one distribution of anything unbounded — by construction
-    its input IS bounded by k."""
-    top = df.orderBy(*order_cols).limit(k)
-    w = Window.partitionBy(F.lit(0)).orderBy(*order_cols)
-    return top.withColumn(out, F.row_number().over(w))
+    sorted), and the rank over the surviving <= k rows needs no WindowExec
+    at all: one partition (coalesce of a bounded frame is free), sorted,
+    with the per-partition record index as the rank. (A constant-key
+    window looked equivalent but the optimizer folds a literal partition
+    spec away, resurrecting the unpartitioned-WindowExec warning this
+    helper exists to kill.)"""
+    top = (
+        df.orderBy(*order_cols)
+        .limit(k)
+        .coalesce(1)
+        .sortWithinPartitions(*order_cols)
+    )
+    return top.withColumn(
+        out, (F.monotonically_increasing_id() + 1).cast("int")
+    )
 
 
 def global_row_number(

@@ -513,7 +513,25 @@ def jpeg_decode_gray_many(datas) -> list:
     decoder's (asserted in tests/test_jpeg_vectorized.py); a stream that
     trips ANY validation (invalid code, run overflow, truncated scan) is
     re-decoded scalar so it raises the exact scalar exception."""
-    metas = [_parse_jpeg(bytes(d)) for d in datas]
+    # Per-stream header parsing (ADVICE r14): one malformed header (e.g. a
+    # progressive or multi-component JPEG) must not abort the whole batch
+    # while scan-level errors get a per-stream scalar fallback. A stream
+    # whose header fails to parse takes the same scalar re-decode path —
+    # the batch is re-run on the parseable subset and the scalar decoder
+    # reproduces the exact per-stream exception for the rest.
+    metas = []
+    for d in datas:
+        try:
+            metas.append(_parse_jpeg(bytes(d)))
+        except Exception:
+            metas.append(None)
+    if any(m is None for m in metas):
+        ok = [i for i, m in enumerate(metas) if m is not None]
+        sub = iter(jpeg_decode_gray_many([datas[i] for i in ok]) if ok else [])
+        return [
+            next(sub) if m is not None else jpeg_decode_gray(bytes(datas[i]))
+            for i, m in enumerate(metas)
+        ]
     S = len(metas)
     if S == 0:
         return []
@@ -567,7 +585,10 @@ def jpeg_decode_gray_many(datas) -> list:
     # per-write `_ZIGZAG[i]` gather is free compared to permuting the whole
     # (total_blocks, 64) matrix afterwards. has_ac tracks blocks with any
     # nonzero AC so the DC-only majority can skip the IDCT GEMM entirely.
-    coeff = np.zeros((total_blocks, 64), dtype=np.int32)
+    # int64, matching the scalar decoder (ADVICE r14): a corrupt-but-
+    # header-valid stream whose accumulated DC predictor leaves int32
+    # range must diverge loudly (scalar fallback), never wrap silently.
+    coeff = np.zeros((total_blocks, 64), dtype=np.int64)
     has_ac = np.zeros(total_blocks, dtype=bool)
     pos = base.copy()
     blk = np.zeros(S, dtype=np.int64)

@@ -146,3 +146,22 @@ def test_roundtrip_lossless_constant_blocks():
     img = np.kron(vals, np.ones((8, 8), dtype=np.uint8))
     out = jpeg_decode_gray(jpeg_encode_gray(img))
     np.testing.assert_array_equal(out, img)
+
+
+def test_batch_decode_header_failure_routes_per_stream():
+    """A stream whose HEADER fails to parse (not just its scan) must take
+    the same per-stream scalar fallback as scan-level failures: the batch
+    raises the scalar decoder's exact exception type instead of a batch-
+    wide parse abort, and the parseable streams still decode through the
+    lockstep path (ADVICE r14)."""
+    p = jpeg_encode_gray(np.arange(64, dtype=np.uint8).reshape(8, 8) * 5 % 256)
+    bad_header = p[:4] + b"\x00" * 8  # SOI then garbage: header parse fails
+    with pytest.raises(Exception) as scalar_err:
+        jpeg_decode_gray(bad_header)
+    with pytest.raises(Exception) as batch_err:
+        jpeg_decode_gray_many([p, bad_header])
+    assert type(batch_err.value) is type(scalar_err.value)
+    # A batch that mixes only parseable streams after the split still
+    # returns scalar-identical arrays.
+    (got,) = jpeg_decode_gray_many([p])
+    np.testing.assert_array_equal(got, jpeg_decode_gray(p))
